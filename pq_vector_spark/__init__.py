@@ -1,0 +1,47 @@
+"""pq_vector_spark — a PySpark-native analytics engine with the capabilities
+of the reference ``XiangpengHao/pq-vector`` (IVF-in-Parquet vector search),
+re-expressed Spark-first, plus large-scale training-data-pipeline operators
+(dedup, similarity search, multimodal columns, text analysis).
+
+Design stance (SURVEY.md §7): everything is declarative DataFrame ops so
+Catalyst/Tungsten choose physical strategy; the driver only ever holds tiny
+state (centroids, ≤100k-row training samples); no ``collect()`` of data in
+any operator hot path — built for a 1000-executor cluster over ~100 TB even
+though tests run on ``local[*]``.
+"""
+
+from pq_vector_spark.session import PqSession, VectorTopKOptions, get_spark
+from pq_vector_spark.functions.distance import (
+    array_distance,
+    squared_l2,
+    cosine_similarity,
+    dot_product,
+    register_sql_functions,
+)
+from pq_vector_spark.schema import infer_vector_column, validate_vector_column
+from pq_vector_spark.operators.topk import topk, brute_force_topk
+from pq_vector_spark.index.build import build_index, has_index
+from pq_vector_spark.index.search import indexed_topk, load_index
+from pq_vector_spark.plans.sql import pq_sql
+
+__all__ = [
+    "PqSession",
+    "VectorTopKOptions",
+    "get_spark",
+    "array_distance",
+    "squared_l2",
+    "cosine_similarity",
+    "dot_product",
+    "register_sql_functions",
+    "infer_vector_column",
+    "validate_vector_column",
+    "topk",
+    "brute_force_topk",
+    "build_index",
+    "has_index",
+    "indexed_topk",
+    "load_index",
+    "pq_sql",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,120 @@
+"""Vector distance expressions — native Catalyst columns, no Python workers.
+
+The reference's ``array_distance(a, b)`` is Euclidean √Σ(aᵢ−bᵢ)² matched by
+name in its physical rewrite (reference: src/df_vector/physical.rs:201) and
+computed by a 4-way-unrolled scalar kernel (src/ivf/index.rs:459-480).
+Spark has no builtin, so we build it from higher-order functions
+(``zip_with`` + ``aggregate``) — these stay inside whole-stage codegen on the
+JVM, i.e. the hot path never crosses into Python.
+
+Precision contract: every element is cast to DOUBLE *before* arithmetic and
+summed left-to-right. That makes results bit-identical to a DuckDB oracle of
+shape ``list_reduce(list_transform(list_zip(a,b), …), (x,y)->x+y)`` so the
+driver's value-hash gate can compare us exactly (SURVEY.md §2.C).
+
+Reference parity notes:
+- f64 query literals are narrowed to the f32 grid by the reference
+  (src/df_vector/expr.rs:48-50); we keep stored vectors float32 and cast up
+  to double at compute time, which is lossless for float32 inputs.
+- null / dim-mismatched rows at query time yield NULL distance → dropped by
+  orderBy-limit, matching the silent skip in src/df_vector/exec.rs:495-528.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Union
+
+from pyspark.sql import Column, SparkSession
+from pyspark.sql import functions as F
+
+VectorLike = Union[str, Column, Sequence[float]]
+
+
+def _as_vector_col(v: VectorLike) -> Column:
+    """Coerce a column name / Column / python list into an array<double> column."""
+    if isinstance(v, Column):
+        return v.cast("array<double>")
+    if isinstance(v, str):
+        return F.col(v).cast("array<double>")
+    return F.array(*[F.lit(float(x)) for x in v])
+
+
+def squared_l2(a: VectorLike, b: VectorLike) -> Column:
+    """Σ(aᵢ−bᵢ)² as a native column expression.
+
+    ≙ reference ``squared_l2_distance`` (src/ivf/index.rs:459-480). The
+    fold is sequential left-to-right with a 0.0 initial accumulator, which
+    is bit-equivalent to DuckDB's ``list_reduce`` fold (0.0 + x == x).
+    """
+    ca, cb = _as_vector_col(a), _as_vector_col(b)
+    diffs = F.zip_with(ca, cb, lambda x, y: (x - y) * (x - y))
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def array_distance(a: VectorLike, b: VectorLike) -> Column:
+    """Euclidean distance √Σ(aᵢ−bᵢ)².
+
+    Same name + semantics as the DataFusion builtin the reference matches on
+    (src/df_vector/physical.rs:198-229); the reference reports √d² on its
+    direct path too (src/ivf/search.rs:133).
+    """
+    return F.sqrt(squared_l2(a, b))
+
+
+def dot_product(a: VectorLike, b: VectorLike) -> Column:
+    """Σ aᵢ·bᵢ as a native expression (basis for cosine)."""
+    ca, cb = _as_vector_col(a), _as_vector_col(b)
+    prods = F.zip_with(ca, cb, lambda x, y: x * y)
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: VectorLike) -> Column:
+    ca = _as_vector_col(a)
+    sq = F.aggregate(F.transform(ca, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    return F.sqrt(sq)
+
+
+def cosine_similarity(a: VectorLike, b: VectorLike) -> Column:
+    """cos(a,b) = a·b / (‖a‖‖b‖). Beyond the reference surface (it is
+    L2-only, SURVEY.md §2 'explicitly absent'), needed by the near-dup and
+    ANN extension operators."""
+    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def register_sql_functions(spark: SparkSession) -> None:
+    """Expose the distance functions to SQL text queries.
+
+    ≙ the reference registering its rewrite + array functions on the session
+    (src/df_vector/session.rs:16-35). Implemented as named lambda-free SQL
+    wrappers over the same native expressions so ``spark.sql("... ORDER BY
+    array_distance(vec, array(...)) ...")`` works verbatim.
+    """
+    sq_expr = (
+        "aggregate(zip_with(cast(a as array<double>), cast(b as array<double>),"
+        " (x, y) -> (x - y) * (x - y)), cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+    dot_expr = (
+        "aggregate(zip_with(cast(a as array<double>), cast(b as array<double>),"
+        " (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+    norm = (
+        "sqrt(aggregate(transform(cast({v} as array<double>), x -> x * x),"
+        " cast(0.0 as double), (acc, x) -> acc + x))"
+    )
+    defs = {
+        "squared_l2": sq_expr,
+        "array_distance": f"sqrt({sq_expr})",
+        "dot_product": dot_expr,
+        "cosine_similarity": f"{dot_expr} / ({norm.format(v='a')} * {norm.format(v='b')})",
+    }
+    for name, expr in defs.items():
+        try:
+            spark.sql(
+                f"CREATE OR REPLACE TEMPORARY FUNCTION {name}(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) "
+                f"RETURNS DOUBLE RETURN {expr}"
+            )
+        except Exception:
+            # Spark build without SQL scalar UDFs: the DataFrame-API
+            # functions above still work, and pq_sql() rewrites
+            # array_distance calls into them itself.
+            pass

@@ -1,0 +1,98 @@
+"""Seeded k-means (k-means++ init + Lloyd) on the driver, in numpy.
+
+Why driver-side: the reference trains on a ≤100k-row sample anyway
+(reference: src/ivf/index.rs:172-187), so the training set fits the driver
+by construction even at 100 TB — only the *assignment* step touches all
+rows, and that runs distributed (see build.py). Driver numpy is seeded and
+deterministic, which MLlib's k-means|| is not; determinism is what makes
+index builds reproducible across runs (reference seeds its RNG the same
+way, src/ivf/index.rs:328-338).
+
+Parity details reproduced:
+- k-means++ init on a ≤50k subsample of the training sample, first centroid
+  uniform, subsequent by D² weighting with a running min-distance array
+  (src/ivf/index.rs:322-390).
+- Lloyd iterations stop early when no point changes cluster
+  (src/ivf/index.rs:432-434).
+- An empty cluster's centroid becomes the ZERO VECTOR — the reference
+  zero-fills then divides only non-empty clusters (src/ivf/index.rs:436-453).
+  We keep that quirk for behavioral parity.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def kmeans_pp_init(
+    data: np.ndarray, n_clusters: int, rng: np.random.Generator, init_cap: int = 50_000
+) -> np.ndarray:
+    """k-means++ seeding ≙ src/ivf/index.rs:322-390."""
+    n = data.shape[0]
+    if n > init_cap:
+        idx = rng.choice(n, size=init_cap, replace=False)
+        data = data[idx]
+        n = init_cap
+    centroids = np.empty((n_clusters, data.shape[1]), dtype=np.float32)
+    first = int(rng.integers(0, n))
+    centroids[0] = data[first]
+    # running min squared distance to any chosen centroid (index.rs:354-390)
+    d2 = ((data - centroids[0]) ** 2).sum(axis=1)
+    for c in range(1, n_clusters):
+        total = float(d2.sum())
+        if total <= 0.0:
+            pick = int(rng.integers(0, n))
+        else:
+            pick = int(rng.choice(n, p=d2 / total))
+        centroids[c] = data[pick]
+        d2 = np.minimum(d2, ((data - centroids[c]) ** 2).sum(axis=1))
+    return centroids
+
+
+def lloyd(
+    data: np.ndarray, centroids: np.ndarray, max_iters: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Lloyd iterations with early stop + empty-cluster→zero-vector parity
+    (src/ivf/index.rs:392-454). Returns (centroids, assignments)."""
+    n_clusters = centroids.shape[0]
+    assign = np.full(data.shape[0], -1, dtype=np.int64)
+    for _ in range(max_iters):
+        # ‖x−c‖² = ‖x‖² − 2x·c + ‖c‖²; ‖x‖² constant per row → drop for argmin
+        d2 = (
+            -2.0 * (data @ centroids.T)
+            + (centroids.astype(np.float64) ** 2).sum(axis=1)[None, :]
+        )
+        new_assign = d2.argmin(axis=1)
+        if np.array_equal(new_assign, assign):
+            break
+        assign = new_assign
+        centroids = np.zeros_like(centroids)
+        for c in range(n_clusters):
+            members = data[assign == c]
+            if len(members):  # empty cluster stays the zero vector
+                centroids[c] = members.mean(axis=0, dtype=np.float64).astype(np.float32)
+    return centroids, assign
+
+
+def train_kmeans(
+    sample: np.ndarray, n_clusters: int, max_iters: int = 20, seed: int = 42
+) -> np.ndarray:
+    """Full training pipeline on an in-memory sample. Returns centroids
+    (n_clusters × dim float32), row-major like the reference's flat layout
+    (src/ivf/index.rs:8-14)."""
+    rng = np.random.default_rng(seed)
+    sample = np.ascontiguousarray(sample, dtype=np.float32)
+    centroids = kmeans_pp_init(sample, n_clusters, rng)
+    centroids, _ = lloyd(sample, centroids, max_iters)
+    return centroids
+
+
+def nearest_centroids(queries: np.ndarray, centroids: np.ndarray, nprobe: int) -> np.ndarray:
+    """nprobe nearest centroid ids, ascending by distance — the coarse
+    quantizer probe (src/ivf/index.rs:130-149). Stable sort for determinism
+    on ties; nprobe clamped to n_clusters (index.rs:131)."""
+    nprobe = min(nprobe, centroids.shape[0])
+    q = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+    d2 = ((q[:, None, :].astype(np.float64) - centroids[None, :, :]) ** 2).sum(axis=2)
+    order = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
+    return order[0] if np.asarray(queries).ndim == 1 else order

@@ -1,0 +1,178 @@
+"""IVF-indexed top-k search — Spark realization of the reference's probe →
+gather → selective-fetch → re-rank pipeline (reference lifecycle §3.2,
+src/ivf/search.rs:47-141, src/df_vector/exec.rs:279-293).
+
+Plan shape produced (all lazy DataFrame ops):
+
+  parquet scan (cluster-sorted layout)
+    └─ filter cluster_id IN (probed…)      ≙ inverted-list gather A12 +
+       [row-group pruning via stats]          access-plan skipping A13/A14
+    └─ [optional max_candidates cap]       ≙ round-robin cursor A15
+    └─ [user filter — AFTER pruning]       ≙ FilterExec-above-scan semantics
+    └─ distance + orderBy + limit k        ≙ re-rank A18 + k-heap A19/A20
+
+The centroid probe (A11) runs on the driver over the tiny sidecar — the
+reference also probes all centroids in one thread (src/ivf/index.rs:130-149).
+Candidate fetch I/O scales with nprobe/n_clusters of the table, the same
+pruning ratio the reference gets from its ParquetAccessPlan.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pq_vector_spark.functions.distance import array_distance
+from pq_vector_spark.index.build import CLUSTER_COL, INDEX_DIR, assign_clusters
+from pq_vector_spark.index.kmeans import nearest_centroids, train_kmeans
+from pq_vector_spark.operators.topk import DISTANCE_COL
+from pq_vector_spark.session import VectorTopKOptions
+
+
+class IndexError_(ValueError):
+    pass
+
+
+@dataclass
+class LoadedIndex:
+    meta: dict
+    centroids: np.ndarray  # (n_clusters, dim) f32, row id = cluster id
+
+
+def load_index(spark: SparkSession, path: str) -> LoadedIndex:
+    """Read the sidecar (≙ footer-KV + payload read, src/ivf/parquet.rs:120-208)."""
+    meta_rows = spark.read.text(f"{path}/{INDEX_DIR}/meta").collect()
+    meta = json.loads(meta_rows[0][0])
+    cent_rows = (
+        spark.read.parquet(f"{path}/{INDEX_DIR}/centroids").orderBy("cluster_id").collect()
+    )
+    centroids = np.asarray([r["centroid"] for r in cent_rows], dtype=np.float32)
+    if centroids.shape != (meta["n_clusters"], meta["dim"]):
+        raise IndexError_(
+            f"sidecar corrupt: centroids {centroids.shape} != meta "
+            f"({meta['n_clusters']}, {meta['dim']})"
+        )
+    return LoadedIndex(meta=meta, centroids=centroids)
+
+
+def _check_query_dim(query: Sequence[float], dim: int) -> np.ndarray:
+    q = np.asarray(list(query), dtype=np.float32)
+    if q.ndim != 1 or q.shape[0] != dim:
+        # ≙ src/ivf/search.rs:91-98
+        raise IndexError_(f"query dim {q.shape} does not match index dim {dim}")
+    return q
+
+
+def _cap_candidates(df: DataFrame, max_candidates: int) -> DataFrame:
+    """Global candidate cap, interleaved fairly across files
+    (≙ round-robin cursor, src/df_vector/access.rs:193-243 applied at
+    src/df_vector/exec.rs:219-241). Spark form: rank rows within each file
+    and keep rank ≤ ceil(cap / n_files) — per-file quota ≈ round-robin
+    fairness without a global pass."""
+    with_file = df.withColumn("_pq_file", F.input_file_name())
+    n_files = max(1, with_file.select("_pq_file").distinct().count())
+    quota = -(-max_candidates // n_files)
+    w = Window.partitionBy("_pq_file").orderBy(F.monotonically_increasing_id())
+    return (
+        with_file.withColumn("_pq_rank", F.row_number().over(w))
+        .filter(F.col("_pq_rank") <= quota)
+        .drop("_pq_file", "_pq_rank")
+    )
+
+
+def indexed_topk(
+    spark: SparkSession,
+    path: str,
+    query: Sequence[float],
+    k: int,
+    *,
+    column: Optional[str] = None,
+    options: Optional[VectorTopKOptions] = None,
+    pre_filter: Optional[Column] = None,
+    tie_break: Optional[str] = None,
+    keep_distance: bool = False,
+) -> DataFrame:
+    """Top-k over an indexed table (built by build.py).
+
+    With ``nprobe ≥ n_clusters`` the candidate set is all rows and the
+    result is exactly brute force (the reference guarantees the same via
+    ``nprobe.min(n_clusters)``, src/ivf/index.rs:131); smaller nprobe trades
+    recall for I/O — candidate rows ≈ nprobe/n_clusters of the table.
+    """
+    opts = options or VectorTopKOptions()
+    idx = load_index(spark, path)
+    if column is not None and column != idx.meta["column"]:
+        # ≙ column-name validation, src/df_vector/index_exec.rs:123-129
+        raise IndexError_(
+            f"index was built on column {idx.meta['column']!r}, not {column!r}"
+        )
+    q = _check_query_dim(query, idx.meta["dim"])
+
+    probed = nearest_centroids(q, idx.centroids, opts.nprobe)
+    df = spark.read.parquet(path)
+    # cluster_id IN (...) pushes to the parquet scan; the cluster-sorted
+    # layout turns it into file/row-group skipping.
+    cands = df.filter(F.col(CLUSTER_COL).isin([int(c) for c in probed]))
+    if opts.max_candidates is not None:
+        cands = _cap_candidates(cands, opts.max_candidates)
+    if pre_filter is not None:
+        # user predicates apply AFTER candidate pruning — reference keeps
+        # FilterExec above the pruned scan (src/df_vector/tests.rs:152-241)
+        cands = cands.filter(pre_filter)
+
+    out = cands.withColumn(DISTANCE_COL, array_distance(F.col(idx.meta["column"]), list(q)))
+    order = [F.col(DISTANCE_COL).asc()]
+    if tie_break is not None:
+        order.append(F.col(tie_break).asc())
+    out = out.orderBy(*order).limit(k).drop(CLUSTER_COL)
+    if not keep_distance:
+        out = out.drop(DISTANCE_COL)
+    return out
+
+
+def ivf_topk_adhoc(
+    df: DataFrame,
+    column: str,
+    query: Sequence[float],
+    k: int,
+    *,
+    n_clusters: int,
+    nprobe: int,
+    max_iters: int = 20,
+    seed: int = 42,
+    sample_cap: int = 100_000,
+    tie_break: Optional[str] = None,
+    keep_distance: bool = False,
+) -> DataFrame:
+    """IVF search over an un-persisted DataFrame: train on a sample, assign,
+    prune, re-rank — the whole §3.1+§3.2 lifecycle fused, without writing a
+    layout. Used by the correctness gate (nprobe=n_clusters ⇒ exact) and as
+    the building block for ANN when the caller can't re-layout storage.
+    """
+    from pq_vector_spark.index.build import _sample_size, sample_embeddings_to_driver
+    from pq_vector_spark.schema import validate_vector_column
+
+    stats = validate_vector_column(df, column)
+    n_clusters = min(n_clusters, stats.rows)
+    sample = sample_embeddings_to_driver(
+        df, column, _sample_size(stats.rows, n_clusters, sample_cap), stats.rows, seed
+    )
+    centroids = train_kmeans(sample, n_clusters, max_iters=max_iters, seed=seed)
+    q = _check_query_dim(query, stats.dim)
+    probed = set(int(c) for c in nearest_centroids(q, centroids, nprobe))
+
+    assigned = assign_clusters(df, column, centroids)
+    cands = assigned.filter(F.col(CLUSTER_COL).isin(list(probed)))
+    out = cands.withColumn(DISTANCE_COL, array_distance(F.col(column), list(q)))
+    order = [F.col(DISTANCE_COL).asc()]
+    if tie_break is not None:
+        order.append(F.col(tie_break).asc())
+    out = out.orderBy(*order).limit(k).drop(CLUSTER_COL)
+    if not keep_distance:
+        out = out.drop(DISTANCE_COL)
+    return out

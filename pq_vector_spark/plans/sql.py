@@ -1,0 +1,157 @@
+"""Vector-aware SQL entry point — the PySpark stand-in for the reference's
+physical-optimizer rule (reference: src/df_vector/physical.rs:20-229).
+
+PySpark cannot inject physical plan rules (that needs a JVM
+``SparkSessionExtensions`` jar — documented upgrade path, SURVEY §7/M4).
+Instead we pattern-match the *same* narrow query shape the reference's rule
+matches, with the same guard list (physical.rs:134-177):
+
+  SELECT <proj> FROM <table> [WHERE <pred>]
+  ORDER BY array_distance(<col>, array(<floats>)) [ASC]   -- exactly 1 key
+  LIMIT <k>                                               -- no OFFSET
+
+and route it to the indexed top-k path when ``<table>`` is a registered
+indexed table. Everything else — and any parse miss — falls through to
+``spark.sql`` untouched, where ``register_sql_functions`` has already made
+``array_distance`` a native SQL expression, so even the fallback computes
+the correct (brute-force, TakeOrderedAndProject) answer.
+
+Cast/TryCast stripping (physical.rs:216-229) is irrelevant here because we
+match the textual form before analysis; DESC / OFFSET / multi-key sorts are
+rejected exactly as the reference rejects them (physical.rs:139-145).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pq_vector_spark.session import VectorTopKOptions
+
+_TOPK_RE = re.compile(
+    r"""^\s*SELECT\s+(?P<proj>.+?)\s+FROM\s+(?P<table>[\w.]+)\s*
+        (?:WHERE\s+(?P<where>.+?)\s*)?
+        ORDER\s+BY\s+array_distance\s*\(\s*(?P<col>\w+)\s*,\s*
+            (?:array\s*)?[(\[](?P<vec>[^\])]+)[)\]]\s*\)\s*(?P<dir>ASC|DESC)?\s*
+        LIMIT\s+(?P<k>\d+)\s*(?P<offset>OFFSET\s+\d+)?\s*;?\s*$""",
+    re.IGNORECASE | re.VERBOSE | re.DOTALL,
+)
+
+# tables registered as "indexed": name -> filesystem path of the indexed layout
+_INDEXED_TABLES: Dict[str, str] = {}
+
+
+def register_indexed_table(spark: SparkSession, name: str, path: str) -> None:
+    """Make ``name`` queryable in SQL *and* eligible for the indexed rewrite
+    (≙ the reference wiring its rule into the session, session.rs:24-35)."""
+    spark.read.parquet(path).drop("_pq_cluster_id").createOrReplaceTempView(name)
+    _INDEXED_TABLES[name] = path
+
+
+# Spark 4 forbids SQL scalar UDFs inside Sort, so the fallback path expands
+# our distance functions textually into their native higher-order-function
+# form (a macro, ≙ the reference's expression matcher working on
+# array_distance by *name*, physical.rs:198-229).
+_FN_EXPANSIONS = {
+    "squared_l2": (
+        "aggregate(zip_with(cast({a} as array<double>), cast({b} as array<double>),"
+        " (x, y) -> (x - y) * (x - y)), cast(0.0 as double), (acc, x) -> acc + x)"
+    ),
+}
+_FN_EXPANSIONS["array_distance"] = f"sqrt({_FN_EXPANSIONS['squared_l2']})"
+_FN_EXPANSIONS["dot_product"] = (
+    "aggregate(zip_with(cast({a} as array<double>), cast({b} as array<double>),"
+    " (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"
+)
+_FN_EXPANSIONS["cosine_similarity"] = (
+    _FN_EXPANSIONS["dot_product"]
+    + " / (sqrt(aggregate(transform(cast({a} as array<double>), x -> x * x),"
+    " cast(0.0 as double), (acc, x) -> acc + x))"
+    " * sqrt(aggregate(transform(cast({b} as array<double>), x -> x * x),"
+    " cast(0.0 as double), (acc, x) -> acc + x)))"
+)
+
+
+def _split_two_args(s: str) -> Optional[tuple]:
+    """Split 'a, b' at the top-level comma (paren/bracket aware)."""
+    depth = 0
+    for i, ch in enumerate(s):
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            return s[:i].strip(), s[i + 1 :].strip()
+    return None
+
+
+def expand_vector_functions(query: str) -> str:
+    """Textually expand array_distance/squared_l2/... calls into native
+    Catalyst higher-order-function SQL (JVM codegen, no Python workers)."""
+    out = query
+    for name, template in _FN_EXPANSIONS.items():
+        while True:
+            m = re.search(rf"\b{name}\s*\(", out, re.IGNORECASE)
+            if not m:
+                break
+            start = m.end()  # after '('
+            depth, i = 1, start
+            while i < len(out) and depth:
+                if out[i] == "(":
+                    depth += 1
+                elif out[i] == ")":
+                    depth -= 1
+                i += 1
+            args = _split_two_args(out[start : i - 1])
+            if args is None:
+                break
+            a, b = args
+            out = out[: m.start()] + template.format(a=a, b=b) + out[i:]
+    return out
+
+
+def pq_sql(
+    spark: SparkSession,
+    query: str,
+    options: Optional[VectorTopKOptions] = None,
+) -> DataFrame:
+    """Run SQL; rewrite the one top-k-by-distance shape to the IVF path."""
+    m = _TOPK_RE.match(query)
+    if not m:
+        return spark.sql(expand_vector_functions(query))
+    if m.group("dir") and m.group("dir").upper() == "DESC":
+        # ASC-only guard (physical.rs:143-145)
+        return spark.sql(expand_vector_functions(query))
+    if m.group("offset"):
+        # no-OFFSET guard (physical.rs:36-90)
+        return spark.sql(expand_vector_functions(query))
+    table = m.group("table")
+    path = _INDEXED_TABLES.get(table)
+    if path is None:
+        # not an indexed table → plain Spark SQL (brute-force top-k; Spark
+        # compiles it to TakeOrderedAndProject, already the optimal exact plan)
+        return spark.sql(expand_vector_functions(query))
+
+    from pq_vector_spark.index.search import indexed_topk
+
+    try:
+        vec = [float(x) for x in m.group("vec").split(",")]
+    except ValueError:
+        return spark.sql(query)
+    pre = F.expr(m.group("where")) if m.group("where") else None
+    out = indexed_topk(
+        spark,
+        path,
+        vec,
+        int(m.group("k")),
+        column=m.group("col"),
+        options=options,
+        pre_filter=pre,
+    )
+    proj = m.group("proj").strip()
+    if proj != "*":
+        out = out.selectExpr(*[p.strip() for p in proj.split(",")])
+    return out
