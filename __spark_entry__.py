@@ -1,38 +1,662 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash → CORRECTNESS_r{N}.json).
+
+Implementation notes (why these hash-match bit-for-bit):
+- All distance/cosine math casts elements to DOUBLE before arithmetic and
+  folds left-to-right — identical to the DuckDB ``list_reduce`` oracle.
+- All text hashing is md5-derived (portable), never engine-native hashes.
+- Aggregate doubles are ROUND()ed at (exact-decimal-places + 2) digits so
+  float summation-order differences can never flip a rounding boundary.
+- Every computed column is aliased identically on both sides.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pq_vector_spark.functions.distance import array_distance, cosine_similarity
+from pq_vector_spark.functions import text as T
+from pq_vector_spark.operators import dedup as D
+from pq_vector_spark.operators.similarity import similarity_join
+from pq_vector_spark.operators.topk import brute_force_topk
+from pq_vector_spark.index.search import ivf_topk_adhoc
+from pq_vector_spark.sources.parquet import load_table
+from pq_vector_spark.streaming.events import extract_prop, sessionize, tumbling_agg
+
+K = 10
+IVF_CLUSTERS = 16
+
+
+def _utc(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _qvec(spark: SparkSession, sf_dir: str, vec_id: int = 0):
+    return (
+        _emb(spark, sf_dir).filter(F.col("vec_id") == vec_id).select("embedding").collect()[0][0]
+    )
+
+
+# ---------------------------------------------------------------- entry ----
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: exact brute-force k-NN with
+    distances (the reference's canonical query, src/df_vector/tests.rs:76-81)."""
+    sf_dir = "/root/testdata/sf0.001"
+    q = _qvec(spark, sf_dir, 0)
+    out = brute_force_topk(
+        _emb(spark, sf_dir), "embedding", q, K, tie_break="vec_id", keep_distance=True
+    )
+    return out.select("vec_id", F.round(F.col("_pq_distance"), 4).alias("distance"))
+
+
+# -------------------------------------------------------------- queries ----
+
+def _knn_exact(spark, sf_dir):
+    q = _qvec(spark, sf_dir, 0)
+    return brute_force_topk(_emb(spark, sf_dir), "embedding", q, K, tie_break="vec_id").select(
+        "vec_id"
+    )
+
+
+def _knn_filtered(spark, sf_dir):
+    q = _qvec(spark, sf_dir, 0)
+    return brute_force_topk(
+        _emb(spark, sf_dir),
+        "embedding",
+        q,
+        K,
+        tie_break="vec_id",
+        pre_filter=F.col("label") >= 2,
+    ).select("vec_id")
+
+
+def _knn_distance(spark, sf_dir):
+    q = _qvec(spark, sf_dir, 0)
+    out = brute_force_topk(
+        _emb(spark, sf_dir), "embedding", q, K, tie_break="vec_id", keep_distance=True
+    )
+    return out.select("vec_id", F.round(F.col("_pq_distance"), 4).alias("distance"))
+
+
+def _knn_ivf_exact(spark, sf_dir):
+    # nprobe = n_clusters ⇒ candidate set is ALL rows ⇒ exactly brute force
+    # (reference guarantee via nprobe.min(n_clusters), src/ivf/index.rs:131)
+    q = _qvec(spark, sf_dir, 0)
+    return ivf_topk_adhoc(
+        _emb(spark, sf_dir),
+        "embedding",
+        q,
+        K,
+        n_clusters=IVF_CLUSTERS,
+        nprobe=IVF_CLUSTERS,
+        tie_break="vec_id",
+    ).select("vec_id")
+
+
+def _knn_ivf_approx(spark, sf_dir):
+    # approximate (nprobe < n_clusters) — recall-gated, not hash-gated
+    q = _qvec(spark, sf_dir, 0)
+    return ivf_topk_adhoc(
+        _emb(spark, sf_dir),
+        "embedding",
+        q,
+        K,
+        n_clusters=IVF_CLUSTERS,
+        nprobe=4,
+        tie_break="vec_id",
+    ).select("vec_id")
+
+
+def _ann_cosine(spark, sf_dir):
+    q = _qvec(spark, sf_dir, 1)
+    emb = _emb(spark, sf_dir)
+    scored = emb.withColumn("cosine", cosine_similarity(F.col("embedding"), list(q)))
+    return (
+        scored.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(K)
+        .select("vec_id", F.round("cosine", 4).alias("cosine"))
+    )
+
+
+def _similarity_join(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    out = similarity_join(queries, emb, "qid", "vec_id", "qv", "embedding", 3, metric="l2")
+    return out.select("qid", "vec_id", F.round("score", 4).alias("score"), "rank")
+
+
+def _rel_topk(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_quantity") >= 30)
+        .select("l_orderkey", "l_extendedprice")
+        .orderBy(F.col("l_extendedprice").desc(), F.col("l_orderkey").asc())
+        .limit(100)
+    )
+
+
+def _rel_agg(spark, sf_dir):
+    _utc(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 4).alias(
+                "sum_disc_price"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("count_order"),
+        )
+    )
+
+
+def _rel_join_agg(spark, sf_dir):
+    cu = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        cu.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+def _rel_join_region(spark, sf_dir):
+    cu = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    re = load_table(spark, sf_dir, "region")
+    return (
+        re.filter(F.col("r_name") == "ASIA")
+        .join(na, F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(su, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(cu, F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(orders, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_suppkey") == F.col("s_suppkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+def _rel_window(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 2)
+        .select("o_custkey", "o_orderkey", "rnk")
+    )
+
+
+def _rel_antijoin(spark, sf_dir):
+    cu = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cu.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey")
+
+
+def _rel_distinct_count(spark, sf_dir):
+    cu = load_table(spark, sf_dir, "customer")
+    return cu.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_nationkey").cast("bigint").alias("n_nations"),
+        F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+    )
+
+
+def _events_windowed(spark, sf_dir):
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return tumbling_agg(ev, "ts", "event_type", "value", "1 hour")
+
+
+def _events_sessions(spark, sf_dir):
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return sessionize(ev, "ts", "user_id", gap_minutes=30)
+
+
+def _events_props(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    out = extract_prop(ev, "k", "k")
+    return out.filter(F.col("k") >= 50).select("event_id", "k")
+
+
+def _text_stats(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.char_count("text").alias("chars"),
+        T.token_count("text").alias("n_tokens"),
+    )
+
+
+def _text_quality(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(T.stopword_ratio("text"), 4).alias("stopword_ratio"),
+        F.round(T.punct_ratio("text"), 4).alias("punct_ratio"),
+        F.round(T.quality_score("text"), 4).alias("quality"),
+    )
+
+
+def _text_lang(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.lang_guess("text").alias("lang_guess"))
+
+
+def _text_fingerprint(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.fingerprint("text").alias("fingerprint"))
+
+
+def _dedup_exact(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_dedup(docs, "text", "doc_id")
+
+
+def _dedup_jaccard(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = D.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.6)
+    return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def _dedup_minhash(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = D.minhash_lsh_pairs(
+        docs, "text", "doc_id", n=3, num_hashes=32, bands=8, threshold=0.6
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def _dedup_simhash(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", D.simhash("text", bits=16).alias("simhash"))
+
+
+def _dedup_embedding(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    out = D.embedding_top_pairs(emb, "embedding", "vec_id", top=20)
+    return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
+def _multimodal_features(spark, sf_dir):
+    # binary-column plumbing: text bytes stand in for media payloads; the
+    # decode step is the deterministic fake (see operators/multimodal.py)
+    from pq_vector_spark.operators.multimodal import extract_features
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("content")
+    )
+    feats = extract_features(docs, "content", dim=16, fake=True)
+    return feats.select(
+        "doc_id", F.size("feature").cast("bigint").alias("feature_dim")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "knn_exact": _knn_exact,
+        "knn_filtered": _knn_filtered,
+        "knn_distance": _knn_distance,
+        "knn_ivf_exact": _knn_ivf_exact,
+        "knn_ivf_approx": _knn_ivf_approx,
+        "ann_cosine": _ann_cosine,
+        "similarity_join": _similarity_join,
+        "rel_topk": _rel_topk,
+        "rel_agg": _rel_agg,
+        "rel_join_agg": _rel_join_agg,
+        "rel_join_region": _rel_join_region,
+        "rel_window": _rel_window,
+        "rel_antijoin": _rel_antijoin,
+        "rel_distinct_count": _rel_distinct_count,
+        "events_windowed": _events_windowed,
+        "events_sessions": _events_sessions,
+        "events_props": _events_props,
+        "text_stats": _text_stats,
+        "text_quality": _text_quality,
+        "text_lang": _text_lang,
+        "text_fingerprint": _text_fingerprint,
+        "dedup_exact": _dedup_exact,
+        "dedup_jaccard": _dedup_jaccard,
+        "dedup_minhash": _dedup_minhash,
+        "dedup_simhash": _dedup_simhash,
+        "dedup_embedding": _dedup_embedding,
+        "multimodal_features": _multimodal_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+
+# ---------------------------------------------------------------- oracle ----
+
+def _sq(a: str, b: str) -> str:
+    """Squared-L2 DuckDB SQL, bit-identical to the Spark fold."""
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}), "
+        f"p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * "
+        f"(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), (x, y) -> x + y)"
+    )
+
+
+def _dist(a: str, b: str) -> str:
+    return f"sqrt({_sq(a, b)})"
+
+
+def _dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}), "
+        f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)"
+    )
+
+
+def _nrm(a: str) -> str:
+    return (
+        f"sqrt(list_reduce(list_transform({a}, "
+        f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))"
+    )
+
+
+def _cos(a: str, b: str) -> str:
+    return f"{_dot(a, b)} / ({_nrm(a)} * {_nrm(b)})"
+
+
+_Q0 = "(SELECT embedding FROM embeddings WHERE vec_id = 0)"
+_Q1 = "(SELECT embedding FROM embeddings WHERE vec_id = 1)"
+
+# DuckDB fragments mirroring functions/text.py exactly
+_TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
+_SW_EN = "['the','a','of','and','to','in','is','that','it','for']"
+_SW = {
+    "de": "['der','die','das','und','zu','in','ein','ist','nicht','von']",
+    "en": _SW_EN,
+    "es": "['el','la','de','y','que','en','un','es','se','no']",
+    "fr": "['le','la','de','et','que','en','un','est','se','ne']",
+}
+_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+# 3-gram token shingles, distinct — mirrors operators/dedup.py shingles(n=3)
+_SHINGLES = (
+    "list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1), "
+    "i -> array_to_string(toks[i:i+2], ' ')))"
+)
+_TOKHASH = "CAST(concat('0x', substr(md5({s}), 1, 15)) AS BIGINT)"
+
+
+def _jaccard_cte() -> str:
+    """Shared CTE computing exact 3-gram jaccard pairs (mirrors
+    ngram_jaccard_pairs: explode → equi-join → count / (na+nb-inter))."""
+    return f"""
+    toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM toks),
+    ex AS (SELECT doc_id, len(sh) AS n,
+           unnest(list_transform(sh, s -> {_TOKHASH.format(s='s')})) AS s FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             count(*) AS inter, any_value(a.n) AS na, any_value(b.n) AS nb
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    jac AS (
+      SELECT id_a, id_b,
+             CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) AS jaccard
+      FROM pairs)
     """
-    return {}
+
+
+def _minhash_sql() -> str:
+    """Banded MinHash LSH candidate pairs ∩ exact jaccard ≥ 0.6 — mirrors
+    minhash_lsh_pairs(num_hashes=32, bands=8, seed=42) hash-for-hash."""
+    coeffs = D._minhash_coeffs(32, 42)
+    P, M = D.MINHASH_P, D.MINHASH_M
+    mh_cols = ", ".join(
+        f"list_aggregate(list_transform(hs, x -> ({a} * x + {b}) % {P}), 'min') AS mh{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    band_cols = ", ".join(
+        "concat_ws(',', " + ", ".join(f"mh{band * 4 + r}" for r in range(4)) + f") AS k{band}"
+        for band in range(8)
+    )
+    band_match = " OR ".join(f"a.k{j} = b.k{j}" for j in range(8))
+    return f"""
+    WITH {_jaccard_cte()},
+    hs AS (SELECT doc_id, list_transform(sh, s -> {_TOKHASH.format(s='s')} % {M}) AS hs FROM sh),
+    sig AS (SELECT doc_id, {mh_cols} FROM hs),
+    banded AS (SELECT doc_id, {band_cols} FROM sig),
+    cands AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b ON a.doc_id < b.doc_id AND ({band_match}))
+    SELECT c.id_a, c.id_b, round(j.jaccard, 4) AS jaccard
+    FROM cands c JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
+    WHERE j.jaccard >= 0.6
+    """
+
+
+def _simhash_sql() -> str:
+    """16-bit simhash over distinct token hashes — mirrors dedup.simhash."""
+    M = D.MINHASH_M
+    terms = " + ".join(
+        f"(CASE WHEN list_aggregate(list_transform(hs, "
+        f"x -> ((x >> {j}) & 1) * 2 - 1), 'sum') > 0 THEN {2**j} ELSE 0 END)"
+        for j in range(16)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    hs AS (SELECT doc_id,
+           list_distinct(list_transform(toks, t -> {_TOKHASH.format(s='t')} % {M})) AS hs
+           FROM toks)
+    SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM hs
+    """
+
+
+def _lang_sql() -> str:
+    score = {
+        lang: f"len(list_filter(toks, x -> list_contains({sw}, x)))"
+        for lang, sw in _SW.items()
+    }
+    gm = "greatest(" + ", ".join(f"s_{l}" for l in sorted(_SW)) + ")"
+    cases = " ".join(
+        f"WHEN s_{l} = gm AND gm > 0 THEN '{l}'" for l in sorted(_SW)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sc AS (SELECT doc_id,
+      {", ".join(f"{expr} AS s_{l}" for l, expr in sorted(score.items()))}
+      FROM toks),
+    g AS (SELECT doc_id, s_de, s_en, s_es, s_fr, {gm} AS gm FROM sc)
+    SELECT doc_id, CASE {cases} ELSE 'und' END AS lang_guess FROM g
+    """
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    qlit = _Q0
+    swr = (
+        f"CAST(len(list_filter(toks, x -> list_contains({_SW_EN}, x))) AS DOUBLE)"
+        " / CAST(len(toks) AS DOUBLE)"
+    )
+    pr = (
+        "CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)"
+        " / CAST(length(text) AS DOUBLE)"
+    )
+    ntok = "CAST(len(toks) AS BIGINT)"
+    quality = (
+        f"(CASE WHEN {ntok} >= 5 AND {ntok} <= 5000 THEN 1.0 ELSE 0.0 END) * 0.4"
+        f" + least(({swr}) * 4.0, 1.0) * 0.4"
+        f" + (1.0 - least(({pr}) * 10.0, 1.0)) * 0.2"
+    )
+    return {
+        "knn_exact": f"""
+            SELECT vec_id FROM embeddings
+            ORDER BY {_dist("embedding", qlit)}, vec_id LIMIT {K}""",
+        "knn_filtered": f"""
+            SELECT vec_id FROM embeddings WHERE label >= 2
+            ORDER BY {_dist("embedding", qlit)}, vec_id LIMIT {K}""",
+        "knn_distance": f"""
+            SELECT vec_id, round({_dist("embedding", qlit)}, 4) AS distance
+            FROM embeddings
+            ORDER BY {_dist("embedding", qlit)}, vec_id LIMIT {K}""",
+        "knn_ivf_exact": f"""
+            SELECT vec_id FROM embeddings
+            ORDER BY {_dist("embedding", qlit)}, vec_id LIMIT {K}""",
+        # knn_ivf_approx: intentionally no oracle — approximate result,
+        # recall-gated (reference stance: benches/query.rs:192-193)
+        "ann_cosine": f"""
+            SELECT vec_id, round({_cos("embedding", _Q1)}, 4) AS cosine
+            FROM embeddings
+            ORDER BY {_cos("embedding", _Q1)} DESC, vec_id LIMIT {K}""",
+        "similarity_join": f"""
+            WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+            scored AS (
+              SELECT q.qid, c.vec_id, {_dist("c.embedding", "q.qv")} AS score
+              FROM embeddings c CROSS JOIN q),
+            ranked AS (
+              SELECT qid, vec_id, score,
+                     CAST(row_number() OVER (PARTITION BY qid ORDER BY score, vec_id) AS INT) AS rank
+              FROM scored)
+            SELECT qid, vec_id, round(score, 4) AS score, rank
+            FROM ranked WHERE rank <= 3""",
+        "rel_topk": """
+            SELECT l_orderkey, l_extendedprice FROM lineitem
+            WHERE l_quantity >= 30
+            ORDER BY l_extendedprice DESC, l_orderkey LIMIT 100""",
+        "rel_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice), 4) AS sum_base_price,
+                   round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus""",
+        "rel_join_agg": """
+            SELECT o_orderkey,
+                   round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+            FROM customer JOIN orders ON c_custkey = o_custkey
+                          JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY o_orderkey
+            ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+        "rel_join_region": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+            FROM region JOIN nation ON n_regionkey = r_regionkey
+                        JOIN supplier ON s_nationkey = n_nationkey
+                        JOIN customer ON c_nationkey = s_nationkey
+                        JOIN orders ON o_custkey = c_custkey
+                        JOIN lineitem ON l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+            WHERE r_name = 'ASIA'
+            GROUP BY n_name""",
+        "rel_window": """
+            SELECT o_custkey, o_orderkey, rnk FROM (
+              SELECT o_custkey, o_orderkey,
+                     CAST(row_number() OVER (PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rnk
+              FROM orders) WHERE rnk <= 2""",
+        "rel_antijoin": """
+            SELECT c_custkey FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""",
+        "rel_distinct_count": """
+            SELECT c_mktsegment,
+                   CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+                   round(avg(c_acctbal), 4) AS avg_bal
+            FROM customer GROUP BY c_mktsegment""",
+        "events_windowed": """
+            SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2""",
+        "events_sessions": """
+            WITH o AS (SELECT user_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+            g AS (SELECT user_id, ts, sec,
+                   CASE WHEN lag(sec) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                             OR sec - lag(sec) OVER (PARTITION BY user_id ORDER BY ts) > 1800
+                        THEN 1 ELSE 0 END AS ns
+                  FROM o),
+            s AS (SELECT user_id, sec,
+                   CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+                  FROM g)
+            SELECT user_id, session_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(max(sec) - min(sec) AS BIGINT) AS duration_s
+            FROM s GROUP BY user_id, session_id""",
+        "events_props": r"""
+            SELECT event_id, k FROM (
+              SELECT event_id,
+                     TRY_CAST(regexp_extract(props, '"k"\s*:\s*(\d+)', 1) AS BIGINT) AS k
+              FROM events) WHERE k >= 50""",
+        "text_stats": f"""
+            WITH toks AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+            SELECT doc_id, CAST(length(text) AS BIGINT) AS chars,
+                   CAST(len(toks) AS BIGINT) AS n_tokens
+            FROM toks""",
+        "text_quality": f"""
+            WITH toks AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+            SELECT doc_id,
+                   round({swr}, 4) AS stopword_ratio,
+                   round({pr}, 4) AS punct_ratio,
+                   round({quality}, 4) AS quality
+            FROM toks""",
+        "text_lang": _lang_sql(),
+        "text_fingerprint": f"""
+            SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents""",
+        "dedup_exact": f"""
+            SELECT md5({_NORM}) AS fingerprint,
+                   CAST(count(*) AS BIGINT) AS n_dups,
+                   min(doc_id) AS keep_id
+            FROM documents GROUP BY 1""",
+        "dedup_jaccard": f"""
+            WITH {_jaccard_cte()}
+            SELECT id_a, id_b, round(jaccard, 4) AS jaccard
+            FROM jac WHERE jaccard >= 0.6""",
+        "dedup_minhash": _minhash_sql(),
+        "dedup_simhash": _simhash_sql(),
+        "dedup_embedding": f"""
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round({_cos("a.embedding", "b.embedding")}, 4) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            ORDER BY {_cos("a.embedding", "b.embedding")} DESC, a.vec_id, b.vec_id
+            LIMIT 20""",
+        # multimodal_features: no oracle — the fake decoder's sha256-seeded
+        # RNG is not SQL-expressible; driver records rows-only check
+    }

@@ -1,0 +1,143 @@
+#!/usr/bin/env python
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Mirrors the quantities the reference's bench harness measures
+(reference: benches/query.rs:93-193, benches/index_build.rs:43-57):
+index build time, brute-force query latency, indexed query latency,
+recall@k of the indexed path vs brute force — plus the relational /
+dedup / text headline queries from __spark_entry__.
+
+Prints exactly ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# queries() entries timed as-is (a representative slice of SURVEY.md §2
+# coverage: knn, similarity join, relational agg/join/window, streaming-table
+# analytics, text, dedup).
+HEADLINE = [
+    "knn_exact",
+    "knn_distance",
+    "ann_cosine",
+    "similarity_join",
+    "rel_topk",
+    "rel_agg",
+    "rel_join_agg",
+    "rel_join_region",
+    "rel_window",
+    "events_windowed",
+    "events_sessions",
+    "text_quality",
+    "dedup_exact",
+    "dedup_minhash",
+]
+
+K = 100
+NPROBE = 16
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    import __spark_entry__ as entry_mod
+    from pyspark.sql import functions as F
+
+    from pq_vector_spark import get_spark
+    from pq_vector_spark.index.build import build_index
+    from pq_vector_spark.index.search import indexed_topk
+    from pq_vector_spark.operators.topk import brute_force_topk
+    from pq_vector_spark.session import IndexBuildOptions, VectorTopKOptions
+    from pq_vector_spark.sources.parquet import load_table
+
+    spark = get_spark("pq_vector_bench")
+    timings: dict[str, float] = {}
+
+    qs = entry_mod.queries()
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        fn(spark, SF_DIR).collect()
+        timings[name] = round(time.time() - t0, 3)
+
+    # --- IVF lifecycle at bench scale (reference benches/query.rs) ---------
+    emb = load_table(spark, SF_DIR, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+
+    t0 = time.time()
+    truth = [
+        r["vec_id"]
+        for r in brute_force_topk(emb, "embedding", qvec, K, tie_break="vec_id")
+        .select("vec_id")
+        .collect()
+    ]
+    timings["knn_brute_force_k100"] = round(time.time() - t0, 3)
+
+    idx_dir = tempfile.mkdtemp(prefix="pq_bench_idx_")
+    out_path = os.path.join(idx_dir, "embeddings_indexed")
+    try:
+        t0 = time.time()
+        meta = build_index(
+            spark,
+            os.path.join(SF_DIR, "embeddings.parquet"),
+            out_path,
+            column="embedding",
+        )
+        timings["index_build"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        got = [
+            r["vec_id"]
+            for r in indexed_topk(
+                spark,
+                out_path,
+                qvec,
+                K,
+                options=VectorTopKOptions(nprobe=NPROBE),
+                tie_break="vec_id",
+            )
+            .select("vec_id")
+            .collect()
+        ]
+        timings["knn_indexed_k100_nprobe16"] = round(time.time() - t0, 3)
+        recall = len(set(got) & set(truth)) / K
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(SF_DIR),
+                "recall_at_100": recall,
+                "n_clusters": meta["n_clusters"],
+                "nprobe": NPROBE,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,118 @@
+"""Text-analysis expressions for training-data pipelines — all native
+Catalyst columns (split/transform/filter/aggregate), no Python workers, so
+they run inside whole-stage codegen and scale linearly with no shuffle.
+
+Beyond the reference surface (BASELINE.json north-star): language-ID
+heuristic, quality scoring, token counting, fingerprinting. Every function
+is deliberately expressible in ANSI SQL too, so the DuckDB oracle can
+replicate it bit-for-bit (ratios are int/int divisions — identical doubles
+on both engines).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny per-language stopword lists for the n-gram/stopword language heuristic
+LANG_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "es": ["el", "la", "de", "y", "que", "en", "un", "es", "se", "no"],
+    "fr": ["le", "la", "de", "et", "que", "en", "un", "est", "se", "ne"],
+    "de": ["der", "die", "das", "und", "zu", "in", "ein", "ist", "nicht", "von"],
+}
+
+DEFAULT_STOPWORDS = LANG_STOPWORDS["en"]
+
+
+def tokens(col) -> Column:
+    """Whitespace tokenization of lowercased text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.lower(F.trim(c)), r"\s+")
+
+
+def token_count(col) -> Column:
+    return F.size(tokens(col)).cast("bigint")
+
+
+def char_count(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c).cast("bigint")
+
+
+def avg_token_length(col) -> Column:
+    t = tokens(col)
+    total = F.aggregate(t, F.lit(0).cast("bigint"), lambda a, x: a + F.length(x))
+    return total.cast("double") / F.size(t).cast("double")
+
+
+def stopword_ratio(col, stopwords: Optional[Sequence[str]] = None) -> Column:
+    """fraction of tokens that are stopwords — a quality signal."""
+    sw = list(stopwords or DEFAULT_STOPWORDS)
+    t = tokens(col)
+    hits = F.size(F.filter(t, lambda x: x.isin(sw)))
+    return hits.cast("double") / F.size(t).cast("double")
+
+
+def punct_ratio(col) -> Column:
+    """fraction of characters that are not alphanumeric/space."""
+    c = F.col(col) if isinstance(col, str) else col
+    stripped = F.regexp_replace(c, r"[A-Za-z0-9\s]", "")
+    return F.length(stripped).cast("double") / F.length(c).cast("double")
+
+
+def quality_score(col, stopwords: Optional[Sequence[str]] = None) -> Column:
+    """Composite [0,1]-ish quality score: favors texts with moderate length,
+    some stopwords (natural language), little punctuation noise. The exact
+    weights are conventions of this engine; deterministic int/int math."""
+    t = token_count(col)
+    length_ok = F.when((t >= 5) & (t <= 5000), F.lit(1.0)).otherwise(F.lit(0.0))
+    return (
+        length_ok * F.lit(0.4)
+        + F.least(stopword_ratio(col, stopwords) * F.lit(4.0), F.lit(1.0)) * F.lit(0.4)
+        + (F.lit(1.0) - F.least(punct_ratio(col) * F.lit(10.0), F.lit(1.0))) * F.lit(0.2)
+    )
+
+
+def lang_guess(col) -> Column:
+    """Stopword-overlap language ID: argmax over per-language stopword hit
+    counts, 'und' (undetermined) when no list scores > 0. Tie-break by
+    language code ascending for determinism."""
+    t = tokens(col)
+
+    def _hits(sw):
+        # NB: higher-order-function lambdas must take exactly the declared
+        # arity — no default-arg captures (PySpark maps extra params to the
+        # element index) — so close over the list via a factory instead.
+        return F.size(F.filter(t, lambda x: x.isin(list(sw))))
+
+    scores = [(lang, _hits(sw)) for lang, sw in sorted(LANG_STOPWORDS.items())]
+    best_score = F.greatest(*[s for _, s in scores])
+    guess = F.lit("und")
+    # first language (ascending) achieving the max wins → build right-to-left
+    for lang, s in reversed(scores):
+        guess = F.when((s == best_score) & (best_score > 0), F.lit(lang)).otherwise(guess)
+    return guess
+
+
+def normalize_text(col) -> Column:
+    """lower + trim + collapse whitespace — canonical form for dedup."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def fingerprint(col) -> Column:
+    """md5 of the normalized text — the exact-dedup key. (A content hash
+    stands in for the reference's FNV row hashing used to key benchmark
+    recall, reference: benches/query.rs:498-560.)"""
+    return F.md5(normalize_text(col))
+
+
+def token_hash(col_or_expr) -> Column:
+    """Deterministic 60-bit integer hash of a string via md5 hex prefix —
+    portable across engines (DuckDB computes the identical value), unlike
+    Spark's xxhash64. Basis for minhash/simhash."""
+    c = F.col(col_or_expr) if isinstance(col_or_expr, str) else col_or_expr
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")

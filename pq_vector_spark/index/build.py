@@ -129,13 +129,17 @@ def build_index(
 
     assigned = assign_clusters(df, column, centroids)
 
-    # RANGE partition + in-partition sort on cluster_id: contiguous clusters
-    # per file and tight row-group min/max stats → the cluster_id IN (...)
-    # probe filter prunes files AND row groups at read time. Partition count
-    # scales with data size, not cluster count.
-    n_part = max(1, min(n_clusters, assigned.rdd.getNumPartitions() * 2, 2048))
+    # Hash partition + in-partition sort on cluster_id: each cluster lands
+    # whole in one file, sorted ⇒ contiguous, so row-group min/max stats make
+    # the cluster_id IN (...) probe filter prune files AND row groups at read
+    # time. Hash (not range) partitioning avoids repartitionByRange's extra
+    # range-boundary sampling job, which would run the pandas-UDF assignment
+    # pass twice over the full table. Partition count scales with
+    # parallelism, not cluster count.
+    par = spark.sparkContext.defaultParallelism
+    n_part = max(1, min(n_clusters, par * 2, 2048))
     (
-        assigned.repartitionByRange(n_part, F.col(CLUSTER_COL))
+        assigned.repartition(n_part, F.col(CLUSTER_COL))
         .sortWithinPartitions(CLUSTER_COL)
         .write.mode("overwrite")
         .parquet(out_path)

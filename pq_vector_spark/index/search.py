@@ -44,14 +44,46 @@ class LoadedIndex:
     centroids: np.ndarray  # (n_clusters, dim) f32, row id = cluster id
 
 
+def _load_sidecar_local(path: str):
+    """Driver-side sidecar read for local paths — the sidecar is tiny
+    (centroids ≤ 100k×dim floats), so two Spark jobs just to read it would
+    dominate small-query latency. Returns None when the path isn't local."""
+    import glob
+    import os
+
+    root = path[len("file://"):] if path.startswith("file://") else path
+    if "://" in root or not os.path.isdir(os.path.join(root, INDEX_DIR)):
+        return None
+    meta_parts = sorted(glob.glob(os.path.join(root, INDEX_DIR, "meta", "part-*")))
+    cent_parts = sorted(glob.glob(os.path.join(root, INDEX_DIR, "centroids", "*.parquet")))
+    if not meta_parts or not cent_parts:
+        return None
+    import pyarrow.parquet as pq
+
+    with open(meta_parts[0]) as f:
+        meta = json.loads(f.read().strip())
+    tbl = pq.read_table(cent_parts[0]).to_pydict()
+    order = np.argsort(tbl["cluster_id"])
+    centroids = np.asarray(tbl["centroid"], dtype=np.float32)[order]
+    return meta, centroids
+
+
 def load_index(spark: SparkSession, path: str) -> LoadedIndex:
-    """Read the sidecar (≙ footer-KV + payload read, src/ivf/parquet.rs:120-208)."""
-    meta_rows = spark.read.text(f"{path}/{INDEX_DIR}/meta").collect()
-    meta = json.loads(meta_rows[0][0])
-    cent_rows = (
-        spark.read.parquet(f"{path}/{INDEX_DIR}/centroids").orderBy("cluster_id").collect()
-    )
-    centroids = np.asarray([r["centroid"] for r in cent_rows], dtype=np.float32)
+    """Read the sidecar (≙ footer-KV + payload read, src/ivf/parquet.rs:120-208).
+
+    Local filesystems are read directly on the driver (no Spark jobs); any
+    other Hadoop-compatible FS falls back to Spark reads.
+    """
+    local = _load_sidecar_local(path)
+    if local is not None:
+        meta, centroids = local
+    else:
+        meta_rows = spark.read.text(f"{path}/{INDEX_DIR}/meta").collect()
+        meta = json.loads(meta_rows[0][0])
+        cent_rows = (
+            spark.read.parquet(f"{path}/{INDEX_DIR}/centroids").orderBy("cluster_id").collect()
+        )
+        centroids = np.asarray([r["centroid"] for r in cent_rows], dtype=np.float32)
     if centroids.shape != (meta["n_clusters"], meta["dim"]):
         raise IndexError_(
             f"sidecar corrupt: centroids {centroids.shape} != meta "

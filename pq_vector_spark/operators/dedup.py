@@ -1,0 +1,294 @@
+"""Deduplication operators for training-data pipelines (north-star
+extension, BASELINE.json): exact, n-gram Jaccard, MinHash+LSH, SimHash,
+and embedding-cosine near-dup.
+
+Scale design (100 TB):
+- exact dedup = hash-groupBy on a content fingerprint → one shuffle with
+  map-side partial aggregation; never collects.
+- n-gram Jaccard all-pairs is quadratic — it is the *verification* kernel.
+  The scale path is MinHash+LSH: shingle → 60-bit portable hashes →
+  k minhashes → b bands → bucket-join (shuffle keyed on (band, bucket)) →
+  exact Jaccard only on bucket collisions. Candidate volume is tuned by
+  (k, b), not data size.
+- SimHash gives a 16/64-bit signature per doc in one map-side pass; pairs
+  within Hamming radius come from banded equality joins on signature chunks.
+- embedding near-dup: exact top-pairs for verification; IVF same-cluster
+  pairing (see index/) is the scale path.
+
+All hashing is md5-derived (functions.text.token_hash) so an external SQL
+engine (the DuckDB oracle) reproduces results bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pq_vector_spark.functions.distance import cosine_similarity
+from pq_vector_spark.functions.text import fingerprint, normalize_text, tokens
+
+# MinHash parameters: h_i(x) = (a_i·x + b_i) mod P over x = token_hash mod M.
+# P, M chosen so a_i·x never overflows int64 (DuckDB raises on overflow, so
+# portability demands staying in range): a < 1e6, x < 1e6+3 ⇒ product < 1e12.
+MINHASH_P = 999_983
+MINHASH_M = 1_000_003
+
+
+def _minhash_coeffs(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs via a tiny LCG — reproducible anywhere."""
+    coeffs, state = [], seed
+    for _ in range(num_hashes):
+        state = (state * 1_103_515_245 + 12_345) % (2**31)
+        a = state % (MINHASH_P - 1) + 1
+        state = (state * 1_103_515_245 + 12_345) % (2**31)
+        b = state % MINHASH_P
+        coeffs.append((a, b))
+    return coeffs
+
+
+def shingles(col, n: int = 3) -> Column:
+    """Distinct n-gram (token-level) shingles of lowercased text.
+
+    Native expression: split → slide an index over the token array →
+    re-join each window. Shingle count ≈ token count; no shuffle.
+    """
+    t = tokens(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, n)))
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact duplicate groups by normalized-content hash.
+
+    Returns (fingerprint, n_dups, keep_id): one row per distinct content,
+    keeping the smallest id — a deterministic survivor policy. One
+    hash-partitioned aggregation; at 100 TB this is a single shuffle of
+    (16-byte key, id) pairs, with map-side combine.
+    """
+    return (
+        df.select(fingerprint(text_col).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_dups"),
+            F.min(id_col).alias("keep_id"),
+        )
+    )
+
+
+def shingle_hashes(col, n: int = 3) -> Column:
+    """Portable 60-bit hashes of each shingle, reduced mod MINHASH_M."""
+    from pq_vector_spark.functions.text import token_hash
+
+    return F.transform(shingles(col, n), lambda s: token_hash(s) % MINHASH_M)
+
+
+def minhash_signature(col, n: int = 3, num_hashes: int = 32, seed: int = 42) -> Column:
+    """Array of ``num_hashes`` minhash values for a text column — one
+    map-side expression, no shuffle, no Python.
+
+    Shape matters for speed: a naive ``array(min₀, min₁, …)`` duplicates the
+    whole shingle→md5 subtree ``num_hashes`` times (HOFs are interpreted, so
+    each copy re-hashes every shingle). Instead we fold ONCE over the hash
+    array, carrying all ``num_hashes`` running minima as an array accumulator
+    — md5 runs once per shingle regardless of signature width.
+    """
+    hashes = shingle_hashes(col, n)
+    coeffs = _minhash_coeffs(num_hashes, seed)
+    coeff_arr = F.array(
+        *[
+            F.struct(F.lit(a).cast("bigint").alias("a"), F.lit(b).cast("bigint").alias("b"))
+            for a, b in coeffs
+        ]
+    )
+    init = F.array_repeat(F.lit(MINHASH_P).cast("bigint"), num_hashes)
+    return F.aggregate(
+        hashes,
+        init,
+        lambda acc, h: F.zip_with(
+            acc, coeff_arr, lambda m, c: F.least(m, (c["a"] * h + c["b"]) % MINHASH_P)
+        ),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similar pairs (id_a < id_b, jaccard ≥ threshold).
+
+    Plan: explode shingles → self-join on shingle (hash shuffle co-locates
+    equal shingles) → per-pair intersection counts → Jaccard from per-doc
+    shingle counts. Exact but worst-case quadratic on hot shingles — use
+    ``minhash_lsh_pairs`` as the candidate generator at scale; this operator
+    is the verifier. Jaccard is int/int → bit-identical across engines.
+
+    Join keys are 60-bit md5-derived shingle hashes, not strings — an 8-byte
+    shuffle key instead of a ~20-byte string (the oracle hashes identically,
+    so any astronomically-unlikely collision affects both engines equally).
+    """
+    from pq_vector_spark.functions.text import token_hash
+
+    sh = df.select(
+        F.col(id_col).alias("_id"), shingles(text_col, n).alias("_sh")
+    ).select(
+        "_id",
+        F.size("_sh").alias("_n"),
+        F.explode(F.transform(F.col("_sh"), lambda s: token_hash(s))).alias("_s"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a._s") == F.col("b._s")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(
+            F.count(F.lit(1)).alias("_inter"),
+            F.first("a._n").alias("_na"),
+            F.first("b._n").alias("_nb"),
+        )
+    )
+    jac = F.col("_inter").cast("double") / (
+        F.col("_na") + F.col("_nb") - F.col("_inter")
+    ).cast("double")
+    return (
+        inter.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    seed: int = 42,
+    verify: bool = True,
+) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs — the scale path.
+
+    signature (map-side) → explode into ``bands`` band-keys → self-join on
+    (band, band-signature) → distinct candidate pairs → [verify] exact
+    Jaccard ≥ threshold. Shuffle volume is #docs × bands rows of small keys;
+    candidate pairs are only same-bucket collisions (P[collide] ≈ 1-(1-j^r)^b
+    with r = num_hashes/bands), never the full cross product.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature(text_col, n, num_hashes, seed).alias("_sig"),
+    )
+    banded = sig.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.concat_ws(
+                            ",", *[F.col("_sig")[i * rows_per_band + r] for r in range(rows_per_band)]
+                        ).alias("key"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("_id", "bk.band", "bk.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    if not verify:
+        return cands
+    exact = ngram_jaccard_pairs(df, text_col, id_col, n=n, threshold=threshold)
+    return cands.join(exact, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+
+
+def simhash(col, bits: int = 16, n: int = 1) -> Column:
+    """SimHash signature over token (n=1) or shingle hashes: for each bit j,
+    sum ±1 weighted by the j-th bit of each element hash; bit j of the
+    signature is set when the sum is positive. Single map-side expression.
+    """
+    hashes = shingle_hashes(col, n) if n > 1 else None
+    if hashes is None:
+        from pq_vector_spark.functions.text import token_hash
+
+        hashes = F.array_distinct(
+            F.transform(tokens(col), lambda t: token_hash(t) % MINHASH_M)
+        )
+
+    # Single fold carrying all per-bit ±1 sums (same one-pass shape as
+    # minhash_signature — the hash subtree is evaluated once per row, not
+    # once per bit). Bit j of h tested as h mod 2^(j+1) >= 2^j: exact bigint
+    # math, no shifts-by-column needed.
+    pow_arr = F.array(*[F.lit(2**j).cast("bigint") for j in range(bits)])
+    sums = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("bigint"), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            pow_arr,
+            lambda s, p: s + F.when((h % (p * 2)) >= p, F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    weights = F.zip_with(
+        sums, pow_arr, lambda s, p: F.when(s > 0, p).otherwise(F.lit(0).cast("bigint"))
+    )
+    return F.aggregate(weights, F.lit(0).cast("bigint"), lambda a, x: a + x)
+
+
+def embedding_top_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    *,
+    top: int = 20,
+    tie_break: bool = True,
+) -> DataFrame:
+    """Most-similar embedding pairs by cosine — exact all-pairs kernel.
+
+    Used directly at verification scale; at 100 TB pair generation must be
+    blocked first (same IVF cluster / LSH bucket) — see
+    operators/similarity.py. Output: (id_a, id_b, cosine) top-N descending.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    scored = pairs.withColumn("cosine", cosine_similarity(F.col("_va"), F.col("_vb")))
+    return (
+        scored.orderBy(F.col("cosine").desc(), F.col("id_a").asc(), F.col("id_b").asc())
+        .limit(top)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    *,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold (exact)."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    scored = pairs.withColumn("cosine", cosine_similarity(F.col("_va"), F.col("_vb")))
+    return scored.filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")

@@ -11,6 +11,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -28,10 +29,29 @@ TABLES = (
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one test table; accepts both ``<dir>/<name>.parquet`` files and
-    ``<dir>/<name>`` directories (our indexed layouts)."""
+    ``<dir>/<name>`` directories (our indexed layouts).
+
+    Nanosecond-precision parquet timestamps (written by pandas) are illegal
+    for Spark's vectorized reader; we read them as raw int64 nanos
+    (``spark.sql.legacy.parquet.nanosAsLong``) and convert to TIMESTAMP at
+    microsecond precision — the truncation is harmless for second-or-coarser
+    windowing and matches the oracle's whole-second math.
+    """
     file_path = os.path.join(sf_dir, f"{name}.parquet")
     dir_path = os.path.join(sf_dir, name)
-    return spark.read.parquet(file_path if os.path.exists(file_path) else dir_path)
+    path = file_path if os.path.exists(file_path) else dir_path
+    try:
+        df = spark.read.parquet(path)
+        df.schema  # force schema resolution to surface PARQUET_TYPE_ILLEGAL
+    except Exception as e:
+        if "PARQUET_TYPE_ILLEGAL" not in str(e) and "TIMESTAMP(NANOS" not in str(e):
+            raise
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # int64 nanos (nanosAsLong already active in this session) → TIMESTAMP
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
 
 
 def register_all(spark: SparkSession, sf_dir: str) -> None:

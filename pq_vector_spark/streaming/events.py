@@ -1,0 +1,140 @@
+"""Event-stream operators: tumbling-window aggregation, sessionization,
+and JSON property extraction — each with a batch form (oracle-checkable)
+and a Structured Streaming form (watermarks + windowed state).
+
+The reference has no streaming surface (SURVEY.md §2 'explicitly absent');
+these are north-star extensions. Scale notes: windowed aggregation shuffles
+on (window, key) with map-side partial aggregation; sessionization uses
+``session_window`` (streaming) / a lag+cumsum window (batch) partitioned by
+user — both scale with per-user event counts, not total volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tumbling_agg(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    window_duration: str = "1 hour",
+) -> DataFrame:
+    """Per-(window, key) count + sum over tumbling windows.
+
+    Batch form. Output window start as epoch seconds (bigint) so external
+    engines hash-match without timestamp-precision hazards.
+    """
+    w = F.window(F.col(ts_col), window_duration)
+    return (
+        events.groupBy(w.alias("_w"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum(value_col), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("_w.start")).cast("bigint").alias("window_start"),
+            key_col,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_tumbling_agg(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming form: watermark bounds state; late events beyond the
+    watermark are dropped; output mode 'update'/'append' chosen by caller."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration).alias("_w"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum(value_col), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("_w.start")).cast("bigint").alias("window_start"),
+            key_col,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Batch sessionization: a session breaks when the gap to the previous
+    event of the same user exceeds ``gap_minutes``.
+
+    lag → gap flag → running sum = session ordinal (classic islands trick,
+    identical semantics to DuckDB window SQL → oracle-checkable). Output one
+    row per session: (user_id, session_id, n_events, duration_s).
+    """
+    w_user = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc())
+    gap = F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(
+        F.lag(ts_col).over(w_user)
+    )
+    flagged = events.withColumn(
+        "_new_session",
+        F.when(gap.isNull() | (gap > gap_minutes * 60), F.lit(1)).otherwise(F.lit(0)),
+    )
+    with_sess = flagged.withColumn(
+        "session_id",
+        F.sum("_new_session").over(
+            w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("bigint"),
+    )
+    return (
+        with_sess.groupBy(user_col, "session_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            (
+                F.unix_timestamp(F.max(ts_col)) - F.unix_timestamp(F.min(ts_col))
+            ).cast("bigint").alias("duration_s"),
+        )
+    )
+
+
+def streaming_sessionize(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    gap_minutes: int = 30,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming form via the built-in ``session_window`` (gap-based session
+    state managed by Spark; watermark evicts closed sessions)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), f"{gap_minutes} minutes").alias("_sw"),
+            F.col(user_col),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .select(
+            user_col,
+            F.unix_timestamp(F.col("_sw.start")).cast("bigint").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def extract_prop(events: DataFrame, prop: str, out_col: str) -> DataFrame:
+    """Pull an integer property out of the JSON ``props`` column using a
+    regexp (portable across engines, unlike engine-specific JSON paths)."""
+    return events.withColumn(
+        out_col,
+        F.regexp_extract(F.col("props"), rf'"{prop}"\s*:\s*(\d+)', 1).cast("bigint"),
+    )

@@ -1,0 +1,57 @@
+"""Kernel checks ≙ reference unit level (src/ivf/index.rs:487-493)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pq_vector_spark.functions.distance import (
+    array_distance,
+    cosine_similarity,
+    dot_product,
+    l2_norm,
+    squared_l2,
+)
+
+
+def _one(spark, col):
+    return spark.range(1).select(col.alias("v")).collect()[0]["v"]
+
+
+def test_squared_l2_numeric(spark):
+    # ≙ reference squared_l2_distance test (src/ivf/index.rs:487-493)
+    a, b = [1.0, 2.0, 3.0], [4.0, 6.0, 8.0]
+    assert _one(spark, squared_l2(a, b)) == pytest.approx(9 + 16 + 25)
+
+
+def test_array_distance_is_sqrt(spark):
+    a, b = [0.0, 0.0], [3.0, 4.0]
+    assert _one(spark, array_distance(a, b)) == pytest.approx(5.0)
+
+
+def test_dot_and_norm_and_cosine(spark):
+    a, b = [1.0, 0.0], [1.0, 1.0]
+    assert _one(spark, dot_product(a, b)) == pytest.approx(1.0)
+    assert _one(spark, l2_norm(b)) == pytest.approx(math.sqrt(2))
+    assert _one(spark, cosine_similarity(a, b)) == pytest.approx(1 / math.sqrt(2))
+
+
+def test_null_vector_gives_null_distance(spark):
+    # query-time silent-skip semantics (src/df_vector/exec.rs:495-528)
+    df = spark.createDataFrame([(1, None)], "id INT, vec ARRAY<FLOAT>")
+    row = df.select(array_distance(F.col("vec"), [1.0, 2.0]).alias("d")).collect()[0]
+    assert row["d"] is None
+
+
+def test_dim_mismatch_gives_null(spark):
+    # zip_with pads with NULL on length mismatch → NULL distance → row drops
+    df = spark.createDataFrame([(1, [1.0])], "id INT, vec ARRAY<FLOAT>")
+    row = df.select(array_distance(F.col("vec"), [1.0, 2.0]).alias("d")).collect()[0]
+    assert row["d"] is None
+
+
+def test_sql_registration(spark):
+    got = spark.sql(
+        "SELECT array_distance(array(0.0d, 0.0d), array(3.0d, 4.0d)) AS d"
+    ).collect()[0]["d"]
+    assert got == pytest.approx(5.0)

@@ -1,0 +1,186 @@
+"""Index lifecycle tests: build → sidecar → indexed search → exactness
+envelope + recall (reference levels 1, 2, 5 of SURVEY.md §5)."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pq_vector_spark.index.build import CLUSTER_COL, build_index, has_index
+from pq_vector_spark.index.search import IndexError_, indexed_topk, ivf_topk_adhoc, load_index
+from pq_vector_spark.operators.topk import brute_force_topk
+from pq_vector_spark.schema import VectorSchemaError
+from pq_vector_spark.session import IndexBuildOptions, VectorTopKOptions
+
+
+@pytest.fixture(scope="module")
+def indexed_table(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("idx")
+    src = str(base / "src.parquet")
+    out = str(base / "indexed")
+    rng = np.random.default_rng(1234)
+    rows = [(int(i), [float(x) for x in rng.random(8, dtype=np.float32)]) for i in range(2000)]
+    spark.createDataFrame(rows, "id INT, vec ARRAY<FLOAT>").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+    meta = build_index(
+        spark, src, out, column="vec", options=IndexBuildOptions(n_clusters=16)
+    )
+    return {"src": src, "out": out, "meta": meta}
+
+
+def test_build_writes_sidecar_and_meta(spark, indexed_table):
+    assert has_index(indexed_table["out"])
+    idx = load_index(spark, indexed_table["out"])
+    assert idx.meta["n_clusters"] == 16
+    assert idx.meta["dim"] == 8
+    assert idx.centroids.shape == (16, 8)
+
+
+def test_indexed_table_is_plain_parquet(spark, indexed_table):
+    """Capability contract: an indexed table stays readable by any reader
+    (≙ reference README.md:9-10 'standard readers ignore the index')."""
+    df = spark.read.parquet(indexed_table["out"])
+    assert df.count() == 2000
+    assert CLUSTER_COL in df.columns  # the only addition
+
+
+def test_exactness_envelope(spark, indexed_table):
+    """nprobe ≥ n_clusters ⇒ identical to brute force
+    (≙ nprobe.min(n_clusters) guarantee, src/ivf/index.rs:131)."""
+    q = [0.5] * 8
+    exact = [
+        r["id"]
+        for r in brute_force_topk(
+            spark.read.parquet(indexed_table["src"]), "vec", q, 20, tie_break="id"
+        )
+        .select("id")
+        .collect()
+    ]
+    got = [
+        r["id"]
+        for r in indexed_topk(
+            spark,
+            indexed_table["out"],
+            q,
+            20,
+            options=VectorTopKOptions(nprobe=16),
+            tie_break="id",
+        )
+        .select("id")
+        .collect()
+    ]
+    assert got == exact
+
+
+def test_recall_at_small_nprobe(spark, indexed_table):
+    """recall@k vs brute force (≙ reference recall harness,
+    benches/query.rs:562-569) — nprobe=4/16 must recover most neighbors."""
+    q = [0.5] * 8
+    exact = {
+        r["id"]
+        for r in brute_force_topk(
+            spark.read.parquet(indexed_table["src"]), "vec", q, 20, tie_break="id"
+        )
+        .select("id")
+        .collect()
+    }
+    got = {
+        r["id"]
+        for r in indexed_topk(
+            spark,
+            indexed_table["out"],
+            q,
+            20,
+            options=VectorTopKOptions(nprobe=4),
+            tie_break="id",
+        )
+        .select("id")
+        .collect()
+    }
+    assert len(got & exact) / 20 >= 0.5
+
+
+def test_filter_after_pruning(spark, indexed_table):
+    """User predicates rank only surviving candidates
+    (≙ src/df_vector/tests.rs:152-241 FilterExec-above-scan semantics)."""
+    q = [0.5] * 8
+    out = indexed_topk(
+        spark,
+        indexed_table["out"],
+        q,
+        5,
+        options=VectorTopKOptions(nprobe=16),
+        pre_filter=F.col("id") >= 1000,
+        tie_break="id",
+    ).collect()
+    assert all(r["id"] >= 1000 for r in out)
+    assert len(out) == 5
+
+
+def test_max_candidates_cap(spark, indexed_table):
+    out = indexed_topk(
+        spark,
+        indexed_table["out"],
+        [0.5] * 8,
+        5,
+        options=VectorTopKOptions(nprobe=16, max_candidates=50),
+        tie_break="id",
+    ).collect()
+    assert len(out) == 5
+
+
+def test_query_dim_mismatch_errors(spark, indexed_table):
+    # ≙ src/ivf/search.rs:91-98
+    with pytest.raises(IndexError_):
+        indexed_topk(spark, indexed_table["out"], [0.5] * 3, 5)
+
+
+def test_wrong_column_errors(spark, indexed_table):
+    # ≙ src/df_vector/index_exec.rs:123-129
+    with pytest.raises(IndexError_):
+        indexed_topk(spark, indexed_table["out"], [0.5] * 8, 5, column="nope")
+
+
+def test_build_rejects_nulls(spark, tmp_path):
+    # ≙ build-time strictness, src/ivf/parquet.rs:241-264
+    df = spark.createDataFrame([(0, [1.0, 2.0]), (1, None)], "id INT, vec ARRAY<FLOAT>")
+    src = str(tmp_path / "null.parquet")
+    df.write.parquet(src)
+    with pytest.raises(VectorSchemaError):
+        build_index(spark, src, str(tmp_path / "out"))
+
+
+def test_build_rejects_ragged(spark, tmp_path):
+    # ≙ src/ivf/parquet.rs:266-279
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [1.0])], "id INT, vec ARRAY<FLOAT>"
+    )
+    src = str(tmp_path / "ragged.parquet")
+    df.write.parquet(src)
+    with pytest.raises(VectorSchemaError):
+        build_index(spark, src, str(tmp_path / "out"))
+
+
+def test_n_clusters_exceeding_rows_errors(spark, tmp_path):
+    # ≙ src/ivf/index.rs:168-170
+    df = spark.createDataFrame([(0, [1.0, 2.0])], "id INT, vec ARRAY<FLOAT>")
+    src = str(tmp_path / "one.parquet")
+    df.write.parquet(src)
+    with pytest.raises(VectorSchemaError):
+        build_index(
+            spark, src, str(tmp_path / "out"), options=IndexBuildOptions(n_clusters=5)
+        )
+
+
+def test_adhoc_ivf_exact_envelope(spark, golden_vectors):
+    got = [
+        r["id"]
+        for r in ivf_topk_adhoc(
+            golden_vectors, "vec", [0.0, 0.0], 3, n_clusters=3, nprobe=3, tie_break="id"
+        )
+        .select("id")
+        .collect()
+    ]
+    assert got == [0, 5, 1]

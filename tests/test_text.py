@@ -1,0 +1,52 @@
+"""Text-analysis expression tests (north-star extension surface)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pq_vector_spark.functions import text as T
+
+
+def _one(spark, text, col):
+    df = spark.createDataFrame([(text,)], "text STRING")
+    return df.select(col.alias("v")).collect()[0]["v"]
+
+
+def test_token_and_char_count(spark):
+    assert _one(spark, "Hello  world foo", T.token_count("text")) == 3
+    assert _one(spark, "abc", T.char_count("text")) == 3
+
+
+def test_stopword_ratio(spark):
+    assert _one(spark, "the cat sat on the mat", T.stopword_ratio("text")) == pytest.approx(
+        2 / 6
+    )
+
+
+def test_punct_ratio(spark):
+    assert _one(spark, "ab!?", T.punct_ratio("text")) == pytest.approx(0.5)
+
+
+def test_quality_score_bounds(spark):
+    v = _one(spark, "the quick brown fox jumps over the lazy dog", T.quality_score("text"))
+    assert 0.0 <= v <= 1.0
+    assert v > 0.5  # natural english sentence scores well
+
+
+def test_lang_guess(spark):
+    assert _one(spark, "the cat and the dog in a house", T.lang_guess("text")) == "en"
+    assert _one(spark, "el perro y la casa que es un gato", T.lang_guess("text")) == "es"
+    assert _one(spark, "der hund und die katze ist nicht von", T.lang_guess("text")) == "de"
+    assert _one(spark, "xyzzy qwerty", T.lang_guess("text")) == "und"
+
+
+def test_normalize_and_fingerprint(spark):
+    a = _one(spark, "  Hello   World ", T.fingerprint("text"))
+    b = _one(spark, "hello world", T.fingerprint("text"))
+    assert a == b  # normalization collapses case/whitespace
+
+
+def test_token_hash_deterministic_and_positive(spark):
+    a = _one(spark, "abc", T.token_hash("text"))
+    b = _one(spark, "abc", T.token_hash("text"))
+    assert a == b
+    assert 0 <= a < 2**60
