@@ -128,6 +128,7 @@ def indexed_topk(
     pre_filter: Optional[Column] = None,
     tie_break: Optional[str] = None,
     keep_distance: bool = False,
+    observation=None,
 ) -> DataFrame:
     """Top-k over an indexed table (built by build.py).
 
@@ -152,6 +153,23 @@ def indexed_topk(
     cands = df.filter(F.col(CLUSTER_COL).isin([int(c) for c in probed]))
     if opts.max_candidates is not None:
         cands = _cap_candidates(cands, opts.max_candidates)
+    if observation is not None:
+        # ≙ the reference's plan counters candidate_rows / files_scanned
+        # (src/df_vector/index_exec.rs:283-300, exec.rs:405-427), surfaced
+        # through Spark's Observation API with zero extra passes.
+        # input_file_name() must be projected BEFORE the metrics node
+        # (nondeterministic exprs can't eval inside CollectMetrics), and
+        # DISTINCT aggregates are disallowed there — the HLL estimate is
+        # exact at file-count cardinalities.
+        cands = (
+            cands.withColumn("_pq_obs_file", F.input_file_name())
+            .observe(
+                observation,
+                F.count(F.lit(1)).alias("candidate_rows"),
+                F.approx_count_distinct("_pq_obs_file").alias("files_scanned"),
+            )
+            .drop("_pq_obs_file")
+        )
     if pre_filter is not None:
         # user predicates apply AFTER candidate pruning — reference keeps
         # FilterExec above the pruned scan (src/df_vector/tests.rs:152-241)

@@ -217,8 +217,30 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return cands
-    exact = ngram_jaccard_pairs(df, text_col, id_col, n=n, threshold=threshold)
-    return cands.join(exact, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+    # Verify ONLY the candidate pairs: join each side to its (distinct)
+    # shingle-hash array and compute exact Jaccard via array_intersect.
+    # Unlike running the full explode self-join (ngram_jaccard_pairs) and
+    # intersecting, this scales with |candidates|, not |all similar pairs| —
+    # the whole point of LSH at 100 TB.
+    from pq_vector_spark.functions.text import token_hash
+
+    hs = df.select(
+        F.col(id_col).alias("_hid"),
+        F.transform(shingles(text_col, n), lambda s: token_hash(s)).alias("_h"),
+    )
+    a = hs.select(F.col("_hid").alias("id_a"), F.col("_h").alias("_ha"))
+    b = hs.select(F.col("_hid").alias("id_b"), F.col("_h").alias("_hb"))
+    inter = F.size(F.array_intersect(F.col("_ha"), F.col("_hb")))
+    jac = inter.cast("double") / (
+        F.size("_ha") + F.size("_hb") - inter
+    ).cast("double")
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 def simhash(col, bits: int = 16, n: int = 1) -> Column:

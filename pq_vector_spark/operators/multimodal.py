@@ -104,7 +104,8 @@ def sample_frames(
     timestamp (decode stubbed — emits frame offsets, not pixels). Shows the
     explode-style fan-out that real frame extraction would use."""
     n_frames = (F.coalesce(F.col(duration_col), F.lit(0)) / F.lit(every_ms)).cast("int")
-    return df.withColumn(
-        "frame_ts_ms",
-        F.explode(F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0))) * F.lit(every_ms)),
+    offsets = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0))),
+        lambda i: i * F.lit(every_ms),
     )
+    return df.withColumn("frame_ts_ms", F.explode(offsets))

@@ -96,6 +96,7 @@ def ivf_similarity_join(
     query_vec: str,
     k: int,
     *,
+    corpus_id: Optional[str] = None,
     nprobe: int = 5,
 ) -> DataFrame:
     """Scale path: assign each query to its nprobe nearest centroids
@@ -103,6 +104,9 @@ def ivf_similarity_join(
     by the index layout), then window top-k. Only nprobe/n_clusters of the
     corpus is read per query batch — the distributed generalization of the
     reference's candidate-pruned search.
+
+    Output: (query_id, corpus_id?, score, rank) — same shape as
+    ``similarity_join``; internal names avoid collisions with corpus columns.
     """
     import numpy as np
 
@@ -120,19 +124,23 @@ def ivf_similarity_join(
         for c in probed:
             probe_rows.append((r[0], int(c), list(map(float, r[1]))))
     probe_df = spark.createDataFrame(
-        probe_rows, f"{query_id} BIGINT, _cluster INT, _qv ARRAY<DOUBLE>"
+        probe_rows, "_pq_qid BIGINT, _pq_cluster INT, _pq_qv ARRAY<DOUBLE>"
     )
 
     corpus = spark.read.parquet(corpus_indexed_path)
     joined = corpus.join(
-        broadcast(probe_df), corpus[CLUSTER_COL] == probe_df["_cluster"]
+        broadcast(probe_df), corpus[CLUSTER_COL] == probe_df["_pq_cluster"]
     )
     scored = joined.withColumn(
-        "score", array_distance(F.col(idx.meta["column"]), F.col("_qv"))
+        "score", array_distance(F.col(idx.meta["column"]), F.col("_pq_qv"))
     )
-    w = Window.partitionBy(query_id).orderBy(F.col("score").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
+    w = Window.partitionBy("_pq_qid").orderBy(F.col("score").asc())
+    ranked = (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
-        .drop("_qv", "_cluster", CLUSTER_COL)
     )
+    cols = [F.col("_pq_qid").alias(query_id)]
+    if corpus_id is not None:
+        cols.append(F.col(corpus_id))
+    cols += [F.col("score"), F.col("rank")]
+    return ranked.select(*cols)

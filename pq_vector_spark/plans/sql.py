@@ -88,10 +88,26 @@ def _split_two_args(s: str) -> Optional[tuple]:
     return None
 
 
+# all-numeric [..] group NOT preceded by identifier/)/] (those are indexing)
+_BRACKET_VEC_RE = re.compile(
+    r"(?<![\w\)\]])\[\s*(-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?"
+    r"(?:\s*,\s*-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)*)\s*\]"
+)
+
+
+def _rewrite_bracket_literals(query: str) -> str:
+    """``[1.0, 2.0]`` → ``array(1.0, 2.0)`` — DataFusion/DuckDB accept the
+    bracket form (the reference's tests use it, src/df_vector/tests.rs:79)
+    but Spark SQL only parses ``array(...)``. Only all-numeric bracket
+    groups are rewritten, so map/array indexing like ``m['k']`` or
+    ``a[i]`` is untouched."""
+    return _BRACKET_VEC_RE.sub(lambda m: f"array({m.group(1)})", query)
+
+
 def expand_vector_functions(query: str) -> str:
     """Textually expand array_distance/squared_l2/... calls into native
     Catalyst higher-order-function SQL (JVM codegen, no Python workers)."""
-    out = query
+    out = _rewrite_bracket_literals(query)
     for name, template in _FN_EXPANSIONS.items():
         while True:
             m = re.search(rf"\b{name}\s*\(", out, re.IGNORECASE)

@@ -134,7 +134,9 @@ def streaming_sessionize(
 def extract_prop(events: DataFrame, prop: str, out_col: str) -> DataFrame:
     """Pull an integer property out of the JSON ``props`` column using a
     regexp (portable across engines, unlike engine-specific JSON paths)."""
+    raw = F.regexp_extract(F.col("props"), rf'"{prop}"\s*:\s*(\d+)', 1)
+    # regexp_extract yields '' on no-match; ANSI mode would throw on
+    # ''::BIGINT, so null it out first (≙ the oracle's TRY_CAST).
     return events.withColumn(
-        out_col,
-        F.regexp_extract(F.col("props"), rf'"{prop}"\s*:\s*(\d+)', 1).cast("bigint"),
+        out_col, F.when(raw == "", None).otherwise(raw).cast("bigint")
     )

@@ -1,0 +1,65 @@
+"""Multimodal binary-column plumbing tests (decode stubbed, plumbing real)."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.utils import PythonException
+
+from pq_vector_spark.operators.multimodal import (
+    attach_media_metadata,
+    extract_features,
+    sample_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        ("m0", "image", bytearray(b"\x89PNG fake"), 640, 480, None, "image/png"),
+        ("m1", "video", bytearray(b"\x00\x00ftyp fake"), 1920, 1080, 3500, "video/mp4"),
+        ("m2", "audio", bytearray(b"RIFF fake"), None, None, 2000, "audio/wav"),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "media_id STRING, kind STRING, content BINARY, width INT, height INT,"
+        " duration_ms INT, mime STRING",
+    )
+
+
+def test_attach_metadata(media):
+    out = attach_media_metadata(media).collect()
+    by_id = {r["media_id"]: r for r in out}
+    assert by_id["m0"]["content_bytes"] == 9
+    assert len(by_id["m0"]["content_sha"]) == 64
+
+
+def test_fake_feature_extraction_deterministic(media):
+    a = extract_features(media, dim=8, fake=True).select("media_id", "feature").collect()
+    b = extract_features(media, dim=8, fake=True).select("media_id", "feature").collect()
+    fa = {r["media_id"]: r["feature"] for r in a}
+    fb = {r["media_id"]: r["feature"] for r in b}
+    assert fa == fb  # content-hash-seeded ⇒ stable across runs
+    assert all(len(v) == 8 for v in fa.values())
+
+
+def test_real_decode_is_stubbed(media):
+    # fake=False must raise NotImplementedError inside the workers
+    with pytest.raises(Exception) as ei:
+        extract_features(media, dim=8, fake=False).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
+
+
+def test_sample_frames_fanout(media):
+    out = sample_frames(media.filter(F.col("kind") == "video"), every_ms=1000).collect()
+    # 3500 ms at 1000 ms cadence ⇒ frames at 0, 1000, 2000
+    assert [r["frame_ts_ms"] for r in out] == [0, 1000, 2000]
+
+
+def test_features_feed_vector_operators(spark, media):
+    """Extracted features are array<float> ready for topk/similarity."""
+    from pq_vector_spark.operators.topk import brute_force_topk
+
+    feats = extract_features(media, dim=8, fake=True).select("media_id", "feature")
+    out = brute_force_topk(feats, "feature", [0.5] * 8, 2, tie_break="media_id")
+    assert out.count() == 2

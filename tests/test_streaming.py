@@ -1,0 +1,121 @@
+"""Event-analytics operators: batch goldens + genuine Structured Streaming
+runs (memory sink) proving watermark/window/session semantics."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from pq_vector_spark.streaming.events import (
+    extract_prop,
+    sessionize,
+    streaming_sessionize,
+    streaming_tumbling_agg,
+    tumbling_agg,
+)
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _events(spark):
+    rows = [
+        # user 1: two sessions (gap > 30 min between idx 1 and 2)
+        (1, T0, "click", 1.0, '{"k": 10}'),
+        (1, T0 + dt.timedelta(minutes=10), "click", 2.0, '{"k": 60}'),
+        (1, T0 + dt.timedelta(minutes=50), "view", 3.0, '{"k": 99}'),
+        # user 2: one session
+        (2, T0 + dt.timedelta(minutes=5), "view", 4.0, "{}"),
+        (2, T0 + dt.timedelta(minutes=20), "click", 5.0, '{"k": 50}'),
+        # next hour
+        (1, T0 + dt.timedelta(hours=2), "click", 6.0, '{"k": 1}'),
+    ]
+    return spark.createDataFrame(
+        rows, "user_id INT, ts TIMESTAMP, event_type STRING, value DOUBLE, props STRING"
+    )
+
+
+def test_tumbling_agg_golden(spark):
+    out = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in tumbling_agg(_events(spark), "ts", "event_type", "value", "1 hour").collect()
+    }
+    h0 = int(T0.replace(tzinfo=dt.timezone.utc).timestamp())
+    assert out[(h0, "click")] == (3, 8.0)
+    assert out[(h0, "view")] == (2, 7.0)
+    assert out[(h0 + 7200, "click")] == (1, 6.0)
+
+
+def test_sessionize_golden(spark):
+    out = {
+        (r["user_id"], r["session_id"]): (r["n_events"], r["duration_s"])
+        for r in sessionize(_events(spark), "ts", "user_id", gap_minutes=30).collect()
+    }
+    assert out[(1, 1)] == (2, 600)  # two events 10 min apart
+    assert out[(1, 2)] == (1, 0)  # 40-min gap starts session 2
+    assert out[(1, 3)] == (1, 0)  # 2h later, session 3
+    assert out[(2, 1)] == (2, 900)
+
+
+def test_extract_prop(spark):
+    out = extract_prop(_events(spark), "k", "k").filter(F.col("k") >= 50)
+    assert out.count() == 3
+
+
+def _run_stream(spark, df, build, query_name):
+    """Feed a static frame through a real streaming query via a temp parquet
+    source → memory sink, complete/append as the aggregation requires."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="pq_stream_")
+    df.write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(df.schema).parquet(d)
+    out = build(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(query_name)
+
+
+def test_streaming_tumbling_matches_batch(spark):
+    ev = _events(spark)
+    got = _run_stream(
+        spark,
+        ev,
+        lambda s: streaming_tumbling_agg(s, "ts", "event_type", "value", "1 hour"),
+        "stream_tumbling",
+    )
+    batch = tumbling_agg(ev, "ts", "event_type", "value", "1 hour")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_streaming_sessionize_runs(spark):
+    ev = _events(spark)
+    got = _run_stream(
+        spark,
+        ev,
+        lambda s: streaming_sessionize(s, "ts", "user_id", gap_minutes=30),
+        "stream_sessions",
+    )
+    rows = got.collect()
+    # same session structure as batch: users 1+2, sessions (2,1,1)+(2,)
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r["user_id"], []).append(r["n_events"])
+    assert sorted(per_user[1]) == [1, 1, 2]
+    assert per_user[2] == [2]
+
+
+def test_streaming_plan_is_streaming(spark):
+    ev = _events(spark)
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="pq_stream_")
+    ev.write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(ev.schema).parquet(d)
+    out = streaming_tumbling_agg(stream, "ts", "event_type", "value", "1 hour")
+    assert out.isStreaming
