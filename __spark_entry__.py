@@ -230,6 +230,45 @@ def _rel_window(spark, sf_dir):
     )
 
 
+def _rel_join_part(spark, sf_dir):
+    """Broadcast-dimension join: part is tiny → Spark broadcasts it, lineitem
+    (the 100 TB side) never shuffles (TPC-H Q14/Q19 shape)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(F.col("p_size") >= 30)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 4).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+    )
+
+
+def _rel_semijoin(spark, sf_dir):
+    """EXISTS semantics via left_semi — suppliers that shipped anything."""
+    su = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        su.join(li, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+def _rel_conditional_agg(spark, sf_dir):
+    """CASE-WHEN conditional aggregation (high/low-value order mix)."""
+    orders = load_table(spark, sf_dir, "orders")
+    hi = F.when(F.col("o_totalprice") > 200000, 1).otherwise(0)
+    return orders.groupBy("o_orderstatus").agg(
+        F.sum(hi).cast("bigint").alias("n_high"),
+        F.sum(F.lit(1) - hi).cast("bigint").alias("n_low"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+    )
+
+
 def _rel_antijoin(spark, sf_dir):
     cu = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
@@ -246,10 +285,70 @@ def _rel_distinct_count(spark, sf_dir):
     )
 
 
+def _knn_sql(spark, sf_dir):
+    """The reference's canonical query as SQL TEXT through the vector-aware
+    front-end (M4 surface, ≙ ctx.sql path src/df_vector/session.rs) — bracket
+    vector literal and all (src/df_vector/tests.rs:76-81)."""
+    from pq_vector_spark.plans.sql import pq_sql
+
+    q = _qvec(spark, sf_dir, 0)
+    _emb(spark, sf_dir).createOrReplaceTempView("embeddings")
+    vec = ", ".join(repr(float(x)) for x in q)
+    return pq_sql(
+        spark,
+        f"SELECT vec_id FROM embeddings "
+        f"ORDER BY array_distance(embedding, [{vec}]) ASC, vec_id ASC LIMIT {K}",
+    )
+
+
+def _events_stream_windowed(spark, sf_dir):
+    """True Structured Streaming run (readStream → watermark → window →
+    memory sink, availableNow trigger) over the same events table; must
+    produce exactly the batch answer."""
+    from pq_vector_spark.sources.parquet import load_stream
+    from pq_vector_spark.streaming.events import streaming_tumbling_agg
+
+    _utc(spark)
+    stream = load_stream(spark, sf_dir, "events")
+    out = streaming_tumbling_agg(stream, "ts", "event_type", "value", "1 hour")
+    qname = "pq_stream_windowed"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(qname)
+
+
 def _events_windowed(spark, sf_dir):
     _utc(spark)
     ev = load_table(spark, sf_dir, "events")
     return tumbling_agg(ev, "ts", "event_type", "value", "1 hour")
+
+
+def _events_stream_sessions(spark, sf_dir):
+    """Streaming sessionization via the built-in session_window (gap-merge
+    state); memory sink, availableNow. Sessions break when the inter-event
+    gap is ≥ the 30-minute window (end-exclusive merge)."""
+    from pq_vector_spark.sources.parquet import load_stream
+    from pq_vector_spark.streaming.events import streaming_sessionize
+
+    _utc(spark)
+    stream = load_stream(spark, sf_dir, "events")
+    out = streaming_sessionize(stream, "ts", "user_id", gap_minutes=30)
+    qname = "pq_stream_sessions"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(qname)
 
 
 def _events_sessions(spark, sf_dir):
@@ -351,10 +450,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_join_agg": _rel_join_agg,
         "rel_join_region": _rel_join_region,
         "rel_window": _rel_window,
+        "rel_join_part": _rel_join_part,
+        "rel_semijoin": _rel_semijoin,
+        "rel_conditional_agg": _rel_conditional_agg,
         "rel_antijoin": _rel_antijoin,
         "rel_distinct_count": _rel_distinct_count,
+        "knn_sql": _knn_sql,
         "events_windowed": _events_windowed,
+        "events_stream_windowed": _events_stream_windowed,
         "events_sessions": _events_sessions,
+        "events_stream_sessions": _events_stream_sessions,
         "events_props": _events_props,
         "text_stats": _text_stats,
         "text_quality": _text_quality,
@@ -537,6 +642,9 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivf_exact": f"""
             SELECT vec_id FROM embeddings
             ORDER BY {_dist("embedding", qlit)}, vec_id LIMIT {K}""",
+        "knn_sql": f"""
+            SELECT vec_id FROM embeddings
+            ORDER BY {_dist("embedding", qlit)}, vec_id LIMIT {K}""",
         # knn_ivf_approx: intentionally no oracle — approximate result,
         # recall-gated (reference stance: benches/query.rs:192-193)
         "ann_cosine": f"""
@@ -591,6 +699,22 @@ def oracle_sql() -> dict[str, str]:
                      CAST(row_number() OVER (PARTITION BY o_custkey
                           ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rnk
               FROM orders) WHERE rnk <= 2""",
+        "rel_join_part": """
+            SELECT p_brand,
+                   round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_size >= 30
+            GROUP BY p_brand""",
+        "rel_semijoin": """
+            SELECT s_suppkey, s_name FROM supplier
+            WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)""",
+        "rel_conditional_agg": """
+            SELECT o_orderstatus,
+                   CAST(sum(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+                   CAST(sum(CASE WHEN o_totalprice > 200000 THEN 0 ELSE 1 END) AS BIGINT) AS n_low,
+                   round(avg(o_totalprice), 4) AS avg_price
+            FROM orders GROUP BY o_orderstatus""",
         "rel_antijoin": """
             SELECT c_custkey FROM customer
             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""",
@@ -600,6 +724,12 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(c_acctbal), 4) AS avg_bal
             FROM customer GROUP BY c_mktsegment""",
         "events_windowed": """
+            SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2""",
+        "events_stream_windowed": """
             SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start,
                    event_type,
                    CAST(count(*) AS BIGINT) AS n_events,
@@ -620,6 +750,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_events,
                    CAST(max(sec) - min(sec) AS BIGINT) AS duration_s
             FROM s GROUP BY user_id, session_id""",
+        # session_window merges events whose gap is STRICTLY below the
+        # 30-min window (end-exclusive), so the islands oracle breaks on
+        # gap >= 1800; session_start is the session's first event time.
+        "events_stream_sessions": """
+            WITH o AS (SELECT user_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+            g AS (SELECT user_id, ts, sec,
+                   CASE WHEN lag(sec) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                             OR sec - lag(sec) OVER (PARTITION BY user_id ORDER BY ts) >= 1800
+                        THEN 1 ELSE 0 END AS ns
+                  FROM o),
+            s AS (SELECT user_id, sec,
+                   CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_ord
+                  FROM g)
+            SELECT user_id, min(sec) AS session_start,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM s GROUP BY user_id, session_ord""",
         "events_props": r"""
             SELECT event_id, k FROM (
               SELECT event_id,

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import json
 import math
+import os
 from typing import Optional
 
 import numpy as np
@@ -134,24 +135,17 @@ def build_index(
     # the cluster_id IN (...) probe filter prune files AND row groups at read
     # time. Hash (not range) partitioning avoids repartitionByRange's extra
     # range-boundary sampling job, which would run the pandas-UDF assignment
-    # pass twice over the full table. Partition count scales with
-    # parallelism, not cluster count.
-    par = spark.sparkContext.defaultParallelism
-    n_part = max(1, min(n_clusters, par * 2, 2048))
+    # pass twice over the full table. Partition count targets ~128 MB of
+    # vector payload per output file (scales with data volume, capped so the
+    # shuffle never explodes; never more partitions than clusters).
+    rows_per_part = max(1, (128 << 20) // max(1, stats.dim * 4))
+    n_part = max(1, min(n_clusters, -(-stats.rows // rows_per_part), 2048))
     (
         assigned.repartition(n_part, F.col(CLUSTER_COL))
         .sortWithinPartitions(CLUSTER_COL)
         .write.mode("overwrite")
         .parquet(out_path)
     )
-
-    # Sidecar: centroids as parquet (tiny — ≤100k × dim floats), meta as json.
-    # Written through Spark so the same code works on any Hadoop-compatible FS.
-    cent_df = spark.createDataFrame(
-        [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
-        "cluster_id INT, centroid ARRAY<FLOAT>",
-    )
-    cent_df.coalesce(1).write.mode("overwrite").parquet(f"{out_path}/{INDEX_DIR}/centroids")
 
     meta = {
         "format": "pq_vector_spark/ivf-v1",
@@ -163,10 +157,48 @@ def build_index(
         "row_count": int(stats.rows),
         "cluster_col": CLUSTER_COL,
     }
+    _write_sidecar(spark, out_path, centroids, meta)
+    return meta
+
+
+def _write_sidecar(spark: SparkSession, out_path: str, centroids: np.ndarray, meta: dict) -> None:
+    """Persist the sidecar (centroids parquet + meta json). The sidecar is
+    tiny (≤100k × dim floats), so on a local filesystem it is written
+    directly from the driver — two Spark jobs just for it would dominate
+    small builds. Non-local (HDFS/S3/...) paths fall back to Spark writes.
+    The layout matches what search._load_sidecar_local / the Spark fallback
+    reader expect: ``_pq_index/centroids/*.parquet`` + ``_pq_index/meta/part-*``.
+    """
+    root = out_path[len("file://"):] if out_path.startswith("file://") else out_path
+    if "://" not in root and os.path.isdir(root):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        cdir = os.path.join(root, INDEX_DIR, "centroids")
+        mdir = os.path.join(root, INDEX_DIR, "meta")
+        os.makedirs(cdir, exist_ok=True)
+        os.makedirs(mdir, exist_ok=True)
+        tbl = pa.table(
+            {
+                "cluster_id": pa.array(range(len(centroids)), type=pa.int32()),
+                "centroid": pa.array(
+                    [c.tolist() for c in centroids], type=pa.list_(pa.float32())
+                ),
+            }
+        )
+        pq.write_table(tbl, os.path.join(cdir, "part-00000.parquet"))
+        with open(os.path.join(mdir, "part-00000"), "w") as f:
+            f.write(json.dumps(meta) + "\n")
+        return
+
+    cent_df = spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cluster_id INT, centroid ARRAY<FLOAT>",
+    )
+    cent_df.coalesce(1).write.mode("overwrite").parquet(f"{out_path}/{INDEX_DIR}/centroids")
     spark.createDataFrame([(json.dumps(meta),)], "meta STRING").coalesce(1).write.mode(
         "overwrite"
     ).text(f"{out_path}/{INDEX_DIR}/meta")
-    return meta
 
 
 def has_index(path: str) -> bool:

@@ -54,6 +54,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Structured-Streaming twin of ``load_table``: the same table as an
+    unbounded source (files appearing in the path = arriving batches).
+    Schema (and the nanos→timestamp conversion) is taken from the batch
+    reader so stream and batch agree column-for-column."""
+    batch = load_table(spark, sf_dir, name)  # sets nanos conf if needed
+    file_path = os.path.join(sf_dir, f"{name}.parquet")
+    dir_path = os.path.join(sf_dir, name)
+    if os.path.exists(file_path):
+        # FileStreamSource requires a directory: stream the parent dir with
+        # a glob filter selecting just this table's file
+        raw = spark.read.parquet(file_path)
+        stream = (
+            spark.readStream.schema(raw.schema)
+            .option("pathGlobFilter", f"{name}.parquet")
+            .parquet(sf_dir)
+        )
+    else:
+        raw = spark.read.parquet(dir_path)
+        stream = spark.readStream.schema(raw.schema).parquet(dir_path)
+    if name == "events" and dict(raw.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return stream
+
+
 def register_all(spark: SparkSession, sf_dir: str) -> None:
     """Temp views for every test table → full Spark SQL surface over them."""
     for t in TABLES:
