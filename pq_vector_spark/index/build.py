@@ -84,10 +84,12 @@ def assign_clusters(df: DataFrame, column: str, centroids: np.ndarray) -> DataFr
     @F.pandas_udf(IntegerType())
     def _nearest(v: pd.Series) -> pd.Series:
         cents = bc.value
-        c_norm2 = (cents.astype(np.float64) ** 2).sum(axis=1)
+        c_norm2 = (cents.astype(np.float64) ** 2).sum(axis=1).astype(np.float32)
         mat = np.stack(v.to_numpy()).astype(np.float32)
-        # argmin over −2x·c + ‖c‖² (‖x‖² constant per row)
-        d2 = -2.0 * (mat @ cents.T) + c_norm2[None, :]
+        # argmin over −2x·c + ‖c‖² (‖x‖² constant per row); float32 end-to-end
+        # — workers may lack optimized BLAS, and f64 doubles the cost
+        d2 = -2.0 * (mat @ cents.T)
+        d2 += c_norm2[None, :]
         return pd.Series(d2.argmin(axis=1).astype(np.int32))
 
     return df.withColumn(CLUSTER_COL, _nearest(F.col(column).cast("array<float>")))
@@ -110,6 +112,27 @@ def build_index(
     Returns the meta dict that was persisted.
     """
     opts = options or IndexBuildOptions()
+    # The assignment pass is compute-bound (argmin over centroids) — make
+    # sure a source of few big files still splits across all cores by
+    # tightening the scan split size for the duration of the build.
+    prev_split = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
+    try:
+        return _build_index_inner(spark, source_path, out_path, column, opts)
+    finally:
+        if prev_split is not None:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", prev_split)
+        else:
+            spark.conf.unset("spark.sql.files.maxPartitionBytes")
+
+
+def _build_index_inner(
+    spark: SparkSession,
+    source_path: str,
+    out_path: str,
+    column: Optional[str],
+    opts: IndexBuildOptions,
+) -> dict:
     df = spark.read.parquet(source_path)
     if column is None:
         column = infer_vector_column(df)

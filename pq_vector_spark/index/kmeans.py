@@ -53,24 +53,34 @@ def lloyd(
     data: np.ndarray, centroids: np.ndarray, max_iters: int
 ) -> tuple[np.ndarray, np.ndarray]:
     """Lloyd iterations with early stop + empty-cluster→zero-vector parity
-    (src/ivf/index.rs:392-454). Returns (centroids, assignments)."""
+    (src/ivf/index.rs:392-454). Returns (centroids, assignments).
+
+    All distance math stays float32 (the index's native precision — the
+    reference is f32 throughout, src/ivf/index.rs) and the centroid update
+    is a per-dimension bincount: both matter because this runs on the
+    driver where numpy may lack an optimized BLAS.
+    """
     n_clusters = centroids.shape[0]
+    data = np.ascontiguousarray(data, dtype=np.float32)
+    centroids = np.ascontiguousarray(centroids, dtype=np.float32)
     assign = np.full(data.shape[0], -1, dtype=np.int64)
     for _ in range(max_iters):
         # ‖x−c‖² = ‖x‖² − 2x·c + ‖c‖²; ‖x‖² constant per row → drop for argmin
-        d2 = (
-            -2.0 * (data @ centroids.T)
-            + (centroids.astype(np.float64) ** 2).sum(axis=1)[None, :]
-        )
+        d2 = -2.0 * (data @ centroids.T)
+        d2 += (centroids.astype(np.float64) ** 2).sum(axis=1).astype(np.float32)[None, :]
         new_assign = d2.argmin(axis=1)
         if np.array_equal(new_assign, assign):
             break
         assign = new_assign
+        counts = np.bincount(assign, minlength=n_clusters)
+        sums = np.zeros((n_clusters, data.shape[1]), dtype=np.float64)
+        for d in range(data.shape[1]):
+            sums[:, d] = np.bincount(assign, weights=data[:, d], minlength=n_clusters)
         centroids = np.zeros_like(centroids)
-        for c in range(n_clusters):
-            members = data[assign == c]
-            if len(members):  # empty cluster stays the zero vector
-                centroids[c] = members.mean(axis=0, dtype=np.float64).astype(np.float32)
+        nonempty = counts > 0  # empty cluster stays the zero vector
+        centroids[nonempty] = (
+            sums[nonempty] / counts[nonempty, None]
+        ).astype(np.float32)
     return centroids, assign
 
 

@@ -1,0 +1,102 @@
+"""Property-based checks (hypothesis): Spark expression kernels must agree
+with numpy float64 ground truth on arbitrary inputs, and the IVF exactness
+envelope must hold for arbitrary cluster counts."""
+
+import math
+
+import numpy as np
+import pytest
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    HAVE_HYP = False
+
+pytestmark = pytest.mark.skipif(not HAVE_HYP, reason="hypothesis not installed")
+
+finite = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False, width=32
+)
+vec = st.lists(finite, min_size=1, max_size=16)
+
+
+@pytest.fixture(scope="module")
+def collect_expr(spark):
+    from pyspark.sql import functions as F
+
+    def _run(col):
+        return spark.range(1).select(col.alias("v")).collect()[0]["v"]
+
+    return _run
+
+
+@settings(max_examples=25, deadline=None)
+@given(data=st.data())
+def test_squared_l2_matches_numpy(collect_expr, data):
+    from pq_vector_spark.functions.distance import squared_l2
+
+    a = data.draw(vec)
+    b = data.draw(st.lists(finite, min_size=len(a), max_size=len(a)))
+    got = collect_expr(squared_l2(a, b))
+    want = float(((np.array(a, dtype=np.float64) - np.array(b, dtype=np.float64)) ** 2).sum())
+    assert got == pytest.approx(want, rel=1e-9, abs=1e-12)
+
+
+@settings(max_examples=25, deadline=None)
+@given(data=st.data())
+def test_dot_matches_numpy(collect_expr, data):
+    from pq_vector_spark.functions.distance import dot_product
+
+    a = data.draw(vec)
+    b = data.draw(st.lists(finite, min_size=len(a), max_size=len(a)))
+    got = collect_expr(dot_product(a, b))
+    want = float(np.array(a, dtype=np.float64) @ np.array(b, dtype=np.float64))
+    assert got == pytest.approx(want, rel=1e-9, abs=1e-12)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    n=st.integers(min_value=4, max_value=40),
+    k=st.integers(min_value=1, max_value=8),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_ivf_exactness_envelope_property(spark, n, k, seed):
+    """nprobe = n_clusters ⇒ IVF result == brute force, for arbitrary
+    table sizes / cluster counts / seeds (reference guarantee,
+    src/ivf/index.rs:131)."""
+    from pq_vector_spark.index.search import ivf_topk_adhoc
+    from pq_vector_spark.operators.topk import brute_force_topk
+
+    rng = np.random.default_rng(seed)
+    nc = min(k + 1, n)
+    rows = [(int(i), [float(x) for x in rng.random(4, dtype=np.float32)]) for i in range(n)]
+    df = spark.createDataFrame(rows, "id INT, vec ARRAY<FLOAT>")
+    q = [0.5, 0.5, 0.5, 0.5]
+    exact = [r["id"] for r in brute_force_topk(df, "vec", q, k, tie_break="id").select("id").collect()]
+    ivf = [
+        r["id"]
+        for r in ivf_topk_adhoc(
+            df, "vec", q, k, n_clusters=nc, nprobe=nc, seed=int(seed % 1000), tie_break="id"
+        )
+        .select("id")
+        .collect()
+    ]
+    assert ivf == exact
+
+
+@settings(max_examples=20, deadline=None)
+@given(text=st.text(min_size=0, max_size=200))
+def test_fingerprint_normalization_idempotent(spark, text):
+    """fingerprint(normalize(t)) == fingerprint(t) for arbitrary text."""
+    from pyspark.sql import functions as F
+
+    from pq_vector_spark.functions.text import fingerprint, normalize_text
+
+    df = spark.createDataFrame([(text,)], "t STRING")
+    row = df.select(
+        fingerprint("t").alias("f1"),
+        F.md5(normalize_text(normalize_text("t"))).alias("f2"),
+    ).collect()[0]
+    assert row["f1"] == row["f2"]
