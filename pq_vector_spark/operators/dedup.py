@@ -53,12 +53,21 @@ def shingles(col, n: int = 3) -> Column:
 
     Native expression: split → slide an index over the token array →
     re-join each window. Shingle count ≈ token count; no shuffle.
+
+    The token array is BOUND to a lambda variable (via a 1-element
+    ``transform``) before the window loop: a free subtree referenced inside
+    an HOF lambda is re-evaluated once per element, so the naive form
+    re-tokenizes the whole text once per shingle (~50× slower on real docs).
     """
-    t = tokens(col)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(1)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, n)))
-    )
+    return F.transform(
+        F.array(tokens(col)),
+        lambda toks: F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        ),
+    )[0]
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -174,6 +183,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     seed: int = 42,
     verify: bool = True,
+    persist: bool = True,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup pairs — the scale path.
 
@@ -182,12 +192,22 @@ def minhash_lsh_pairs(
     Jaccard ≥ threshold. Shuffle volume is #docs × bands rows of small keys;
     candidate pairs are only same-bucket collisions (P[collide] ≈ 1-(1-j^r)^b
     with r = num_hashes/bands), never the full cross product.
+
+    ``persist`` caches the signature table (id + num_hashes longs — orders
+    of magnitude smaller than the text) so the self-join's two sides and the
+    verification join don't each recompute the text→md5→minhash pass; the
+    expensive scan then runs once instead of 4×, at bench scale and at
+    100 TB alike (MEMORY_AND_DISK — spills, never OOMs).
     """
     rows_per_band = num_hashes // bands
     sig = df.select(
         F.col(id_col).alias("_id"),
         minhash_signature(text_col, n, num_hashes, seed).alias("_sig"),
     )
+    if persist:
+        from pyspark import StorageLevel
+
+        sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
     banded = sig.select(
         "_id",
         F.explode(
@@ -228,6 +248,10 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("_hid"),
         F.transform(shingles(text_col, n), lambda s: token_hash(s)).alias("_h"),
     )
+    if persist:
+        from pyspark import StorageLevel
+
+        hs = hs.persist(StorageLevel.MEMORY_AND_DISK)
     a = hs.select(F.col("_hid").alias("id_a"), F.col("_h").alias("_ha"))
     b = hs.select(F.col("_hid").alias("id_b"), F.col("_h").alias("_hb"))
     inter = F.size(F.array_intersect(F.col("_ha"), F.col("_hb")))
