@@ -52,6 +52,33 @@ def _qvec(spark: SparkSession, sf_dir: str, vec_id: int = 0):
     )
 
 
+_IDX_CACHE: dict[str, str] = {}
+
+
+def _indexed_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf_dir per process) the IVF-indexed layout of the
+    embeddings table into a temp dir; reused by every query that exercises
+    the rewritten-layout path (similarity_join_ivf, knn_capped)."""
+    import tempfile
+
+    from pq_vector_spark.index.build import build_index
+    from pq_vector_spark.session import IndexBuildOptions
+
+    cached = _IDX_CACHE.get(sf_dir)
+    if cached and os.path.isdir(cached):
+        return cached
+    out = os.path.join(tempfile.mkdtemp(prefix="pq_entry_idx_"), "embeddings_indexed")
+    build_index(
+        spark,
+        os.path.join(sf_dir, "embeddings.parquet"),
+        out,
+        column="embedding",
+        options=IndexBuildOptions(n_clusters=IVF_CLUSTERS),
+    )
+    _IDX_CACHE[sf_dir] = out
+    return out
+
+
 # ---------------------------------------------------------------- entry ----
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -141,6 +168,46 @@ def _similarity_join(spark, sf_dir):
     )
     out = similarity_join(queries, emb, "qid", "vec_id", "qv", "embedding", 3, metric="l2")
     return out.select("qid", "vec_id", F.round("score", 4).alias("score"), "rank")
+
+
+def _similarity_join_ivf(spark, sf_dir):
+    """Distributed IVF-bucketed similarity join over the rewritten layout —
+    probe assignment is a map-side pandas UDF over the query DataFrame (no
+    driver collect). nprobe = n_clusters ⇒ every cluster probed ⇒ result is
+    exactly the brute-force ``similarity_join`` (same oracle)."""
+    from pq_vector_spark.operators.similarity import ivf_similarity_join
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    out = ivf_similarity_join(
+        queries,
+        _indexed_path(spark, sf_dir),
+        spark,
+        "qid",
+        "qv",
+        3,
+        corpus_id="vec_id",
+        nprobe=IVF_CLUSTERS,
+    )
+    return out.select("qid", "vec_id", F.round("score", 4).alias("score"), "rank")
+
+
+def _dedup_embedding_bucketed(spark, sf_dir):
+    """IVF same-cluster blocked near-dup — the scale path for embedding
+    dedup. nprobe = n_clusters ⇒ every pair co-clustered ⇒ exactly the
+    all-pairs answer (correctness envelope; production uses nprobe ≪)."""
+    emb = _emb(spark, sf_dir)
+    out = D.embedding_near_dup_bucketed(
+        emb,
+        "embedding",
+        "vec_id",
+        threshold=0.42,
+        n_clusters=IVF_CLUSTERS,
+        nprobe=IVF_CLUSTERS,
+    )
+    return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 
 def _rel_topk(spark, sf_dir):
@@ -445,6 +512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf_approx": _knn_ivf_approx,
         "ann_cosine": _ann_cosine,
         "similarity_join": _similarity_join,
+        "similarity_join_ivf": _similarity_join_ivf,
         "rel_topk": _rel_topk,
         "rel_agg": _rel_agg,
         "rel_join_agg": _rel_join_agg,
@@ -470,6 +538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": _dedup_minhash,
         "dedup_simhash": _dedup_simhash,
         "dedup_embedding": _dedup_embedding,
+        "dedup_embedding_bucketed": _dedup_embedding_bucketed,
         "multimodal_features": _multimodal_features,
     }
 
@@ -662,6 +731,19 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             SELECT qid, vec_id, round(score, 4) AS score, rank
             FROM ranked WHERE rank <= 3""",
+        # similarity_join_ivf probes ALL clusters (nprobe = n_clusters) so
+        # its answer is exactly the brute-force join — same oracle text.
+        "similarity_join_ivf": f"""
+            WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+            scored AS (
+              SELECT q.qid, c.vec_id, {_dist("c.embedding", "q.qv")} AS score
+              FROM embeddings c CROSS JOIN q),
+            ranked AS (
+              SELECT qid, vec_id, score,
+                     CAST(row_number() OVER (PARTITION BY qid ORDER BY score, vec_id) AS INT) AS rank
+              FROM scored)
+            SELECT qid, vec_id, round(score, 4) AS score, rank
+            FROM ranked WHERE rank <= 3""",
         "rel_topk": """
             SELECT l_orderkey, l_extendedprice FROM lineitem
             WHERE l_quantity >= 30
@@ -804,6 +886,12 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             ORDER BY {_cos("a.embedding", "b.embedding")} DESC, a.vec_id, b.vec_id
             LIMIT 20""",
+        # bucketed near-dup with nprobe = n_clusters ⇒ exact all-pairs answer
+        "dedup_embedding_bucketed": f"""
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round({_cos("a.embedding", "b.embedding")}, 4) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE {_cos("a.embedding", "b.embedding")} >= 0.42""",
         # multimodal_features: no oracle — the fake decoder's sha256-seeded
         # RNG is not SQL-expressible; driver records rows-only check
     }

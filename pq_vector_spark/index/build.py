@@ -66,8 +66,20 @@ def sample_embeddings_to_driver(
     else:
         frac = min(1.0, (target / n_rows) * 1.2 + 1e-6)
         rows = df.select(column).sample(fraction=frac, seed=seed).limit(target).collect()
-        if len(rows) < min(target, n_rows):  # rare undersample: top up
-            rows = df.select(column).limit(target).collect()
+        # Rare undersample: RETRY the seeded sample at a doubled fraction
+        # (derived seed) rather than an unordered limit() — limit without
+        # ordering is nondeterministic and biased toward the first files,
+        # which would break the seeded-reproducible-build guarantee.
+        attempt = 1
+        while len(rows) < min(target, n_rows) and frac < 1.0:
+            frac = min(1.0, frac * 2)
+            rows = (
+                df.select(column)
+                .sample(fraction=frac, seed=seed + attempt)
+                .limit(target)
+                .collect()
+            )
+            attempt += 1
     return np.asarray([r[0] for r in rows], dtype=np.float32)
 
 
@@ -93,6 +105,36 @@ def assign_clusters(df: DataFrame, column: str, centroids: np.ndarray) -> DataFr
         return pd.Series(d2.argmin(axis=1).astype(np.int32))
 
     return df.withColumn(CLUSTER_COL, _nearest(F.col(column).cast("array<float>")))
+
+
+PROBE_COL = "_pq_probe"
+
+
+def probe_clusters(df: DataFrame, column: str, centroids: np.ndarray, nprobe: int) -> DataFrame:
+    """Distributed coarse-quantizer probe: the ``nprobe`` nearest centroid
+    ids for EVERY row, as an ``array<int>`` column (``PROBE_COL``).
+
+    The multi-probe generalization of :func:`assign_clusters` — broadcast
+    centroids + one Arrow-batched pandas-UDF matmul pass; no data is ever
+    collected to the driver (≙ the reference probing each query against all
+    centroids, src/ivf/index.rs:130-149, but map-side over a whole DataFrame
+    of queries). ``explode(PROBE_COL)`` then feeds cluster-equi-joins.
+    """
+    from pyspark.sql.types import ArrayType
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(np.ascontiguousarray(centroids, dtype=np.float32))
+    nprobe = int(nprobe)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _probe(v: pd.Series) -> pd.Series:
+        from pq_vector_spark.index.kmeans import nearest_centroids_batch
+
+        mat = np.stack(v.to_numpy()).astype(np.float32)
+        order = nearest_centroids_batch(mat, bc.value, nprobe)
+        return pd.Series([row.astype(np.int32) for row in order])
+
+    return df.withColumn(PROBE_COL, _probe(F.col(column).cast("array<float>")))
 
 
 def build_index(

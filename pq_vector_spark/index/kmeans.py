@@ -106,3 +106,22 @@ def nearest_centroids(queries: np.ndarray, centroids: np.ndarray, nprobe: int) -
     d2 = ((q[:, None, :].astype(np.float64) - centroids[None, :, :]) ** 2).sum(axis=2)
     order = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
     return order[0] if np.asarray(queries).ndim == 1 else order
+
+
+def nearest_centroids_batch(
+    queries: np.ndarray, centroids: np.ndarray, nprobe: int
+) -> np.ndarray:
+    """Matmul form of :func:`nearest_centroids` for large row batches.
+
+    The broadcast form above materializes (rows × clusters × dim) — fine for
+    one query, quadratic-memory for a batch. Here d² = ‖q‖² − 2q·c + ‖c‖² in
+    float64 (BLAS matmul), memory (rows × clusters). Mathematically identical
+    ordering; float summation order differs from the broadcast form, so exact
+    tie order may differ — callers needing exactness probe ALL clusters
+    (nprobe = n_clusters), where order is irrelevant.
+    """
+    nprobe = min(nprobe, centroids.shape[0])
+    q = np.atleast_2d(np.asarray(queries, dtype=np.float32)).astype(np.float64)
+    c = np.asarray(centroids, dtype=np.float32).astype(np.float64)
+    d2 = (q**2).sum(axis=1)[:, None] - 2.0 * (q @ c.T) + (c**2).sum(axis=1)[None, :]
+    return np.argsort(d2, axis=1, kind="stable")[:, :nprobe]

@@ -98,43 +98,48 @@ def ivf_similarity_join(
     *,
     corpus_id: Optional[str] = None,
     nprobe: int = 5,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Scale path: assign each query to its nprobe nearest centroids
-    (broadcast centroids, map-side), join corpus on cluster_id (co-located
-    by the index layout), then window top-k. Only nprobe/n_clusters of the
-    corpus is read per query batch — the distributed generalization of the
-    reference's candidate-pruned search.
+    (broadcast centroids + one map-side pandas-UDF matmul over the query
+    DataFrame — no collect, any query-side size), explode the probe list,
+    join corpus on cluster_id (co-located by the index layout), then window
+    top-k. Only nprobe/n_clusters of the corpus is scored per query — the
+    distributed generalization of the reference's candidate-pruned search
+    (probe → gather → re-rank, src/ivf/search.rs:100-141).
+
+    ``broadcast_queries=True`` (default) broadcasts the exploded probe table
+    — right when the query side fits in memory. Set False for a huge query
+    side: the join becomes a shuffle join on cluster_id, which the corpus
+    layout already co-locates.
 
     Output: (query_id, corpus_id?, score, rank) — same shape as
-    ``similarity_join``; internal names avoid collisions with corpus columns.
+    ``similarity_join``; the query-id column keeps its original type
+    (derived from ``queries.schema``, never hardcoded). Internal names avoid
+    collisions with corpus columns.
     """
-    import numpy as np
-
-    from pq_vector_spark.index.build import CLUSTER_COL
-    from pq_vector_spark.index.kmeans import nearest_centroids
+    from pq_vector_spark.index.build import CLUSTER_COL, PROBE_COL, probe_clusters
     from pq_vector_spark.index.search import load_index
 
     idx = load_index(spark, corpus_indexed_path)
-    cents = idx.centroids
 
-    qrows = queries.select(query_id, query_vec).collect()
-    probe_rows = []
-    for r in qrows:
-        probed = nearest_centroids(np.asarray(r[1], dtype=np.float32), cents, nprobe)
-        for c in probed:
-            probe_rows.append((r[0], int(c), list(map(float, r[1]))))
-    probe_df = spark.createDataFrame(
-        probe_rows, "_pq_qid BIGINT, _pq_cluster INT, _pq_qv ARRAY<DOUBLE>"
+    q = queries.select(F.col(query_id).alias("_pq_qid"), F.col(query_vec).alias("_pq_qv"))
+    probe_df = (
+        probe_clusters(q, "_pq_qv", idx.centroids, nprobe)
+        .select("_pq_qid", "_pq_qv", F.explode(PROBE_COL).alias("_pq_cluster"))
     )
+    if broadcast_queries:
+        probe_df = broadcast(probe_df)
 
     corpus = spark.read.parquet(corpus_indexed_path)
-    joined = corpus.join(
-        broadcast(probe_df), corpus[CLUSTER_COL] == probe_df["_pq_cluster"]
-    )
+    joined = corpus.join(probe_df, corpus[CLUSTER_COL] == probe_df["_pq_cluster"])
     scored = joined.withColumn(
         "score", array_distance(F.col(idx.meta["column"]), F.col("_pq_qv"))
     )
-    w = Window.partitionBy("_pq_qid").orderBy(F.col("score").asc())
+    order = [F.col("score").asc()]
+    if corpus_id is not None:
+        order.append(F.col(corpus_id).asc())  # deterministic tie-break
+    w = Window.partitionBy("_pq_qid").orderBy(*order)
     ranked = (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)

@@ -80,3 +80,56 @@ def test_embedding_near_dup_threshold(spark):
     )
     out = D.embedding_near_dup(df, "emb", "vid", threshold=0.95).collect()
     assert len(out) == 1
+
+
+def test_embedding_near_dup_bucketed_exact_envelope(spark):
+    """nprobe = n_clusters ⇒ every pair co-clustered ⇒ identical to the
+    exact all-pairs kernel."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = [(int(i), [float(x) for x in rng.normal(size=8)]) for i in range(120)]
+    df = spark.createDataFrame(rows, "vid BIGINT, emb ARRAY<FLOAT>")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in D.embedding_near_dup(df, "emb", "vid", threshold=0.5).collect()
+    }
+    bucketed = {
+        (r["id_a"], r["id_b"])
+        for r in D.embedding_near_dup_bucketed(
+            df, "emb", "vid", threshold=0.5, n_clusters=6, nprobe=6
+        ).collect()
+    }
+    assert bucketed == exact and len(exact) > 0
+
+
+def test_embedding_near_dup_bucketed_candidates_scale_with_clusters(spark):
+    """Pair generation is Sum_c |c|^2-ish, not n^2: with well-separated blobs
+    and nprobe=1 the candidate count equals the sum of within-blob pairs."""
+    import numpy as np
+
+    from pq_vector_spark.index.build import PROBE_COL, probe_clusters
+    from pq_vector_spark.index.kmeans import train_kmeans
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(7)
+    centers = np.array([[100.0, 0.0], [0.0, 100.0], [-100.0, -100.0]])
+    sizes = [40, 30, 30]
+    rows = []
+    i = 0
+    for c, sz in zip(centers, sizes):
+        for _ in range(sz):
+            rows.append((i, [float(x) for x in c + rng.normal(scale=0.5, size=2)]))
+            i += 1
+    df = spark.createDataFrame(rows, "vid BIGINT, emb ARRAY<FLOAT>")
+    sample = np.asarray([r[1] for r in rows], dtype=np.float32)
+    cents = train_kmeans(sample, 3, seed=42)
+    exploded = probe_clusters(df, "emb", cents, 1).select(
+        F.col("vid").alias("_id"), F.explode(PROBE_COL).alias("_c")
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    n_cands = a.join(
+        b, (F.col("a._c") == F.col("b._c")) & (F.col("a._id") < F.col("b._id"))
+    ).count()
+    expected = sum(s * (s - 1) // 2 for s in sizes)  # within-blob pairs only
+    assert n_cands == expected  # NOT n*(n-1)/2 == 4950

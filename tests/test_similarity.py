@@ -68,3 +68,43 @@ def test_ivf_similarity_join(spark, corpus, tmp_path_factory):
     for qid in (0, 1, 2):
         assert best[qid]["cid"] == qid
         assert best[qid]["score"] == pytest.approx(0.0)
+
+
+def test_ivf_similarity_join_is_distributed(spark, corpus, tmp_path_factory):
+    """The probe side must stay a lazy plan over the query DataFrame —
+    no collect()/createDataFrame (which would show up as a LocalTableScan /
+    LocalRelation leaf); the probe itself is the ArrowEvalPython pandas UDF."""
+    base = tmp_path_factory.mktemp("simidx_dist")
+    src = str(base / "corpus.parquet")
+    out_path = str(base / "indexed")
+    corpus.write.mode("overwrite").parquet(src)
+    build_index(spark, src, out_path, column="vec", options=IndexBuildOptions(n_clusters=8))
+
+    queries = corpus.filter(F.col("cid") < 3).select(F.col("cid").alias("qid"), "vec")
+    out = ivf_similarity_join(queries, out_path, spark, "qid", "vec", k=2, nprobe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" not in plan
+    assert "ArrowEvalPython" in plan or "PythonUDF" in plan
+
+
+def test_ivf_similarity_join_nonint_query_id(spark, corpus, tmp_path_factory):
+    """Query-id type is derived from the schema (the old path hardcoded
+    BIGINT and broke on strings)."""
+    base = tmp_path_factory.mktemp("simidx_str")
+    src = str(base / "corpus.parquet")
+    out_path = str(base / "indexed")
+    corpus.write.mode("overwrite").parquet(src)
+    build_index(spark, src, out_path, column="vec", options=IndexBuildOptions(n_clusters=8))
+
+    queries = (
+        corpus.filter(F.col("cid") < 2)
+        .select(F.concat(F.lit("q-"), F.col("cid")).alias("qid"), "vec")
+    )
+    rows = ivf_similarity_join(
+        queries, out_path, spark, "qid", "vec", k=2, corpus_id="cid", nprobe=8
+    ).collect()
+    assert len(rows) == 4
+    assert {r["qid"] for r in rows} == {"q-0", "q-1"}
+    assert dict(ivf_similarity_join(
+        queries, out_path, spark, "qid", "vec", k=1, corpus_id="cid", nprobe=8
+    ).select("qid", "cid").collect()) == {"q-0": 0, "q-1": 1}
