@@ -170,6 +170,27 @@ def _similarity_join(spark, sf_dir):
     return out.select("qid", "vec_id", F.round("score", 4).alias("score"), "rank")
 
 
+def _knn_capped(spark, sf_dir):
+    """The reference's COMBINED query shape — filter + candidate cap on the
+    indexed path (≙ src/df_vector/tests.rs combined snapshot: 1407
+    candidates / 1024 fetched). nprobe = n_clusters and cap ≥ table rows ⇒
+    no candidate is dropped ⇒ exactly the filtered brute-force answer."""
+    from pq_vector_spark.index.search import indexed_topk
+    from pq_vector_spark.session import VectorTopKOptions
+
+    q = _qvec(spark, sf_dir, 0)
+    out = indexed_topk(
+        spark,
+        _indexed_path(spark, sf_dir),
+        q,
+        K,
+        options=VectorTopKOptions(nprobe=IVF_CLUSTERS, max_candidates=100_000),
+        pre_filter=F.col("label") >= 2,
+        tie_break="vec_id",
+    )
+    return out.select("vec_id")
+
+
 def _similarity_join_ivf(spark, sf_dir):
     """Distributed IVF-bucketed similarity join over the rewritten layout —
     probe assignment is a map-side pandas UDF over the query DataFrame (no
@@ -510,6 +531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_distance": _knn_distance,
         "knn_ivf_exact": _knn_ivf_exact,
         "knn_ivf_approx": _knn_ivf_approx,
+        "knn_capped": _knn_capped,
         "ann_cosine": _ann_cosine,
         "similarity_join": _similarity_join,
         "similarity_join_ivf": _similarity_join_ivf,
@@ -716,6 +738,10 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY {_dist("embedding", qlit)}, vec_id LIMIT {K}""",
         # knn_ivf_approx: intentionally no oracle — approximate result,
         # recall-gated (reference stance: benches/query.rs:192-193)
+        # knn_capped: nprobe = n_clusters + cap ≥ rows ⇒ exact filtered knn
+        "knn_capped": f"""
+            SELECT vec_id FROM embeddings WHERE label >= 2
+            ORDER BY {_dist("embedding", qlit)}, vec_id LIMIT {K}""",
         "ann_cosine": f"""
             SELECT vec_id, round({_cos("embedding", _Q1)}, 4) AS cosine
             FROM embeddings
@@ -821,7 +847,7 @@ def oracle_sql() -> dict[str, str]:
             WITH o AS (SELECT user_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
             g AS (SELECT user_id, ts, sec,
                    CASE WHEN lag(sec) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                             OR sec - lag(sec) OVER (PARTITION BY user_id ORDER BY ts) > 1800
+                             OR sec - lag(sec) OVER (PARTITION BY user_id ORDER BY ts) >= 1800
                         THEN 1 ELSE 0 END AS ns
                   FROM o),
             s AS (SELECT user_id, sec,

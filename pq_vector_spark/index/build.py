@@ -179,6 +179,12 @@ def _build_index_inner(
     if column is None:
         column = infer_vector_column(df)
     stats = validate_vector_column(df, column)
+    if dict(df.dtypes).get(column) == "array<double>":
+        # f64 → f32 narrowing at build, matching the reference's scan-time
+        # narrowing (src/ivf/parquet.rs:287-291): the index layout stores
+        # float32, so distances at query time run on the same grid as the
+        # reference regardless of the input's precision.
+        df = df.withColumn(column, F.col(column).cast("array<float>"))
 
     n_clusters = opts.n_clusters or default_n_clusters(stats.rows)
     if n_clusters <= 0:
@@ -205,10 +211,17 @@ def _build_index_inner(
     # shuffle never explodes; never more partitions than clusters).
     rows_per_part = max(1, (128 << 20) // max(1, stats.dim * 4))
     n_part = max(1, min(n_clusters, -(-stats.rows // rows_per_part), 2048))
+    # Row-group granularity IS pruning granularity (≙ the reference's
+    # row-group skipping, src/df_vector/access.rs:123-147): size parquet row
+    # groups near one cluster's payload so the min/max stats of the sorted
+    # cluster column prune tightly. Clamp to [1 MB, 128 MB].
+    cluster_bytes = max(1, stats.rows // n_clusters) * stats.dim * 4
+    block_size = min(max(cluster_bytes, 1 << 20), 128 << 20)
     (
         assigned.repartition(n_part, F.col(CLUSTER_COL))
         .sortWithinPartitions(CLUSTER_COL)
         .write.mode("overwrite")
+        .option("parquet.block.size", str(block_size))
         .parquet(out_path)
     )
 
@@ -221,9 +234,49 @@ def _build_index_inner(
         "seed": int(opts.seed),
         "row_count": int(stats.rows),
         "cluster_col": CLUSTER_COL,
+        "n_files": int(n_part),
     }
+    file_stats = _collect_file_stats(out_path)
+    if file_stats is not None:
+        # per-file row-group [min,max] ranges of the cluster column — driver
+        # metadata that lets the query path count candidate files with ZERO
+        # extra Spark jobs (≙ the ParquetAccessPlan's row-group inventory,
+        # src/df_vector/access.rs:123-147)
+        meta["file_stats"] = file_stats
     _write_sidecar(spark, out_path, centroids, meta)
     return meta
+
+
+def _collect_file_stats(out_path: str):
+    """Per-part-file row-group [min, max] ranges of CLUSTER_COL, read from
+    the parquet footers on the driver (local paths only — remote layouts
+    simply omit the stats and the cap path uses ``n_files``). Tiny:
+    n_files × n_row_groups × 2 ints."""
+    import glob
+
+    root = out_path[len("file://"):] if out_path.startswith("file://") else out_path
+    if "://" in root or not os.path.isdir(root):
+        return None
+    try:
+        import pyarrow.parquet as pq
+
+        stats = []
+        for fp in sorted(glob.glob(os.path.join(root, "part-*.parquet"))):
+            md = pq.ParquetFile(fp).metadata
+            try:
+                col_idx = md.schema.names.index(CLUSTER_COL)
+            except ValueError:
+                return None
+            groups = []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(col_idx).statistics
+                if st is None or st.min is None:
+                    return None
+                groups.append([int(st.min), int(st.max)])
+            stats.append({"file": os.path.basename(fp), "groups": groups})
+        return stats or None
+    except Exception:
+        return None
 
 
 def _write_sidecar(spark: SparkSession, out_path: str, centroids: np.ndarray, meta: dict) -> None:
@@ -266,13 +319,54 @@ def _write_sidecar(spark: SparkSession, out_path: str, centroids: np.ndarray, me
     ).text(f"{out_path}/{INDEX_DIR}/meta")
 
 
-def has_index(path: str) -> bool:
-    """≙ reference ``has_pq_vector_index`` footer probe
-    (src/ivf/parquet.rs:176-189) — here: does the sidecar exist?"""
-    import glob
-    import os
+def _hadoop_glob(spark: SparkSession, pattern: str) -> list:
+    """Glob through the JVM Hadoop FileSystem API — works on ANY
+    ``spark.read``-able URL (hdfs://, s3a://, file://, ...), matching the
+    reference probing its footer through an object-store abstraction for any
+    URL (src/ivf/parquet.rs:176-189). Raises on an unreachable filesystem —
+    never silently reports 'no index'."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(pattern)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    statuses = fs.globStatus(jpath)
+    if statuses is None:
+        return []
+    return [s.getPath().toString() for s in statuses]
 
+
+def _hadoop_read_bytes(spark: SparkSession, path: str) -> bytes:
+    """Read one (small) file fully through the Hadoop FS API."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(jpath)
+    try:
+        return bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+    finally:
+        stream.close()
+
+
+def has_index(path: str, spark: Optional[SparkSession] = None) -> bool:
+    """≙ reference ``has_pq_vector_index`` footer probe
+    (src/ivf/parquet.rs:176-189) — here: does the sidecar exist?
+
+    Local paths probe with os.path/glob (no JVM round-trips); any other URL
+    probes through the Hadoop FileSystem API of the active session. An
+    unreachable filesystem RAISES — a probe failure must never silently
+    degrade an indexed query to brute force.
+    """
+    import glob
+
+    root = path[len("file://"):] if path.startswith("file://") else path
+    if "://" not in root:
+        return bool(
+            glob.glob(os.path.join(root, INDEX_DIR, "meta", "part-*"))
+            and glob.glob(os.path.join(root, INDEX_DIR, "centroids", "*.parquet"))
+        )
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        raise ValueError(f"probing a non-local path ({path}) requires an active SparkSession")
     return bool(
-        glob.glob(os.path.join(path, INDEX_DIR, "meta", "part-*"))
-        and glob.glob(os.path.join(path, INDEX_DIR, "centroids", "*.parquet"))
+        _hadoop_glob(spark, f"{path}/{INDEX_DIR}/meta/part-*")
+        and _hadoop_glob(spark, f"{path}/{INDEX_DIR}/centroids/*.parquet")
     )

@@ -68,22 +68,49 @@ def _load_sidecar_local(path: str):
     return meta, centroids
 
 
+def _load_sidecar_hadoop(spark: SparkSession, path: str):
+    """Sidecar read for ANY Hadoop-compatible URL (hdfs://, s3a://, ...):
+    glob + byte-read through the JVM FileSystem API, parsed with pyarrow on
+    the driver — zero Spark jobs, matching the reference's any-object-store
+    footer probe (src/ivf/parquet.rs:176-208). Raises IndexError_ when the
+    sidecar is missing/unreadable — never a silent brute-force fallback."""
+    import io
+
+    import pyarrow.parquet as pq
+
+    from pq_vector_spark.index.build import _hadoop_glob, _hadoop_read_bytes
+
+    meta_parts = sorted(_hadoop_glob(spark, f"{path}/{INDEX_DIR}/meta/part-*"))
+    cent_parts = sorted(_hadoop_glob(spark, f"{path}/{INDEX_DIR}/centroids/*.parquet"))
+    if not meta_parts or not cent_parts:
+        raise IndexError_(
+            f"no readable index sidecar under {path}/{INDEX_DIR} "
+            "(build_index writes meta/ + centroids/)"
+        )
+    meta = json.loads(_hadoop_read_bytes(spark, meta_parts[0]).decode("utf-8").strip())
+    tbls = [
+        pq.read_table(io.BytesIO(_hadoop_read_bytes(spark, p))).to_pydict()
+        for p in cent_parts
+    ]
+    cluster_ids = np.concatenate([np.asarray(t["cluster_id"]) for t in tbls])
+    cents = np.concatenate(
+        [np.asarray(t["centroid"], dtype=np.float32) for t in tbls]
+    )
+    return meta, cents[np.argsort(cluster_ids)]
+
+
 def load_index(spark: SparkSession, path: str) -> LoadedIndex:
     """Read the sidecar (≙ footer-KV + payload read, src/ivf/parquet.rs:120-208).
 
-    Local filesystems are read directly on the driver (no Spark jobs); any
-    other Hadoop-compatible FS falls back to Spark reads.
+    Local filesystems are read directly on the driver; any other
+    Hadoop-compatible URL reads through the JVM FileSystem API (still
+    driver-side, still zero Spark jobs). Unreadable sidecars raise.
     """
     local = _load_sidecar_local(path)
     if local is not None:
         meta, centroids = local
     else:
-        meta_rows = spark.read.text(f"{path}/{INDEX_DIR}/meta").collect()
-        meta = json.loads(meta_rows[0][0])
-        cent_rows = (
-            spark.read.parquet(f"{path}/{INDEX_DIR}/centroids").orderBy("cluster_id").collect()
-        )
-        centroids = np.asarray([r["centroid"] for r in cent_rows], dtype=np.float32)
+        meta, centroids = _load_sidecar_hadoop(spark, path)
     if centroids.shape != (meta["n_clusters"], meta["dim"]):
         raise IndexError_(
             f"sidecar corrupt: centroids {centroids.shape} != meta "
@@ -100,18 +127,41 @@ def _check_query_dim(query: Sequence[float], dim: int) -> np.ndarray:
     return q
 
 
-def _cap_candidates(df: DataFrame, max_candidates: int) -> DataFrame:
+def _count_candidate_files(meta: dict, probed) -> int:
+    """How many layout files can contain probed clusters — pure driver
+    metadata, ZERO Spark jobs. Uses the per-file row-group [min,max] ranges
+    of the cluster column captured at build time (meta['file_stats'], ≙ the
+    reference's ParquetAccessPlan row-group inventory,
+    src/df_vector/access.rs:123-147); falls back to the build's file count."""
+    pset = sorted(int(c) for c in probed)
+    file_stats = meta.get("file_stats")
+    if file_stats:
+        n = 0
+        for fs_ in file_stats:
+            if any(
+                any(lo <= c <= hi for c in pset) for lo, hi in fs_.get("groups", [])
+            ):
+                n += 1
+        return max(1, n)
+    return max(1, int(meta.get("n_files", 1)))
+
+
+def _cap_candidates(df: DataFrame, max_candidates: int, n_files: int) -> DataFrame:
     """Global candidate cap, interleaved fairly across files
     (≙ round-robin cursor, src/df_vector/access.rs:193-243 applied at
     src/df_vector/exec.rs:219-241). Spark form: rank rows within each file
-    and keep rank ≤ ceil(cap / n_files) — per-file quota ≈ round-robin
-    fairness without a global pass."""
-    with_file = df.withColumn("_pq_file", F.input_file_name())
-    n_files = max(1, with_file.select("_pq_file").distinct().count())
-    quota = -(-max_candidates // n_files)
+    and keep rank ≤ floor(cap / n_files) — per-file quota ≈ round-robin
+    fairness without a global pass, and the floor guarantees the total never
+    exceeds the cap. ``n_files`` comes from driver metadata
+    (:func:`_count_candidate_files`) — no eager counting job in the query
+    path. Degenerate cap < n_files keeps a bounded global ``limit``."""
+    quota = max_candidates // max(1, n_files)
+    if quota < 1:
+        return df.limit(max_candidates)
     w = Window.partitionBy("_pq_file").orderBy(F.monotonically_increasing_id())
     return (
-        with_file.withColumn("_pq_rank", F.row_number().over(w))
+        df.withColumn("_pq_file", F.input_file_name())
+        .withColumn("_pq_rank", F.row_number().over(w))
         .filter(F.col("_pq_rank") <= quota)
         .drop("_pq_file", "_pq_rank")
     )
@@ -147,12 +197,18 @@ def indexed_topk(
     q = _check_query_dim(query, idx.meta["dim"])
 
     probed = nearest_centroids(q, idx.centroids, opts.nprobe)
+    # Spark converts IN-list parquet pushdown to a weak min/max range filter
+    # beyond this threshold (default 10) — probed cluster ids are arbitrary,
+    # so the range spans nearly everything. Keep real IN pushdown for any
+    # plausible nprobe.
+    spark.conf.set("spark.sql.parquet.pushdown.inFilterThreshold", "512")
     df = spark.read.parquet(path)
     # cluster_id IN (...) pushes to the parquet scan; the cluster-sorted
     # layout turns it into file/row-group skipping.
     cands = df.filter(F.col(CLUSTER_COL).isin([int(c) for c in probed]))
     if opts.max_candidates is not None:
-        cands = _cap_candidates(cands, opts.max_candidates)
+        n_files = _count_candidate_files(idx.meta, probed)
+        cands = _cap_candidates(cands, opts.max_candidates, n_files)
     if observation is not None:
         # ≙ the reference's plan counters candidate_rows / files_scanned
         # (src/df_vector/index_exec.rs:283-300, exec.rs:405-427), surfaced

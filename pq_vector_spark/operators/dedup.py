@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from pq_vector_spark.functions.distance import cosine_similarity
@@ -184,6 +184,8 @@ def minhash_lsh_pairs(
     seed: int = 42,
     verify: bool = True,
     persist: bool = True,
+    max_bucket: Optional[int] = 10_000,
+    observation=None,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup pairs — the scale path.
 
@@ -192,6 +194,15 @@ def minhash_lsh_pairs(
     Jaccard ≥ threshold. Shuffle volume is #docs × bands rows of small keys;
     candidate pairs are only same-bucket collisions (P[collide] ≈ 1-(1-j^r)^b
     with r = num_hashes/bands), never the full cross product.
+
+    ``max_bucket`` is the hot-bucket guard: a degenerate bucket (boilerplate
+    docs, empty strings) would otherwise go quadratic WITHIN the bucket.
+    Buckets are truncated to their first ``max_bucket`` members (ordered by
+    id — deterministic), bounding per-bucket candidates at C(max_bucket, 2).
+    Mass-identical documents belong to ``exact_dedup`` anyway; pass
+    ``observation=Observation(...)`` to record ``dropped_bucket_rows``
+    (rows truncated away) without an extra pass, or ``max_bucket=None`` to
+    disable the guard.
 
     ``persist`` caches the signature table (id + num_hashes longs — orders
     of magnitude smaller than the text) so the self-join's two sides and the
@@ -224,6 +235,17 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("_id", "bk.band", "bk.key")
+    if max_bucket is not None:
+        wb = Window.partitionBy("band", "key").orderBy("_id")
+        banded = banded.withColumn("_pq_bpos", F.row_number().over(wb))
+        if observation is not None:
+            banded = banded.observe(
+                observation,
+                F.sum(
+                    F.when(F.col("_pq_bpos") > max_bucket, 1).otherwise(0)
+                ).alias("dropped_bucket_rows"),
+            )
+        banded = banded.filter(F.col("_pq_bpos") <= max_bucket).drop("_pq_bpos")
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
         a.join(

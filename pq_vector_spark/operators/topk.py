@@ -85,7 +85,7 @@ def topk(
     if isinstance(df_or_path, str):
         path = df_or_path
         assert spark is not None, "pass spark= when giving a path"
-        if has_index(path):
+        if has_index(path, spark=spark):
             return indexed_topk(
                 spark,
                 path,

@@ -34,11 +34,39 @@ from pq_vector_spark.session import VectorTopKOptions
 _TOPK_RE = re.compile(
     r"""^\s*SELECT\s+(?P<proj>.+?)\s+FROM\s+(?P<table>[\w.]+)\s*
         (?:WHERE\s+(?P<where>.+?)\s*)?
-        ORDER\s+BY\s+array_distance\s*\(\s*(?P<col>\w+)\s*,\s*
+        ORDER\s+BY\s+array_distance\s*\(\s*(?P<col>[\w.]+)\s*,\s*
             (?:array\s*)?[(\[](?P<vec>[^\])]+)[)\]]\s*\)\s*(?P<dir>ASC|DESC)?\s*
         LIMIT\s+(?P<k>\d+)\s*(?P<offset>OFFSET\s+\d+)?\s*;?\s*$""",
     re.IGNORECASE | re.VERBOSE | re.DOTALL,
 )
+
+
+def _mask_quoted(s: str) -> str:
+    """Replace the CONTENTS of SQL string/identifier literals with ``_`` so
+    structural regexes can't be fooled by quoted text (e.g. a WHERE literal
+    containing ``ORDER BY ... LIMIT``). Quote chars stay, lengths are
+    preserved, so match spans map 1:1 back onto the original text.
+    Handles '' escapes; an unterminated quote masks to the end (the regex
+    then simply fails to match → safe fall-through)."""
+    out = list(s)
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch in ("'", '"'):
+            j = i + 1
+            while j < n:
+                if s[j] == ch:
+                    if ch == "'" and j + 1 < n and s[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            for k in range(i + 1, min(j, n)):
+                out[k] = "_"
+            i = j + 1
+        else:
+            i += 1
+    return "".join(out)
 
 # tables registered as "indexed": name -> filesystem path of the indexed layout
 _INDEXED_TABLES: Dict[str, str] = {}
@@ -75,16 +103,40 @@ _FN_EXPANSIONS["cosine_similarity"] = (
 )
 
 
-def _split_two_args(s: str) -> Optional[tuple]:
-    """Split 'a, b' at the top-level comma (paren/bracket aware)."""
-    depth = 0
-    for i, ch in enumerate(s):
+def _split_top_level(s: str) -> list:
+    """Split at top-level commas only — paren/bracket depth AND quote aware
+    (a comma inside ``round(x, 2)`` or ``'a, b'`` never splits)."""
+    parts, depth, start, i, n = [], 0, 0, 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch in ("'", '"'):
+            j = i + 1
+            while j < n:
+                if s[j] == ch:
+                    if ch == "'" and j + 1 < n and s[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            i = j + 1 if j < n else n
+            continue
         if ch in "([":
             depth += 1
         elif ch in ")]":
             depth -= 1
         elif ch == "," and depth == 0:
-            return s[:i].strip(), s[i + 1 :].strip()
+            parts.append(s[start:i].strip())
+            start = i + 1
+        i += 1
+    parts.append(s[start:].strip())
+    return parts
+
+
+def _split_two_args(s: str) -> Optional[tuple]:
+    """Split 'a, b' at the top-level comma (paren/bracket/quote aware)."""
+    parts = _split_top_level(s)
+    if len(parts) == 2:
+        return parts[0], parts[1]
     return None
 
 
@@ -129,13 +181,25 @@ def expand_vector_functions(query: str) -> str:
     return out
 
 
+_SUBQUERY_RE = re.compile(r"\(\s*SELECT\b", re.IGNORECASE)
+
+
 def pq_sql(
     spark: SparkSession,
     query: str,
     options: Optional[VectorTopKOptions] = None,
 ) -> DataFrame:
-    """Run SQL; rewrite the one top-k-by-distance shape to the IVF path."""
-    m = _TOPK_RE.match(query)
+    """Run SQL; rewrite the one top-k-by-distance shape to the IVF path.
+
+    Structure is matched against a QUOTE-MASKED copy of the query (string
+    literals can't fake an ``ORDER BY``/``LIMIT``); the actual fragments are
+    sliced from the original text by match span. Every guard falls through
+    to plain ``spark.sql`` over the expanded (brute-force) form — a
+    fall-through is never an error, exactly like the reference's rule
+    declining to fire (src/df_vector/physical.rs:134-177).
+    """
+    masked = _mask_quoted(query)
+    m = _TOPK_RE.match(masked)
     if not m:
         return spark.sql(expand_vector_functions(query))
     if m.group("dir") and m.group("dir").upper() == "DESC":
@@ -150,24 +214,37 @@ def pq_sql(
         # not an indexed table → plain Spark SQL (brute-force top-k; Spark
         # compiles it to TakeOrderedAndProject, already the optimal exact plan)
         return spark.sql(expand_vector_functions(query))
+    # fragments from the ORIGINAL text (masking is structural only)
+    proj = query[slice(*m.span("proj"))].strip()
+    where = query[slice(*m.span("where"))] if m.group("where") else None
+    # subqueries anywhere in the matched fragments → decline the rewrite
+    # (the reference's matcher fires on simple scans only)
+    if _SUBQUERY_RE.search(_mask_quoted(proj)) or (
+        where and _SUBQUERY_RE.search(_mask_quoted(where))
+    ):
+        return spark.sql(expand_vector_functions(query))
 
     from pq_vector_spark.index.search import indexed_topk
 
     try:
         vec = [float(x) for x in m.group("vec").split(",")]
     except ValueError:
-        return spark.sql(query)
-    pre = F.expr(m.group("where")) if m.group("where") else None
+        # not a numeric vector literal → still compute the brute-force
+        # answer, like every other fall-through branch
+        return spark.sql(expand_vector_functions(query))
+    pre = F.expr(where) if where else None
     out = indexed_topk(
         spark,
         path,
         vec,
         int(m.group("k")),
-        column=m.group("col"),
+        # accept a table-qualified sort column (emb_idx.embedding)
+        column=m.group("col").split(".")[-1],
         options=options,
         pre_filter=pre,
     )
-    proj = m.group("proj").strip()
     if proj != "*":
-        out = out.selectExpr(*[p.strip() for p in proj.split(",")])
+        # projection fragments may themselves use vector functions / bracket
+        # literals — expand to native Catalyst SQL before selectExpr
+        out = out.selectExpr(*[expand_vector_functions(p) for p in _split_top_level(proj)])
     return out

@@ -62,6 +62,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # IN-lists longer than the default threshold (10) degrade to a
+        # min/max range pushdown — useless for arbitrary probed cluster ids;
+        # keep true IN pushdown for realistic nprobe values
+        .config("spark.sql.parquet.pushdown.inFilterThreshold", "512")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("PQ_DRIVER_MEM", "8g"))

@@ -27,6 +27,30 @@ TABLES = (
 )
 
 
+def _has_nanos_timestamp(path: str) -> bool:
+    """Inspect the parquet footer (pyarrow, driver-side, no Spark job) for
+    nanosecond-precision timestamp columns — illegal for Spark's vectorized
+    reader unless ``nanosAsLong`` is set. Non-local / unreadable paths just
+    report False (Spark will then surface its own error if any)."""
+    try:
+        import pyarrow.parquet as pq
+        import pyarrow.types as pt
+
+        if os.path.isdir(path):
+            parts = sorted(
+                f for f in os.listdir(path) if f.endswith(".parquet")
+            )
+            if not parts:
+                return False
+            path = os.path.join(path, parts[0])
+        schema = pq.read_schema(path)
+        return any(
+            pt.is_timestamp(f.type) and f.type.unit == "ns" for f in schema
+        )
+    except Exception:
+        return False
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one test table; accepts both ``<dir>/<name>.parquet`` files and
     ``<dir>/<name>`` directories (our indexed layouts).
@@ -40,14 +64,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     file_path = os.path.join(sf_dir, f"{name}.parquet")
     dir_path = os.path.join(sf_dir, name)
     path = file_path if os.path.exists(file_path) else dir_path
-    try:
-        df = spark.read.parquet(path)
-        df.schema  # force schema resolution to surface PARQUET_TYPE_ILLEGAL
-    except Exception as e:
-        if "PARQUET_TYPE_ILLEGAL" not in str(e) and "TIMESTAMP(NANOS" not in str(e):
-            raise
+    if _has_nanos_timestamp(path):
+        # detected from the FOOTER, up-front — the old try/fail probe left
+        # an aborted-job ERROR stack in every session's log tail
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+    df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # int64 nanos (nanosAsLong already active in this session) → TIMESTAMP
         df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))

@@ -76,7 +76,9 @@ def sessionize(
     gap_minutes: int = 30,
 ) -> DataFrame:
     """Batch sessionization: a session breaks when the gap to the previous
-    event of the same user exceeds ``gap_minutes``.
+    event of the same user reaches ``gap_minutes`` (``>=``, end-EXCLUSIVE —
+    the same boundary rule as ``session_window``, so batch and streaming
+    agree for events landing exactly on the gap boundary).
 
     lag → gap flag → running sum = session ordinal (classic islands trick,
     identical semantics to DuckDB window SQL → oracle-checkable). Output one
@@ -88,7 +90,7 @@ def sessionize(
     )
     flagged = events.withColumn(
         "_new_session",
-        F.when(gap.isNull() | (gap > gap_minutes * 60), F.lit(1)).otherwise(F.lit(0)),
+        F.when(gap.isNull() | (gap >= gap_minutes * 60), F.lit(1)).otherwise(F.lit(0)),
     )
     with_sess = flagged.withColumn(
         "session_id",
@@ -115,7 +117,9 @@ def streaming_sessionize(
     watermark: str = "1 hour",
 ) -> DataFrame:
     """Streaming form via the built-in ``session_window`` (gap-based session
-    state managed by Spark; watermark evicts closed sessions)."""
+    state managed by Spark; watermark evicts closed sessions). Sessions
+    merge only while gaps are STRICTLY below ``gap_minutes`` (end-exclusive)
+    — the batch form above uses the same ``>=`` break rule."""
     return (
         stream.withWatermark(ts_col, watermark)
         .groupBy(

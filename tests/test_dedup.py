@@ -133,3 +133,23 @@ def test_embedding_near_dup_bucketed_candidates_scale_with_clusters(spark):
     ).count()
     expected = sum(s * (s - 1) // 2 for s in sizes)  # within-blob pairs only
     assert n_cands == expected  # NOT n*(n-1)/2 == 4950
+
+
+def test_minhash_hot_bucket_guard_bounds_candidates(spark):
+    """1k identical docs: without the guard every band bucket holds all 1k
+    rows (499500 pairs/band); with max_bucket=100 candidates are bounded at
+    C(100,2) and the dropped-row count is observable."""
+    from pyspark.sql import Observation
+
+    docs = spark.createDataFrame(
+        [(i, "the same boilerplate text repeated for every single document") for i in range(1000)],
+        "doc_id BIGINT, text STRING",
+    )
+    obs = Observation("lsh_guard")
+    cands = D.minhash_lsh_pairs(
+        docs, "text", "doc_id", num_hashes=32, bands=8,
+        verify=False, persist=False, max_bucket=100, observation=obs,
+    )
+    n = cands.count()
+    assert n == 100 * 99 // 2  # identical docs share every bucket → same 100 survive
+    assert obs.get["dropped_bucket_rows"] == (1000 - 100) * 8

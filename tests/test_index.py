@@ -184,3 +184,105 @@ def test_adhoc_ivf_exact_envelope(spark, golden_vectors):
         .collect()
     ]
     assert got == [0, 5, 1]
+
+
+def test_has_index_file_url_and_hadoop_fs(spark, indexed_table):
+    """The probe works on URL-form paths, and the Hadoop FileSystem branch
+    reads the very same sidecar (exercised against LocalFS via file://)."""
+    from pq_vector_spark.index.build import _hadoop_glob
+    from pq_vector_spark.index.search import _load_sidecar_hadoop
+
+    url = "file://" + indexed_table["out"]
+    assert has_index(url, spark=spark)
+    # force the Hadoop-API branch directly: glob + byte-read through the JVM
+    assert _hadoop_glob(spark, f"{url}/_pq_index/meta/part-*")
+    meta, cents = _load_sidecar_hadoop(spark, url)
+    idx = load_index(spark, indexed_table["out"])
+    assert meta == idx.meta
+    assert np.array_equal(cents, idx.centroids)
+
+
+def test_has_index_unreachable_fs_raises(spark):
+    """An unreachable filesystem must RAISE, never silently report 'no
+    index' (silent degradation to brute force was the round-1 gap)."""
+    with pytest.raises(Exception):
+        has_index("hdfs://nonexistent-host-zz:9000/some/table", spark=spark)
+
+
+def test_load_index_missing_sidecar_raises(spark, tmp_path):
+    df = spark.createDataFrame([(0, [1.0, 2.0])], "id INT, vec ARRAY<FLOAT>")
+    plain = str(tmp_path / "plain")
+    df.write.parquet(plain)
+    with pytest.raises(IndexError_):
+        load_index(spark, "file://" + plain)
+
+
+def test_capped_query_has_no_eager_count_and_respects_cap(spark, indexed_table):
+    """max_candidates uses build-time file metadata (no distinct().count()
+    job) and the observed candidate count never exceeds the cap."""
+    from pyspark.sql import Observation
+
+    assert "file_stats" in indexed_table["meta"]
+    obs = Observation("cap_check")
+    out = indexed_topk(
+        spark,
+        indexed_table["out"],
+        [0.5] * 8,
+        5,
+        options=VectorTopKOptions(nprobe=16, max_candidates=64),
+        tie_break="id",
+        observation=obs,
+    )
+    assert len(out.collect()) == 5
+    assert obs.get["candidate_rows"] <= 64
+
+
+def test_capped_combined_exact_when_cap_covers_rows(spark, indexed_table):
+    """Reference 'combined' shape: filter + cap. nprobe=all and cap >= rows
+    leaves the result exactly the filtered brute force."""
+    q = [0.25] * 8
+    exact = [
+        r["id"]
+        for r in brute_force_topk(
+            spark.read.parquet(indexed_table["src"]).filter(F.col("id") >= 500),
+            "vec", q, 10, tie_break="id",
+        ).select("id").collect()
+    ]
+    got = [
+        r["id"]
+        for r in indexed_topk(
+            spark,
+            indexed_table["out"],
+            q,
+            10,
+            options=VectorTopKOptions(nprobe=16, max_candidates=1_000_000),
+            pre_filter=F.col("id") >= 500,
+            tie_break="id",
+        ).select("id").collect()
+    ]
+    assert got == exact
+
+
+def test_build_narrows_double_vectors_to_float(spark, tmp_path):
+    """f64 input narrows to f32 at build (reference parity,
+    src/ivf/parquet.rs:287-291): values off the f32 grid land ON the grid in
+    the layout, and a float-input build produces identical stored vectors."""
+    vals = [0.1, 0.2, 1.0 / 3.0, 0.7, 1e-9, 123456.789, 0.30000000000000004, 2.5]
+    rows_d = [(i, [float(v) + i for v in vals]) for i in range(8)]
+    src_d = str(tmp_path / "dbl.parquet")
+    src_f = str(tmp_path / "flt.parquet")
+    spark.createDataFrame(rows_d, "id INT, vec ARRAY<DOUBLE>").write.parquet(src_d)
+    spark.createDataFrame(rows_d, "id INT, vec ARRAY<DOUBLE>").select(
+        "id", F.col("vec").cast("array<float>").alias("vec")
+    ).write.parquet(src_f)
+    out_d = str(tmp_path / "out_d")
+    out_f = str(tmp_path / "out_f")
+    build_index(spark, src_d, out_d, column="vec", options=IndexBuildOptions(n_clusters=2))
+    build_index(spark, src_f, out_f, column="vec", options=IndexBuildOptions(n_clusters=2))
+    got_d = dict(spark.read.parquet(out_d).select("id", "vec").collect())
+    got_f = dict(spark.read.parquet(out_f).select("id", "vec").collect())
+    assert dict(spark.read.parquet(out_d).dtypes)["vec"] == "array<float>"
+    for i in got_f:
+        assert got_d[i] == got_f[i]
+    expected0 = np.asarray([v for v in vals], dtype=np.float32)
+    assert np.array_equal(np.asarray(got_d[0], dtype=np.float32), expected0)
