@@ -20,6 +20,7 @@ import os
 import sys
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -511,16 +512,36 @@ def _dedup_embedding(spark, sf_dir):
 
 
 def _multimodal_features(spark, sf_dir):
-    # binary-column plumbing: text bytes stand in for media payloads; the
-    # decode step is the deterministic fake (see operators/multimodal.py)
-    from pq_vector_spark.operators.multimodal import extract_features
+    """REAL audio decode pipeline over binary media columns: synthesize a
+    PCM16 WAV payload per document (samples = the md5 digest of the text as
+    8 big-endian int16s — deterministic and oracle-reproducible), then
+    decode it with the stdlib ``wave`` decoder inside mapInPandas and emit
+    header fields + the exact per-payload sample mean. The decode step is
+    no longer a stub: it parses real RIFF/WAVE bytes."""
+    from pyspark.sql.types import BinaryType
+
+    from pq_vector_spark.operators.multimodal import extract_features, wav_bytes
 
     docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode(F.col("text"), "utf-8").alias("content")
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("_h")
     )
-    feats = extract_features(docs, "content", dim=16, fake=True)
+
+    @F.pandas_udf(BinaryType())
+    def _mk_wav(h: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return h.map(
+            lambda hx: wav_bytes(np.frombuffer(bytes.fromhex(hx), dtype=">i2"), 8000)
+        )
+
+    media = docs.withColumn("content", _mk_wav("_h")).drop("_h")
+    feats = extract_features(media, "content", decoder="wav")
     return feats.select(
-        "doc_id", F.size("feature").cast("bigint").alias("feature_dim")
+        "doc_id",
+        F.col("feature")[0].cast("int").alias("n_channels"),
+        F.col("feature")[1].cast("int").alias("sample_rate"),
+        F.col("feature")[2].cast("bigint").alias("n_frames"),
+        F.col("feature")[3].cast("double").alias("mean_pcm"),
     )
 
 
@@ -701,6 +722,21 @@ def _lang_sql() -> str:
     g AS (SELECT doc_id, s_de, s_en, s_es, s_fr, {gm} AS gm FROM sc)
     SELECT doc_id, CASE {cases} ELSE 'und' END AS lang_guess FROM g
     """
+
+
+def _wav_oracle_sql() -> str:
+    """DuckDB mirror of the WAV pipeline: signed int16 samples from the md5
+    hex digest (4 hex chars each, big-endian, two's complement), mean/8."""
+    terms = []
+    for i in range(8):
+        v = f"CAST(concat('0x', substr(h, {i * 4 + 1}, 4)) AS INTEGER)"
+        terms.append(f"({v} - CASE WHEN {v} >= 32768 THEN 65536 ELSE 0 END)")
+    mean = "(" + " + ".join(terms) + ") / 8.0"
+    return f"""
+    WITH s AS (SELECT doc_id, md5(text) AS h FROM documents)
+    SELECT doc_id, 1 AS n_channels, 8000 AS sample_rate,
+           CAST(8 AS BIGINT) AS n_frames, {mean} AS mean_pcm
+    FROM s"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -918,6 +954,8 @@ def oracle_sql() -> dict[str, str]:
                    round({_cos("a.embedding", "b.embedding")}, 4) AS cosine
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE {_cos("a.embedding", "b.embedding")} >= 0.42""",
-        # multimodal_features: no oracle — the fake decoder's sha256-seeded
-        # RNG is not SQL-expressible; driver records rows-only check
+        # REAL wav decode: payload samples are md5(text) as 8 big-endian
+        # int16s — the oracle re-derives the signed samples from the hex
+        # digest; the mean of 8 int16s is exact in every fp width involved
+        "multimodal_features": _wav_oracle_sql(),
     }

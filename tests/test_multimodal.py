@@ -63,3 +63,66 @@ def test_features_feed_vector_operators(spark, media):
     feats = extract_features(media, dim=8, fake=True).select("media_id", "feature")
     out = brute_force_topk(feats, "feature", [0.5] * 8, 2, tie_break="media_id")
     assert out.count() == 2
+
+
+# ----------------------- real decoders (round-2) -----------------------
+
+
+def test_decode_wav_roundtrip():
+    import numpy as np
+
+    from pq_vector_spark.operators.multimodal import decode_wav, wav_bytes
+
+    samples = np.array([0, 100, -100, 32767, -32768, 5, -5, 8], dtype=np.int16)
+    payload = wav_bytes(samples, sample_rate=16000)
+    feats = decode_wav(payload)
+    assert feats[:3] == [1.0, 16000.0, 8.0]
+    assert feats[3] == samples.astype(np.float64).mean()
+
+
+def test_decode_wav_stereo_channel_means():
+    import numpy as np
+
+    from pq_vector_spark.operators.multimodal import decode_wav, wav_bytes
+
+    inter = np.array([10, -10, 20, -20, 30, -30, 40, -40], dtype=np.int16)
+    payload = wav_bytes(inter, sample_rate=8000, n_channels=2)
+    feats = decode_wav(payload)
+    assert feats[:3] == [2.0, 8000.0, 4.0]
+    assert feats[3] == 25.0 and feats[4] == -25.0
+
+
+def test_decode_ppm():
+    from pq_vector_spark.operators.multimodal import decode_ppm, ppm_bytes
+
+    rgb = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255])  # 2x2
+    feats = decode_ppm(ppm_bytes(2, 2, rgb))
+    assert feats[:2] == [2.0, 2.0]
+    assert feats[2:] == [127.5, 127.5, 127.5]
+
+
+def test_extract_features_wav_decoder_distributed(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pq_vector_spark.operators.multimodal import extract_features, wav_bytes
+
+    rows = [
+        (i, bytearray(wav_bytes(np.arange(i, i + 8, dtype=np.int16))))
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "media_id INT, content BINARY")
+    out = extract_features(df, "content", decoder="wav").select(
+        "media_id", F.col("feature")[3].alias("mean_pcm")
+    )
+    got = dict(out.collect())
+    for i in range(20):
+        assert got[i] == float(np.arange(i, i + 8).mean())
+
+
+def test_extract_features_no_decoder_raises(spark):
+    from pq_vector_spark.operators.multimodal import extract_features
+
+    df = spark.createDataFrame([(0, bytearray(b"xx"))], "media_id INT, content BINARY")
+    with pytest.raises(Exception):
+        extract_features(df, "content").collect()
