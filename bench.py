@@ -130,21 +130,124 @@ def main() -> None:
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
 
+    # --- scaled synthetic benchmark: prove the index where pruning matters -
+    # (≙ reference benches/query.rs:93-193 + bench_util.rs:12-58 — 1M-row
+    # seeded fixture, brute vs indexed latency, recall, size overhead).
+    # sf0.1's embeddings table is 2k rows — fixed costs dominate and an
+    # index CANNOT win there; this section measures at 1M × 256.
+    scale = _scale_bench(spark) if os.environ.get("PQ_BENCH_SCALE", "1") != "0" else None
+
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": _sf_from_dir(SF_DIR),
-                "recall_at_100": recall,
-                "n_clusters": meta["n_clusters"],
-                "nprobe": NPROBE,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(SF_DIR),
+        "recall_at_100": recall,
+        "n_clusters": meta["n_clusters"],
+        "nprobe": NPROBE,
+    }
+    if scale is not None:
+        out["scale"] = scale
+    print(json.dumps(out))
+
+
+def _dir_bytes(path: str) -> int:
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def _scale_bench(spark) -> dict:
+    """1M × 256 mixture-of-Gaussians fixture (seeded, cached in .cache/):
+    brute-force top-100 vs IVF-indexed top-100 at nprobe=16, recall@100,
+    build time, index size overhead, and the observed pruning ratio."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from pq_vector_spark.index.build import build_index
+    from pq_vector_spark.index.search import indexed_topk
+    from pq_vector_spark.operators.topk import brute_force_topk
+    from pq_vector_spark.session import VectorTopKOptions
+    from tools.gen_scale_embeddings import generate
+
+    n_rows = int(os.environ.get("PQ_BENCH_SCALE_ROWS", "1000000"))
+    dim = int(os.environ.get("PQ_BENCH_SCALE_DIM", "256"))
+    k, nprobe = 100, 16
+    t0 = time.time()
+    src = generate(n_rows, dim)
+    gen_sec = round(time.time() - t0, 3)  # ~0 when cached
+
+    emb = spark.read.parquet(src)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    emb.select(F.count(F.lit(1))).collect()  # warm page cache
+
+    def _brute():
+        return [
+            r["vec_id"]
+            for r in brute_force_topk(emb, "embedding", qvec, k, tie_break="vec_id")
+            .select("vec_id")
+            .collect()
+        ]
+
+    _brute()  # warm (codegen + python workers), as for the headline queries
+    t0 = time.time()
+    truth = _brute()
+    brute_sec = round(time.time() - t0, 3)
+
+    out_path = os.path.join(os.path.dirname(src), f"scale_idx_{n_rows}x{dim}")
+    shutil.rmtree(out_path, ignore_errors=True)
+    t0 = time.time()
+    meta = build_index(spark, src, out_path, column="embedding")
+    build_sec = round(time.time() - t0, 3)
+
+    def _indexed(obs=None):
+        return [
+            r["vec_id"]
+            for r in indexed_topk(
+                spark,
+                out_path,
+                qvec,
+                k,
+                options=VectorTopKOptions(nprobe=nprobe),
+                tie_break="vec_id",
+                observation=obs,
+            )
+            .select("vec_id")
+            .collect()
+        ]
+
+    # warm with an Observation too — the metrics node changes the plan, and
+    # an unwarmed plan would pay its codegen inside the timed pass
+    _indexed(Observation("scale_warm"))
+    obs = Observation("scale_pruning")
+    t0 = time.time()
+    got = _indexed(obs)
+    indexed_sec = round(time.time() - t0, 3)
+
+    return {
+        "rows": n_rows,
+        "dim": dim,
+        "k": k,
+        "nprobe": nprobe,
+        "n_clusters": meta["n_clusters"],
+        "gen_sec": gen_sec,
+        "brute_force_sec": brute_sec,
+        "index_build_sec": build_sec,
+        "indexed_sec": indexed_sec,
+        "speedup": round(brute_sec / indexed_sec, 2) if indexed_sec else None,
+        "recall_at_100": len(set(got) & set(truth)) / k,
+        "candidate_rows": int(obs.get["candidate_rows"]),
+        "candidate_fraction": round(obs.get["candidate_rows"] / n_rows, 4),
+        "files_scanned": int(obs.get["files_scanned"]),
+        "source_bytes": _dir_bytes(src),
+        "indexed_bytes": _dir_bytes(out_path),
+    }
 
 
 if __name__ == "__main__":

@@ -55,3 +55,55 @@ def test_sql_registration(spark):
         "SELECT array_distance(array(0.0d, 0.0d), array(3.0d, 4.0d)) AS d"
     ).collect()[0]["d"]
     assert got == pytest.approx(5.0)
+
+
+# ---------------- wide-vector Arrow kernel (round-2) ----------------
+
+
+def test_wide_literal_arrow_kernel_bit_exact(spark):
+    """dim > UNROLL_LIMIT routes to the Arrow numpy kernel; per-dimension
+    left-to-right accumulation must be BIT-identical to the HOF fold."""
+    import numpy as np
+
+    from pq_vector_spark.functions.distance import (
+        UNROLL_LIMIT,
+        array_distance,
+        cosine_similarity,
+        dot_product,
+    )
+
+    dim = UNROLL_LIMIT + 72
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.random(dim, dtype=np.float32)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "id INT, v ARRAY<FLOAT>")
+    q = [float(x) for x in rng.random(dim, dtype=np.float32)]
+
+    qcol = F.array(*[F.lit(float(x)) for x in q])
+    for fast, slow in (
+        (array_distance(F.col("v"), q), array_distance(F.col("v").cast("array<double>"), qcol)),
+        (dot_product(F.col("v"), q), dot_product(F.col("v").cast("array<double>"), qcol)),
+        (cosine_similarity(F.col("v"), q), cosine_similarity(F.col("v").cast("array<double>"), qcol)),
+    ):
+        got = df.select(F.col("id"), fast.alias("x"), slow.alias("y")).collect()
+        for r in got:
+            assert r["x"] == r["y"], f"id={r['id']}: {r['x']!r} != {r['y']!r}"
+
+
+def test_wide_literal_dim_mismatch_is_null(spark):
+    import numpy as np
+
+    from pq_vector_spark.functions.distance import UNROLL_LIMIT, array_distance
+
+    dim = UNROLL_LIMIT + 8
+    rng = np.random.default_rng(4)
+    rows = [
+        (0, [float(x) for x in rng.random(dim)]),
+        (1, [1.0, 2.0]),  # wrong dim
+        (2, None),
+    ]
+    df = spark.createDataFrame(rows, "id INT, v ARRAY<DOUBLE>")
+    q = [float(x) for x in rng.random(dim)]
+    got = {r["id"]: r["d"] for r in df.select("id", array_distance(F.col("v"), q).alias("d")).collect()}
+    assert got[0] is not None
+    assert got[1] is None
+    assert got[2] is None
