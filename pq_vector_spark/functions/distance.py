@@ -101,6 +101,48 @@ def _arrow_fold_kernel(q, mode: str):
     return _k
 
 
+def _arrow_fold_kernel2(mode: str):
+    """Two-COLUMN variant of the wide-vector kernel (no literal side):
+    same per-dimension left-to-right float64 accumulation ⇒ bit-identical
+    to the zip_with/aggregate fold. Used when a dim hint says the vectors
+    are too wide for codegen (col-col dims aren't knowable at plan time)."""
+    from pyspark.sql.types import DoubleType
+
+    @F.pandas_udf(DoubleType())
+    def _k(va: pd.Series, vb: pd.Series) -> pd.Series:
+        aa, bb = va.to_numpy(), vb.to_numpy()
+        la = np.fromiter((len(x) if x is not None else -1 for x in aa), dtype=np.int64)
+        lb = np.fromiter((len(x) if x is not None else -2 for x in bb), dtype=np.int64)
+        ok = (la == lb) & (la >= 0)
+        out = np.full(len(aa), np.nan)
+        for d in np.unique(la[ok]):
+            sel = ok & (la == d)
+            ma = np.stack(aa[sel]).astype(np.float64)
+            mb = np.stack(bb[sel]).astype(np.float64)
+            acc = np.zeros(ma.shape[0])
+            if mode == "sq_l2":
+                for j in range(d):
+                    x = ma[:, j] - mb[:, j]
+                    acc += x * x
+            elif mode == "dot":
+                for j in range(d):
+                    acc += ma[:, j] * mb[:, j]
+            elif mode == "cosine":
+                na = np.zeros(ma.shape[0])
+                nb = np.zeros(ma.shape[0])
+                for j in range(d):
+                    acc += ma[:, j] * mb[:, j]
+                    na += ma[:, j] * ma[:, j]
+                    nb += mb[:, j] * mb[:, j]
+                acc = acc / (np.sqrt(na) * np.sqrt(nb))
+            out[sel] = acc
+        res = pd.array(out, dtype="Float64")
+        res[np.asarray(~ok)] = pd.NA
+        return pd.Series(res)
+
+    return _k
+
+
 def _is_literal_vec(v: VectorLike) -> bool:
     return not isinstance(v, (str, Column)) and hasattr(v, "__len__")
 
@@ -114,8 +156,13 @@ def _unrolled_sum(terms) -> Column:
     return acc
 
 
-def squared_l2(a: VectorLike, b: VectorLike) -> Column:
+def squared_l2(a: VectorLike, b: VectorLike, *, dim_hint: int | None = None) -> Column:
     """Σ(aᵢ−bᵢ)² as a native column expression.
+
+    ``dim_hint``: for COLUMN-vs-COLUMN inputs the width isn't knowable at
+    plan time; callers that do know it (e.g. the IVF join reads it from the
+    index meta) pass it so wide vectors route to the Arrow kernel instead
+    of the interpreted fold. Results are bit-identical either way.
 
     ≙ reference ``squared_l2_distance`` (src/ivf/index.rs:459-480). The
     fold is sequential left-to-right with a 0.0 initial accumulator, which
@@ -143,22 +190,31 @@ def squared_l2(a: VectorLike, b: VectorLike) -> Column:
     if _is_literal_vec(b) and not _is_literal_vec(a) and len(b) > UNROLL_LIMIT:
         raw = F.col(a) if isinstance(a, str) else a
         return _arrow_fold_kernel(b, "sq_l2")(raw)
+    if (
+        dim_hint is not None
+        and dim_hint > UNROLL_LIMIT
+        and not _is_literal_vec(a)
+        and not _is_literal_vec(b)
+    ):
+        ra = F.col(a) if isinstance(a, str) else a
+        rb = F.col(b) if isinstance(b, str) else b
+        return _arrow_fold_kernel2("sq_l2")(ra, rb)
     ca, cb = _as_vector_col(a), _as_vector_col(b)
     diffs = F.zip_with(ca, cb, lambda x, y: (x - y) * (x - y))
     return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
 
 
-def array_distance(a: VectorLike, b: VectorLike) -> Column:
+def array_distance(a: VectorLike, b: VectorLike, *, dim_hint: int | None = None) -> Column:
     """Euclidean distance √Σ(aᵢ−bᵢ)².
 
     Same name + semantics as the DataFusion builtin the reference matches on
     (src/df_vector/physical.rs:198-229); the reference reports √d² on its
     direct path too (src/ivf/search.rs:133).
     """
-    return F.sqrt(squared_l2(a, b))
+    return F.sqrt(squared_l2(a, b, dim_hint=dim_hint))
 
 
-def dot_product(a: VectorLike, b: VectorLike) -> Column:
+def dot_product(a: VectorLike, b: VectorLike, *, dim_hint: int | None = None) -> Column:
     """Σ aᵢ·bᵢ as a native expression (basis for cosine). Same literal-query
     unrolled fast path (and bit-parity guarantee) as ``squared_l2``."""
     if _is_literal_vec(b) and not _is_literal_vec(a) and 0 < len(b) <= UNROLL_LIMIT:
@@ -169,6 +225,15 @@ def dot_product(a: VectorLike, b: VectorLike) -> Column:
     if _is_literal_vec(b) and not _is_literal_vec(a) and len(b) > UNROLL_LIMIT:
         raw = F.col(a) if isinstance(a, str) else a
         return _arrow_fold_kernel(b, "dot")(raw)
+    if (
+        dim_hint is not None
+        and dim_hint > UNROLL_LIMIT
+        and not _is_literal_vec(a)
+        and not _is_literal_vec(b)
+    ):
+        ra = F.col(a) if isinstance(a, str) else a
+        rb = F.col(b) if isinstance(b, str) else b
+        return _arrow_fold_kernel2("dot")(ra, rb)
     ca, cb = _as_vector_col(a), _as_vector_col(b)
     prods = F.zip_with(ca, cb, lambda x, y: x * y)
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
@@ -194,7 +259,7 @@ def l2_norm(a: VectorLike, dim: int | None = None) -> Column:
     return F.sqrt(sq)
 
 
-def cosine_similarity(a: VectorLike, b: VectorLike) -> Column:
+def cosine_similarity(a: VectorLike, b: VectorLike, *, dim_hint: int | None = None) -> Column:
     """cos(a,b) = a·b / (‖a‖‖b‖). Beyond the reference surface (it is
     L2-only, SURVEY.md §2 'explicitly absent'), needed by the near-dup and
     ANN extension operators. A literal query fixes the dimension, letting
@@ -204,6 +269,15 @@ def cosine_similarity(a: VectorLike, b: VectorLike) -> Column:
     if _is_literal_vec(b) and not _is_literal_vec(a) and len(b) > UNROLL_LIMIT:
         raw = F.col(a) if isinstance(a, str) else a
         return _arrow_fold_kernel(b, "cosine")(raw)
+    if (
+        dim_hint is not None
+        and dim_hint > UNROLL_LIMIT
+        and not _is_literal_vec(a)
+        and not _is_literal_vec(b)
+    ):
+        ra = F.col(a) if isinstance(a, str) else a
+        rb = F.col(b) if isinstance(b, str) else b
+        return _arrow_fold_kernel2("cosine")(ra, rb)
     dim = len(b) if _is_literal_vec(b) and not _is_literal_vec(a) else None
     return dot_product(a, b) / (l2_norm(a, dim=dim) * l2_norm(b))
 

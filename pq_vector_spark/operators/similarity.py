@@ -47,6 +47,7 @@ def similarity_join(
     k: int,
     *,
     metric: str = "l2",
+    dim_hint: int | None = None,
 ) -> DataFrame:
     """For every query row, the k nearest corpus rows.
 
@@ -55,6 +56,10 @@ def similarity_join(
     n_queries × k result rows leave the executors' partial ranks. Requires
     the query side to be broadcast-sized (same driver-fits assumption the
     reference makes for its query vectors).
+
+    ``dim_hint``: known vector width; wide vectors route the per-pair
+    distance to the Arrow kernel instead of the interpreted fold (results
+    are bit-identical — see functions/distance.py).
 
     Output: (query_id, corpus_id, score, rank) with deterministic
     (score, corpus_id) ordering.
@@ -67,10 +72,10 @@ def similarity_join(
     )
     pairs = c.crossJoin(broadcast(q))
     if metric == "l2":
-        score = array_distance(F.col("_cv"), F.col("_qv"))
+        score = array_distance(F.col("_cv"), F.col("_qv"), dim_hint=dim_hint)
         order = [F.col("score").asc(), F.col("_cid").asc()]
     elif metric == "cosine":
-        score = cosine_similarity(F.col("_cv"), F.col("_qv"))
+        score = cosine_similarity(F.col("_cv"), F.col("_qv"), dim_hint=dim_hint)
         order = [F.col("score").desc(), F.col("_cid").asc()]
     else:
         raise ValueError(f"unknown metric {metric!r}")
@@ -99,6 +104,7 @@ def ivf_similarity_join(
     corpus_id: Optional[str] = None,
     nprobe: int = 5,
     broadcast_queries: bool = True,
+    prune_scan: bool = True,
 ) -> DataFrame:
     """Scale path: assign each query to its nprobe nearest centroids
     (broadcast centroids + one map-side pandas-UDF matmul over the query
@@ -112,6 +118,13 @@ def ivf_similarity_join(
     — right when the query side fits in memory. Set False for a huge query
     side: the join becomes a shuffle join on cluster_id, which the corpus
     layout already co-locates.
+
+    ``prune_scan=True`` additionally pushes a ``cluster_id IN (∪ probed)``
+    filter into the corpus scan so unprobed clusters are never READ (file /
+    row-group skipping on the sorted layout), not just never joined. This
+    collects the distinct probed cluster ids — bounded by n_clusters, i.e.
+    metadata-scale like the centroids themselves, never data — and persists
+    the probe table so its one pass is shared with the join.
 
     Output: (query_id, corpus_id?, score, rank) — same shape as
     ``similarity_join``; the query-id column keeps its original type
@@ -128,13 +141,26 @@ def ivf_similarity_join(
         probe_clusters(q, "_pq_qv", idx.centroids, nprobe)
         .select("_pq_qid", "_pq_qv", F.explode(PROBE_COL).alias("_pq_cluster"))
     )
+
+    corpus = spark.read.parquet(corpus_indexed_path)
+    if prune_scan:
+        from pyspark import StorageLevel
+
+        probe_df = probe_df.persist(StorageLevel.MEMORY_AND_DISK)
+        probed_union = [
+            r[0] for r in probe_df.select("_pq_cluster").distinct().collect()
+        ]
+        if len(probed_union) < idx.meta["n_clusters"]:
+            corpus = corpus.filter(F.col(CLUSTER_COL).isin(probed_union))
     if broadcast_queries:
         probe_df = broadcast(probe_df)
 
-    corpus = spark.read.parquet(corpus_indexed_path)
     joined = corpus.join(probe_df, corpus[CLUSTER_COL] == probe_df["_pq_cluster"])
     scored = joined.withColumn(
-        "score", array_distance(F.col(idx.meta["column"]), F.col("_pq_qv"))
+        "score",
+        array_distance(
+            F.col(idx.meta["column"]), F.col("_pq_qv"), dim_hint=idx.meta["dim"]
+        ),
     )
     order = [F.col("score").asc()]
     if corpus_id is not None:

@@ -107,3 +107,77 @@ def test_wide_literal_dim_mismatch_is_null(spark):
     assert got[0] is not None
     assert got[1] is None
     assert got[2] is None
+
+# ---------------- two-column wide kernel (dim_hint, round-2) ----------------
+
+
+def test_col_col_dim_hint_bit_exact(spark):
+    """dim_hint > UNROLL_LIMIT routes column-vs-column distances to the
+    two-column Arrow kernel; accumulation order matches the HOF fold, so
+    results must be BIT-identical."""
+    import numpy as np
+
+    from pq_vector_spark.functions.distance import (
+        UNROLL_LIMIT,
+        array_distance,
+        cosine_similarity,
+        dot_product,
+    )
+
+    dim = UNROLL_LIMIT + 40
+    rng = np.random.default_rng(7)
+    rows = [
+        (
+            i,
+            [float(x) for x in rng.random(dim, dtype=np.float32)],
+            [float(x) for x in rng.random(dim, dtype=np.float32)],
+        )
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "id INT, a ARRAY<FLOAT>, b ARRAY<FLOAT>")
+
+    for fn in (array_distance, dot_product, cosine_similarity):
+        got = df.select(
+            "id",
+            fn(F.col("a"), F.col("b"), dim_hint=dim).alias("x"),
+            fn(F.col("a"), F.col("b")).alias("y"),
+        ).collect()
+        for r in got:
+            assert r["x"] == r["y"], f"{fn.__name__} id={r['id']}: {r['x']!r} != {r['y']!r}"
+
+
+def test_col_col_dim_hint_null_and_mismatch(spark):
+    """Nulls and length mismatches give NULL, matching zip_with semantics."""
+    import numpy as np
+
+    from pq_vector_spark.functions.distance import UNROLL_LIMIT, array_distance
+
+    dim = UNROLL_LIMIT + 8
+    rng = np.random.default_rng(8)
+    v = [float(x) for x in rng.random(dim)]
+    rows = [(0, v, v), (1, v, [1.0, 2.0]), (2, None, v), (3, v, None)]
+    df = spark.createDataFrame(rows, "id INT, a ARRAY<DOUBLE>, b ARRAY<DOUBLE>")
+    got = {
+        r["id"]: r["d"]
+        for r in df.select(
+            "id", array_distance(F.col("a"), F.col("b"), dim_hint=dim).alias("d")
+        ).collect()
+    }
+    assert got[0] == pytest.approx(0.0)
+    assert got[1] is None
+    assert got[2] is None
+    assert got[3] is None
+
+
+def test_col_col_dim_hint_routes_to_arrow(spark):
+    """A wide dim_hint must produce a pandas-UDF plan (ArrowEvalPython),
+    not the interpreted HOF fold."""
+    from pq_vector_spark.functions.distance import UNROLL_LIMIT, squared_l2
+
+    dim = UNROLL_LIMIT + 1
+    df = spark.createDataFrame([(1, [0.0] * dim, [0.0] * dim)], "id INT, a ARRAY<DOUBLE>, b ARRAY<DOUBLE>")
+    plan = (
+        df.select(squared_l2(F.col("a"), F.col("b"), dim_hint=dim).alias("d"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" in plan or "PythonUDF" in plan

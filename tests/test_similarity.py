@@ -108,3 +108,43 @@ def test_ivf_similarity_join_nonint_query_id(spark, corpus, tmp_path_factory):
     assert dict(ivf_similarity_join(
         queries, out_path, spark, "qid", "vec", k=1, corpus_id="cid", nprobe=8
     ).select("qid", "cid").collect()) == {"q-0": 0, "q-1": 1}
+
+
+def test_ivf_similarity_join_prune_scan_same_results(spark, corpus, tmp_path_factory):
+    """prune_scan only skips clusters the probe never touches — results are
+    identical with it on or off, at any nprobe."""
+    base = tmp_path_factory.mktemp("simidx_prune")
+    src = str(base / "corpus.parquet")
+    out_path = str(base / "indexed")
+    corpus.write.mode("overwrite").parquet(src)
+    build_index(spark, src, out_path, column="vec", options=IndexBuildOptions(n_clusters=8))
+
+    queries = corpus.filter(F.col("cid") < 4).select(F.col("cid").alias("qid"), "vec")
+    for nprobe in (2, 8):
+        on = ivf_similarity_join(
+            queries, out_path, spark, "qid", "vec", k=3, corpus_id="cid",
+            nprobe=nprobe, prune_scan=True,
+        ).collect()
+        off = ivf_similarity_join(
+            queries, out_path, spark, "qid", "vec", k=3, corpus_id="cid",
+            nprobe=nprobe, prune_scan=False,
+        ).collect()
+        key = lambda r: (r["qid"], r["rank"])
+        assert sorted(on, key=key) == sorted(off, key=key)
+
+
+def test_ivf_similarity_join_prune_scan_pushes_filter(spark, corpus, tmp_path_factory):
+    """With few queries and nprobe < n_clusters the pruned plan must carry a
+    cluster_id IN (...) filter pushed into the parquet scan."""
+    base = tmp_path_factory.mktemp("simidx_prune_plan")
+    src = str(base / "corpus.parquet")
+    out_path = str(base / "indexed")
+    corpus.write.mode("overwrite").parquet(src)
+    build_index(spark, src, out_path, column="vec", options=IndexBuildOptions(n_clusters=8))
+
+    queries = corpus.limit(1).select(F.col("cid").alias("qid"), "vec")
+    out = ivf_similarity_join(
+        queries, out_path, spark, "qid", "vec", k=2, nprobe=2, prune_scan=True
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [In(_pq_cluster" in plan
