@@ -216,6 +216,55 @@ def _similarity_join_ivf(spark, sf_dir):
     return out.select("qid", "vec_id", F.round("score", 4).alias("score"), "rank")
 
 
+def _knn_batch(spark, sf_dir):
+    """Batch KNN — every literal query scored in ONE corpus pass
+    (scores-array + posexplode + WindowGroupLimit top-k), the scale shape
+    for multi-query search; brute-force-exact, so it shares the
+    similarity_join oracle."""
+    from pq_vector_spark.operators.similarity import multi_query_topk
+
+    emb = _emb(spark, sf_dir)
+    qrows = (
+        emb.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
+    )
+    queries = [(int(r["vec_id"]), r["embedding"]) for r in qrows]
+    out = multi_query_topk(emb, "embedding", queries, 3, id_col="vec_id")
+    return out.select(
+        F.col("qid").cast("bigint").alias("qid"),
+        "vec_id",
+        F.round("score", 4).alias("score"),
+        "rank",
+    )
+
+
+def _knn_batch_ivf(spark, sf_dir):
+    """IVF-accelerated batch KNN — probed-cluster scan pruning + one
+    mapInPandas scoring pass (corpus crosses Arrow once, queries ride as a
+    closure). nprobe = n_clusters ⇒ bit-identical to brute-force knn_batch
+    (same oracle)."""
+    from pq_vector_spark.operators.similarity import ivf_multi_query_topk
+
+    emb = _emb(spark, sf_dir)
+    qrows = (
+        emb.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
+    )
+    queries = [(int(r["vec_id"]), r["embedding"]) for r in qrows]
+    out = ivf_multi_query_topk(
+        spark,
+        _indexed_path(spark, sf_dir),
+        queries,
+        3,
+        id_col="vec_id",
+        nprobe=IVF_CLUSTERS,
+    )
+    return out.select(
+        F.col("qid").cast("bigint").alias("qid"),
+        "vec_id",
+        F.round("score", 4).alias("score"),
+        "rank",
+    )
+
+
 def _dedup_embedding_bucketed(spark, sf_dir):
     """IVF same-cluster blocked near-dup — the scale path for embedding
     dedup. nprobe = n_clusters ⇒ every pair co-clustered ⇒ exactly the
@@ -492,6 +541,17 @@ def _dedup_jaccard(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+def _dedup_resolve(spark, sf_dir):
+    """End-to-end dedup resolution: 3-gram-jaccard near-dup pairs →
+    connected components (min-label propagation + pointer jumping, a
+    driver-loop of joins like Lloyd iterations) → canonical id per doc.
+    The oracle computes the same components with a recursive CTE."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.6)
+    out = D.resolve_duplicates(docs, pairs, "doc_id")
+    return out.select("doc_id", "canonical_id", "is_canonical")
+
+
 def _dedup_minhash(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     out = D.minhash_lsh_pairs(
@@ -556,6 +616,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine": _ann_cosine,
         "similarity_join": _similarity_join,
         "similarity_join_ivf": _similarity_join_ivf,
+        "knn_batch": _knn_batch,
+        "knn_batch_ivf": _knn_batch_ivf,
         "rel_topk": _rel_topk,
         "rel_agg": _rel_agg,
         "rel_join_agg": _rel_join_agg,
@@ -578,6 +640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _text_fingerprint,
         "dedup_exact": _dedup_exact,
         "dedup_jaccard": _dedup_jaccard,
+        "dedup_resolve": _dedup_resolve,
         "dedup_minhash": _dedup_minhash,
         "dedup_simhash": _dedup_simhash,
         "dedup_embedding": _dedup_embedding,
@@ -755,7 +818,7 @@ def oracle_sql() -> dict[str, str]:
         f" + least(({swr}) * 4.0, 1.0) * 0.4"
         f" + (1.0 - least(({pr}) * 10.0, 1.0)) * 0.2"
     )
-    return {
+    oracles = {
         "knn_exact": f"""
             SELECT vec_id FROM embeddings
             ORDER BY {_dist("embedding", qlit)}, vec_id LIMIT {K}""",
@@ -796,6 +859,19 @@ def oracle_sql() -> dict[str, str]:
         # similarity_join_ivf probes ALL clusters (nprobe = n_clusters) so
         # its answer is exactly the brute-force join — same oracle text.
         "similarity_join_ivf": f"""
+            WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+            scored AS (
+              SELECT q.qid, c.vec_id, {_dist("c.embedding", "q.qv")} AS score
+              FROM embeddings c CROSS JOIN q),
+            ranked AS (
+              SELECT qid, vec_id, score,
+                     CAST(row_number() OVER (PARTITION BY qid ORDER BY score, vec_id) AS INT) AS rank
+              FROM scored)
+            SELECT qid, vec_id, round(score, 4) AS score, rank
+            FROM ranked WHERE rank <= 3""",
+        # knn_batch is exact brute force over the same 5 queries — the
+        # single-pass scores-array plan must equal the cross-join answer.
+        "knn_batch": f"""
             WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
             scored AS (
               SELECT q.qid, c.vec_id, {_dist("c.embedding", "q.qv")} AS score
@@ -940,6 +1016,24 @@ def oracle_sql() -> dict[str, str]:
             WITH {_jaccard_cte()}
             SELECT id_a, id_b, round(jaccard, 4) AS jaccard
             FROM jac WHERE jaccard >= 0.6""",
+        # dedup_resolve: connected components over the jaccard pair graph —
+        # the recursive CTE reaches fixpoint on exactly the min-reachable-id
+        # labels the Spark pointer-jumping loop converges to.
+        "dedup_resolve": f"""
+            WITH RECURSIVE {_jaccard_cte()},
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM jac WHERE jaccard >= 0.6
+              UNION
+              SELECT id_b AS src, id_a AS dst FROM jac WHERE jaccard >= 0.6),
+            reach(node, lbl) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node),
+            cc AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node)
+            SELECT d.doc_id,
+                   coalesce(cc.component, d.doc_id) AS canonical_id,
+                   coalesce(cc.component, d.doc_id) = d.doc_id AS is_canonical
+            FROM documents d LEFT JOIN cc ON d.doc_id = cc.node""",
         "dedup_minhash": _minhash_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_embedding": f"""
@@ -959,3 +1053,6 @@ def oracle_sql() -> dict[str, str]:
         # digest; the mean of 8 int16s is exact in every fp width involved
         "multimodal_features": _wav_oracle_sql(),
     }
+    # knn_batch_ivf probes ALL clusters ⇒ bit-identical to brute knn_batch
+    oracles["knn_batch_ivf"] = oracles["knn_batch"]
+    return oracles

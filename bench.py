@@ -178,7 +178,19 @@ def _scale_bench(spark) -> dict:
 
     n_rows = int(os.environ.get("PQ_BENCH_SCALE_ROWS", "1000000"))
     dim = int(os.environ.get("PQ_BENCH_SCALE_DIM", "256"))
+    reps = int(os.environ.get("PQ_BENCH_SCALE_REPS", "3"))
     k, nprobe = 100, 16
+
+    def best_of(fn):
+        """min-of-N timing (one untimed warmup already ran) — the scale
+        numbers are single queries, so GC/worker-pool jitter dominates a
+        single shot; min over reps is what criterion-style harnesses report."""
+        best, result = float("inf"), None
+        for _ in range(reps):
+            t = time.time()
+            result = fn()
+            best = min(best, time.time() - t)
+        return round(best, 3), result
     t0 = time.time()
     src = generate(n_rows, dim)
     gen_sec = round(time.time() - t0, 3)  # ~0 when cached
@@ -196,9 +208,7 @@ def _scale_bench(spark) -> dict:
         ]
 
     _brute()  # warm (codegen + python workers), as for the headline queries
-    t0 = time.time()
-    truth = _brute()
-    brute_sec = round(time.time() - t0, 3)
+    brute_sec, truth = best_of(_brute)
 
     out_path = os.path.join(os.path.dirname(src), f"scale_idx_{n_rows}x{dim}")
     shutil.rmtree(out_path, ignore_errors=True)
@@ -225,10 +235,63 @@ def _scale_bench(spark) -> dict:
     # warm with an Observation too — the metrics node changes the plan, and
     # an unwarmed plan would pay its codegen inside the timed pass
     _indexed(Observation("scale_warm"))
-    obs = Observation("scale_pruning")
-    t0 = time.time()
-    got = _indexed(obs)
-    indexed_sec = round(time.time() - t0, 3)
+    reps_obs = [Observation(f"scale_pruning_{i}") for i in range(reps)]
+    it = iter(reps_obs)
+    indexed_sec, got = best_of(lambda: _indexed(next(it)))
+    obs = reps_obs[-1]
+
+    # --- batch similarity join: exact single-pass vs IVF-bucketed ---------
+    # brute = multi_query_topk (ONE corpus pass for all queries, Arrow
+    # matrix kernel at this width); ivf = ivf_similarity_join at nprobe=16
+    # with corpus-scan pruning. Recall is the mean top-k overlap per query.
+    from pq_vector_spark.operators.similarity import (
+        ivf_multi_query_topk,
+        ivf_similarity_join,
+        multi_query_topk,
+    )
+
+    n_q = int(os.environ.get("PQ_BENCH_SCALE_QUERIES", "16"))
+    jk = 10
+    qrows = emb.filter(F.col("vec_id") < n_q).select("vec_id", "embedding").collect()
+    qlit = [(int(r["vec_id"]), r["embedding"]) for r in qrows]
+    qdf = emb.filter(F.col("vec_id") < n_q).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+
+    def _join_brute():
+        return multi_query_topk(emb, "embedding", qlit, jk, id_col="vec_id").collect()
+
+    def _join_ivf():
+        return ivf_similarity_join(
+            qdf, out_path, spark, "qid", "qv", jk, corpus_id="vec_id", nprobe=nprobe
+        ).collect()
+
+    _join_brute()
+    join_brute_sec, jb = best_of(_join_brute)
+
+    _join_ivf()
+    join_ivf_sec, ji = best_of(_join_ivf)
+
+    def _batch_ivf():
+        return ivf_multi_query_topk(
+            spark, out_path, qlit, jk, id_col="vec_id", nprobe=nprobe
+        ).collect()
+
+    _batch_ivf()
+    batch_ivf_sec, bi = best_of(_batch_ivf)
+
+    def _by_q(rows):
+        d = {}
+        for r in rows:
+            d.setdefault(r["qid"], set()).add(r["vec_id"])
+        return d
+
+    truth_j = _by_q(jb)
+    got_j, got_b = _by_q(ji), _by_q(bi)
+    mean_recall = lambda got: sum(
+        len(truth_j[q] & got.get(q, set())) / jk for q in truth_j
+    ) / len(truth_j)
+    join_recall, batch_recall = mean_recall(got_j), mean_recall(got_b)
 
     return {
         "rows": n_rows,
@@ -242,6 +305,15 @@ def _scale_bench(spark) -> dict:
         "indexed_sec": indexed_sec,
         "speedup": round(brute_sec / indexed_sec, 2) if indexed_sec else None,
         "recall_at_100": len(set(got) & set(truth)) / k,
+        "join_queries": n_q,
+        "join_k": jk,
+        "join_brute_sec": join_brute_sec,
+        "join_ivf_sec": join_ivf_sec,
+        "join_speedup": round(join_brute_sec / join_ivf_sec, 2) if join_ivf_sec else None,
+        "join_recall_at_10": round(join_recall, 4),
+        "batch_ivf_sec": batch_ivf_sec,
+        "batch_ivf_speedup": round(join_brute_sec / batch_ivf_sec, 2) if batch_ivf_sec else None,
+        "batch_ivf_recall_at_10": round(batch_recall, 4),
         "candidate_rows": int(obs.get["candidate_rows"]),
         "candidate_fraction": round(obs.get["candidate_rows"] / n_rows, 4),
         "files_scanned": int(obs.get["files_scanned"]),

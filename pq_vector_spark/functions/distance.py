@@ -143,6 +143,86 @@ def _arrow_fold_kernel2(mode: str):
     return _k
 
 
+def _arrow_multi_kernel(qmat, mode: str):
+    """N-query batch kernel: ONE pass over the vector column computes the
+    distance to every row of the (n_q × d) literal query matrix, returning
+    an array<double> of n_q scores per row. Per-dimension left-to-right
+    float64 accumulation keeps each score bit-identical to the scalar fold.
+    This is the scale shape for batch KNN: the corpus crosses the Arrow
+    boundary once, not once per query (a cross join transfers it n_q×)."""
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    Q = np.asarray(qmat, dtype=np.float64)
+    n_q, dim = Q.shape
+    if mode == "cosine":
+        nrm = np.zeros(n_q)
+        for j in range(dim):  # same sequential fold as the oracle
+            nrm += Q[:, j] * Q[:, j]
+        nrm = np.sqrt(nrm)
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def _k(v: pd.Series) -> pd.Series:
+        arrs = v.to_numpy()
+        lens = np.fromiter((len(a) if a is not None else -1 for a in arrs), dtype=np.int64)
+        ok = lens == dim
+        out = np.empty(len(arrs), dtype=object)
+        if ok.any():
+            mat = np.stack(arrs[ok]).astype(np.float64)  # (m, d)
+            acc = np.zeros((mat.shape[0], n_q))
+            if mode == "sq_l2":
+                for j in range(dim):
+                    d = mat[:, j : j + 1] - Q[:, j][None, :]
+                    acc += d * d
+            elif mode == "dot":
+                for j in range(dim):
+                    acc += mat[:, j : j + 1] * Q[:, j][None, :]
+            elif mode == "cosine":
+                na = np.zeros(mat.shape[0])
+                for j in range(dim):
+                    acc += mat[:, j : j + 1] * Q[:, j][None, :]
+                    na += mat[:, j] * mat[:, j]
+                acc = acc / (np.sqrt(na)[:, None] * nrm[None, :])
+            rows = np.nonzero(ok)[0]
+            for r, i in enumerate(rows):
+                out[i] = acc[r].tolist()
+        # dim mismatch / null input ⇒ NULL array, same as the scalar kernels
+        return pd.Series(out)
+
+    return _k
+
+
+# total unrolled terms (n_q × dim) allowed before the batch scorer abandons
+# native codegen for the Arrow matrix kernel — each per-query expression
+# stays under UNROLL_LIMIT, but janino also has to swallow their sum.
+MULTI_UNROLL_BUDGET = 2048
+
+
+def multi_distances(vec: VectorLike, qmat, metric: str = "l2") -> Column:
+    """array<double> of per-query scores for a literal (n_q × d) query
+    matrix — native unrolled expressions when the total term count fits the
+    codegen budget, the Arrow matrix kernel otherwise. Element i is
+    bit-identical to the scalar ``array_distance``/``dot_product``/
+    ``cosine_similarity`` against query row i."""
+    rows = [list(q) for q in qmat]
+    if not rows:
+        raise ValueError("qmat must contain at least one query vector")
+    dim = len(rows[0])
+    if any(len(r) != dim for r in rows):
+        raise ValueError("all query vectors must share one dimension")
+    scalar = {"l2": array_distance, "sq_l2": squared_l2, "dot": dot_product,
+              "cosine": cosine_similarity}
+    if metric not in scalar:
+        raise ValueError(f"unknown metric {metric!r}")
+    if dim <= UNROLL_LIMIT and len(rows) * dim <= MULTI_UNROLL_BUDGET:
+        return F.array(*[scalar[metric](vec, r) for r in rows])
+    mode = {"l2": "sq_l2", "sq_l2": "sq_l2", "dot": "dot", "cosine": "cosine"}[metric]
+    raw = F.col(vec) if isinstance(vec, str) else vec
+    scores = _arrow_multi_kernel(rows, mode)(raw)
+    if metric == "l2":
+        scores = F.transform(scores, lambda s: F.sqrt(s))
+    return scores
+
+
 def _is_literal_vec(v: VectorLike) -> bool:
     return not isinstance(v, (str, Column)) and hasattr(v, "__len__")
 

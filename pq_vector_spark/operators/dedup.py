@@ -432,3 +432,103 @@ def embedding_near_dup_bucketed(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    left: str = "id_a",
+    right: str = "id_b",
+    *,
+    max_iters: int = 20,
+) -> DataFrame:
+    """Duplicate-cluster resolution: (node, component) for every node that
+    appears in ``pairs``, where component = the minimum node id reachable
+    through the pair graph.
+
+    Distributed min-label propagation with pointer jumping (the MapReduce
+    CC recipe of Kiveris et al., "Connected Components in MapReduce and
+    Beyond"): each round joins in (a) neighbors' labels and (b) the label
+    of the label (path shortcutting), then takes the min — a couple of
+    node-keyed shuffles, no driver graph, no collect. Shortcutting makes
+    convergence O(log diameter), so even degenerate chain-shaped components
+    finish in a handful of rounds (near-dup clusters are near-cliques and
+    typically converge in 2-3). Lineage is
+    truncated every round via eager localCheckpoint so plans stay O(1) deep
+    at any iteration count; the per-round convergence check is a count()
+    action, same driver-loop pattern as Lloyd iterations in index/kmeans.
+
+    Raises after ``max_iters`` without convergence rather than returning a
+    partial labeling.
+    """
+    edges = pairs.select(F.col(left).alias("_src"), F.col(right).alias("_dst"))
+    edges = (
+        edges.union(
+            edges.select(F.col("_dst").alias("_src"), F.col("_src").alias("_dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("_src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        nbr = edges.join(
+            labels, edges["_dst"] == labels["node"]
+        ).select(F.col("_src").alias("node"), F.col("component"))
+        shortcut = (
+            labels.alias("l1")
+            .join(labels.alias("l2"), F.col("l1.component") == F.col("l2.node"))
+            .select(F.col("l1.node").alias("node"), F.col("l2.component").alias("component"))
+        )
+        new_labels = (
+            labels.unionByName(nbr)
+            .unionByName(shortcut)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} rounds"
+    )
+
+
+def resolve_duplicates(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    left: str = "id_a",
+    right: str = "id_b",
+    *,
+    max_iters: int = 20,
+) -> DataFrame:
+    """End-to-end dedup resolution: annotate every doc with the canonical
+    id of its duplicate cluster (min id in the connected component of the
+    near-dup pair graph; docs in no pair are their own canonical).
+
+    ``docs.filter(F.col(id_col) == F.col("canonical_id"))`` is the
+    deduplicated corpus — the survivor policy matches ``exact_dedup``'s
+    keep-smallest-id. The component table is tiny relative to the corpus
+    (only docs that matched some pair), so the final join broadcasts under
+    AQE when it fits.
+    """
+    comp = connected_components(pairs, left, right, max_iters=max_iters)
+    joined = docs.join(comp, docs[id_col] == comp["node"], "left")
+    return (
+        joined.withColumn(
+            "canonical_id", F.coalesce(F.col("component"), F.col(id_col))
+        )
+        .withColumn("is_canonical", F.col(id_col) == F.col("canonical_id"))
+        .drop("node", "component")
+    )

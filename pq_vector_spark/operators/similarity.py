@@ -17,7 +17,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from pq_vector_spark.functions.distance import array_distance, cosine_similarity
+from pq_vector_spark.functions.distance import (
+    array_distance,
+    cosine_similarity,
+    multi_distances,
+)
 
 
 def cosine_topk(
@@ -90,6 +94,201 @@ def similarity_join(
             "score",
             F.col("rank").cast("int").alias("rank"),
         )
+    )
+
+
+def multi_query_topk(
+    corpus: DataFrame,
+    vec_col: str,
+    queries: Sequence[tuple],
+    k: int,
+    *,
+    id_col: Optional[str] = None,
+    metric: str = "l2",
+    query_id_name: str = "qid",
+) -> DataFrame:
+    """Exact batch KNN: for each (qid, vector) literal query, the k nearest
+    corpus rows — in ONE corpus pass.
+
+    Scale design vs ``similarity_join``: the cross-join form materializes
+    n_queries copies of every corpus row on the scoring side (and, when the
+    distances run in Python, ships the corpus across the Arrow boundary
+    n_queries times). Here a single scores-array column is computed per
+    corpus row (native unrolled codegen when n_q × d fits the janino
+    budget, else one Arrow matrix kernel), then ``posexplode`` + window
+    top-k. Spark 4's WindowGroupLimit keeps per-partition heaps, so only
+    n_partitions × n_q × k rows reach the shuffle — the corpus itself is
+    scanned once and never duplicated. Distributed analogue of the
+    reference's multi-query bench loop (reference: benches/query.rs:93-193,
+    one literal query vector at a time against a shared scan).
+
+    Rows whose vector is NULL or of mismatched dimension are skipped, the
+    reference's query-time silent-skip semantics (src/df_vector/exec.rs:
+    495-528).
+
+    Output: (query_id_name, id_col?, score, rank); for ``metric='l2'`` /
+    ``'sq_l2'`` lower is better, for ``'dot'`` / ``'cosine'`` higher is.
+    """
+    qids = [q[0] for q in queries]
+    qmat = [q[1] for q in queries]
+    scores = multi_distances(F.col(vec_col), qmat, metric=metric)
+    asc = metric in ("l2", "sq_l2")
+
+    cols = [F.col(id_col).alias("_cid")] if id_col else []
+    exploded = corpus.select(
+        *cols, F.posexplode(scores).alias("_qidx", "score")
+    ).filter(F.col("score").isNotNull())
+    order = [F.col("score").asc() if asc else F.col("score").desc()]
+    if id_col:
+        order.append(F.col("_cid").asc())
+    w = Window.partitionBy("_qidx").orderBy(*order)
+    ranked = (
+        exploded.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+    qid_lookup = F.element_at(
+        F.array(*[F.lit(q) for q in qids]), F.col("_qidx") + 1
+    )
+    out_cols = [qid_lookup.alias(query_id_name)]
+    if id_col:
+        out_cols.append(F.col("_cid").alias(id_col))
+    out_cols += [F.col("score"), F.col("rank")]
+    return ranked.select(*out_cols)
+
+
+def ivf_multi_query_topk(
+    spark,
+    corpus_indexed_path: str,
+    queries: Sequence[tuple],
+    k: int,
+    *,
+    id_col: str,
+    nprobe: int = 5,
+    metric: str = "l2",
+    query_id_name: str = "qid",
+) -> DataFrame:
+    """IVF-accelerated batch KNN over an indexed corpus: each literal
+    (qid, vector) query probes its ``nprobe`` nearest centroids; the corpus
+    scan is pruned to the probed-cluster union (pushed ``IN`` filter on the
+    sorted layout — unprobed clusters are never read); one ``mapInPandas``
+    pass scores each corpus batch against ONLY the queries that probed its
+    cluster, with the same per-dimension left-to-right float64 accumulation
+    as every other kernel (bit-identical to the scalar fold, so
+    nprobe = n_clusters reproduces ``multi_query_topk`` exactly).
+
+    Scale shape: candidate work is Σ_q Σ_{c∈probe(q)} |c| pairs — the same
+    pruning as ``ivf_similarity_join`` — but the corpus crosses the Arrow
+    boundary once (its own vectors only), not once per (row, query) pair;
+    the query matrix rides along as a closure, never joined or shuffled.
+    Per-partition top-k (WindowGroupLimit) bounds the shuffle at
+    n_partitions × n_q × k rows. Distributed analogue of the reference's
+    probe → gather → re-rank (src/ivf/search.rs:100-141) batched over many
+    query vectors.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pq_vector_spark.index.build import CLUSTER_COL
+    from pq_vector_spark.index.kmeans import nearest_centroids, nearest_centroids_batch
+    from pq_vector_spark.index.search import load_index
+
+    if metric not in ("l2", "cosine"):
+        raise ValueError(f"unknown metric {metric!r}")
+    idx = load_index(spark, corpus_indexed_path)
+    dim, vec_col = idx.meta["dim"], idx.meta["column"]
+
+    qids = [q[0] for q in queries]
+    Q = np.asarray([list(q[1]) for q in queries], dtype=np.float64)
+    if Q.ndim != 2 or Q.shape[1] != dim:
+        raise ValueError(
+            f"query vectors must all have the index dimension {dim}, got {Q.shape}"
+        )
+    # broadcast probe keeps the exact indexed_topk tie order for small
+    # batches; the matmul form bounds memory for large ones (its tie order
+    # can differ — exactness users probe all clusters, where it's moot)
+    probe_fn = nearest_centroids if len(qids) <= 256 else nearest_centroids_batch
+    probes = np.atleast_2d(probe_fn(Q.astype(np.float32), idx.centroids, nprobe))
+
+    cluster_to_q: dict[int, list[int]] = {}
+    for qi, row in enumerate(probes):
+        for c in row:
+            cluster_to_q.setdefault(int(c), []).append(qi)
+    probed_union = sorted(cluster_to_q)
+
+    corpus = spark.read.parquet(corpus_indexed_path)
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    if len(probed_union) < idx.meta["n_clusters"]:
+        corpus = corpus.filter(F.col(CLUSTER_COL).isin(probed_union))
+    pruned = corpus.select(id_col, vec_col, CLUSTER_COL)
+
+    asc = metric == "l2"
+    out_schema = f"_qidx INT, _cid {id_type}, score DOUBLE"
+
+    if metric == "cosine":
+        qnorm = np.zeros(Q.shape[0])
+        for j in range(dim):  # same sequential fold as the oracle
+            qnorm += Q[:, j] * Q[:, j]
+        qnorm = np.sqrt(qnorm)
+
+    def _score(batches):
+        for pdf in batches:
+            arrs = pdf[vec_col].to_numpy()
+            lens = np.fromiter(
+                (len(a) if a is not None else -1 for a in arrs), dtype=np.int64
+            )
+            ok = lens == dim
+            if not ok.any():
+                continue
+            sub = pdf.loc[ok]
+            clusters = sub[CLUSTER_COL].to_numpy()
+            ids = sub[id_col].to_numpy()
+            mat_all = np.stack(sub[vec_col].to_numpy()).astype(np.float64)
+            parts = []
+            for c in np.unique(clusters):
+                qidxs = cluster_to_q.get(int(c))
+                if not qidxs:
+                    continue
+                rows = clusters == c
+                mat = mat_all[rows]
+                Qc = Q[qidxs]
+                acc = np.zeros((mat.shape[0], len(qidxs)))
+                if metric == "l2":
+                    for j in range(dim):
+                        d = mat[:, j : j + 1] - Qc[:, j][None, :]
+                        acc += d * d
+                    acc = np.sqrt(acc)
+                else:
+                    na = np.zeros(mat.shape[0])
+                    for j in range(dim):
+                        acc += mat[:, j : j + 1] * Qc[:, j][None, :]
+                        na += mat[:, j] * mat[:, j]
+                    acc = acc / (np.sqrt(na)[:, None] * qnorm[qidxs][None, :])
+                n_r, n_q = acc.shape
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "_qidx": np.tile(np.asarray(qidxs, dtype=np.int32), n_r),
+                            "_cid": np.repeat(ids[rows], n_q),
+                            "score": acc.ravel(),
+                        }
+                    )
+                )
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+
+    scored = pruned.mapInPandas(_score, schema=out_schema)
+    order = [F.col("score").asc() if asc else F.col("score").desc(), F.col("_cid").asc()]
+    w = Window.partitionBy("_qidx").orderBy(*order)
+    ranked = (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+    qid_lookup = F.element_at(F.array(*[F.lit(q) for q in qids]), F.col("_qidx") + 1)
+    return ranked.select(
+        qid_lookup.alias(query_id_name),
+        F.col("_cid").alias(id_col),
+        F.col("score"),
+        F.col("rank"),
     )
 
 

@@ -153,3 +153,41 @@ def test_minhash_hot_bucket_guard_bounds_candidates(spark):
     n = cands.count()
     assert n == 100 * 99 // 2  # identical docs share every bucket → same 100 survive
     assert obs.get["dropped_bucket_rows"] == (1000 - 100) * 8
+
+
+# ------------- connected components / dedup resolution (round-2) -------------
+
+
+def test_connected_components_chain_and_isolated(spark):
+    """Path graph a-b-c-d (diameter 3 ⇒ needs multiple propagation rounds)
+    plus a separate pair — labels must reach the min id of each component."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a BIGINT, id_b BIGINT"
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in D.connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_long_path_converges(spark):
+    """Diameter ≫ 2: a 30-node path — min label must walk the whole chain."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a BIGINT, id_b BIGINT"
+    )
+    got = D.connected_components(pairs).collect()
+    assert len(got) == 31
+    assert all(r["component"] == 0 for r in got)
+
+
+def test_resolve_duplicates_survivor_policy(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(6)], "doc_id BIGINT, text STRING"
+    )
+    pairs = spark.createDataFrame([(1, 4), (4, 5)], "id_a BIGINT, id_b BIGINT")
+    out = D.resolve_duplicates(docs, pairs, "doc_id").collect()
+    canon = {r["doc_id"]: r["canonical_id"] for r in out}
+    assert canon == {0: 0, 1: 1, 2: 2, 3: 3, 4: 1, 5: 1}
+    kept = sorted(r["doc_id"] for r in out if r["is_canonical"])
+    assert kept == [0, 1, 2, 3]  # 4 and 5 collapse into 1

@@ -148,3 +148,148 @@ def test_ivf_similarity_join_prune_scan_pushes_filter(spark, corpus, tmp_path_fa
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [In(_pq_cluster" in plan
+
+
+# ---------------- multi_query_topk (batch KNN, round-2) ----------------
+
+
+def test_multi_query_topk_matches_similarity_join(spark, corpus):
+    from pq_vector_spark.operators.similarity import multi_query_topk
+
+    qrows = corpus.filter(F.col("cid") < 5).select("cid", "vec").collect()
+    queries = [(r["cid"], r["vec"]) for r in qrows]
+
+    batch = multi_query_topk(corpus, "vec", queries, 4, id_col="cid").collect()
+    qdf = corpus.filter(F.col("cid") < 5).select(
+        F.col("cid").alias("qid"), F.col("vec").alias("qv")
+    )
+    cross = similarity_join(qdf, corpus, "qid", "cid", "qv", "vec", 4, metric="l2").collect()
+
+    key = lambda r: (r["qid"], r["rank"])
+    b = [(r["qid"], r["cid"], r["score"], r["rank"]) for r in sorted(batch, key=key)]
+    c = [(r["qid"], r["cid"], r["score"], r["rank"]) for r in sorted(cross, key=key)]
+    assert b == c  # bit-identical scores, same ranking
+
+
+def test_multi_query_topk_cosine(spark, corpus):
+    from pq_vector_spark.operators.similarity import multi_query_topk
+
+    q = corpus.filter(F.col("cid") == 7).select("vec").collect()[0]["vec"]
+    out = multi_query_topk(corpus, "vec", [("a", q)], 3, id_col="cid", metric="cosine").collect()
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    assert out[0]["cid"] == 7  # self-match wins on cosine
+    assert out[0]["score"] == pytest.approx(1.0)
+    sims = [r["score"] for r in out]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_multi_query_topk_wide_routes_to_arrow_and_matches(spark):
+    """Above the codegen budget the scorer must switch to the Arrow matrix
+    kernel — and stay bit-identical to the scalar kernels."""
+    from pq_vector_spark.functions.distance import UNROLL_LIMIT, array_distance
+    from pq_vector_spark.operators.similarity import multi_query_topk
+
+    dim = UNROLL_LIMIT + 32
+    rng = np.random.default_rng(11)
+    rows = [(int(i), [float(x) for x in rng.random(dim, dtype=np.float32)]) for i in range(200)]
+    wide = spark.createDataFrame(rows, "cid BIGINT, vec ARRAY<FLOAT>")
+    queries = [(i, rows[i][1]) for i in range(3)]
+
+    out = multi_query_topk(wide, "vec", queries, 5, id_col="cid")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan or "PythonUDF" in plan
+
+    got = out.collect()
+    assert len(got) == 15
+    for qid, qv in queries:
+        mine = sorted(
+            (r for r in got if r["qid"] == qid), key=lambda r: r["rank"]
+        )
+        scalar = (
+            wide.select("cid", array_distance(F.col("vec"), qv).alias("d"))
+            .orderBy(F.col("d").asc(), F.col("cid").asc())
+            .limit(5)
+            .collect()
+        )
+        assert [(r["cid"], r["score"]) for r in mine] == [(r["cid"], r["d"]) for r in scalar]
+
+
+def test_multi_query_topk_skips_null_and_mismatch(spark):
+    from pq_vector_spark.operators.similarity import multi_query_topk
+
+    rows = [(0, [0.0, 0.0]), (1, [3.0, 4.0]), (2, None), (3, [1.0])]
+    df = spark.createDataFrame(rows, "cid INT, vec ARRAY<DOUBLE>")
+    out = multi_query_topk(df, "vec", [("q", [0.0, 0.0])], 10, id_col="cid").collect()
+    assert {r["cid"] for r in out} == {0, 1}  # null + dim-mismatch rows skipped
+
+
+# -------------- ivf_multi_query_topk (indexed batch KNN, round-2) ------------
+
+
+@pytest.fixture(scope="module")
+def indexed_corpus(spark, corpus, tmp_path_factory):
+    base = tmp_path_factory.mktemp("simidx_batch")
+    src = str(base / "corpus.parquet")
+    out_path = str(base / "indexed")
+    corpus.write.mode("overwrite").parquet(src)
+    build_index(spark, src, out_path, column="vec", options=IndexBuildOptions(n_clusters=8))
+    return out_path
+
+
+def test_ivf_multi_query_topk_exactness_envelope(spark, corpus, indexed_corpus):
+    """nprobe = n_clusters ⇒ bit-identical to the single-pass brute batch."""
+    from pq_vector_spark.operators.similarity import (
+        ivf_multi_query_topk,
+        multi_query_topk,
+    )
+
+    qrows = corpus.filter(F.col("cid") < 4).select("cid", "vec").collect()
+    queries = [(r["cid"], r["vec"]) for r in qrows]
+    got = ivf_multi_query_topk(
+        spark, indexed_corpus, queries, 5, id_col="cid", nprobe=8
+    ).collect()
+    want = multi_query_topk(corpus, "vec", queries, 5, id_col="cid").collect()
+    key = lambda r: (r["qid"], r["rank"])
+    assert [(r["qid"], r["cid"], r["score"]) for r in sorted(got, key=key)] == [
+        (r["qid"], r["cid"], r["score"]) for r in sorted(want, key=key)
+    ]
+
+
+def test_ivf_multi_query_topk_prunes_scan(spark, corpus, indexed_corpus):
+    from pq_vector_spark.operators.similarity import ivf_multi_query_topk
+
+    queries = [(0, corpus.filter(F.col("cid") == 0).collect()[0]["vec"])]
+    out = ivf_multi_query_topk(
+        spark, indexed_corpus, queries, 3, id_col="cid", nprobe=2
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [In(_pq_cluster" in plan
+    got = out.collect()
+    assert len(got) == 3
+    assert got and {r["rank"] for r in got} == {1, 2, 3}
+    assert min(got, key=lambda r: r["rank"])["cid"] == 0  # self-match survives
+
+
+def test_ivf_multi_query_topk_cosine(spark, corpus, indexed_corpus):
+    from pq_vector_spark.operators.similarity import (
+        ivf_multi_query_topk,
+        multi_query_topk,
+    )
+
+    qrows = corpus.filter(F.col("cid") < 3).select("cid", "vec").collect()
+    queries = [(r["cid"], r["vec"]) for r in qrows]
+    got = ivf_multi_query_topk(
+        spark, indexed_corpus, queries, 4, id_col="cid", nprobe=8, metric="cosine"
+    ).collect()
+    want = multi_query_topk(corpus, "vec", queries, 4, id_col="cid", metric="cosine").collect()
+    key = lambda r: (r["qid"], r["rank"])
+    assert [(r["qid"], r["cid"], r["score"]) for r in sorted(got, key=key)] == [
+        (r["qid"], r["cid"], r["score"]) for r in sorted(want, key=key)
+    ]
+
+
+def test_ivf_multi_query_topk_dim_mismatch_raises(spark, indexed_corpus):
+    from pq_vector_spark.operators.similarity import ivf_multi_query_topk
+
+    with pytest.raises(ValueError, match="dimension"):
+        ivf_multi_query_topk(spark, indexed_corpus, [(0, [1.0, 2.0])], 3, id_col="cid")
