@@ -22,6 +22,7 @@ from collections.abc import Callable
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -495,6 +496,70 @@ def _events_sessions(spark, sf_dir):
     return sessionize(ev, "ts", "user_id", gap_minutes=30)
 
 
+def _events_stream_dedup(spark, sf_dir):
+    """True streaming dedup (readStream → dropDuplicates key state → memory
+    sink, availableNow): the distinct (user_id, event_type) key set must
+    equal batch DISTINCT. Production path bounds state with
+    dropDuplicatesWithinWatermark (streaming_dedup(within_watermark=...))."""
+    from pq_vector_spark.sources.parquet import load_stream
+    from pq_vector_spark.streaming.events import streaming_dedup
+
+    _utc(spark)
+    stream = load_stream(spark, sf_dir, "events")
+    out = streaming_dedup(stream, ["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
+    qname = "pq_stream_dedup"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(qname)
+
+
+def _events_stream_stats(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    incrementally-maintained per-user stats; the latest emit per key must
+    equal the batch aggregation. fsum-based accumulation makes the total
+    arrival-order-independent."""
+    from pq_vector_spark.sources.parquet import load_stream
+    from pq_vector_spark.streaming.stateful import streaming_user_stats
+
+    _utc(spark)
+    stream = load_stream(spark, sf_dir, "events")
+    out = streaming_user_stats(stream)
+    qname = "pq_stream_stats"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    latest = (
+        spark.table(qname)
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+    )
+    return latest.select(
+        "user_id",
+        "n_events",
+        F.round("sum_value", 2).alias("sum_value"),
+        "first_ts",
+        "last_ts",
+    )
+
+
 def _events_props(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     out = extract_prop(ev, "k", "k")
@@ -528,6 +593,14 @@ def _text_lang(spark, sf_dir):
 def _text_fingerprint(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", T.fingerprint("text").alias("fingerprint"))
+
+
+def _text_quantiles(spark, sf_dir):
+    """Exact length-distribution quantiles (percentile_cont semantics)."""
+    from pq_vector_spark.functions.text import length_quantiles
+
+    docs = load_table(spark, sf_dir, "documents")
+    return length_quantiles(docs, "text")
 
 
 def _dedup_exact(spark, sf_dir):
@@ -634,10 +707,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": _events_sessions,
         "events_stream_sessions": _events_stream_sessions,
         "events_props": _events_props,
+        "events_stream_dedup": _events_stream_dedup,
+        "events_stream_stats": _events_stream_stats,
         "text_stats": _text_stats,
         "text_quality": _text_quality,
         "text_lang": _text_lang,
         "text_fingerprint": _text_fingerprint,
+        "text_quantiles": _text_quantiles,
         "dedup_exact": _dedup_exact,
         "dedup_jaccard": _dedup_jaccard,
         "dedup_resolve": _dedup_resolve,
@@ -992,6 +1068,22 @@ def oracle_sql() -> dict[str, str]:
               SELECT event_id,
                      TRY_CAST(regexp_extract(props, '"k"\s*:\s*(\d+)', 1) AS BIGINT) AS k
               FROM events) WHERE k >= 50""",
+        "events_stream_dedup": """
+            SELECT DISTINCT user_id, event_type FROM events""",
+        "events_stream_stats": """
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 2) AS sum_value,
+                   CAST(floor(epoch(min(ts))) AS BIGINT) AS first_ts,
+                   CAST(floor(epoch(max(ts))) AS BIGINT) AS last_ts
+            FROM events GROUP BY user_id""",
+        "text_quantiles": """
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   round(quantile_cont(CAST(length(text) AS DOUBLE), 0.25), 4) AS q_25,
+                   round(quantile_cont(CAST(length(text) AS DOUBLE), 0.5), 4) AS q_50,
+                   round(quantile_cont(CAST(length(text) AS DOUBLE), 0.75), 4) AS q_75,
+                   round(quantile_cont(CAST(length(text) AS DOUBLE), 0.9), 4) AS q_90
+            FROM documents""",
         "text_stats": f"""
             WITH toks AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
             SELECT doc_id, CAST(length(text) AS BIGINT) AS chars,

@@ -118,3 +118,29 @@ def token_hash(col_or_expr) -> Column:
     Spark's xxhash64. Basis for minhash/simhash."""
     c = F.col(col_or_expr) if isinstance(col_or_expr, str) else col_or_expr
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+def length_quantiles(df, text_col: str, probs: Sequence[float] = (0.25, 0.5, 0.75, 0.9)):
+    """Exact continuous quantiles of document character length — the
+    distribution summary a pipeline reads before choosing length filters.
+
+    Uses ``percentile`` (EXACT, linear interpolation at rank p·(n−1) — the
+    same definition as ANSI ``percentile_cont``/DuckDB ``quantile_cont``,
+    so oracle-checkable to the digit). Exact percentile aggregates a
+    per-partition value→count map; doc-length cardinality is tiny (≤ a few
+    million distinct ints at any corpus size), so the map stays small at
+    100 TB. For true high-cardinality columns swap in
+    ``approx_percentile`` and drop the oracle to tolerance checks.
+
+    Returns one row: (n_docs, q_<pct> per requested prob).
+    """
+    lens = df.select(F.length(F.col(text_col)).cast("double").alias("_len"))
+    agg = lens.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.percentile(F.col("_len"), F.array(*[F.lit(float(p)) for p in probs])).alias("_q"),
+    )
+    cols = [F.col("n_docs")] + [
+        F.round(F.col("_q")[i], 4).alias(f"q_{int(round(p * 100))}")
+        for i, p in enumerate(probs)
+    ]
+    return agg.select(*cols)

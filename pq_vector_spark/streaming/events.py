@@ -144,3 +144,29 @@ def extract_prop(events: DataFrame, prop: str, out_col: str) -> DataFrame:
     return events.withColumn(
         out_col, F.when(raw == "", None).otherwise(raw).cast("bigint")
     )
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    key_cols: list[str],
+    within_watermark: str | None = None,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact deduplication on ``key_cols`` — the streaming
+    counterpart of ``operators.dedup.exact_dedup`` for continuous ingest.
+
+    ``within_watermark`` set (e.g. "2 hours") bounds state via
+    ``dropDuplicatesWithinWatermark`` — the 100 TB/day production path:
+    duplicates arriving within the watermark horizon are suppressed, state
+    is evicted beyond it. Unset, plain ``dropDuplicates`` keeps full-history
+    key state — exact at any horizon (what the oracle checks) but state
+    grows with distinct keys; use only on bounded replays.
+
+    The kept row per key is arrival-dependent; project the key columns for
+    deterministic output (the distinct key set is identical either way).
+    """
+    if within_watermark is not None:
+        return stream.withWatermark(ts_col, within_watermark).dropDuplicatesWithinWatermark(
+            key_cols
+        )
+    return stream.dropDuplicates(key_cols)

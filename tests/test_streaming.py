@@ -4,6 +4,7 @@ runs (memory sink) proving watermark/window/session semantics."""
 import datetime as dt
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from pq_vector_spark.streaming.events import (
@@ -61,7 +62,7 @@ def test_extract_prop(spark):
     assert out.count() == 3
 
 
-def _run_stream(spark, df, build, query_name):
+def _run_stream(spark, df, build, query_name, mode="complete"):
     """Feed a static frame through a real streaming query via a temp parquet
     source → memory sink, complete/append as the aggregation requires."""
     import tempfile
@@ -73,7 +74,7 @@ def _run_stream(spark, df, build, query_name):
     q = (
         out.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(mode)
         .trigger(availableNow=True)
         .start()
     )
@@ -119,3 +120,79 @@ def test_streaming_plan_is_streaming(spark):
     stream = spark.readStream.schema(ev.schema).parquet(d)
     out = streaming_tumbling_agg(stream, "ts", "event_type", "value", "1 hour")
     assert out.isStreaming
+
+
+def test_streaming_dedup_matches_batch_distinct(spark):
+    from pq_vector_spark.streaming.events import streaming_dedup
+
+    ev = _events(spark)
+    got = _run_stream(
+        spark,
+        ev,
+        lambda s: streaming_dedup(s, ["user_id", "event_type"]).select(
+            "user_id", "event_type"
+        ),
+        "stream_dedup",
+        mode="append",
+    )
+    want = ev.select("user_id", "event_type").distinct()
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_streaming_dedup_within_watermark_bounds_state(spark):
+    """Watermarked variant builds (plan is streaming + watermark node) and
+    suppresses duplicates arriving inside the horizon."""
+    from pq_vector_spark.streaming.events import streaming_dedup
+
+    ev = _events(spark)
+    got = _run_stream(
+        spark,
+        ev,
+        lambda s: streaming_dedup(
+            s, ["user_id", "event_type"], within_watermark="2 hours"
+        ).select("user_id", "event_type"),
+        "stream_dedup_wm",
+        mode="append",
+    )
+    # single availableNow replay of a bounded table: horizon covers all rows
+    want = ev.select("user_id", "event_type").distinct()
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_stateful_user_stats_matches_batch(spark):
+    """applyInPandasWithState custom state: final per-user stats must equal
+    the batch aggregation (latest emit per key wins)."""
+    from pq_vector_spark.streaming.stateful import streaming_user_stats
+
+    ev = _events(spark)
+    got = _run_stream(
+        spark,
+        ev,
+        lambda s: streaming_user_stats(s),
+        "stream_stateful",
+        mode="update",
+    )
+    latest = (
+        got.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    want = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("value").alias("sum_value"),
+        F.unix_timestamp(F.min("ts")).cast("bigint").alias("first_ts"),
+        F.unix_timestamp(F.max("ts")).cast("bigint").alias("last_ts"),
+    )
+    g = {r["user_id"]: r for r in latest.collect()}
+    w = {r["user_id"]: r for r in want.collect()}
+    assert set(g) == set(w)
+    for uid in w:
+        assert g[uid]["n_events"] == w[uid]["n_events"]
+        assert g[uid]["first_ts"] == w[uid]["first_ts"]
+        assert g[uid]["last_ts"] == w[uid]["last_ts"]
+        assert g[uid]["sum_value"] == pytest.approx(w[uid]["sum_value"], abs=1e-9)

@@ -50,3 +50,19 @@ def test_token_hash_deterministic_and_positive(spark):
     b = _one(spark, "abc", T.token_hash("text"))
     assert a == b
     assert 0 <= a < 2**60
+
+
+def test_length_quantiles_exact(spark):
+    from pq_vector_spark.functions.text import length_quantiles
+
+    docs = spark.createDataFrame(
+        [(i, "x" * n) for i, n in enumerate([10, 20, 30, 40, 50])],
+        "doc_id INT, text STRING",
+    )
+    row = length_quantiles(docs, "text").collect()[0]
+    # percentile_cont over [10..50]: p·(n−1) interpolation
+    assert row["n_docs"] == 5
+    assert row["q_25"] == 20.0
+    assert row["q_50"] == 30.0
+    assert row["q_75"] == 40.0
+    assert row["q_90"] == 46.0
