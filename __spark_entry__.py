@@ -163,6 +163,25 @@ def _ann_cosine(spark, sf_dir):
     )
 
 
+def _ann_cosine_ivf(spark, sf_dir):
+    """Indexed cosine ANN via the batch kernel (metric='cosine') — probes
+    all clusters ⇒ exactly the brute-force ann_cosine answer (same oracle
+    row set)."""
+    from pq_vector_spark.operators.similarity import ivf_multi_query_topk
+
+    q = _qvec(spark, sf_dir, 1)
+    out = ivf_multi_query_topk(
+        spark,
+        _indexed_path(spark, sf_dir),
+        [(1, list(q))],
+        K,
+        id_col="vec_id",
+        nprobe=IVF_CLUSTERS,
+        metric="cosine",
+    )
+    return out.select("vec_id", F.round("score", 4).alias("cosine"))
+
+
 def _similarity_join(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5).select(
@@ -422,6 +441,58 @@ def _rel_distinct_count(spark, sf_dir):
         F.countDistinct("c_nationkey").cast("bigint").alias("n_nations"),
         F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
     )
+
+
+def _rel_correlated(spark, sf_dir):
+    """TPC-H Q17 shape (correlated scalar subquery): lineitems below 20% of
+    their part's average quantity. Expressed decorrelated — per-part avg via
+    groupBy then join — which is exactly Catalyst's rewrite of the
+    correlated form; the brand filter prunes the probe side first."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    avg_qty = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_limit")
+    )
+    joined = (
+        li.join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"])
+        .join(avg_qty, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_limit"))
+    )
+    return joined.agg(
+        F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"),
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+    )
+
+
+def _rel_rollup(spark, sf_dir):
+    """ROLLUP aggregation (grouping-sets surface): per (flag, status),
+    per flag subtotals, and the grand total in one pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+    )
+
+
+def _rel_setops(spark, sf_dir):
+    """Set operations: INTERSECT / EXCEPT / UNION ALL in one result —
+    BUILDING-segment customers split by whether they placed an URGENT
+    order."""
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders")
+    building = cu.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    urgent = od.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    both = building.intersect(urgent).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    ).select(F.lit("both").alias("tag"), "n")
+    only_b = building.subtract(urgent).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    ).select(F.lit("only_building").alias("tag"), "n")
+    return both.unionAll(only_b)
 
 
 def _knn_sql(spark, sf_dir):
@@ -687,6 +758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf_approx": _knn_ivf_approx,
         "knn_capped": _knn_capped,
         "ann_cosine": _ann_cosine,
+        "ann_cosine_ivf": _ann_cosine_ivf,
         "similarity_join": _similarity_join,
         "similarity_join_ivf": _similarity_join_ivf,
         "knn_batch": _knn_batch,
@@ -701,6 +773,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_conditional_agg": _rel_conditional_agg,
         "rel_antijoin": _rel_antijoin,
         "rel_distinct_count": _rel_distinct_count,
+        "rel_correlated": _rel_correlated,
+        "rel_rollup": _rel_rollup,
+        "rel_setops": _rel_setops,
         "knn_sql": _knn_sql,
         "events_windowed": _events_windowed,
         "events_stream_windowed": _events_stream_windowed,
@@ -1068,6 +1143,29 @@ def oracle_sql() -> dict[str, str]:
               SELECT event_id,
                      TRY_CAST(regexp_extract(props, '"k"\s*:\s*(\d+)', 1) AS BIGINT) AS k
               FROM events) WHERE k >= 50""",
+        "rel_correlated": """
+            SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+            JOIN (SELECT l_partkey AS pk, 0.2 * avg(l_quantity) AS qty_limit
+                  FROM lineitem GROUP BY l_partkey) a ON a.pk = l.l_partkey
+            WHERE p.p_brand = 'Brand#23' AND l.l_quantity < a.qty_limit""",
+        "rel_rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   round(sum(l_quantity), 4) AS sum_qty
+            FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+        "rel_setops": """
+            SELECT 'both' AS tag, CAST(count(*) AS BIGINT) AS n FROM (
+              SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+              INTERSECT
+              SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+            UNION ALL
+            SELECT 'only_building' AS tag, CAST(count(*) AS BIGINT) AS n FROM (
+              SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+              EXCEPT
+              SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')""",
         "events_stream_dedup": """
             SELECT DISTINCT user_id, event_type FROM events""",
         "events_stream_stats": """
@@ -1147,4 +1245,6 @@ def oracle_sql() -> dict[str, str]:
     }
     # knn_batch_ivf probes ALL clusters ⇒ bit-identical to brute knn_batch
     oracles["knn_batch_ivf"] = oracles["knn_batch"]
+    # ann_cosine_ivf probes ALL clusters ⇒ same row set as brute ann_cosine
+    oracles["ann_cosine_ivf"] = oracles["ann_cosine"]
     return oracles

@@ -32,6 +32,7 @@ HEADLINE = [
     "knn_exact",
     "knn_distance",
     "ann_cosine",
+    "knn_batch",
     "similarity_join",
     "rel_topk",
     "rel_agg",
@@ -41,8 +42,10 @@ HEADLINE = [
     "events_windowed",
     "events_sessions",
     "text_quality",
+    "text_quantiles",
     "dedup_exact",
     "dedup_minhash",
+    "dedup_resolve",
 ]
 
 K = 100

@@ -194,3 +194,57 @@ def sample_frames(
         lambda i: i * F.lit(every_ms),
     )
     return df.withColumn("frame_ts_ms", F.explode(offsets))
+
+
+def resize_ppm(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """REAL image resize for binary PPM (P6): nearest-neighbor via numpy
+    index sampling (src = (dst·in)÷out, floored) — deterministic, no codec
+    libraries. Returns a valid P6 payload of the new dimensions."""
+    m = _PPM_HEADER_RE.match(payload)
+    if not m:
+        raise ValueError("not a binary PPM (P6) payload")
+    width, height, maxval = (int(g) for g in m.groups())
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    pixels = np.frombuffer(
+        payload, dtype=np.uint8, count=width * height * 3, offset=m.end()
+    ).reshape(height, width, 3)
+    rows = (np.arange(out_h) * height) // out_h
+    cols = (np.arange(out_w) * width) // out_w
+    out = pixels[rows][:, cols]
+    return ppm_bytes(out_w, out_h, out.tobytes())
+
+
+def resize_images(
+    df: DataFrame,
+    out_w: int,
+    out_h: int,
+    content_col: str = "content",
+) -> DataFrame:
+    """mapInPandas image resize: rewrite the binary payload to
+    ``out_w × out_h`` (real nearest-neighbor for PPM payloads) and update
+    the width/height metadata columns when present. Same partition-local
+    Arrow streaming as extract_features — payloads never shuffle."""
+    fields = list(df.schema.fields)
+    out_schema = StructType(fields)
+    has_w = "width" in df.columns
+    has_h = "height" in df.columns
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[content_col] = [
+                resize_ppm(bytes(p), out_w, out_h) if p is not None else None
+                for p in pdf[content_col]
+            ]
+            if has_w:
+                pdf["width"] = [
+                    out_w if p is not None else None for p in pdf[content_col]
+                ]
+            if has_h:
+                pdf["height"] = [
+                    out_h if p is not None else None for p in pdf[content_col]
+                ]
+            yield pdf
+
+    return df.mapInPandas(_resize, schema=out_schema)

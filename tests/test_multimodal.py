@@ -126,3 +126,41 @@ def test_extract_features_no_decoder_raises(spark):
     df = spark.createDataFrame([(0, bytearray(b"xx"))], "media_id INT, content BINARY")
     with pytest.raises(Exception):
         extract_features(df, "content").collect()
+
+
+def test_resize_ppm_nearest_neighbor():
+    from pq_vector_spark.operators.multimodal import decode_ppm, ppm_bytes, resize_ppm
+
+    # 2×2 image: distinct corner colors
+    rgb = bytes([255, 0, 0,  0, 255, 0,
+                 0, 0, 255,  255, 255, 0])
+    src = ppm_bytes(2, 2, rgb)
+    up = resize_ppm(src, 4, 4)
+    w, h, *means = decode_ppm(up)
+    assert (w, h) == (4.0, 4.0)
+    # each source pixel becomes a 2×2 block → means preserved exactly
+    assert means == list(decode_ppm(src)[2:])
+    down = resize_ppm(src, 1, 1)
+    assert decode_ppm(down)[:2] == [1.0, 1.0]
+    assert decode_ppm(down)[2:] == [255.0, 0.0, 0.0]  # NN picks top-left
+
+
+def test_resize_images_operator(spark):
+    from pq_vector_spark.operators.multimodal import (
+        decode_ppm,
+        ppm_bytes,
+        resize_images,
+    )
+
+    rows = [
+        ("m1", "image", ppm_bytes(4, 2, bytes(range(24))), 4, 2),
+        ("m2", "image", None, None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id STRING, kind STRING, content BINARY, width INT, height INT"
+    )
+    out = {r["media_id"]: r for r in resize_images(df, 2, 2).collect()}
+    assert out["m2"]["content"] is None and out["m2"]["width"] is None
+    w, h, *_ = decode_ppm(bytes(out["m1"]["content"]))
+    assert (w, h) == (2.0, 2.0)
+    assert out["m1"]["width"] == 2 and out["m1"]["height"] == 2
