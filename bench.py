@@ -139,6 +139,11 @@ def main() -> None:
     # sf0.1's embeddings table is 2k rows — fixed costs dominate and an
     # index CANNOT win there; this section measures at 1M × 256.
     scale = _scale_bench(spark) if os.environ.get("PQ_BENCH_SCALE", "1") != "0" else None
+    scale_dedup = (
+        _dedup_scale_bench(spark)
+        if os.environ.get("PQ_BENCH_SCALE", "1") != "0"
+        else None
+    )
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -153,6 +158,8 @@ def main() -> None:
     }
     if scale is not None:
         out["scale"] = scale
+    if scale_dedup is not None:
+        out["scale_dedup"] = scale_dedup
     print(json.dumps(out))
 
 
@@ -322,6 +329,64 @@ def _scale_bench(spark) -> dict:
         "files_scanned": int(obs.get["files_scanned"]),
         "source_bytes": _dir_bytes(src),
         "indexed_bytes": _dir_bytes(out_path),
+    }
+
+
+def _dedup_scale_bench(spark) -> dict:
+    """Dedup pipeline at bench scale: 100k synthetic docs with planted
+    exact + near duplicates (seeded, cached in .cache/). Times the exact
+    fingerprint pass, MinHash-LSH near-dup pairs, and connected-components
+    resolution — the full text-dedup pipeline a training-data run executes."""
+    from pyspark.sql import functions as F
+
+    from pq_vector_spark.operators import dedup as D
+    from tools.gen_scale_docs import generate
+
+    n_docs = int(os.environ.get("PQ_BENCH_DEDUP_ROWS", "100000"))
+    t0 = time.time()
+    src = generate(n_docs)
+    gen_sec = round(time.time() - t0, 3)
+
+    docs = spark.read.parquet(src)
+    docs.count()  # warm
+
+    t0 = time.time()
+    n_exact_groups = D.exact_dedup(docs, "text", "doc_id").count()
+    exact_sec = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    pairs = D.minhash_lsh_pairs(
+        docs, "text", "doc_id", num_hashes=32, bands=8, threshold=0.6
+    )
+    n_pairs = pairs.count()
+    minhash_sec = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    comp = D.connected_components(pairs)
+    n_dup_docs = comp.count()
+    n_components = comp.select("component").distinct().count()
+    resolve_sec = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    n_sim = (
+        docs.select(D.simhash(F.col("text")).alias("sig"))
+        .agg(F.countDistinct("sig"))
+        .collect()[0][0]
+    )
+    simhash_sec = round(time.time() - t0, 3)
+
+    return {
+        "n_docs": n_docs,
+        "gen_sec": gen_sec,
+        "exact_sec": exact_sec,
+        "exact_groups": int(n_exact_groups),
+        "minhash_sec": minhash_sec,
+        "near_dup_pairs": int(n_pairs),
+        "resolve_sec": resolve_sec,
+        "dup_docs": int(n_dup_docs),
+        "dup_components": int(n_components),
+        "simhash_sec": simhash_sec,
+        "simhash_distinct": int(n_sim),
     }
 
 

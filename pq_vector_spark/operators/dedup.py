@@ -456,6 +456,9 @@ def connected_components(
     truncated every round via eager localCheckpoint so plans stay O(1) deep
     at any iteration count; the per-round convergence check is a count()
     action, same driver-loop pattern as Lloyd iterations in index/kmeans.
+    (localCheckpoint stores blocks on executors — on clusters with dynamic
+    allocation or preemption, set a checkpoint dir and swap in reliable
+    ``.checkpoint()`` so a lost executor can't kill the lineage.)
 
     Raises after ``max_iters`` without convergence rather than returning a
     partial labeling.
