@@ -153,6 +153,11 @@ def main() -> None:
         "queries": timings,
         "sf": _sf_from_dir(SF_DIR),
         "recall_at_100": recall,
+        # sf0.1's embeddings table is 2k rows: k=100 is 5% of the table and
+        # nprobe 16/45 probes 36% of it — cluster granularity dominates
+        # recall here. The regime the index exists for is the `scale`
+        # section (1M × 256), where the same defaults give recall 1.0.
+        "recall_note": "sf-scale artifact; see scale.recall_at_100",
         "n_clusters": meta["n_clusters"],
         "nprobe": NPROBE,
     }

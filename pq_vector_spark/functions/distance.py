@@ -193,8 +193,13 @@ def _arrow_multi_kernel(qmat, mode: str):
 
 # total unrolled terms (n_q × dim) allowed before the batch scorer abandons
 # native codegen for the Arrow matrix kernel — each per-query expression
-# stays under UNROLL_LIMIT, but janino also has to swallow their sum.
-MULTI_UNROLL_BUDGET = 2048
+# stays under UNROLL_LIMIT, but the scores-array lives inside a Generate
+# (posexplode) node whose whole-stage method must swallow ALL of them at
+# once. Empirically 5 × 64 = 320 terms already blows the janino method
+# limit there (17k-line generated class, ERROR + silent interpreted
+# fallback), so the budget is the single-expression limit: beyond it the
+# Arrow matrix kernel is both safer and faster.
+MULTI_UNROLL_BUDGET = 128
 
 
 def multi_distances(vec: VectorLike, qmat, metric: str = "l2") -> Column:

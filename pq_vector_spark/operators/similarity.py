@@ -318,6 +318,13 @@ def ivf_similarity_join(
     side: the join becomes a shuffle join on cluster_id, which the corpus
     layout already co-locates.
 
+    Trade-off vs ``ivf_multi_query_topk``: this join ships BOTH vectors of
+    every candidate pair through the scoring kernel (the price of an
+    unbounded DataFrame query side). When the query batch is
+    driver-resident (literals), prefer ``ivf_multi_query_topk`` — its
+    closure-carried query matrix crosses Arrow once and measures ~3×
+    faster at the same workload in bench.py's scale section.
+
     ``prune_scan=True`` additionally pushes a ``cluster_id IN (∪ probed)``
     filter into the corpus scan so unprobed clusters are never READ (file /
     row-group skipping on the sorted layout), not just never joined. This

@@ -293,3 +293,17 @@ def test_ivf_multi_query_topk_dim_mismatch_raises(spark, indexed_corpus):
 
     with pytest.raises(ValueError, match="dimension"):
         ivf_multi_query_topk(spark, indexed_corpus, [(0, [1.0, 2.0])], 3, id_col="cid")
+
+
+def test_multi_query_topk_arrow_path_skips_null_and_mismatch(spark):
+    """Null / wrong-dim rows must drop on the Arrow matrix-kernel route
+    too (NULL scores array → posexplode emits nothing)."""
+    from pq_vector_spark.functions.distance import UNROLL_LIMIT
+    from pq_vector_spark.operators.similarity import multi_query_topk
+
+    dim = UNROLL_LIMIT + 8
+    good = [float(i) for i in range(dim)]
+    rows = [(0, good), (1, [1.0, 2.0]), (2, None), (3, [x + 1.0 for x in good])]
+    df = spark.createDataFrame(rows, "cid INT, vec ARRAY<DOUBLE>")
+    out = multi_query_topk(df, "vec", [("q", good)], 10, id_col="cid").collect()
+    assert {r["cid"] for r in out} == {0, 3}
