@@ -156,6 +156,55 @@ def multi_query_topk(
     return ranked.select(*out_cols)
 
 
+def batch_topk(
+    path_or_df,
+    vec_col: str,
+    queries: Sequence[tuple],
+    k: int,
+    *,
+    spark=None,
+    id_col: Optional[str] = None,
+    nprobe: int = 5,
+    metric: str = "l2",
+    query_id_name: str = "qid",
+) -> DataFrame:
+    """Batch-KNN entry point, mirroring ``operators.topk.topk``'s
+    dispatch: given a *path* whose sidecar IVF index exists, run the
+    pruned ``ivf_multi_query_topk``; given a plain path or a DataFrame,
+    run the exact single-pass ``multi_query_topk``. The indexed route
+    requires ``id_col``."""
+    from pq_vector_spark.index.build import has_index
+
+    if isinstance(path_or_df, str):
+        if spark is None:
+            raise ValueError("spark session required when passing a path")
+        if has_index(path_or_df, spark=spark):
+            if id_col is None:
+                raise ValueError("id_col required for the indexed batch path")
+            return ivf_multi_query_topk(
+                spark,
+                path_or_df,
+                queries,
+                k,
+                id_col=id_col,
+                nprobe=nprobe,
+                metric=metric,
+                query_id_name=query_id_name,
+            )
+        df = spark.read.parquet(path_or_df)
+    else:
+        df = path_or_df
+    return multi_query_topk(
+        df,
+        vec_col,
+        queries,
+        k,
+        id_col=id_col,
+        metric=metric,
+        query_id_name=query_id_name,
+    )
+
+
 def ivf_multi_query_topk(
     spark,
     corpus_indexed_path: str,

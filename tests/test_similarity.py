@@ -307,3 +307,25 @@ def test_multi_query_topk_arrow_path_skips_null_and_mismatch(spark):
     df = spark.createDataFrame(rows, "cid INT, vec ARRAY<DOUBLE>")
     out = multi_query_topk(df, "vec", [("q", good)], 10, id_col="cid").collect()
     assert {r["cid"] for r in out} == {0, 3}
+
+
+def test_batch_topk_dispatch(spark, corpus, indexed_corpus, tmp_path_factory):
+    """batch_topk: indexed path → pruned IVF plan; plain path / DataFrame →
+    single-pass brute plan; results identical (exactness envelope)."""
+    from pq_vector_spark.operators.similarity import batch_topk
+
+    qrows = corpus.filter(F.col("cid") < 3).select("cid", "vec").collect()
+    queries = [(r["cid"], r["vec"]) for r in qrows]
+
+    got_i = batch_topk(
+        indexed_corpus, "vec", queries, 4, spark=spark, id_col="cid", nprobe=8
+    ).collect()
+
+    plain = str(tmp_path_factory.mktemp("batch_plain") / "corpus.parquet")
+    corpus.write.mode("overwrite").parquet(plain)
+    got_p = batch_topk(plain, "vec", queries, 4, spark=spark, id_col="cid").collect()
+    got_d = batch_topk(corpus, "vec", queries, 4, id_col="cid").collect()
+
+    key = lambda r: (r["qid"], r["rank"])
+    as_t = lambda rows: [(r["qid"], r["cid"], r["score"]) for r in sorted(rows, key=key)]
+    assert as_t(got_i) == as_t(got_p) == as_t(got_d)
