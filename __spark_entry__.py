@@ -674,6 +674,14 @@ def _text_quantiles(spark, sf_dir):
     return length_quantiles(docs, "text")
 
 
+def _text_doc_freq(spark, sf_dir):
+    """Top-20 3-gram document frequencies (IDF-table / boilerplate stat)."""
+    from pq_vector_spark.functions.text import ngram_doc_frequency
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_doc_frequency(docs, "text", n=3, top=20)
+
+
 def _dedup_exact(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return D.exact_dedup(docs, "text", "doc_id")
@@ -789,6 +797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang": _text_lang,
         "text_fingerprint": _text_fingerprint,
         "text_quantiles": _text_quantiles,
+        "text_doc_freq": _text_doc_freq,
         "dedup_exact": _dedup_exact,
         "dedup_jaccard": _dedup_jaccard,
         "dedup_resolve": _dedup_resolve,
@@ -1175,6 +1184,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(epoch(min(ts))) AS BIGINT) AS first_ts,
                    CAST(floor(epoch(max(ts))) AS BIGINT) AS last_ts
             FROM events GROUP BY user_id""",
+        "text_doc_freq": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM toks),
+            ex AS (SELECT doc_id, unnest(sh) AS ngram FROM sh)
+            SELECT ngram, CAST(count(*) AS BIGINT) AS df
+            FROM ex GROUP BY ngram
+            ORDER BY df DESC, ngram LIMIT 20""",
         "text_quantiles": """
             SELECT CAST(count(*) AS BIGINT) AS n_docs,
                    round(quantile_cont(CAST(length(text) AS DOUBLE), 0.25), 4) AS q_25,

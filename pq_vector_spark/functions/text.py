@@ -144,3 +144,24 @@ def length_quantiles(df, text_col: str, probs: Sequence[float] = (0.25, 0.5, 0.7
         for i, p in enumerate(probs)
     ]
     return agg.select(*cols)
+
+
+def ngram_doc_frequency(df, text_col: str, n: int = 3, top: int = 20):
+    """Corpus document frequency of token n-grams — the IDF-table building
+    block (and a boilerplate detector: n-grams near df = n_docs are
+    template text worth stripping before training).
+
+    One explode + one count shuffle with map-side combine; the final top-N
+    is TakeOrderedAndProject. Deterministic ordering (df desc, ngram asc).
+    Reuses the dedup module's shingle expression so the n-grams here are
+    exactly the units MinHash/Jaccard dedup operates on.
+    """
+    from pq_vector_spark.operators.dedup import shingles  # runtime: avoids cycle
+
+    ex = df.select(F.explode(shingles(F.col(text_col), n)).alias("ngram"))
+    return (
+        ex.groupBy("ngram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+        .orderBy(F.col("df").desc(), F.col("ngram").asc())
+        .limit(top)
+    )

@@ -66,3 +66,20 @@ def test_length_quantiles_exact(spark):
     assert row["q_50"] == 30.0
     assert row["q_75"] == 40.0
     assert row["q_90"] == 46.0
+
+
+def test_ngram_doc_frequency(spark):
+    from pq_vector_spark.functions.text import ngram_doc_frequency
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox"),
+            (1, "the quick brown dog"),
+            (2, "a quick brown dog"),
+        ],
+        "doc_id INT, text STRING",
+    )
+    got = [(r["ngram"], r["df"]) for r in ngram_doc_frequency(docs, "text", n=3, top=3).collect()]
+    assert got[0] == ("quick brown dog", 2)  # ties broken by ngram asc
+    assert all(df >= got[-1][1] for _, df in got)
+    assert ("the quick brown", 2) in got
