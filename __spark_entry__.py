@@ -443,6 +443,22 @@ def _rel_distinct_count(spark, sf_dir):
     )
 
 
+def _rel_moving_avg(spark, sf_dir):
+    """Sliding-frame window aggregate (ROWS BETWEEN 2 PRECEDING AND
+    CURRENT ROW): per-customer 3-order moving average of order totals."""
+    od = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, 0)
+    )
+    return od.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.avg("o_totalprice").over(w), 4).alias("avg_3"),
+    )
+
+
 def _rel_correlated(spark, sf_dir):
     """TPC-H Q17 shape (correlated scalar subquery): lineitems below 20% of
     their part's average quantity. Expressed decorrelated — per-part avg via
@@ -782,6 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_antijoin": _rel_antijoin,
         "rel_distinct_count": _rel_distinct_count,
         "rel_correlated": _rel_correlated,
+        "rel_moving_avg": _rel_moving_avg,
         "rel_rollup": _rel_rollup,
         "rel_setops": _rel_setops,
         "knn_sql": _knn_sql,
@@ -1160,6 +1177,12 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT l_partkey AS pk, 0.2 * avg(l_quantity) AS qty_limit
                   FROM lineitem GROUP BY l_partkey) a ON a.pk = l.l_partkey
             WHERE p.p_brand = 'Brand#23' AND l.l_quantity < a.qty_limit""",
+        "rel_moving_avg": """
+            SELECT o_custkey, o_orderkey,
+                   round(avg(o_totalprice) OVER (
+                     PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS avg_3
+            FROM orders WHERE o_custkey < 100""",
         "rel_rollup": """
             SELECT l_returnflag, l_linestatus,
                    CAST(count(*) AS BIGINT) AS n_rows,
