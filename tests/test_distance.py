@@ -181,3 +181,14 @@ def test_col_col_dim_hint_routes_to_arrow(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "ArrowEvalPython" in plan or "PythonUDF" in plan
+
+
+def test_multi_distances_validation(spark):
+    from pq_vector_spark.functions.distance import multi_distances
+
+    with pytest.raises(ValueError, match="at least one"):
+        multi_distances(F.col("v"), [])
+    with pytest.raises(ValueError, match="share one dimension"):
+        multi_distances(F.col("v"), [[1.0, 2.0], [1.0]])
+    with pytest.raises(ValueError, match="unknown metric"):
+        multi_distances(F.col("v"), [[1.0, 2.0]], metric="manhattan")
