@@ -93,9 +93,12 @@ def _arrow_fold_kernel(q, mode: str):
                     na += mat[:, j] * mat[:, j]
                 acc = acc / (np.sqrt(na) * nq)
             out[ok] = acc
-        # dim mismatch / null input ⇒ NULL (not NaN), same as zip_with
-        res = pd.array(out, dtype="Float64")
-        res[np.asarray(~ok)] = pd.NA
+        # dim mismatch / null input ⇒ NULL; legitimate NaN scores (e.g.
+        # cosine of a zero-norm vector) must STAY NaN — the native fold
+        # yields NaN there and Spark ranks NaN above every double while
+        # NULLs are filtered/sorted last. An explicit mask marks only the
+        # bad rows as NA (pd.array would coerce every NaN to NA).
+        res = pd.arrays.FloatingArray(out, mask=np.asarray(~ok))
         return pd.Series(res)
 
     return _k
@@ -136,8 +139,9 @@ def _arrow_fold_kernel2(mode: str):
                     nb += mb[:, j] * mb[:, j]
                 acc = acc / (np.sqrt(na) * np.sqrt(nb))
             out[sel] = acc
-        res = pd.array(out, dtype="Float64")
-        res[np.asarray(~ok)] = pd.NA
+        # mask only dim-mismatch/null rows as NA; NaN scores stay NaN
+        # (bit-parity with the zip_with fold — see _arrow_fold_kernel)
+        res = pd.arrays.FloatingArray(out, mask=np.asarray(~ok))
         return pd.Series(res)
 
     return _k
@@ -223,6 +227,12 @@ def multi_distances(vec: VectorLike, qmat, metric: str = "l2") -> Column:
     mode = {"l2": "sq_l2", "sq_l2": "sq_l2", "dot": "dot", "cosine": "cosine"}[metric]
     raw = F.col(vec) if isinstance(vec, str) else vec
     scores = _arrow_multi_kernel(rows, mode)(raw)
+    # Arrow's list conversion nulls NaN ELEMENTS (pa.Array.from_pandas
+    # nan_as_null applies inside lists too). The kernel never emits a null
+    # element on purpose — bad rows become a null ARRAY — so any null
+    # element is a converted NaN score: coalesce it back to keep parity
+    # with the native F.array(...) branch above.
+    scores = F.transform(scores, lambda s: F.coalesce(s, F.lit(float("nan"))))
     if metric == "l2":
         scores = F.transform(scores, lambda s: F.sqrt(s))
     return scores
@@ -364,7 +374,13 @@ def cosine_similarity(a: VectorLike, b: VectorLike, *, dim_hint: int | None = No
         rb = F.col(b) if isinstance(b, str) else b
         return _arrow_fold_kernel2("cosine")(ra, rb)
     dim = len(b) if _is_literal_vec(b) and not _is_literal_vec(a) else None
-    return dot_product(a, b) / (l2_norm(a, dim=dim) * l2_norm(b))
+    denom = l2_norm(a, dim=dim) * l2_norm(b)
+    # zero-norm input ⇒ 0/0: ANSI mode would raise DIVIDE_BY_ZERO, but a
+    # zero norm forces dot == 0 too, so the IEEE (and numpy/DuckDB/Arrow-
+    # kernel) answer is NaN — emit it explicitly. NULL vectors still give
+    # NULL (denom == 0 is NULL there, so the otherwise branch's division
+    # propagates the NULL without evaluating a /0).
+    return F.when(denom == 0, F.lit(float("nan"))).otherwise(dot_product(a, b) / denom)
 
 
 def register_sql_functions(spark: SparkSession) -> None:
@@ -387,11 +403,16 @@ def register_sql_functions(spark: SparkSession) -> None:
         "sqrt(aggregate(transform(cast({v} as array<double>), x -> x * x),"
         " cast(0.0 as double), (acc, x) -> acc + x))"
     )
+    cos_denom = f"({norm.format(v='a')} * {norm.format(v='b')})"
     defs = {
         "squared_l2": sq_expr,
         "array_distance": f"sqrt({sq_expr})",
         "dot_product": dot_expr,
-        "cosine_similarity": f"{dot_expr} / ({norm.format(v='a')} * {norm.format(v='b')})",
+        # zero-norm ⇒ 0/0 ⇒ NaN (never an ANSI DIVIDE_BY_ZERO; NULL stays NULL)
+        "cosine_similarity": (
+            f"CASE WHEN {cos_denom} = 0 THEN cast('NaN' as double) "
+            f"ELSE {dot_expr} / {cos_denom} END"
+        ),
     }
     for name, expr in defs.items():
         try:

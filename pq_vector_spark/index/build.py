@@ -236,87 +236,158 @@ def _build_index_inner(
         "cluster_col": CLUSTER_COL,
         "n_files": int(n_part),
     }
-    file_stats = _collect_file_stats(out_path)
+    file_stats = _collect_file_stats(spark, out_path)
     if file_stats is not None:
         # per-file row-group [min,max] ranges of the cluster column — driver
         # metadata that lets the query path count candidate files with ZERO
         # extra Spark jobs (≙ the ParquetAccessPlan's row-group inventory,
         # src/df_vector/access.rs:123-147)
         meta["file_stats"] = file_stats
+        # per-file per-cluster row counts (one column-pruned aggregate job,
+        # result ≈ n_clusters rows): lets the query path compute EXACT
+        # round-robin candidate-cap quotas on the driver with zero jobs
+        # (≙ the reference's cursor totals, src/df_vector/access.rs:193-243)
+        counts = _collect_cluster_counts(spark, out_path)
+        for fs_ in file_stats:
+            fs_["counts"] = counts.get(fs_["file"], [])
     _write_sidecar(spark, out_path, centroids, meta)
     return meta
 
 
-def _collect_file_stats(out_path: str):
-    """Per-part-file row-group [min, max] ranges of CLUSTER_COL, read from
-    the parquet footers on the driver (local paths only — remote layouts
-    simply omit the stats and the cap path uses ``n_files``). Tiny:
-    n_files × n_row_groups × 2 ints."""
-    import glob
+def _collect_cluster_counts(spark: SparkSession, out_path: str) -> dict:
+    """Per-file per-cluster row counts of the written layout, as
+    ``{basename: [[cluster_id, n], ...]}``. One distributed aggregation over
+    the cluster column only (column-pruned scan, map-side combine); the
+    collected result is ~n_clusters rows of three ints — driver-safe at any
+    table size."""
+    rows = (
+        spark.read.parquet(out_path)
+        .groupBy(
+            F.element_at(F.split(F.input_file_name(), "/"), -1).alias("file"),
+            F.col(CLUSTER_COL).alias("cid"),
+        )
+        .count()
+        .collect()
+    )
+    per: dict = {}
+    for r in rows:
+        per.setdefault(r["file"], []).append([int(r["cid"]), int(r["count"])])
+    return {f: sorted(v) for f, v in per.items()}
 
-    root = out_path[len("file://"):] if out_path.startswith("file://") else out_path
-    if "://" in root or not os.path.isdir(root):
+
+# test hook: force the Hadoop-FS code paths even for local/file:// URLs
+_FORCE_HADOOP = False
+
+
+def _local_root(path: str):
+    """Local filesystem root for a path, or None for any remote URL."""
+    if _FORCE_HADOOP:
         return None
-    try:
-        import pyarrow.parquet as pq
+    root = path[len("file://"):] if path.startswith("file://") else path
+    return None if "://" in root else root
 
+
+def _file_stats_from_metadata(md, basename: str):
+    """Row-group [min,max] ranges of CLUSTER_COL from one parquet footer."""
+    try:
+        col_idx = md.schema.names.index(CLUSTER_COL)
+    except ValueError:
+        return None
+    groups = []
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(col_idx).statistics
+        if st is None or st.min is None:
+            return None
+        groups.append([int(st.min), int(st.max)])
+    return {"file": basename, "groups": groups}
+
+
+def _collect_file_stats(spark: SparkSession, out_path: str):
+    """Per-part-file row-group [min, max] ranges of CLUSTER_COL, read from
+    the parquet footers on the driver. Local paths read with pyarrow
+    directly; ANY other Hadoop-compatible URL reads footers through the JVM
+    FileSystem API via a ranged reader (footer-sized I/O only, zero Spark
+    jobs) — remote layouts keep full cap metadata, ≙ the reference's
+    any-object-store footer reads (src/ivf/parquet.rs:176-208). Tiny:
+    n_files × n_row_groups × 2 ints."""
+    import pyarrow.parquet as pq
+
+    try:
+        root = _local_root(out_path)
         stats = []
-        for fp in sorted(glob.glob(os.path.join(root, "part-*.parquet"))):
-            md = pq.ParquetFile(fp).metadata
-            try:
-                col_idx = md.schema.names.index(CLUSTER_COL)
-            except ValueError:
+        if root is not None:
+            import glob
+
+            if not os.path.isdir(root):
                 return None
-            groups = []
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(col_idx).statistics
-                if st is None or st.min is None:
+            for fp in sorted(glob.glob(os.path.join(root, "part-*.parquet"))):
+                s = _file_stats_from_metadata(
+                    pq.ParquetFile(fp).metadata, os.path.basename(fp)
+                )
+                if s is None:
                     return None
-                groups.append([int(st.min), int(st.max)])
-            stats.append({"file": os.path.basename(fp), "groups": groups})
+                stats.append(s)
+        else:
+            for fp in sorted(_hadoop_glob(spark, f"{out_path}/part-*.parquet")):
+                with _HadoopReadableFile(spark, fp) as f:
+                    md = pq.ParquetFile(f).metadata
+                s = _file_stats_from_metadata(md, fp.rsplit("/", 1)[-1])
+                if s is None:
+                    return None
+                stats.append(s)
         return stats or None
     except Exception:
         return None
 
 
+def _centroids_table(centroids: np.ndarray):
+    import pyarrow as pa
+
+    return pa.table(
+        {
+            "cluster_id": pa.array(range(len(centroids)), type=pa.int32()),
+            "centroid": pa.array(
+                [c.tolist() for c in centroids], type=pa.list_(pa.float32())
+            ),
+        }
+    )
+
+
 def _write_sidecar(spark: SparkSession, out_path: str, centroids: np.ndarray, meta: dict) -> None:
     """Persist the sidecar (centroids parquet + meta json). The sidecar is
-    tiny (≤100k × dim floats), so on a local filesystem it is written
-    directly from the driver — two Spark jobs just for it would dominate
-    small builds. Non-local (HDFS/S3/...) paths fall back to Spark writes.
-    The layout matches what search._load_sidecar_local / the Spark fallback
-    reader expect: ``_pq_index/centroids/*.parquet`` + ``_pq_index/meta/part-*``.
+    tiny (≤100k × dim floats), so it is ALWAYS written from the driver —
+    local filesystems directly, any other Hadoop-compatible URL through the
+    JVM FileSystem byte stream — zero Spark jobs either way (two jobs just
+    for the sidecar would dominate small builds, and remote builds must not
+    lose metadata parity with local ones). The layout matches what
+    search._load_sidecar_local / _load_sidecar_hadoop expect:
+    ``_pq_index/centroids/*.parquet`` + ``_pq_index/meta/part-*``.
     """
-    root = out_path[len("file://"):] if out_path.startswith("file://") else out_path
-    if "://" not in root and os.path.isdir(root):
-        import pyarrow as pa
-        import pyarrow.parquet as pq
+    import pyarrow.parquet as pq
 
+    root = _local_root(out_path)
+    if root is not None and os.path.isdir(root):
         cdir = os.path.join(root, INDEX_DIR, "centroids")
         mdir = os.path.join(root, INDEX_DIR, "meta")
         os.makedirs(cdir, exist_ok=True)
         os.makedirs(mdir, exist_ok=True)
-        tbl = pa.table(
-            {
-                "cluster_id": pa.array(range(len(centroids)), type=pa.int32()),
-                "centroid": pa.array(
-                    [c.tolist() for c in centroids], type=pa.list_(pa.float32())
-                ),
-            }
-        )
-        pq.write_table(tbl, os.path.join(cdir, "part-00000.parquet"))
+        pq.write_table(_centroids_table(centroids), os.path.join(cdir, "part-00000.parquet"))
         with open(os.path.join(mdir, "part-00000"), "w") as f:
             f.write(json.dumps(meta) + "\n")
         return
 
-    cent_df = spark.createDataFrame(
-        [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
-        "cluster_id INT, centroid ARRAY<FLOAT>",
+    import io
+
+    buf = io.BytesIO()
+    pq.write_table(_centroids_table(centroids), buf)
+    _hadoop_write_bytes(
+        spark, f"{out_path}/{INDEX_DIR}/centroids/part-00000.parquet", buf.getvalue()
     )
-    cent_df.coalesce(1).write.mode("overwrite").parquet(f"{out_path}/{INDEX_DIR}/centroids")
-    spark.createDataFrame([(json.dumps(meta),)], "meta STRING").coalesce(1).write.mode(
-        "overwrite"
-    ).text(f"{out_path}/{INDEX_DIR}/meta")
+    _hadoop_write_bytes(
+        spark,
+        f"{out_path}/{INDEX_DIR}/meta/part-00000",
+        (json.dumps(meta) + "\n").encode("utf-8"),
+    )
 
 
 def _hadoop_glob(spark: SparkSession, pattern: str) -> list:
@@ -344,6 +415,82 @@ def _hadoop_read_bytes(spark: SparkSession, path: str) -> bytes:
         return bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
     finally:
         stream.close()
+
+
+def _hadoop_write_bytes(spark: SparkSession, path: str, data: bytes) -> None:
+    """Write one (small) file through the Hadoop FS API — driver-side, zero
+    Spark jobs; ``create`` makes parent directories like the object-store
+    writers the reference builds on (src/ivf/parquet.rs:542-611)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.create(jpath, True)
+    try:
+        stream.write(bytearray(data))
+    finally:
+        stream.close()
+
+
+class _HadoopReadableFile:
+    """Minimal seekable read-only file over the JVM Hadoop FileSystem —
+    just enough surface (read/seek/tell/closed) for pyarrow's parquet
+    footer reader. Every ``read`` is one JVM round-trip, so callers should
+    read footers (a handful of KB-sized ranged reads), never data pages."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        jvm = spark._jvm
+        self._jvm = jvm
+        self._jpath = jvm.org.apache.hadoop.fs.Path(path)
+        self._fs = self._jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        self._size = int(self._fs.getFileStatus(self._jpath).getLen())
+        self._stream = self._fs.open(self._jpath)
+        self._pos = 0
+        self.closed = False
+
+    def size(self) -> int:
+        return self._size
+
+    def tell(self) -> int:
+        return self._pos
+
+    def seekable(self) -> bool:
+        return True
+
+    def readable(self) -> bool:
+        return True
+
+    def seek(self, pos: int, whence: int = 0) -> int:
+        if whence == 1:
+            pos = self._pos + pos
+        elif whence == 2:
+            pos = self._size + pos
+        self._pos = max(0, int(pos))
+        return self._pos
+
+    def read(self, n: int = -1) -> bytes:
+        if n is None or n < 0:
+            n = self._size - self._pos
+        n = max(0, min(int(n), self._size - self._pos))
+        if n == 0:
+            return b""
+        self._stream.seek(self._pos)
+        bounded = self._jvm.org.apache.commons.io.input.BoundedInputStream(
+            self._stream, n
+        )
+        data = bytes(self._jvm.org.apache.commons.io.IOUtils.toByteArray(bounded))
+        self._pos += len(data)
+        return data
+
+    def close(self) -> None:
+        if not self.closed:
+            self._stream.close()
+            self.closed = True
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
 
 def has_index(path: str, spark: Optional[SparkSession] = None) -> bool:

@@ -127,42 +127,71 @@ def _check_query_dim(query: Sequence[float], dim: int) -> np.ndarray:
     return q
 
 
-def _count_candidate_files(meta: dict, probed) -> int:
-    """How many layout files can contain probed clusters — pure driver
-    metadata, ZERO Spark jobs. Uses the per-file row-group [min,max] ranges
-    of the cluster column captured at build time (meta['file_stats'], ≙ the
-    reference's ParquetAccessPlan row-group inventory,
-    src/df_vector/access.rs:123-147); falls back to the build's file count."""
-    pset = sorted(int(c) for c in probed)
+def _candidate_counts_from_meta(meta: dict, probed):
+    """Per-file candidate-row counts for the probed cluster set, from the
+    build-time per-file per-cluster counts (meta['file_stats'][i]['counts'])
+    — pure driver metadata, ZERO Spark jobs. None for pre-counts sidecars."""
     file_stats = meta.get("file_stats")
-    if file_stats:
-        n = 0
-        for fs_ in file_stats:
-            if any(
-                any(lo <= c <= hi for c in pset) for lo, hi in fs_.get("groups", [])
-            ):
-                n += 1
-        return max(1, n)
-    return max(1, int(meta.get("n_files", 1)))
+    if not file_stats or any("counts" not in fs_ for fs_ in file_stats):
+        return None
+    pset = {int(c) for c in probed}
+    out = {}
+    for fs_ in file_stats:
+        n = sum(int(cnt) for cid, cnt in fs_["counts"] if int(cid) in pset)
+        if n:
+            out[fs_["file"]] = n
+    return out
 
 
-def _cap_candidates(df: DataFrame, max_candidates: int, n_files: int) -> DataFrame:
-    """Global candidate cap, interleaved fairly across files
-    (≙ round-robin cursor, src/df_vector/access.rs:193-243 applied at
-    src/df_vector/exec.rs:219-241). Spark form: rank rows within each file
-    and keep rank ≤ floor(cap / n_files) — per-file quota ≈ round-robin
-    fairness without a global pass, and the floor guarantees the total never
-    exceeds the cap. ``n_files`` comes from driver metadata
-    (:func:`_count_candidate_files`) — no eager counting job in the query
-    path. Degenerate cap < n_files keeps a bounded global ``limit``."""
-    quota = max_candidates // max(1, n_files)
-    if quota < 1:
-        return df.limit(max_candidates)
+def _round_robin_quotas(counts: dict, cap: int) -> dict:
+    """EXACT per-file quotas matching the reference's round-robin cursor
+    totals (src/df_vector/access.rs:193-243): take every row with in-file
+    rank ≤ L (the highest water level whose total fits the cap), then one
+    more row from the first files — in sorted-name order — that still have
+    rows, until exactly ``cap`` survive. Skewed files therefore still FILL
+    the cap (a flat floor(cap/n_files) quota would under-fill it)."""
+    files = sorted(counts)
+    cs = {f: int(counts[f]) for f in files}
+    if sum(cs.values()) <= cap:
+        return cs
+    lo, hi = 0, max(cs.values())
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if sum(min(c, mid) for c in cs.values()) <= cap:
+            lo = mid
+        else:
+            hi = mid - 1
+    quotas = {f: min(c, lo) for f, c in cs.items()}
+    leftover = cap - sum(quotas.values())
+    for f in files:
+        if leftover <= 0:
+            break
+        if cs[f] > lo:
+            quotas[f] += 1
+            leftover -= 1
+    return quotas
+
+
+def _basename_col() -> Column:
+    return F.element_at(F.split(F.input_file_name(), "/"), -1)
+
+
+def _cap_candidates(df: DataFrame, quotas: dict) -> DataFrame:
+    """Apply per-file quotas: rank rows within each file and keep rank ≤
+    that file's quota (≙ round-robin cursor applied at
+    src/df_vector/exec.rs:219-241). In-file order uses the scan's
+    ``monotonically_increasing_id`` — stable within one scan, but not a
+    documented cross-version contract, so WHICH rows survive a binding cap
+    may differ between Spark releases; the cap is an approximation knob and
+    the surviving COUNT is exact either way."""
+    qmap = F.create_map(
+        *[x for f, q in sorted(quotas.items()) for x in (F.lit(f), F.lit(int(q)))]
+    )
     w = Window.partitionBy("_pq_file").orderBy(F.monotonically_increasing_id())
     return (
-        df.withColumn("_pq_file", F.input_file_name())
+        df.withColumn("_pq_file", _basename_col())
         .withColumn("_pq_rank", F.row_number().over(w))
-        .filter(F.col("_pq_rank") <= quota)
+        .filter(F.col("_pq_rank") <= F.coalesce(qmap[F.col("_pq_file")], F.lit(0)))
         .drop("_pq_file", "_pq_rank")
     )
 
@@ -207,8 +236,18 @@ def indexed_topk(
     # layout turns it into file/row-group skipping.
     cands = df.filter(F.col(CLUSTER_COL).isin([int(c) for c in probed]))
     if opts.max_candidates is not None:
-        n_files = _count_candidate_files(idx.meta, probed)
-        cands = _cap_candidates(cands, opts.max_candidates, n_files)
+        counts = _candidate_counts_from_meta(idx.meta, probed)
+        if counts is None:
+            # pre-counts sidecar: ONE small aggregation job (cluster column
+            # only, map-side combine) recovers exact per-file counts — the
+            # alternative (a per-file quota from n_files alone) either
+            # under-fills the cap under skew or exceeds it on legacy metas
+            rows = cands.groupBy(_basename_col().alias("_f")).count().collect()
+            counts = {r["_f"]: int(r["count"]) for r in rows}
+        if sum(counts.values()) > opts.max_candidates:
+            cands = _cap_candidates(
+                cands, _round_robin_quotas(counts, opts.max_candidates)
+            )
     if observation is not None:
         # ≙ the reference's plan counters candidate_rows / files_scanned
         # (src/df_vector/index_exec.rs:283-300, exec.rs:405-427), surfaced

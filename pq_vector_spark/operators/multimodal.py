@@ -101,7 +101,33 @@ def decode_wav(payload: bytes) -> list:
     return [float(nch), float(rate), float(nframes)] + [float(m) for m in means]
 
 
-_PPM_HEADER_RE = _re.compile(rb"^P6\s+(\d+)\s+(\d+)\s+(\d+)\s")
+def _parse_ppm_header(payload: bytes):
+    """Parse a binary-PPM (P6) header, INCLUDING '#' comment lines (the
+    netpbm spec allows comments between any header tokens). Returns
+    (width, height, maxval, pixel_data_offset) or raises ValueError."""
+    if not payload or not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    i, n = 2, len(payload)
+    vals = []
+    while len(vals) < 3 and i < n:
+        c = payload[i : i + 1]
+        if c in b" \t\r\n":
+            i += 1
+        elif c == b"#":
+            while i < n and payload[i : i + 1] not in b"\r\n":
+                i += 1
+        elif c.isdigit():
+            j = i
+            while j < n and payload[j : j + 1].isdigit():
+                j += 1
+            vals.append(int(payload[i:j]))
+            i = j
+        else:
+            raise ValueError("not a binary PPM (P6) payload")
+    if len(vals) < 3 or i >= n:
+        raise ValueError("truncated PPM header")
+    # exactly one whitespace byte separates maxval from the pixel data
+    return vals[0], vals[1], vals[2], i + 1
 
 
 def ppm_bytes(width: int, height: int, rgb: bytes) -> bytes:
@@ -112,15 +138,12 @@ def ppm_bytes(width: int, height: int, rgb: bytes) -> bytes:
 
 
 def decode_ppm(payload: bytes) -> list:
-    """REAL image decode for binary PPM (P6): header parse + RGB pixels →
-    ``[width, height, mean_r, mean_g, mean_b]`` as floats."""
-    m = _PPM_HEADER_RE.match(payload)
-    if not m:
-        raise ValueError("not a binary PPM (P6) payload")
-    width, height, maxval = (int(g) for g in m.groups())
+    """REAL image decode for binary PPM (P6), comments included: header
+    parse + RGB pixels → ``[width, height, mean_r, mean_g, mean_b]``."""
+    width, height, maxval, offset = _parse_ppm_header(payload)
     if maxval > 255:
         raise ValueError("16-bit PPM not supported")
-    pixels = np.frombuffer(payload, dtype=np.uint8, count=width * height * 3, offset=m.end())
+    pixels = np.frombuffer(payload, dtype=np.uint8, count=width * height * 3, offset=offset)
     rgb = pixels.reshape(-1, 3).astype(np.float64)
     means = rgb.mean(axis=0) if len(rgb) else np.zeros(3)
     return [float(width), float(height)] + [float(c) for c in means]
@@ -152,6 +175,14 @@ def extract_features(
     """
     if fake and decoder is None:
         decoder = "fake"
+    if decoder is not None and decoder != "fake" and decoder not in _DECODERS:
+        # fail on the DRIVER with the valid choices, not as a KeyError
+        # inside an executor on the first batch
+        raise ValueError(
+            f"unknown decoder {decoder!r}; choose one of "
+            f"{sorted(_DECODERS)} (real), 'fake' (deterministic stub), or "
+            "None (raises NotImplementedError in the workers)"
+        )
     out_schema = StructType(df.schema.fields + [StructField("feature", ArrayType(FloatType()), True)])
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -179,35 +210,130 @@ def extract_features(
     return df.mapInPandas(_extract, schema=out_schema)
 
 
+def split_ppm_frames(payload: bytes) -> list:
+    """Split a concatenated-P6 'video' payload (frame after frame, each a
+    complete binary PPM) into the per-frame byte slices. Raises ValueError
+    on anything that is not wall-to-wall P6 frames."""
+    frames = []
+    off, n = 0, len(payload or b"")
+    while off < n:
+        w, h, maxval, data_off = _parse_ppm_header(payload[off:])
+        end = off + data_off + w * h * 3
+        if end > n:
+            raise ValueError("truncated PPM frame")
+        frames.append(payload[off:end])
+        off = end
+    if not frames:
+        raise ValueError("empty video payload")
+    return frames
+
+
 def sample_frames(
     df: DataFrame,
     every_ms: int = 1000,
     content_col: str = "content",
     duration_col: str = "duration_ms",
+    decoder: Optional[str] = "ppm",
 ) -> DataFrame:
-    """Frame-sampling plumbing for video rows: one output row per sampled
-    timestamp (decode stubbed — emits frame offsets, not pixels). Shows the
-    explode-style fan-out that real frame extraction would use."""
-    n_frames = (F.coalesce(F.col(duration_col), F.lit(0)) / F.lit(every_ms)).cast("int")
-    offsets = F.transform(
-        F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0))),
-        lambda i: i * F.lit(every_ms),
+    """REAL frame sampling for video rows: one output row per sampled
+    timestamp, carrying the CUT frame bytes and its decoded pixel stats.
+
+    ``decoder``:
+    - ``"ppm"`` — the real path: the payload is a concatenated-P6 video
+      (``split_ppm_frames``); the frame covering each sampled timestamp is
+      sliced out verbatim (``frame`` column) and decoded for
+      width/height/per-channel means.
+    - ``"fake"`` — deterministic content-hash-seeded stats per timestamp
+      (for codec formats whose libraries aren't wired); ``frame`` is NULL.
+    - ``None`` — NotImplementedError inside the workers.
+
+    Timestamps: 0, every_ms, … while < duration_ms (one frame at 0 when the
+    duration is NULL/0); the frame index for timestamp t is
+    ``min(t * n_frames // duration_ms, n_frames - 1)`` — the frame on
+    screen at t under even spacing. mapInPandas streams Arrow batches
+    partition-locally; payloads never shuffle."""
+    if decoder is not None and decoder not in ("ppm", "fake"):
+        raise ValueError(f"unknown video decoder {decoder!r}; choose 'ppm', 'fake', or None")
+    out_schema = StructType(
+        df.schema.fields
+        + [
+            StructField("frame_ts_ms", IntegerType(), False),
+            StructField("frame_index", IntegerType(), False),
+            StructField("frame", BinaryType(), True),
+            StructField("frame_width", IntegerType(), True),
+            StructField("frame_height", IntegerType(), True),
+            StructField("frame_mean_r", FloatType(), True),
+            StructField("frame_mean_g", FloatType(), True),
+            StructField("frame_mean_b", FloatType(), True),
+        ]
     )
-    return df.withColumn("frame_ts_ms", F.explode(offsets))
+    cols = [f.name for f in df.schema.fields]
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows = []
+            for row in pdf.to_dict("records"):
+                if decoder is None:
+                    raise NotImplementedError(
+                        "no video decoder wired for this format; pass "
+                        "decoder='ppm' for concatenated-P6 payloads or "
+                        "'fake' for the deterministic stub"
+                    )
+                payload = row.get(content_col)
+                payload = bytes(payload) if payload is not None else None
+                dur = row.get(duration_col)
+                dur = int(dur) if dur is not None else 0
+                ts_list = (
+                    [i * every_ms for i in range(max(dur // every_ms, 1))]
+                    if dur > 0
+                    else [0]
+                )
+                if decoder == "ppm" and payload is not None:
+                    frames = split_ppm_frames(payload)
+                    nf = len(frames)
+                    for t in ts_list:
+                        idx = min(t * nf // dur, nf - 1) if dur > 0 else min(
+                            t // max(every_ms, 1), nf - 1
+                        )
+                        fb = frames[idx]
+                        w, h, mr, mg, mb = decode_ppm(fb)
+                        out_rows.append(
+                            {**row, "frame_ts_ms": t, "frame_index": idx,
+                             "frame": fb, "frame_width": int(w),
+                             "frame_height": int(h), "frame_mean_r": mr,
+                             "frame_mean_g": mg, "frame_mean_b": mb}
+                        )
+                else:
+                    for j, t in enumerate(ts_list):
+                        stats = (
+                            _fake_feature((payload or b"") + t.to_bytes(4, "big"), 5)
+                            * 255.0
+                        )
+                        out_rows.append(
+                            {**row, "frame_ts_ms": t, "frame_index": j,
+                             "frame": None, "frame_width": int(stats[0]),
+                             "frame_height": int(stats[1]),
+                             "frame_mean_r": float(stats[2]),
+                             "frame_mean_g": float(stats[3]),
+                             "frame_mean_b": float(stats[4])}
+                        )
+            yield pd.DataFrame(out_rows, columns=cols + [
+                "frame_ts_ms", "frame_index", "frame", "frame_width",
+                "frame_height", "frame_mean_r", "frame_mean_g", "frame_mean_b",
+            ])
+
+    return df.mapInPandas(_sample, schema=out_schema)
 
 
 def resize_ppm(payload: bytes, out_w: int, out_h: int) -> bytes:
     """REAL image resize for binary PPM (P6): nearest-neighbor via numpy
     index sampling (src = (dst·in)÷out, floored) — deterministic, no codec
     libraries. Returns a valid P6 payload of the new dimensions."""
-    m = _PPM_HEADER_RE.match(payload)
-    if not m:
-        raise ValueError("not a binary PPM (P6) payload")
-    width, height, maxval = (int(g) for g in m.groups())
+    width, height, maxval, offset = _parse_ppm_header(payload)
     if maxval > 255:
         raise ValueError("16-bit PPM not supported")
     pixels = np.frombuffer(
-        payload, dtype=np.uint8, count=width * height * 3, offset=m.end()
+        payload, dtype=np.uint8, count=width * height * 3, offset=offset
     ).reshape(height, width, 3)
     rows = (np.arange(out_h) * height) // out_h
     cols = (np.arange(out_w) * width) // out_w

@@ -94,12 +94,17 @@ _FN_EXPANSIONS["dot_product"] = (
     "aggregate(zip_with(cast({a} as array<double>), cast({b} as array<double>),"
     " (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"
 )
-_FN_EXPANSIONS["cosine_similarity"] = (
-    _FN_EXPANSIONS["dot_product"]
-    + " / (sqrt(aggregate(transform(cast({a} as array<double>), x -> x * x),"
+_COS_DENOM = (
+    "(sqrt(aggregate(transform(cast({a} as array<double>), x -> x * x),"
     " cast(0.0 as double), (acc, x) -> acc + x))"
     " * sqrt(aggregate(transform(cast({b} as array<double>), x -> x * x),"
     " cast(0.0 as double), (acc, x) -> acc + x)))"
+)
+# zero-norm ⇒ 0/0 ⇒ NaN explicitly (ANSI mode would raise DIVIDE_BY_ZERO);
+# NULL inputs keep NULL via the ELSE branch's null-propagating division
+_FN_EXPANSIONS["cosine_similarity"] = (
+    "CASE WHEN " + _COS_DENOM + " = 0 THEN cast('NaN' as double) ELSE "
+    + _FN_EXPANSIONS["dot_product"] + " / " + _COS_DENOM + " END"
 )
 
 
@@ -232,14 +237,23 @@ def pq_sql(
         # not a numeric vector literal → still compute the brute-force
         # answer, like every other fall-through branch
         return spark.sql(expand_vector_functions(query))
+    # a table-qualified sort column must name the matched FROM table
+    # (db.table accepts either the full name or its last component) —
+    # 'ORDER BY other.embedding' must NOT silently use this table's index
+    col = m.group("col")
+    if "." in col:
+        qual, col_name = col.rsplit(".", 1)
+        if qual not in (table, table.split(".")[-1]):
+            return spark.sql(expand_vector_functions(query))
+    else:
+        col_name = col
     pre = F.expr(where) if where else None
     out = indexed_topk(
         spark,
         path,
         vec,
         int(m.group("k")),
-        # accept a table-qualified sort column (emb_idx.embedding)
-        column=m.group("col").split(".")[-1],
+        column=col_name,
         options=options,
         pre_filter=pre,
     )

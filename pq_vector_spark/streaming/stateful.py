@@ -17,6 +17,24 @@ import math
 from pyspark.sql import DataFrame
 
 
+def _grow_partials(partials: list, x: float) -> list:
+    """Shewchuk grow-expansion step (the kernel inside ``math.fsum`` /
+    the classic 'msum' recipe): merge ``x`` into a list of non-overlapping
+    doubles whose exact mathematical sum equals the running total. Exact —
+    no rounding ever — so accumulation order cannot change the result."""
+    out = []
+    for y in partials:
+        if abs(x) < abs(y):
+            x, y = y, x
+        hi = x + y
+        lo = y - (hi - x)
+        if lo:
+            out.append(lo)
+        x = hi
+    out.append(x)
+    return out
+
+
 def streaming_user_stats(
     stream: DataFrame,
     user_col: str = "user_id",
@@ -26,10 +44,14 @@ def streaming_user_stats(
     """Per-user running (n_events, sum_value, first_ts, last_ts) maintained
     in custom group state and re-emitted each microbatch.
 
-    The float accumulator uses ``math.fsum`` over the running compensated
-    state + batch values — exact to the final double, so totals are
-    arrival-order-independent (a requirement for oracle parity: the batch
-    oracle sums in a different order than microbatch arrival).
+    The float accumulator keeps Shewchuk EXACT PARTIALS (the non-overlapping
+    expansion ``math.fsum`` builds internally) in the state itself, not one
+    already-rounded double — so the running total is EXACT across
+    microbatches and the emitted ``sum_value`` is the correctly-rounded sum
+    of every value seen, independent of arrival order or batch boundaries
+    (a requirement for oracle parity: the batch oracle sums in a different
+    order than microbatch arrival). The partials list stays tiny (one entry
+    per distinct magnitude scale, a handful in practice).
 
     Output (per microbatch, 'update' semantics — the latest row per key
     wins): (user_id, n_events, sum_value, first_ts, last_ts) with
@@ -42,24 +64,26 @@ def streaming_user_stats(
         f"{user_col} BIGINT, n_events BIGINT, sum_value DOUBLE, "
         "first_ts BIGINT, last_ts BIGINT"
     )
-    state_schema = "n BIGINT, s DOUBLE, mn BIGINT, mx BIGINT"
+    state_schema = "n BIGINT, partials ARRAY<DOUBLE>, mn BIGINT, mx BIGINT"
 
     def fn(key, pdf_iter, state):
         if state.exists:
-            n, s, mn, mx = state.get
+            n, partials, mn, mx = state.get
+            partials = list(partials or [])
         else:
-            n, s, mn, mx = 0, 0.0, None, None
-        vals = [s]
+            n, partials, mn, mx = 0, [], None, None
         for pdf in pdf_iter:
             n += len(pdf)
-            vals.extend(float(v) for v in pdf[value_col])
+            for v in pdf[value_col]:
+                partials = _grow_partials(partials, float(v))
             ts = (pdf[ts_col].astype("int64") // 1_000_000_000).to_numpy()
             if len(ts):
                 lo, hi = int(ts.min()), int(ts.max())
                 mn = lo if mn is None else min(mn, lo)
                 mx = hi if mx is None else max(mx, hi)
-        s = math.fsum(vals)
-        state.update((n, s, mn, mx))
+        state.update((n, partials, mn, mx))
+        # fsum over non-overlapping partials = the correctly-rounded total
+        s = math.fsum(partials)
         yield pd.DataFrame(
             {
                 user_col: [key[0]],

@@ -192,3 +192,66 @@ def test_multi_distances_validation(spark):
         multi_distances(F.col("v"), [[1.0, 2.0], [1.0]])
     with pytest.raises(ValueError, match="unknown metric"):
         multi_distances(F.col("v"), [[1.0, 2.0]], metric="manhattan")
+
+
+# ---------------- NaN preservation across the codegen boundary (round-3) ----
+
+
+def test_nan_scores_survive_arrow_kernels(spark):
+    """Legitimate NaN scores (cosine with a zero-norm column vector) must
+    stay NaN through the Arrow kernels, exactly as the native fold yields
+    NaN — only dim-mismatch/null rows become NULL. Spark ranks NaN above
+    every double while NULL is filtered/sorted last, so coercing NaN to
+    NULL would silently change top-k rankings across the UNROLL_LIMIT
+    boundary."""
+    import math
+
+    import numpy as np
+
+    from pq_vector_spark.functions.distance import UNROLL_LIMIT, cosine_similarity
+
+    for dim in (4, UNROLL_LIMIT + 8):  # native fold vs Arrow kernel
+        rows = [
+            (0, [0.0] * dim),            # zero norm -> 0/0 = NaN
+            (1, [1.0] + [0.0] * (dim - 1)),
+            (2, None),                    # null -> NULL
+            (3, [1.0, 2.0, 3.0]) if dim > 4 else (3, [1.0] * dim),
+        ]
+        df = spark.createDataFrame(rows, "id INT, v ARRAY<DOUBLE>")
+        q = [1.0] + [0.0] * (dim - 1)
+        got = {
+            r["id"]: r["c"]
+            for r in df.select("id", cosine_similarity(F.col("v"), q).alias("c")).collect()
+        }
+        assert got[0] is not None and math.isnan(got[0]), f"dim={dim}: {got[0]!r}"
+        assert got[1] == pytest.approx(1.0)
+        assert got[2] is None
+        if dim > 4:
+            assert got[3] is None  # dim mismatch -> NULL, not NaN
+
+
+def test_nan_scores_survive_multi_kernel(spark):
+    """multi_distances cosine: a zero-norm corpus row must score NaN for
+    every query in BOTH the native F.array branch and the Arrow matrix
+    kernel (Arrow nulls NaN inside lists; the kernel coalesces them back)."""
+    import math
+
+    import numpy as np
+
+    from pq_vector_spark.functions.distance import MULTI_UNROLL_BUDGET, UNROLL_LIMIT, multi_distances
+
+    wide = UNROLL_LIMIT + 16
+    for dim in (4, wide):
+        n_q = 3
+        rng = np.random.default_rng(7)
+        qmat = [[float(x) for x in rng.random(dim)] for _ in range(n_q)]
+        rows = [(0, [0.0] * dim), (1, [float(x) for x in rng.random(dim)])]
+        df = spark.createDataFrame(rows, "id INT, v ARRAY<DOUBLE>")
+        got = {
+            r["id"]: r["s"]
+            for r in df.select(
+                "id", multi_distances(F.col("v"), qmat, metric="cosine").alias("s")
+            ).collect()
+        }
+        assert all(s is not None and math.isnan(s) for s in got[0]), f"dim={dim}: {got[0]!r}"
+        assert all(s is not None and not math.isnan(s) for s in got[1])

@@ -286,3 +286,148 @@ def test_build_narrows_double_vectors_to_float(spark, tmp_path):
         assert got_d[i] == got_f[i]
     expected0 = np.asarray([v for v in vals], dtype=np.float32)
     assert np.array_equal(np.asarray(got_d[0], dtype=np.float32), expected0)
+
+
+# ---------------- exact interleaved cap (round-3) ----------------
+
+
+def test_round_robin_quotas_fill_cap_under_skew():
+    """One file holding 90% of candidates must still fill the cap exactly
+    (≙ the reference's cursor totals, src/df_vector/access.rs:193-243) —
+    the old floor(cap/n_files) quota under-filled here."""
+    from pq_vector_spark.index.search import _round_robin_quotas
+
+    counts = {"a": 900, "b": 50, "c": 50}
+    q = _round_robin_quotas(counts, 200)
+    assert sum(q.values()) == 200
+    assert q["b"] == 50 and q["c"] == 50 and q["a"] == 100  # water level fills
+    # cap below file count: still exactly cap rows, one each from the first
+    q2 = _round_robin_quotas(counts, 2)
+    assert sum(q2.values()) == 2
+    # no capping needed
+    q3 = _round_robin_quotas(counts, 5000)
+    assert q3 == counts
+    # extreme skew: everything in one file
+    q4 = _round_robin_quotas({"only": 10_000}, 64)
+    assert q4 == {"only": 64}
+
+
+def test_cap_candidates_exact_under_file_skew(spark, tmp_path):
+    """End-to-end: a directory whose files hold 90/10 of the rows, capped —
+    exactly `cap` rows survive, interleaved by the computed quotas."""
+    from pq_vector_spark.index.search import _cap_candidates, _round_robin_quotas
+
+    d = str(tmp_path / "skew")
+    spark.createDataFrame(
+        [(i,) for i in range(900)], "id INT"
+    ).coalesce(1).write.mode("overwrite").parquet(d)
+    spark.createDataFrame(
+        [(i,) for i in range(900, 1000)], "id INT"
+    ).coalesce(1).write.mode("append").parquet(d)
+    df = spark.read.parquet(d)
+    rows = df.groupBy(F.element_at(F.split(F.input_file_name(), "/"), -1).alias("f")).count().collect()
+    counts = {r["f"]: int(r["count"]) for r in rows}
+    assert sorted(counts.values()) == [100, 900]
+    cap = 250
+    quotas = _round_robin_quotas(counts, cap)
+    capped = _cap_candidates(df, quotas)
+    ids = [r["id"] for r in capped.collect()]
+    assert len(ids) == cap
+    # per-file survivor counts match the quotas (file1 wrote ids 0-899,
+    # file2 ids 900-999; input_file_name is gone after the window shuffle,
+    # so verify provenance through the id ranges)
+    n_big = sum(1 for i in ids if i < 900)
+    n_small = sum(1 for i in ids if i >= 900)
+    by_file = {f: q for f, q in quotas.items()}
+    assert sorted(by_file.values()) == sorted([n_big, n_small])
+    assert n_small == 100  # the small file contributes everything it has
+
+
+def test_capped_query_fills_cap_exactly(spark, indexed_table):
+    """Binding cap on the real indexed path: candidate_rows == cap exactly
+    (counts come from build-time meta, zero extra jobs)."""
+    from pyspark.sql import Observation
+
+    fs = indexed_table["meta"]["file_stats"]
+    assert all("counts" in f for f in fs)
+    obs = Observation("cap_exact")
+    out = indexed_topk(
+        spark,
+        indexed_table["out"],
+        [0.5] * 8,
+        5,
+        options=VectorTopKOptions(nprobe=16, max_candidates=64),
+        tie_break="id",
+        observation=obs,
+    )
+    assert len(out.collect()) == 5
+    # nprobe=16 == n_clusters -> all 2000 rows are candidates; cap binds
+    assert obs.get["candidate_rows"] == 64
+
+
+# ---------------- Hadoop-complete build path (round-3) ----------------
+
+
+def test_hadoop_build_path_keeps_file_stats(spark, tmp_path, monkeypatch):
+    """Force the Hadoop-FS branch on a file:// URL: the sidecar and the
+    full file_stats (+ per-cluster counts) must round-trip identically to
+    the local branch, with zero Spark jobs for the sidecar/footer I/O."""
+    import pq_vector_spark.index.build as B
+
+    rng = np.random.default_rng(77)
+    src = str(tmp_path / "hsrc.parquet")
+    out = str(tmp_path / "hout")
+    rows = [(int(i), [float(x) for x in rng.random(8, dtype=np.float32)]) for i in range(500)]
+    spark.createDataFrame(rows, "id INT, vec ARRAY<FLOAT>").repartition(2).write.parquet(src)
+
+    monkeypatch.setattr(B, "_FORCE_HADOOP", True)
+    meta = build_index(
+        spark, "file://" + src, "file://" + out,
+        column="vec", options=IndexBuildOptions(n_clusters=8),
+    )
+    assert "file_stats" in meta and all("counts" in f for f in meta["file_stats"])
+    # sidecar readable through BOTH readers
+    monkeypatch.setattr(B, "_FORCE_HADOOP", False)
+    idx = load_index(spark, out)
+    assert idx.meta["file_stats"] == meta["file_stats"]
+    from pq_vector_spark.index.search import _load_sidecar_hadoop
+
+    hmeta, hcents = _load_sidecar_hadoop(spark, "file://" + out)
+    assert hmeta == idx.meta and hcents.shape == (8, 8)
+
+    # capped round-trip on the hadoop-built layout
+    from pyspark.sql import Observation
+
+    obs = Observation("hadoop_cap")
+    got = indexed_topk(
+        spark, out, [0.5] * 8, 5,
+        options=VectorTopKOptions(nprobe=8, max_candidates=32),
+        tie_break="id", observation=obs,
+    )
+    assert len(got.collect()) == 5
+    assert obs.get["candidate_rows"] == 32
+
+
+def test_hadoop_sidecar_and_footer_io_run_zero_jobs(spark, tmp_path, monkeypatch):
+    """The driver-side Hadoop FS sidecar write + footer stats read must not
+    launch Spark jobs (the reference's object-store footer I/O is likewise
+    job-free, src/ivf/parquet.rs:176-208)."""
+    import numpy as _np
+
+    import pq_vector_spark.index.build as B
+
+    d = str(tmp_path / "zj")
+    spark.createDataFrame(
+        [(i, i % 4) for i in range(100)], f"id INT, {CLUSTER_COL} INT"
+    ).coalesce(1).write.parquet(d)
+    monkeypatch.setattr(B, "_FORCE_HADOOP", True)
+
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None) or [])
+    stats = B._collect_file_stats(spark, "file://" + d)
+    B._write_sidecar(
+        spark, "file://" + d, _np.zeros((4, 8), dtype=_np.float32), {"probe": 1}
+    )
+    after = set(tracker.getJobIdsForGroup(None) or [])
+    assert stats and stats[0]["groups"]
+    assert after == before, f"unexpected Spark jobs: {sorted(after - before)}"

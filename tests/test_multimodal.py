@@ -51,9 +51,66 @@ def test_real_decode_is_stubbed(media):
 
 
 def test_sample_frames_fanout(media):
-    out = sample_frames(media.filter(F.col("kind") == "video"), every_ms=1000).collect()
+    # non-PPM payload → fake decoder keeps the fan-out shape deterministic
+    out = sample_frames(
+        media.filter(F.col("kind") == "video"), every_ms=1000, decoder="fake"
+    ).collect()
     # 3500 ms at 1000 ms cadence ⇒ frames at 0, 1000, 2000
-    assert [r["frame_ts_ms"] for r in out] == [0, 1000, 2000]
+    assert sorted(r["frame_ts_ms"] for r in out) == [0, 1000, 2000]
+    again = sample_frames(
+        media.filter(F.col("kind") == "video"), every_ms=1000, decoder="fake"
+    ).collect()
+    assert sorted(map(str, out)) == sorted(map(str, again))  # deterministic
+
+
+def test_sample_frames_real_ppm_video(spark):
+    """Concatenated-P6 video: the sampled frames are the ACTUAL frame bytes,
+    and the per-frame channel means match a direct decode."""
+    from pq_vector_spark.operators.multimodal import decode_ppm, ppm_bytes, split_ppm_frames
+
+    frames = [
+        ppm_bytes(2, 2, bytes([i * 10 + c for _ in range(4) for c in range(3)]))
+        for i in range(4)
+    ]
+    video = b"".join(frames)
+    assert split_ppm_frames(video) == frames
+    df = spark.createDataFrame(
+        [("v0", bytearray(video), 4000)], "media_id STRING, content BINARY, duration_ms INT"
+    )
+    out = sample_frames(df, every_ms=1000).orderBy("frame_ts_ms").collect()
+    assert [r["frame_ts_ms"] for r in out] == [0, 1000, 2000, 3000]
+    assert [r["frame_index"] for r in out] == [0, 1, 2, 3]
+    for r in out:
+        assert bytes(r["frame"]) == frames[r["frame_index"]]
+        w, h, mr, mg, mb = decode_ppm(bytes(r["frame"]))
+        assert (r["frame_width"], r["frame_height"]) == (int(w), int(h))
+        assert r["frame_mean_r"] == pytest.approx(mr)
+        assert r["frame_mean_b"] == pytest.approx(mb)
+
+
+def test_sample_frames_none_decoder_raises(media):
+    with pytest.raises(Exception) as ei:
+        sample_frames(media.filter(F.col("kind") == "video"), decoder=None).collect()
+    assert "NotImplementedError" in str(ei.value)
+    with pytest.raises(ValueError, match="unknown video decoder"):
+        sample_frames(media, decoder="h264")
+
+
+def test_extract_features_rejects_unknown_decoder_on_driver(media):
+    with pytest.raises(ValueError, match="unknown decoder"):
+        extract_features(media, decoder="jpeg")
+
+
+def test_ppm_header_comments():
+    """netpbm '#' comment lines between header tokens must parse."""
+    from pq_vector_spark.operators.multimodal import decode_ppm
+
+    rgb = bytes(range(12))
+    payload = b"P6\n# a comment\n2 # inline\n2\n# another\n255\n" + rgb
+    w, h, mr, mg, mb = decode_ppm(payload)
+    assert (w, h) == (2.0, 2.0)
+    plain = b"P6\n2 2\n255\n" + rgb
+    assert decode_ppm(plain) == decode_ppm(payload)
 
 
 def test_features_feed_vector_operators(spark, media):
