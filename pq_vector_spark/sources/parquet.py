@@ -69,9 +69,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # an aborted-job ERROR stack in every session's log tail
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # int64 nanos (nanosAsLong already active in this session) → TIMESTAMP
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    if name == "events":
+        df = _normalize_event_time(df, "ts")
+    return df
+
+
+def _normalize_event_time(df: DataFrame, ts_col: str) -> DataFrame:
+    """Normalize the two parquet-timestamp encodings the fixtures have shipped
+    with to a plain TIMESTAMP (TZ-aware, session tz pinned UTC):
+
+    - int64 nanos (pandas writer + ``nanosAsLong``) → ``timestamp_micros``;
+    - ``timestamp[us]`` without UTC adjustment → Spark 4 infers
+      TIMESTAMP_NTZ, which ``withWatermark`` rejects
+      (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). The session tz is pinned UTC,
+      so ``cast("timestamp")`` is value-preserving.
+    """
+    dtype = dict(df.dtypes).get(ts_col)
+    if dtype == "bigint":
+        return df.withColumn(
+            ts_col, F.timestamp_micros((F.col(ts_col) / 1000).cast("long"))
+        )
+    if dtype == "timestamp_ntz":
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return df
 
 
@@ -95,10 +114,8 @@ def load_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     else:
         raw = spark.read.parquet(dir_path)
         stream = spark.readStream.schema(raw.schema).parquet(dir_path)
-    if name == "events" and dict(raw.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+    if name == "events":
+        stream = _normalize_event_time(stream, "ts")
     return stream
 
 

@@ -15,6 +15,16 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _watermarkable(df: DataFrame, ts_col: str) -> DataFrame:
+    """``withWatermark`` rejects TIMESTAMP_NTZ event time
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE — Spark 4 infers NTZ for parquet
+    ``timestamp[us]`` without UTC adjustment). Sessions here pin the tz to
+    UTC, so casting NTZ → TIMESTAMP is value-preserving. No-op otherwise."""
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def tumbling_agg(
     events: DataFrame,
     ts_col: str = "ts",
@@ -53,6 +63,7 @@ def streaming_tumbling_agg(
 ) -> DataFrame:
     """Streaming form: watermark bounds state; late events beyond the
     watermark are dropped; output mode 'update'/'append' chosen by caller."""
+    stream = _watermarkable(stream, ts_col)
     return (
         stream.withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window_duration).alias("_w"), F.col(key_col))
@@ -120,6 +131,7 @@ def streaming_sessionize(
     state managed by Spark; watermark evicts closed sessions). Sessions
     merge only while gaps are STRICTLY below ``gap_minutes`` (end-exclusive)
     — the batch form above uses the same ``>=`` break rule."""
+    stream = _watermarkable(stream, ts_col)
     return (
         stream.withWatermark(ts_col, watermark)
         .groupBy(
@@ -166,6 +178,7 @@ def streaming_dedup(
     deterministic output (the distinct key set is identical either way).
     """
     if within_watermark is not None:
+        stream = _watermarkable(stream, ts_col)
         return stream.withWatermark(ts_col, within_watermark).dropDuplicatesWithinWatermark(
             key_cols
         )

@@ -159,6 +159,73 @@ def test_streaming_dedup_within_watermark_bounds_state(spark):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
 
 
+def _events_ntz(spark):
+    """Same fixture but with TIMESTAMP_NTZ event time — Spark 4 infers NTZ
+    for parquet ``timestamp[us]`` without UTC adjustment, and
+    ``withWatermark`` rejects NTZ (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE)."""
+    ev = _events(spark)
+    return ev.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+
+
+def test_streaming_tumbling_accepts_ntz_event_time(spark):
+    ev_ntz = _events_ntz(spark)
+    assert dict(ev_ntz.dtypes)["ts"] == "timestamp_ntz"
+    got = _run_stream(
+        spark,
+        ev_ntz,
+        lambda s: streaming_tumbling_agg(s, "ts", "event_type", "value", "1 hour"),
+        "stream_tumbling_ntz",
+    )
+    batch = tumbling_agg(_events(spark), "ts", "event_type", "value", "1 hour")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_streaming_sessionize_accepts_ntz_event_time(spark):
+    got = _run_stream(
+        spark,
+        _events_ntz(spark),
+        lambda s: streaming_sessionize(s, "ts", "user_id", gap_minutes=30),
+        "stream_sessions_ntz",
+    )
+    per_user = {}
+    for r in got.collect():
+        per_user.setdefault(r["user_id"], []).append(r["n_events"])
+    assert sorted(per_user[1]) == [1, 1, 2]
+    assert per_user[2] == [2]
+
+
+def test_load_table_normalizes_ntz_event_time(spark, tmp_path):
+    """load_table/load_stream must hand back a watermarkable TIMESTAMP ts
+    even when the parquet file carries timestamp[us] without UTC adjustment."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pq_vector_spark.sources.parquet import load_stream, load_table
+
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array(
+                [dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 1, 1)],
+                pa.timestamp("us"),  # no tz → Spark 4 reads TIMESTAMP_NTZ
+            ),
+            "user_id": pa.array([1, 1], pa.int64()),
+            "event_type": pa.array(["click", "view"], pa.string()),
+            "value": pa.array([1.0, 2.0], pa.float64()),
+            "props": pa.array(["{}", "{}"], pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    batch = load_table(spark, str(tmp_path), "events")
+    assert dict(batch.dtypes)["ts"] == "timestamp"
+    stream = load_stream(spark, str(tmp_path), "events")
+    assert dict(stream.dtypes)["ts"] == "timestamp"
+    # the real gate: a watermark attaches without EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE
+    stream.withWatermark("ts", "1 hour").groupBy(
+        F.window("ts", "1 hour")
+    ).count()
+
+
 def test_stateful_user_stats_matches_batch(spark):
     """applyInPandasWithState custom state: final per-user stats must equal
     the batch aggregation (latest emit per key wins)."""
