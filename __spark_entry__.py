@@ -527,6 +527,39 @@ def _knn_sql(spark, sf_dir):
     )
 
 
+def _knn_auto(spark, sf_dir):
+    """Automatic top-k PLAN interception: the query text is a CTE the
+    textual matcher (plans/sql.py regex) cannot see, so the only way this
+    can take the indexed path is the optimized-plan interceptor
+    (plans/intercept.py ≙ reference physical rule src/df_vector/physical.rs:
+    20-229). nprobe = n_clusters ⇒ candidate set is all rows ⇒ exact.
+    The CollectMetrics assertion makes the row FAIL (not silently pass on
+    the brute-force fallback) if interception stops firing."""
+    from pyspark.sql import Observation
+
+    from pq_vector_spark.plans.sql import pq_sql, register_indexed_table
+    from pq_vector_spark.session import VectorTopKOptions
+
+    path = _indexed_path(spark, sf_dir)
+    register_indexed_table(spark, "emb_auto", path)
+    q = _qvec(spark, sf_dir, 0)
+    vec = ", ".join(repr(float(x)) for x in q)
+    sql = (
+        "WITH c AS (SELECT vec_id, embedding FROM emb_auto WHERE vec_id >= 0) "
+        f"SELECT vec_id FROM c "
+        f"ORDER BY array_distance(embedding, array({vec})), vec_id LIMIT {K}"
+    )
+    obs = Observation()
+    out = pq_sql(
+        spark, sql, options=VectorTopKOptions(nprobe=IVF_CLUSTERS), observation=obs
+    )
+    # only the indexed path attaches observed metrics — proof the probe fired
+    assert "CollectMetrics" in out._jdf.queryExecution().optimizedPlan().toString(), (
+        "knn_auto: plan interception did not fire"
+    )
+    return out
+
+
 def _events_stream_windowed(spark, sf_dir):
     """True Structured Streaming run (readStream → watermark → window →
     memory sink, availableNow trigger) over the same events table; must
@@ -802,6 +835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_rollup": _rel_rollup,
         "rel_setops": _rel_setops,
         "knn_sql": _knn_sql,
+        "knn_auto": _knn_auto,
         "events_windowed": _events_windowed,
         "events_stream_windowed": _events_stream_windowed,
         "events_sessions": _events_sessions,
@@ -1011,6 +1045,11 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY {_dist("embedding", qlit)}, vec_id LIMIT {K}""",
         "knn_sql": f"""
             SELECT vec_id FROM embeddings
+            ORDER BY {_dist("embedding", qlit)}, vec_id LIMIT {K}""",
+        # knn_auto probes nprobe = n_clusters ⇒ exact ⇒ same answer as the
+        # brute-force top-k (the WHERE vec_id >= 0 keeps every row)
+        "knn_auto": f"""
+            SELECT vec_id FROM embeddings WHERE vec_id >= 0
             ORDER BY {_dist("embedding", qlit)}, vec_id LIMIT {K}""",
         # knn_ivf_approx: intentionally no oracle — approximate result,
         # recall-gated (reference stance: benches/query.rs:192-193)

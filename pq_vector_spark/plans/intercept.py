@@ -1,0 +1,292 @@
+"""Automatic top-k plan interception — the PySpark realization of the
+reference's physical-optimizer rule (reference: src/df_vector/physical.rs:20-229,
+wired at src/df_vector/session.rs:16-35).
+
+Where ``plans/sql.py`` pattern-matches the SQL *text*, this module matches
+the *optimized logical plan* of an already-analyzed DataFrame, so any query
+that Catalyst normalizes into the canonical shape
+
+  GlobalLimit k
+    LocalLimit k
+      [Project <attrs>]
+        Sort [<l2-distance>(col, literal-vec) ASC [, attr ASC]] global
+          [Project <attrs> / Filter <cond>]*
+            LogicalRelation parquet <indexed path>
+
+is rerouted to the IVF probe (``indexed_topk``) — regardless of how the SQL
+was written (subqueries, CTEs, odd whitespace, DataFrame API with
+``F.expr``). This is the honest in-Python equivalent of injecting a physical
+rule: PySpark cannot register Catalyst rules without a JVM extension jar
+(SURVEY §7/M4), so we inspect ``queryExecution().optimizedPlan()`` through
+py4j AFTER Catalyst has done its normalization work and swap the DataFrame
+wholesale.
+
+Every guard the reference's rule applies is applied here (ASC-only, single
+distance key, literal query vector, simple scan below the sort —
+physical.rs:134-177; Cast-stripping ≙ physical.rs:216-229); one extension: a
+trailing plain-attribute ASC key is accepted and forwarded as the
+deterministic tie-break. Any mismatch — or any py4j surprise — declines the
+rewrite and the caller keeps the original (correct, brute-force) DataFrame:
+a fall-through is never an error, exactly like the reference's rule
+declining to fire.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _cls(jnode) -> str:
+    return jnode.getClass().getSimpleName()
+
+
+def _strip_cast(e):
+    # ≙ the reference stripping Cast/TryCast around the distance call
+    # (physical.rs:216-229); Catalyst inserts Cast when the stored column is
+    # array<float> and the literal folded to array<double>.
+    while _cls(e) in ("Cast", "AnsiCast", "TryCast"):
+        e = e.children().apply(0)
+    return e
+
+
+def _lambda_parts(lf):
+    """LambdaFunction children are (function, arg0, arg1, ...)."""
+    ch = lf.children()
+    return ch.apply(0), [ch.apply(i) for i in range(1, ch.size())]
+
+
+def _eid(v) -> int:
+    return v.exprId().id()
+
+
+def _is_sub(e, a_id: int, b_id: int) -> bool:
+    """e == Subtract(var a, var b) with exactly those lambda variables."""
+    if _cls(e) != "Subtract":
+        return False
+    l, r = e.children().apply(0), e.children().apply(1)
+    return (
+        _cls(l) == "NamedLambdaVariable"
+        and _cls(r) == "NamedLambdaVariable"
+        and _eid(l) == a_id
+        and _eid(r) == b_id
+    )
+
+
+def _match_l2_sort_expr(expr):
+    """Match the canonical L2 expression our SQL expansion / registration
+    produces (plans/sql.py:_FN_EXPANSIONS, functions/distance.py:
+    register_sql_functions):
+
+      [Sqrt] ArrayAggregate(ZipWith(col, lit, (x,y)->(x-y)*(x-y)),
+                            0.0, (acc,x)->acc+x, id->id)
+
+    Returns (column_name, [floats]) or None. The Sqrt is optional so
+    ``ORDER BY squared_l2(...)`` (same ordering) intercepts too.
+    """
+    e = _strip_cast(expr)
+    if _cls(e) == "Sqrt":
+        e = _strip_cast(e.children().apply(0))
+    if _cls(e) != "ArrayAggregate":
+        return None
+    ch = e.children()  # (argument, zero, merge, finish)
+    if ch.size() != 4:
+        return None
+    zw, zero, merge, finish = (ch.apply(i) for i in range(4))
+    if _cls(zw) != "ZipWith":
+        return None
+    left, right = _strip_cast(zw.left()), _strip_cast(zw.right())
+    # one side the stored column, the other the (constant-folded) query vec
+    if _cls(left) == "AttributeReference" and _cls(right) == "Literal":
+        attr, lit = left, right
+    elif _cls(right) == "AttributeReference" and _cls(left) == "Literal":
+        attr, lit = right, left
+    else:
+        return None
+    if not lit.dataType().simpleString().startswith("array<"):
+        return None
+    # (x, y) -> (x - y) * (x - y)   [exprId-checked, so (x-y)*(y-x) declines]
+    fn, args = _lambda_parts(zw.function())
+    if _cls(fn) != "Multiply" or len(args) != 2:
+        return None
+    a_id, b_id = _eid(args[0]), _eid(args[1])
+    m_l, m_r = fn.children().apply(0), fn.children().apply(1)
+    ok_xy = _is_sub(m_l, a_id, b_id) and _is_sub(m_r, a_id, b_id)
+    ok_yx = _is_sub(m_l, b_id, a_id) and _is_sub(m_r, b_id, a_id)
+    if not (ok_xy or ok_yx):
+        return None
+    # zero == 0.0, merge == (acc, x) -> acc + x, finish == identity
+    if _cls(zero) != "Literal" or float(zero.value()) != 0.0:
+        return None
+    mfn, margs = _lambda_parts(merge)
+    if _cls(mfn) != "Add" or len(margs) != 2:
+        return None
+    add_ids = {_eid(mfn.children().apply(0)), _eid(mfn.children().apply(1))}
+    if add_ids != {_eid(margs[0]), _eid(margs[1])}:
+        return None
+    ffn, fargs = _lambda_parts(finish)
+    if _cls(ffn) != "NamedLambdaVariable" or len(fargs) != 1 or _eid(ffn) != _eid(fargs[0]):
+        return None
+    vec = [float(x) for x in lit.value().toDoubleArray()]
+    return attr, vec
+
+
+def _attr_only_project(jnode) -> Optional[list]:
+    """Project list if every output is a bare AttributeReference, else None."""
+    pl = jnode.projectList()
+    out = []
+    for i in range(pl.size()):
+        e = pl.apply(i)
+        if _cls(e) != "AttributeReference":
+            return None
+        out.append(e.name())
+    return out
+
+
+def _normalize_path(p: str) -> str:
+    if p.startswith("file:"):
+        p = re.sub(r"^file:(//)?", "", p)
+    return os.path.abspath(p.rstrip("/"))
+
+
+def _strip_qualifiers(sql: str, qualifiers) -> str:
+    """``emb.vec_id > 5`` → ``vec_id > 5``: the rebuilt scan has no view
+    alias, so qualified names from the optimized plan's Filter must be
+    unqualified before F.expr. Quote-blind but anchored on word boundaries;
+    a resolution failure later simply declines the rewrite."""
+    for q in qualifiers:
+        sql = re.sub(rf"(?<![\w.'\"`]){re.escape(q)}\.", "", sql)
+        sql = re.sub(rf"`{re.escape(q)}`\.", "", sql)
+    return sql
+
+
+def _collect_qualifiers(jexpr, acc: set) -> None:
+    """Every qualifier part on every AttributeReference inside ``jexpr`` —
+    conditions may carry the view/CTE alias they were written against, which
+    differs from the sort column's qualifier."""
+    if _cls(jexpr) == "AttributeReference":
+        q = jexpr.qualifier()
+        for i in range(q.size()):
+            acc.add(q.apply(i))
+    ch = jexpr.children()
+    for i in range(ch.size()):
+        _collect_qualifiers(ch.apply(i), acc)
+
+
+def try_intercept_topk(
+    spark: SparkSession,
+    df: DataFrame,
+    options=None,
+    observation=None,
+) -> Optional[DataFrame]:
+    """Inspect ``df``'s optimized logical plan; if it is the canonical
+    top-k-by-L2-distance shape over a registered indexed table, return the
+    equivalent IVF-probe DataFrame (same output columns), else None.
+
+    Never raises: any unexpected plan/py4j shape declines (returns None).
+    """
+    from pq_vector_spark.plans.sql import _INDEXED_TABLES
+
+    if not _INDEXED_TABLES:
+        return None
+    try:
+        return _try_intercept(spark, df, options, observation, _INDEXED_TABLES)
+    except Exception:
+        return None
+
+
+def _try_intercept(spark, df, options, observation, indexed_tables):
+    plan = df._jdf.queryExecution().optimizedPlan()
+    if _cls(plan) != "GlobalLimit":
+        return None
+    k_lit = plan.limitExpr()
+    if _cls(k_lit) != "Literal":
+        return None
+    k = int(k_lit.value())
+    node = plan.children().apply(0)
+    if _cls(node) != "LocalLimit":
+        return None
+    node = node.children().apply(0)
+    if _cls(node) == "Project":
+        if _attr_only_project(node) is None:
+            return None
+        node = node.children().apply(0)
+    if _cls(node) != "Sort" or not getattr(node, "global")():
+        return None
+    order = node.order()
+    if order.size() not in (1, 2):
+        return None
+    so = order.apply(0)
+    if so.direction().sql() != "ASC":
+        # ASC-only guard ≙ physical.rs:143-145
+        return None
+    matched = _match_l2_sort_expr(so.child())
+    if matched is None:
+        return None
+    attr, vec = matched
+    tie_break = None
+    if order.size() == 2:
+        so2 = order.apply(1)
+        t = _strip_cast(so2.child())
+        if so2.direction().sql() != "ASC" or _cls(t) != "AttributeReference":
+            return None
+        tie_break = t.name()
+
+    # below the Sort: only attr-projections and filters down to one parquet scan
+    conds = []
+    n2 = node.children().apply(0)
+    while _cls(n2) in ("Project", "Filter"):
+        if _cls(n2) == "Project":
+            if _attr_only_project(n2) is None:
+                return None
+        else:
+            cond = n2.condition()
+            quals: set = set()
+            _collect_qualifiers(cond, quals)
+            conds.append(_strip_qualifiers(cond.sql(), quals))
+        n2 = n2.children().apply(0)
+    if _cls(n2) != "LogicalRelation":
+        return None
+    rel = n2.relation()
+    if _cls(rel) != "HadoopFsRelation":
+        return None
+    rps = rel.location().rootPaths()
+    if rps.size() != 1:
+        return None
+    scan_path = _normalize_path(rps.apply(0).toString())
+    path = next(
+        (p for p in indexed_tables.values() if _normalize_path(p) == scan_path),
+        None,
+    )
+    if path is None:
+        return None
+
+    pre = None
+    for c in conds:
+        col = F.expr(c)
+        pre = col if pre is None else (pre & col)
+    if pre is not None:
+        # analysis-only resolution probe (no job): a condition the rebuilt
+        # scan can't resolve declines HERE, before an Observation could be
+        # attached to a plan that then fails.
+        spark.read.parquet(path).filter(pre).schema
+
+    from pq_vector_spark.index.search import indexed_topk
+
+    out = indexed_topk(
+        spark,
+        path,
+        vec,
+        k,
+        column=attr.name(),
+        options=options,
+        pre_filter=pre,
+        tie_break=tie_break,
+        observation=observation,
+    )
+    # identical output schema (names + order) to the plan being replaced
+    return out.select(*df.columns)

@@ -189,36 +189,60 @@ def expand_vector_functions(query: str) -> str:
 _SUBQUERY_RE = re.compile(r"\(\s*SELECT\b", re.IGNORECASE)
 
 
+def _fallback(
+    spark: SparkSession,
+    query: str,
+    options: Optional[VectorTopKOptions],
+    observation=None,
+) -> DataFrame:
+    """The decline path for the textual matcher: run the expanded query
+    through plain ``spark.sql``, then give the PLAN-level interceptor
+    (plans/intercept.py — the analogue of the reference's physical rule,
+    physical.rs:20-229) one shot at rerouting the optimized plan to the
+    IVF probe. Queries the regex can't see (CTEs, subselects, odd
+    formatting) still hit the index this way; a second decline returns the
+    correct brute-force DataFrame."""
+    df = spark.sql(expand_vector_functions(query))
+    from pq_vector_spark.plans.intercept import try_intercept_topk
+
+    hit = try_intercept_topk(spark, df, options=options, observation=observation)
+    return hit if hit is not None else df
+
+
 def pq_sql(
     spark: SparkSession,
     query: str,
     options: Optional[VectorTopKOptions] = None,
+    observation=None,
 ) -> DataFrame:
     """Run SQL; rewrite the one top-k-by-distance shape to the IVF path.
 
     Structure is matched against a QUOTE-MASKED copy of the query (string
     literals can't fake an ``ORDER BY``/``LIMIT``); the actual fragments are
     sliced from the original text by match span. Every guard falls through
-    to plain ``spark.sql`` over the expanded (brute-force) form — a
-    fall-through is never an error, exactly like the reference's rule
-    declining to fire (src/df_vector/physical.rs:134-177).
+    to ``_fallback`` — plain ``spark.sql`` over the expanded (brute-force)
+    form plus one plan-level interception attempt — so a fall-through is
+    never an error, exactly like the reference's rule declining to fire
+    (src/df_vector/physical.rs:134-177).
     """
     masked = _mask_quoted(query)
     m = _TOPK_RE.match(masked)
     if not m:
-        return spark.sql(expand_vector_functions(query))
+        return _fallback(spark, query, options, observation)
     if m.group("dir") and m.group("dir").upper() == "DESC":
         # ASC-only guard (physical.rs:143-145)
-        return spark.sql(expand_vector_functions(query))
+        return _fallback(spark, query, options, observation)
     if m.group("offset"):
         # no-OFFSET guard (physical.rs:36-90)
-        return spark.sql(expand_vector_functions(query))
+        return _fallback(spark, query, options, observation)
     table = m.group("table")
     path = _INDEXED_TABLES.get(table)
     if path is None:
-        # not an indexed table → plain Spark SQL (brute-force top-k; Spark
-        # compiles it to TakeOrderedAndProject, already the optimal exact plan)
-        return spark.sql(expand_vector_functions(query))
+        # not an indexed table by NAME — the plan interceptor still catches
+        # aliases/views over a registered indexed PATH; otherwise plain
+        # Spark SQL (brute-force top-k; Spark compiles it to
+        # TakeOrderedAndProject, already the optimal exact plan)
+        return _fallback(spark, query, options, observation)
     # fragments from the ORIGINAL text (masking is structural only)
     proj = query[slice(*m.span("proj"))].strip()
     where = query[slice(*m.span("where"))] if m.group("where") else None
@@ -227,7 +251,7 @@ def pq_sql(
     if _SUBQUERY_RE.search(_mask_quoted(proj)) or (
         where and _SUBQUERY_RE.search(_mask_quoted(where))
     ):
-        return spark.sql(expand_vector_functions(query))
+        return _fallback(spark, query, options, observation)
 
     from pq_vector_spark.index.search import indexed_topk
 
@@ -236,7 +260,7 @@ def pq_sql(
     except ValueError:
         # not a numeric vector literal → still compute the brute-force
         # answer, like every other fall-through branch
-        return spark.sql(expand_vector_functions(query))
+        return _fallback(spark, query, options, observation)
     # a table-qualified sort column must name the matched FROM table
     # (db.table accepts either the full name or its last component) —
     # 'ORDER BY other.embedding' must NOT silently use this table's index
@@ -256,6 +280,7 @@ def pq_sql(
         column=col_name,
         options=options,
         pre_filter=pre,
+        observation=observation,
     )
     if proj != "*":
         # projection fragments may themselves use vector functions / bracket
