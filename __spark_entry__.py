@@ -806,6 +806,50 @@ def _multimodal_features(spark, sf_dir):
     )
 
 
+def _multimodal_frames(spark, sf_dir):
+    """REAL video frame-sampling pipeline: synthesize a concatenated-P6
+    video per document (4 one-pixel frames whose RGB bytes are md5(text)
+    digest bytes 0..11 — deterministic and oracle-reproducible), cut frames
+    at a 1 s cadence with ``sample_frames`` (real P6 split + decode,
+    operators/multimodal.py), and emit the per-frame pixel stats. Every
+    number here comes from actual payload bytes — the oracle recomputes
+    them from the md5 hex in SQL."""
+    from pyspark.sql.types import BinaryType
+
+    from pq_vector_spark.operators.multimodal import ppm_bytes, sample_frames
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("_h")
+    )
+
+    @F.pandas_udf(BinaryType())
+    def _mk_video(h: pd.Series) -> pd.Series:
+        def mk(hx: str) -> bytes:
+            dig = bytes.fromhex(hx)
+            return b"".join(
+                ppm_bytes(1, 1, dig[3 * i : 3 * i + 3]) for i in range(4)
+            )
+
+        return h.map(mk)
+
+    media = (
+        docs.withColumn("content", _mk_video("_h"))
+        .withColumn("duration_ms", F.lit(4000))
+        .drop("_h")
+    )
+    out = sample_frames(media, every_ms=1000, decoder="ppm")
+    return out.select(
+        "doc_id",
+        F.col("frame_ts_ms").cast("int").alias("frame_ts_ms"),
+        F.col("frame_index").cast("int").alias("frame_index"),
+        F.col("frame_width").cast("int").alias("frame_width"),
+        F.col("frame_height").cast("int").alias("frame_height"),
+        F.col("frame_mean_r").cast("int").alias("mean_r"),
+        F.col("frame_mean_g").cast("int").alias("mean_g"),
+        F.col("frame_mean_b").cast("int").alias("mean_b"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_exact": _knn_exact,
@@ -857,6 +901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": _dedup_embedding,
         "dedup_embedding_bucketed": _dedup_embedding_bucketed,
         "multimodal_features": _multimodal_features,
+        "multimodal_frames": _multimodal_frames,
     }
 
 
@@ -1011,6 +1056,30 @@ def _wav_oracle_sql() -> str:
     SELECT doc_id, 1 AS n_channels, 8000 AS sample_rate,
            CAST(8 AS BIGINT) AS n_frames, {mean} AS mean_pcm
     FROM s"""
+
+
+def _frames_oracle_sql() -> str:
+    """DuckDB mirror of the P6 frame-sampling pipeline: frame i (0..3) of
+    each doc's synthetic video is one pixel whose R,G,B are md5 digest
+    bytes 3i, 3i+1, 3i+2 — read straight out of the hex string."""
+
+    def byte_at(p: int) -> str:
+        return f"CAST(concat('0x', substr(h, {2 * p + 1}, 2)) AS INTEGER)"
+
+    return f"""
+    WITH s AS (SELECT doc_id, md5(text) AS h FROM documents),
+         f AS (SELECT unnest(range(4)) AS i)
+    SELECT doc_id,
+           CAST(i * 1000 AS INT) AS frame_ts_ms,
+           CAST(i AS INT) AS frame_index,
+           1 AS frame_width, 1 AS frame_height,
+           CASE i WHEN 0 THEN {byte_at(0)} WHEN 1 THEN {byte_at(3)}
+                  WHEN 2 THEN {byte_at(6)} ELSE {byte_at(9)} END AS mean_r,
+           CASE i WHEN 0 THEN {byte_at(1)} WHEN 1 THEN {byte_at(4)}
+                  WHEN 2 THEN {byte_at(7)} ELSE {byte_at(10)} END AS mean_g,
+           CASE i WHEN 0 THEN {byte_at(2)} WHEN 1 THEN {byte_at(5)}
+                  WHEN 2 THEN {byte_at(8)} ELSE {byte_at(11)} END AS mean_b
+    FROM s CROSS JOIN f"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1320,6 +1389,7 @@ def oracle_sql() -> dict[str, str]:
         # int16s — the oracle re-derives the signed samples from the hex
         # digest; the mean of 8 int16s is exact in every fp width involved
         "multimodal_features": _wav_oracle_sql(),
+        "multimodal_frames": _frames_oracle_sql(),
     }
     # knn_batch_ivf probes ALL clusters ⇒ bit-identical to brute knn_batch
     oracles["knn_batch_ivf"] = oracles["knn_batch"]

@@ -101,13 +101,18 @@ def decode_wav(payload: bytes) -> list:
     return [float(nch), float(rate), float(nframes)] + [float(m) for m in means]
 
 
-def _parse_ppm_header(payload: bytes):
-    """Parse a binary-PPM (P6) header, INCLUDING '#' comment lines (the
-    netpbm spec allows comments between any header tokens). Returns
-    (width, height, maxval, pixel_data_offset) or raises ValueError."""
-    if not payload or not payload.startswith(b"P6"):
+def _parse_ppm_header(payload: bytes, start: int = 0):
+    """Parse a binary-PPM (P6) header at byte offset ``start``, INCLUDING
+    '#' comment lines (the netpbm spec allows comments between any header
+    tokens). Returns (width, height, maxval, pixel_data_offset) — the
+    offset is ABSOLUTE within ``payload`` — or raises ValueError.
+
+    Scanning by absolute index (no ``payload[start:]`` slice) keeps
+    multi-frame video parsing linear in payload size instead of O(n²)
+    byte copies per frame."""
+    if not payload or not payload.startswith(b"P6", start):
         raise ValueError("not a binary PPM (P6) payload")
-    i, n = 2, len(payload)
+    i, n = start + 2, len(payload)
     vals = []
     while len(vals) < 3 and i < n:
         c = payload[i : i + 1]
@@ -217,8 +222,8 @@ def split_ppm_frames(payload: bytes) -> list:
     frames = []
     off, n = 0, len(payload or b"")
     while off < n:
-        w, h, maxval, data_off = _parse_ppm_header(payload[off:])
-        end = off + data_off + w * h * 3
+        w, h, maxval, data_off = _parse_ppm_header(payload, off)
+        end = data_off + w * h * 3
         if end > n:
             raise ValueError("truncated PPM frame")
         frames.append(payload[off:end])
@@ -247,6 +252,10 @@ def sample_frames(
       (for codec formats whose libraries aren't wired); ``frame`` is NULL.
     - ``None`` — NotImplementedError inside the workers.
 
+    NULL payloads on the REAL ('ppm') path yield NULL frame/index/stat
+    columns for each sampled timestamp — never fabricated statistics; only
+    the explicitly-chosen 'fake' decoder ever invents numbers.
+
     Timestamps: 0, every_ms, … while < duration_ms (one frame at 0 when the
     duration is NULL/0); the frame index for timestamp t is
     ``min(t * n_frames // duration_ms, n_frames - 1)`` — the frame on
@@ -258,7 +267,7 @@ def sample_frames(
         df.schema.fields
         + [
             StructField("frame_ts_ms", IntegerType(), False),
-            StructField("frame_index", IntegerType(), False),
+            StructField("frame_index", IntegerType(), True),  # NULL payload → NULL
             StructField("frame", BinaryType(), True),
             StructField("frame_width", IntegerType(), True),
             StructField("frame_height", IntegerType(), True),
@@ -288,7 +297,19 @@ def sample_frames(
                     if dur > 0
                     else [0]
                 )
-                if decoder == "ppm" and payload is not None:
+                if decoder == "ppm":
+                    if payload is None:
+                        # real path + no content ⇒ NULL features (a
+                        # hash-seeded stand-in here would silently corrupt
+                        # downstream feature columns)
+                        for t in ts_list:
+                            out_rows.append(
+                                {**row, "frame_ts_ms": t, "frame_index": None,
+                                 "frame": None, "frame_width": None,
+                                 "frame_height": None, "frame_mean_r": None,
+                                 "frame_mean_g": None, "frame_mean_b": None}
+                            )
+                        continue
                     frames = split_ppm_frames(payload)
                     nf = len(frames)
                     for t in ts_list:

@@ -88,6 +88,44 @@ def test_sample_frames_real_ppm_video(spark):
         assert r["frame_mean_b"] == pytest.approx(mb)
 
 
+def test_sample_frames_null_payload_yields_null_stats(spark):
+    """NULL content on the REAL ('ppm') path must produce NULL frame/index/
+    stat columns — never hash-fabricated numbers (those would silently
+    corrupt a training pipeline's feature columns)."""
+    from pq_vector_spark.operators.multimodal import ppm_bytes
+
+    video = b"".join(
+        ppm_bytes(2, 2, bytes([i * 10] * 12)) for i in range(2)
+    )
+    df = spark.createDataFrame(
+        [("v0", bytearray(video), 2000), ("v_null", None, 2000)],
+        "media_id STRING, content BINARY, duration_ms INT",
+    )
+    out = sample_frames(df, every_ms=1000, decoder="ppm").collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(r)
+    # real row decodes normally
+    assert all(r["frame"] is not None for r in by_id["v0"])
+    # NULL payload: one row per sampled ts, every derived column NULL
+    assert sorted(r["frame_ts_ms"] for r in by_id["v_null"]) == [0, 1000]
+    for r in by_id["v_null"]:
+        for c in ("frame_index", "frame", "frame_width", "frame_height",
+                  "frame_mean_r", "frame_mean_g", "frame_mean_b"):
+            assert r[c] is None, f"{c} fabricated for NULL payload: {r[c]}"
+
+
+def test_split_ppm_frames_linear_many_frames():
+    """Many-frame payload parses with absolute-offset scanning (the old
+    per-frame tail slice was O(n²) bytes); spot-check frame identity."""
+    from pq_vector_spark.operators.multimodal import ppm_bytes, split_ppm_frames
+
+    frames = [ppm_bytes(3, 3, bytes([i % 256] * 27)) for i in range(500)]
+    got = split_ppm_frames(b"".join(frames))
+    assert len(got) == 500
+    assert got[0] == frames[0] and got[499] == frames[499]
+
+
 def test_sample_frames_none_decoder_raises(media):
     with pytest.raises(Exception) as ei:
         sample_frames(media.filter(F.col("kind") == "video"), decoder=None).collect()
