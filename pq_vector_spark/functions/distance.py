@@ -408,10 +408,16 @@ def register_sql_functions(spark: SparkSession) -> None:
         "squared_l2": sq_expr,
         "array_distance": f"sqrt({sq_expr})",
         "dot_product": dot_expr,
-        # zero-norm ⇒ 0/0 ⇒ NaN (never an ANSI DIVIDE_BY_ZERO; NULL stays NULL)
+        # zero-norm ⇒ 0/0 ⇒ NaN (never an ANSI DIVIDE_BY_ZERO; NULL stays
+        # NULL: a NULL denom makes the CASE take the ELSE branch whose
+        # division propagates it). The O(d) denominator is bound ONCE via a
+        # single-element transform lambda — Catalyst's subexpression
+        # elimination does not dedupe across CASE branches, so the naive
+        # CASE form evaluated both norms twice per row.
         "cosine_similarity": (
-            f"CASE WHEN {cos_denom} = 0 THEN cast('NaN' as double) "
-            f"ELSE {dot_expr} / {cos_denom} END"
+            f"transform(array({cos_denom}), _pq_d -> "
+            f"CASE WHEN _pq_d = 0 THEN cast('NaN' as double) "
+            f"ELSE {dot_expr} / _pq_d END)[0]"
         ),
     }
     for name, expr in defs.items():

@@ -229,8 +229,18 @@ def indexed_topk(
     # Spark converts IN-list parquet pushdown to a weak min/max range filter
     # beyond this threshold (default 10) — probed cluster ids are arbitrary,
     # so the range spans nearly everything. Keep real IN pushdown for any
-    # plausible nprobe.
-    spark.conf.set("spark.sql.parquet.pushdown.inFilterThreshold", "512")
+    # plausible nprobe. Raised save/restore style (like build_index does for
+    # maxPartitionBytes) so the session conf is never left mutated: the
+    # physical plan is forced inside the window below, because parquet
+    # filter translation happens at PLANNING time, not at indexed_topk time.
+    _IN_KEY = "spark.sql.parquet.pushdown.inFilterThreshold"
+    try:
+        prev_in = spark.conf.get(_IN_KEY)
+    except Exception:
+        prev_in = None
+    needs_raise = len(probed) > int(prev_in or 10)
+    if needs_raise:
+        spark.conf.set(_IN_KEY, "512")
     df = spark.read.parquet(path)
     # cluster_id IN (...) pushes to the parquet scan; the cluster-sorted
     # layout turns it into file/row-group skipping.
@@ -277,6 +287,17 @@ def indexed_topk(
     out = out.orderBy(*order).limit(k).drop(CLUSTER_COL)
     if not keep_distance:
         out = out.drop(DISTANCE_COL)
+    if needs_raise:
+        try:
+            # freeze the physical plan (and its pushed IN filter) while the
+            # raised threshold is in effect — the Dataset caches this
+            # QueryExecution, so later actions reuse the pruned scan
+            out._jdf.queryExecution().executedPlan()
+        finally:
+            if prev_in is None:
+                spark.conf.unset(_IN_KEY)
+            else:
+                spark.conf.set(_IN_KEY, prev_in)
     return out
 
 

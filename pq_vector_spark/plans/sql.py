@@ -101,10 +101,14 @@ _COS_DENOM = (
     " cast(0.0 as double), (acc, x) -> acc + x)))"
 )
 # zero-norm ⇒ 0/0 ⇒ NaN explicitly (ANSI mode would raise DIVIDE_BY_ZERO);
-# NULL inputs keep NULL via the ELSE branch's null-propagating division
+# NULL inputs keep NULL via the ELSE branch's null-propagating division.
+# The O(d) denominator is bound ONCE via a single-element transform lambda
+# (Catalyst's subexpression elimination does not dedupe across CASE
+# branches, so the naive CASE form paid the two norms twice per row).
 _FN_EXPANSIONS["cosine_similarity"] = (
-    "CASE WHEN " + _COS_DENOM + " = 0 THEN cast('NaN' as double) ELSE "
-    + _FN_EXPANSIONS["dot_product"] + " / " + _COS_DENOM + " END"
+    "transform(array(" + _COS_DENOM + "), _pq_d -> "
+    "CASE WHEN _pq_d = 0 THEN cast('NaN' as double) ELSE "
+    + _FN_EXPANSIONS["dot_product"] + " / _pq_d END)[0]"
 )
 
 

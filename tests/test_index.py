@@ -431,3 +431,29 @@ def test_hadoop_sidecar_and_footer_io_run_zero_jobs(spark, tmp_path, monkeypatch
     after = set(tracker.getJobIdsForGroup(None) or [])
     assert stats and stats[0]["groups"]
     assert after == before, f"unexpected Spark jobs: {sorted(after - before)}"
+
+
+def test_in_filter_threshold_restored_after_indexed_topk(spark, indexed_table):
+    """indexed_topk must not leave the session's parquet IN-pushdown
+    threshold mutated (the raised value is only needed while the physical
+    plan is frozen inside the call) — and the frozen plan must still carry
+    the real IN pushdown, not the degraded min/max range."""
+    key = "spark.sql.parquet.pushdown.inFilterThreshold"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "10")  # low enough that nprobe=16 needs the raise
+    try:
+        out = indexed_topk(
+            spark,
+            indexed_table["out"],
+            [0.5] * 8,
+            5,
+            options=VectorTopKOptions(nprobe=16),
+            tie_break="id",
+        )
+        assert spark.conf.get(key) == "10", "conf left mutated by indexed_topk"
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert f"In({CLUSTER_COL}" in plan, "IN pushdown lost from frozen plan"
+        assert len(out.collect()) == 5
+        assert spark.conf.get(key) == "10"
+    finally:
+        spark.conf.set(key, prev)
