@@ -139,7 +139,10 @@ def _knn_ivf_exact(spark, sf_dir):
 
 
 def _knn_ivf_approx(spark, sf_dir):
-    # approximate (nprobe < n_clusters) — recall-gated, not hash-gated
+    # approximate (nprobe < n_clusters) — recall-gated, not hash-gated;
+    # nprobe=5 is the reference's session default (src/df_vector/options.rs:
+    # 12-19). bench.py reports the achieved recall@10 next to this row's
+    # no_oracle entry (approx_recall_at_10).
     q = _qvec(spark, sf_dir, 0)
     return ivf_topk_adhoc(
         _emb(spark, sf_dir),
@@ -147,7 +150,7 @@ def _knn_ivf_approx(spark, sf_dir):
         q,
         K,
         n_clusters=IVF_CLUSTERS,
-        nprobe=4,
+        nprobe=5,
         tie_break="vec_id",
     ).select("vec_id")
 

@@ -130,8 +130,25 @@ def main() -> None:
         ]
         timings["knn_indexed_k100_nprobe16"] = round(time.time() - t0, 3)
         recall = len(set(got) & set(truth)) / K
+        counts_sec = meta.get("counts_sec")
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
+
+    # --- approx recall at the driver's correctness scale (sf0.01) ----------
+    # The knn_ivf_approx CORRECTNESS row is recall-gated by design
+    # (err: no_oracle); surface the recall@10 it actually achieves, next to
+    # that row, the way the reference reports recall as the primary approx
+    # metric (benches/query.rs:562-569).
+    approx_recall = None
+    sf001 = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.01")
+    if os.path.isdir(sf001):
+        exact_ids = {
+            r["vec_id"] for r in qs["knn_exact"](spark, sf001).collect()
+        }
+        approx_ids = {
+            r["vec_id"] for r in qs["knn_ivf_approx"](spark, sf001).collect()
+        }
+        approx_recall = round(len(exact_ids & approx_ids) / len(exact_ids), 4)
 
     # --- scaled synthetic benchmark: prove the index where pruning matters -
     # (≙ reference benches/query.rs:93-193 + bench_util.rs:12-58 — 1M-row
@@ -160,6 +177,8 @@ def main() -> None:
         "recall_note": "sf-scale artifact; see scale.recall_at_100",
         "n_clusters": meta["n_clusters"],
         "nprobe": NPROBE,
+        "index_build_counts_sec": counts_sec,
+        "approx_recall_at_10": approx_recall,
     }
     if scale is not None:
         out["scale"] = scale
@@ -295,6 +314,39 @@ def _scale_bench(spark) -> dict:
     _batch_ivf()
     batch_ivf_sec, bi = best_of(_batch_ivf)
 
+    # --- cosine over the SAME indexed (L2-clustered) layout ----------------
+    # The reference benches its one query shape end-to-end; cosine is our
+    # extension metric and needs its own scale evidence: brute cosine top-k
+    # (Arrow fold kernel + TakeOrdered) vs the IVF batch kernel at
+    # metric='cosine' probing the L2-built clusters, with recall@100.
+    from pq_vector_spark.functions.distance import cosine_similarity
+
+    def _cos_brute():
+        scored = emb.withColumn("_c", cosine_similarity(F.col("embedding"), list(qvec)))
+        return [
+            r["vec_id"]
+            for r in scored.orderBy(F.col("_c").desc(), F.col("vec_id").asc())
+            .limit(k)
+            .select("vec_id")
+            .collect()
+        ]
+
+    _cos_brute()
+    cos_brute_sec, cos_truth = best_of(_cos_brute)
+
+    def _cos_ivf():
+        return [
+            r["vec_id"]
+            for r in ivf_multi_query_topk(
+                spark, out_path, [(0, qvec)], k, id_col="vec_id",
+                nprobe=nprobe, metric="cosine",
+            ).collect()
+        ]
+
+    _cos_ivf()
+    cos_ivf_sec, cos_got = best_of(_cos_ivf)
+    cosine_recall = len(set(cos_truth) & set(cos_got)) / k
+
     def _by_q(rows):
         d = {}
         for r in rows:
@@ -329,6 +381,11 @@ def _scale_bench(spark) -> dict:
         "batch_ivf_sec": batch_ivf_sec,
         "batch_ivf_speedup": round(join_brute_sec / batch_ivf_sec, 2) if batch_ivf_sec else None,
         "batch_ivf_recall_at_10": round(batch_recall, 4),
+        "counts_sec": meta.get("counts_sec"),
+        "cosine_brute_sec": cos_brute_sec,
+        "cosine_ivf_sec": cos_ivf_sec,
+        "cosine_speedup": round(cos_brute_sec / cos_ivf_sec, 2) if cos_ivf_sec else None,
+        "cosine_recall_at_100": round(cosine_recall, 4),
         "candidate_rows": int(obs.get["candidate_rows"]),
         "candidate_fraction": round(obs.get["candidate_rows"] / n_rows, 4),
         "files_scanned": int(obs.get["files_scanned"]),
@@ -338,16 +395,18 @@ def _scale_bench(spark) -> dict:
 
 
 def _dedup_scale_bench(spark) -> dict:
-    """Dedup pipeline at bench scale: 100k synthetic docs with planted
+    """Dedup pipeline at bench scale: 1M synthetic docs with planted
     exact + near duplicates (seeded, cached in .cache/). Times the exact
-    fingerprint pass, MinHash-LSH near-dup pairs, and connected-components
-    resolution — the full text-dedup pipeline a training-data run executes."""
+    fingerprint pass, MinHash-LSH near-dup pairs (hot-bucket drops
+    observed), and connected-components resolution — the full text-dedup
+    pipeline a training-data run executes."""
+    from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
     from pq_vector_spark.operators import dedup as D
     from tools.gen_scale_docs import generate
 
-    n_docs = int(os.environ.get("PQ_BENCH_DEDUP_ROWS", "100000"))
+    n_docs = int(os.environ.get("PQ_BENCH_DEDUP_ROWS", "1000000"))
     t0 = time.time()
     src = generate(n_docs)
     gen_sec = round(time.time() - t0, 3)
@@ -359,12 +418,15 @@ def _dedup_scale_bench(spark) -> dict:
     n_exact_groups = D.exact_dedup(docs, "text", "doc_id").count()
     exact_sec = round(time.time() - t0, 3)
 
+    drop_obs = Observation("bench_dedup_drops")
     t0 = time.time()
     pairs = D.minhash_lsh_pairs(
-        docs, "text", "doc_id", num_hashes=32, bands=8, threshold=0.6
+        docs, "text", "doc_id", num_hashes=32, bands=8, threshold=0.6,
+        observation=drop_obs,
     )
     n_pairs = pairs.count()
     minhash_sec = round(time.time() - t0, 3)
+    dropped = int(drop_obs.get["dropped_bucket_rows"] or 0)
 
     t0 = time.time()
     comp = D.connected_components(pairs)
@@ -387,6 +449,7 @@ def _dedup_scale_bench(spark) -> dict:
         "exact_groups": int(n_exact_groups),
         "minhash_sec": minhash_sec,
         "near_dup_pairs": int(n_pairs),
+        "dropped_bucket_rows": dropped,
         "resolve_sec": resolve_sec,
         "dup_docs": int(n_dup_docs),
         "dup_components": int(n_components),

@@ -22,7 +22,8 @@ from pq_vector_spark.schema import infer_vector_column, validate_vector_column
 from pq_vector_spark.operators.topk import topk, brute_force_topk
 from pq_vector_spark.index.build import build_index, has_index
 from pq_vector_spark.index.search import indexed_topk, load_index
-from pq_vector_spark.plans.sql import pq_sql
+from pq_vector_spark.plans.sql import pq_sql, register_indexed_table
+from pq_vector_spark.plans.intercept import try_intercept_topk
 
 __all__ = [
     "PqSession",
@@ -42,6 +43,8 @@ __all__ = [
     "indexed_topk",
     "load_index",
     "pq_sql",
+    "register_indexed_table",
+    "try_intercept_topk",
 ]
 
 __version__ = "0.1.0"

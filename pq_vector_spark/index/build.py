@@ -247,10 +247,21 @@ def _build_index_inner(
         # result ≈ n_clusters rows): lets the query path compute EXACT
         # round-robin candidate-cap quotas on the driver with zero jobs
         # (≙ the reference's cursor totals, src/df_vector/access.rs:193-243)
+        import time as _time
+
+        t_counts = _time.time()
         counts = _collect_cluster_counts(spark, out_path)
+        counts_sec = round(_time.time() - t_counts, 3)
         for fs_ in file_stats:
             fs_["counts"] = counts.get(fs_["file"], [])
+    else:
+        counts_sec = None
     _write_sidecar(spark, out_path, centroids, meta)
+    if counts_sec is not None:
+        # diagnostic only (added AFTER the sidecar write so it is never
+        # persisted): lets bench.py attribute the extra aggregation job's
+        # share of the total build time
+        meta["counts_sec"] = counts_sec
     return meta
 
 
