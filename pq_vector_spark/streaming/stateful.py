@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
 from pyspark.sql import DataFrame
 
 
@@ -32,6 +33,50 @@ def _grow_partials(partials: list, x: float) -> list:
             out.append(lo)
         x = hi
     out.append(x)
+    return out
+
+
+def _add_batch(partials: list, values) -> list:
+    """Fold a whole batch of doubles into the exact-partials accumulator
+    with VECTORIZED error-free distillation instead of a per-row Python
+    loop (the per-event `_grow_partials` walk was the one row-at-a-time
+    hot spot flagged in review).
+
+    Each sweep pairs the values and applies TwoSum (an error-free
+    transformation: a + b == s + err EXACTLY in float64), keeping the
+    multiset's exact mathematical sum invariant while roughly halving its
+    size; when every error term vanishes the remnant's floats sum exactly
+    to the true total. The remnant (a handful of floats) then runs through
+    the sequential Shewchuk grow to reach the canonical non-overlapping
+    form the state schema stores. Non-finite inputs (inf/NaN) fall back to
+    the sequential path so their IEEE propagation matches the old
+    behavior bit-for-bit.
+    """
+    v = np.concatenate(
+        [np.asarray(partials, dtype=np.float64), np.asarray(values, dtype=np.float64)]
+    )
+    if v.size == 0:
+        return []
+    if not np.all(np.isfinite(v)):
+        out = list(partials)
+        for x in np.asarray(values, dtype=np.float64):
+            out = _grow_partials(out, float(x))
+        return out
+    sweeps = 0
+    while v.size > 8 and sweeps < 200:
+        if v.size % 2:
+            v = np.append(v, 0.0)
+        a, b = v[0::2], v[1::2]
+        s = a + b
+        bv = s - a
+        err = (a - (s - bv)) + (b - bv)
+        v = np.concatenate([s[s != 0.0], err[err != 0.0]])
+        if v.size == 0:
+            return []
+        sweeps += 1
+    out: list = []
+    for x in v:
+        out = _grow_partials(out, float(x))
     return out
 
 
@@ -74,8 +119,8 @@ def streaming_user_stats(
             n, partials, mn, mx = 0, [], None, None
         for pdf in pdf_iter:
             n += len(pdf)
-            for v in pdf[value_col]:
-                partials = _grow_partials(partials, float(v))
+            # one vectorized exact fold per Arrow batch (no per-row Python)
+            partials = _add_batch(partials, pdf[value_col].to_numpy())
             ts = (pdf[ts_col].astype("int64") // 1_000_000_000).to_numpy()
             if len(ts):
                 lo, hi = int(ts.min()), int(ts.max())

@@ -226,6 +226,41 @@ def test_load_table_normalizes_ntz_event_time(spark, tmp_path):
     ).count()
 
 
+def test_add_batch_is_exact_across_splits():
+    """The vectorized distillation fold must give the SAME correctly-rounded
+    total as math.fsum over all values, regardless of how the stream of
+    values is split into batches — including catastrophic-cancellation
+    magnitudes that break naive accumulation."""
+    import math
+    import random
+
+    import numpy as np
+
+    from pq_vector_spark.streaming.stateful import _add_batch, _grow_partials
+
+    rng = random.Random(13)
+    adversarial = [1e16, 1.0, -1e16, 1e-16, 3.14159, -1.0, 2.0**-53, 1e8,
+                   -1e8, 0.1] * 20
+    rng.shuffle(adversarial)
+    randoms = [rng.uniform(-1e12, 1e12) * 10 ** rng.randint(-12, 12)
+               for _ in range(300)]
+    for vals in (adversarial, randoms, [0.0, -0.0, 0.0], [], [42.0]):
+        want = math.fsum(vals)
+        # arbitrary batch splits
+        partials: list = []
+        i = 0
+        while i < len(vals):
+            j = i + rng.randint(1, 7)
+            partials = _add_batch(partials, np.array(vals[i:j], dtype=float))
+            i = j
+        assert math.fsum(partials) == want, f"batched fold drifted on {vals[:5]}..."
+        # and matches the sequential Shewchuk reference implementation
+        seq: list = []
+        for x in vals:
+            seq = _grow_partials(seq, float(x))
+        assert math.fsum(partials) == math.fsum(seq)
+
+
 def test_stateful_user_stats_matches_batch(spark):
     """applyInPandasWithState custom state: final per-user stats must equal
     the batch aggregation (latest emit per key wins)."""
