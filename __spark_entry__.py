@@ -563,6 +563,36 @@ def _knn_auto(spark, sf_dir):
     return out
 
 
+def _knn_auto_cosine(spark, sf_dir):
+    """Plan interception for the EXTENSION metric: ORDER BY
+    cosine_similarity(...) DESC over a registered indexed table routes to
+    the IVF cosine path (index/search.py metric='cosine'). CTE text again
+    so only the optimized-plan matcher can fire; nprobe = n_clusters ⇒
+    exact (all clusters probed)."""
+    from pyspark.sql import Observation
+
+    from pq_vector_spark.plans.sql import pq_sql, register_indexed_table
+    from pq_vector_spark.session import VectorTopKOptions
+
+    path = _indexed_path(spark, sf_dir)
+    register_indexed_table(spark, "emb_auto", path)
+    q = _qvec(spark, sf_dir, 1)
+    vec = ", ".join(repr(float(x)) for x in q)
+    sql = (
+        "WITH c AS (SELECT vec_id, embedding FROM emb_auto) "
+        f"SELECT vec_id FROM c "
+        f"ORDER BY cosine_similarity(embedding, array({vec})) DESC, vec_id LIMIT {K}"
+    )
+    obs = Observation()
+    out = pq_sql(
+        spark, sql, options=VectorTopKOptions(nprobe=IVF_CLUSTERS), observation=obs
+    )
+    assert "CollectMetrics" in out._jdf.queryExecution().optimizedPlan().toString(), (
+        "knn_auto_cosine: plan interception did not fire"
+    )
+    return out
+
+
 def _events_stream_windowed(spark, sf_dir):
     """True Structured Streaming run (readStream → watermark → window →
     memory sink, availableNow trigger) over the same events table; must
@@ -883,6 +913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_setops": _rel_setops,
         "knn_sql": _knn_sql,
         "knn_auto": _knn_auto,
+        "knn_auto_cosine": _knn_auto_cosine,
         "events_windowed": _events_windowed,
         "events_stream_windowed": _events_stream_windowed,
         "events_sessions": _events_sessions,
@@ -1123,6 +1154,11 @@ def oracle_sql() -> dict[str, str]:
         "knn_auto": f"""
             SELECT vec_id FROM embeddings WHERE vec_id >= 0
             ORDER BY {_dist("embedding", qlit)}, vec_id LIMIT {K}""",
+        # knn_auto_cosine probes all clusters ⇒ exactly the brute-force
+        # cosine top-k (same row set as ann_cosine's oracle, ids only)
+        "knn_auto_cosine": f"""
+            SELECT vec_id FROM embeddings
+            ORDER BY {_cos("embedding", _Q1)} DESC, vec_id LIMIT {K}""",
         # knn_ivf_approx: intentionally no oracle — approximate result,
         # recall-gated (reference stance: benches/query.rs:192-193)
         # knn_capped: nprobe = n_clusters + cap ≥ rows ⇒ exact filtered knn

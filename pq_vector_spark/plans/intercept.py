@@ -21,14 +21,16 @@ rule: PySpark cannot register Catalyst rules without a JVM extension jar
 py4j AFTER Catalyst has done its normalization work and swap the DataFrame
 wholesale.
 
-Every guard the reference's rule applies is applied here (ASC-only, single
-distance key, literal query vector, simple scan below the sort —
-physical.rs:134-177; Cast-stripping ≙ physical.rs:216-229); one extension: a
-trailing plain-attribute ASC key is accepted and forwarded as the
-deterministic tie-break. Any mismatch — or any py4j surprise — declines the
-rewrite and the caller keeps the original (correct, brute-force) DataFrame:
-a fall-through is never an error, exactly like the reference's rule
-declining to fire.
+Every guard the reference's rule applies is applied here (single distance
+key, literal query vector, simple scan below the sort —
+physical.rs:134-177; Cast-stripping ≙ physical.rs:216-229). Two extensions
+beyond the reference: a trailing plain-attribute ASC key is accepted and
+forwarded as the deterministic tie-break, and ``ORDER BY
+cosine_similarity(col, vec) DESC`` (the reference is L2-ASC-only) routes to
+the IVF cosine path over the same layout. Any mismatch — or any py4j
+surprise — declines the rewrite and the caller keeps the original (correct,
+brute-force) DataFrame: a fall-through is never an error, exactly like the
+reference's rule declining to fire.
 """
 
 from __future__ import annotations
@@ -77,6 +79,99 @@ def _is_sub(e, a_id: int, b_id: int) -> bool:
     )
 
 
+def _is_zero_plus_identity(zero, merge, finish) -> bool:
+    """zero == 0.0, merge == (acc, x) -> acc + x, finish == identity — the
+    shared tail of every fold our expansions emit."""
+    if _cls(zero) != "Literal" or float(zero.value()) != 0.0:
+        return False
+    mfn, margs = _lambda_parts(merge)
+    if _cls(mfn) != "Add" or len(margs) != 2:
+        return False
+    add_ids = {_eid(mfn.children().apply(0)), _eid(mfn.children().apply(1))}
+    if add_ids != {_eid(margs[0]), _eid(margs[1])}:
+        return False
+    ffn, fargs = _lambda_parts(finish)
+    return (
+        _cls(ffn) == "NamedLambdaVariable"
+        and len(fargs) == 1
+        and _eid(ffn) == _eid(fargs[0])
+    )
+
+
+def _attr_lit_sides(left, right):
+    """(attr, lit) when one side is the stored column and the other the
+    (constant-folded) query-vector literal, else None."""
+    left, right = _strip_cast(left), _strip_cast(right)
+    if _cls(left) == "AttributeReference" and _cls(right) == "Literal":
+        attr, lit = left, right
+    elif _cls(right) == "AttributeReference" and _cls(left) == "Literal":
+        attr, lit = right, left
+    else:
+        return None
+    if not lit.dataType().simpleString().startswith("array<"):
+        return None
+    return attr, lit
+
+
+def _match_dot(e):
+    """ArrayAggregate(ZipWith(a, b, (x,y)->x*y), 0.0, +, id) → (attr, lit)
+    jexprs, or None."""
+    e = _strip_cast(e)
+    if _cls(e) != "ArrayAggregate":
+        return None
+    ch = e.children()
+    if ch.size() != 4:
+        return None
+    zw, zero, merge, finish = (ch.apply(i) for i in range(4))
+    if _cls(zw) != "ZipWith" or not _is_zero_plus_identity(zero, merge, finish):
+        return None
+    sides = _attr_lit_sides(zw.left(), zw.right())
+    if sides is None:
+        return None
+    fn, args = _lambda_parts(zw.function())
+    if _cls(fn) != "Multiply" or len(args) != 2:
+        return None
+    mul_ids = {_eid(fn.children().apply(0)), _eid(fn.children().apply(1))}
+    if (
+        _cls(fn.children().apply(0)) != "NamedLambdaVariable"
+        or _cls(fn.children().apply(1)) != "NamedLambdaVariable"
+        or mul_ids != {_eid(args[0]), _eid(args[1])}
+    ):
+        return None
+    return sides
+
+
+def _match_norm(e):
+    """Sqrt(ArrayAggregate(ArrayTransform(base, v -> v*v), 0.0, +, id)) →
+    the (cast-stripped) base jexpr, or None."""
+    e = _strip_cast(e)
+    if _cls(e) != "Sqrt":
+        return None
+    agg = _strip_cast(e.children().apply(0))
+    if _cls(agg) != "ArrayAggregate":
+        return None
+    ch = agg.children()
+    if ch.size() != 4:
+        return None
+    tfm, zero, merge, finish = (ch.apply(i) for i in range(4))
+    if _cls(tfm) != "ArrayTransform" or not _is_zero_plus_identity(zero, merge, finish):
+        return None
+    tch = tfm.children()
+    base, fn = tch.apply(0), tch.apply(1)
+    f, args = _lambda_parts(fn)
+    if _cls(f) != "Multiply" or len(args) != 1:
+        return None
+    l, r = f.children().apply(0), f.children().apply(1)
+    if not (
+        _cls(l) == "NamedLambdaVariable"
+        and _cls(r) == "NamedLambdaVariable"
+        and _eid(l) == _eid(args[0])
+        and _eid(r) == _eid(args[0])
+    ):
+        return None
+    return _strip_cast(base)
+
+
 def _match_l2_sort_expr(expr):
     """Match the canonical L2 expression our SQL expansion / registration
     produces (plans/sql.py:_FN_EXPANSIONS, functions/distance.py:
@@ -85,7 +180,7 @@ def _match_l2_sort_expr(expr):
       [Sqrt] ArrayAggregate(ZipWith(col, lit, (x,y)->(x-y)*(x-y)),
                             0.0, (acc,x)->acc+x, id->id)
 
-    Returns (column_name, [floats]) or None. The Sqrt is optional so
+    Returns (column_attr, [floats]) or None. The Sqrt is optional so
     ``ORDER BY squared_l2(...)`` (same ordering) intercepts too.
     """
     e = _strip_cast(expr)
@@ -97,18 +192,12 @@ def _match_l2_sort_expr(expr):
     if ch.size() != 4:
         return None
     zw, zero, merge, finish = (ch.apply(i) for i in range(4))
-    if _cls(zw) != "ZipWith":
+    if _cls(zw) != "ZipWith" or not _is_zero_plus_identity(zero, merge, finish):
         return None
-    left, right = _strip_cast(zw.left()), _strip_cast(zw.right())
-    # one side the stored column, the other the (constant-folded) query vec
-    if _cls(left) == "AttributeReference" and _cls(right) == "Literal":
-        attr, lit = left, right
-    elif _cls(right) == "AttributeReference" and _cls(left) == "Literal":
-        attr, lit = right, left
-    else:
+    sides = _attr_lit_sides(zw.left(), zw.right())
+    if sides is None:
         return None
-    if not lit.dataType().simpleString().startswith("array<"):
-        return None
+    attr, lit = sides
     # (x, y) -> (x - y) * (x - y)   [exprId-checked, so (x-y)*(y-x) declines]
     fn, args = _lambda_parts(zw.function())
     if _cls(fn) != "Multiply" or len(args) != 2:
@@ -119,17 +208,78 @@ def _match_l2_sort_expr(expr):
     ok_yx = _is_sub(m_l, b_id, a_id) and _is_sub(m_r, b_id, a_id)
     if not (ok_xy or ok_yx):
         return None
-    # zero == 0.0, merge == (acc, x) -> acc + x, finish == identity
-    if _cls(zero) != "Literal" or float(zero.value()) != 0.0:
+    vec = [float(x) for x in lit.value().toDoubleArray()]
+    return attr, vec
+
+
+def _match_cosine_sort_expr(expr):
+    """Match the single-eval cosine expansion (plans/sql.py / distance.py
+    register_sql_functions):
+
+      transform(array(norm(col) * norm(lit)),
+                d -> CASE WHEN d = 0 THEN NaN ELSE dot(col, lit) / d END)[0]
+
+    — i.e. GetArrayItem(ArrayTransform(CreateArray([Multiply(norm, norm)]),
+    λ CaseWhen), 0). The dot's (attr, lit) must semantically match the two
+    norm bases. Returns (column_attr, [floats]) or None.
+    """
+    e = _strip_cast(expr)
+    if _cls(e) != "GetArrayItem":
         return None
-    mfn, margs = _lambda_parts(merge)
-    if _cls(mfn) != "Add" or len(margs) != 2:
+    idx_lit = e.children().apply(1)
+    if _cls(idx_lit) != "Literal" or int(idx_lit.value()) != 0:
         return None
-    add_ids = {_eid(mfn.children().apply(0)), _eid(mfn.children().apply(1))}
-    if add_ids != {_eid(margs[0]), _eid(margs[1])}:
+    tfm = _strip_cast(e.children().apply(0))
+    if _cls(tfm) != "ArrayTransform":
         return None
-    ffn, fargs = _lambda_parts(finish)
-    if _cls(ffn) != "NamedLambdaVariable" or len(fargs) != 1 or _eid(ffn) != _eid(fargs[0]):
+    arr, lam = tfm.children().apply(0), tfm.children().apply(1)
+    if _cls(arr) != "CreateArray" or arr.children().size() != 1:
+        return None
+    denom = _strip_cast(arr.children().apply(0))
+    if _cls(denom) != "Multiply":
+        return None
+    base_a = _match_norm(denom.children().apply(0))
+    base_b = _match_norm(denom.children().apply(1))
+    if base_a is None or base_b is None:
+        return None
+    fn, args = _lambda_parts(lam)
+    if len(args) != 1 or _cls(fn) != "CaseWhen":
+        return None
+    # CaseWhen children: (cond, value, elseValue) for the single branch
+    cch = fn.children()
+    if cch.size() != 3:
+        return None
+    cond, val, els = cch.apply(0), cch.apply(1), cch.apply(2)
+    d_id = _eid(args[0])
+    if _cls(cond) != "EqualTo":
+        return None
+    c_l, c_r = cond.children().apply(0), cond.children().apply(1)
+    if not (
+        (_cls(c_l) == "NamedLambdaVariable" and _eid(c_l) == d_id
+         and _cls(c_r) == "Literal" and float(c_r.value()) == 0.0)
+        or (_cls(c_r) == "NamedLambdaVariable" and _eid(c_r) == d_id
+            and _cls(c_l) == "Literal" and float(c_l.value()) == 0.0)
+    ):
+        return None
+    import math
+
+    if _cls(val) != "Literal" or not math.isnan(float(val.value())):
+        return None
+    if _cls(els) != "Divide":
+        return None
+    dot, dvar = els.children().apply(0), els.children().apply(1)
+    if _cls(dvar) != "NamedLambdaVariable" or _eid(dvar) != d_id:
+        return None
+    sides = _match_dot(dot)
+    if sides is None:
+        return None
+    attr, lit = sides
+    # the dot's column/vector must be the same as the norms' bases
+    norm_attr = base_a if _cls(base_a) == "AttributeReference" else base_b
+    norm_lit = base_b if norm_attr is base_a else base_a
+    if _cls(norm_attr) != "AttributeReference" or _cls(norm_lit) != "Literal":
+        return None
+    if _eid(attr) != _eid(norm_attr) or not lit.semanticEquals(norm_lit):
         return None
     vec = [float(x) for x in lit.value().toDoubleArray()]
     return attr, vec
@@ -221,10 +371,16 @@ def _try_intercept(spark, df, options, observation, indexed_tables):
     if order.size() not in (1, 2):
         return None
     so = order.apply(0)
-    if so.direction().sql() != "ASC":
-        # ASC-only guard ≙ physical.rs:143-145
-        return None
-    matched = _match_l2_sort_expr(so.child())
+    if so.direction().sql() == "ASC":
+        # L2 distance, ascending — the reference's one shape
+        # (ASC-only guard ≙ physical.rs:143-145)
+        matched = _match_l2_sort_expr(so.child())
+        metric = "l2"
+    else:
+        # cosine similarity, DESCENDING — our extension metric over the
+        # same layout (probes L2 centroids like the batch kernel)
+        matched = _match_cosine_sort_expr(so.child())
+        metric = "cosine"
     if matched is None:
         return None
     attr, vec = matched
@@ -287,6 +443,7 @@ def _try_intercept(spark, df, options, observation, indexed_tables):
         pre_filter=pre,
         tie_break=tie_break,
         observation=observation,
+        metric=metric,
     )
     # identical output schema (names + order) to the plan being replaced
     return out.select(*df.columns)

@@ -113,6 +113,29 @@ def test_squared_l2_sort_intercepts(spark, icpt_table):
     assert [r["id"] for r in hit.collect()] == _brute(spark, q)
 
 
+def test_cosine_desc_intercepts_and_is_exact(spark, icpt_table):
+    """ORDER BY cosine_similarity DESC — the extension metric — intercepts
+    through the plan matcher and equals brute force at nprobe=all."""
+    q = (
+        "WITH c AS (SELECT id, vec FROM icpt_vectors) "
+        f"SELECT id FROM c ORDER BY cosine_similarity(vec, {VEC}) DESC, id LIMIT 10"
+    )
+    raw = spark.sql(expand_vector_functions(q))
+    hit = try_intercept_topk(spark, raw, options=VectorTopKOptions(nprobe=N_CLUSTERS))
+    assert hit is not None
+    assert [r["id"] for r in hit.collect()] == _brute(spark, q)
+
+
+def test_cosine_asc_declines(spark, icpt_table):
+    """Ascending cosine (farthest-first) is not a supported index shape."""
+    q = (
+        "WITH c AS (SELECT id, vec FROM icpt_vectors) "
+        f"SELECT id FROM c ORDER BY cosine_similarity(vec, {VEC}) ASC, id LIMIT 5"
+    )
+    raw = spark.sql(expand_vector_functions(q))
+    assert try_intercept_topk(spark, raw) is None
+
+
 def test_desc_declines(spark, icpt_table):
     q = (
         "WITH c AS (SELECT id, vec FROM icpt_vectors) "
