@@ -794,6 +794,23 @@ def _dedup_minhash(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+def _text_tfidf(spark, sf_dir):
+    """Per-doc top-3 TF-IDF terms (sklearn-style smooth idf) — keyword
+    extraction over the documents table; see functions/text.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.tfidf_top_terms(docs, "text", "doc_id", top=3)
+
+
+BM25_QUERY = ["spark", "window", "hash"]
+
+
+def _text_bm25(spark, sf_dir):
+    """BM25 top-10 documents for a fixed query-term bag (always-positive
+    RSJ idf, k1=1.2, b=0.75); see functions/text.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.bm25_topk(docs, "text", "doc_id", BM25_QUERY, k=10)
+
+
 def _dedup_simhash(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", D.simhash("text", bits=16).alias("simhash"))
@@ -927,6 +944,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _text_fingerprint,
         "text_quantiles": _text_quantiles,
         "text_doc_freq": _text_doc_freq,
+        "text_tfidf": _text_tfidf,
+        "text_bm25": _text_bm25,
         "dedup_exact": _dedup_exact,
         "dedup_jaccard": _dedup_jaccard,
         "dedup_resolve": _dedup_resolve,
@@ -1361,6 +1380,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT ngram, CAST(count(*) AS BIGINT) AS df
             FROM ex GROUP BY ngram
             ORDER BY df DESC, ngram LIMIT 20""",
+        "text_tfidf": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            ex AS (SELECT doc_id, unnest(toks) AS term FROM toks),
+            exf AS (SELECT doc_id, term FROM ex WHERE term != ''),
+            tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                   FROM exf GROUP BY doc_id, term),
+            dfq AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df_t
+                    FROM exf GROUP BY term),
+            n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.term, tf.tf,
+                     CAST(tf.tf AS DOUBLE) *
+                     (ln(CAST(n.n + 1 AS DOUBLE) / CAST(dfq.df_t + 1 AS DOUBLE)) + 1.0)
+                     AS score
+              FROM tf, dfq, n WHERE tf.term = dfq.term),
+            ranked AS (
+              SELECT doc_id, term, tf, score,
+                     CAST(row_number() OVER (PARTITION BY doc_id
+                          ORDER BY score DESC, term) AS INT) AS rank
+              FROM scored)
+            SELECT doc_id, term, tf, round(score, 4) AS score, rank
+            FROM ranked WHERE rank <= 3""",
+        "text_bm25": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            base AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM toks),
+            ex AS (SELECT doc_id, dl, unnest(toks) AS term FROM base),
+            m AS (SELECT doc_id, dl, term FROM ex
+                  WHERE term IN ('spark', 'window', 'hash')),
+            tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+                   FROM m GROUP BY doc_id, dl, term),
+            dfq AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df_t
+                    FROM m GROUP BY term),
+            stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                             CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+                      FROM base),
+            scored AS (
+              SELECT tf.doc_id,
+                     ln(1.0 + (CAST(stats.n AS DOUBLE) - dfq.df_t + 0.5)
+                              / (CAST(dfq.df_t AS DOUBLE) + 0.5))
+                     * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+                       / (CAST(tf.tf AS DOUBLE)
+                          + 1.2 * (1.0 - 0.75 + 0.75 * CAST(tf.dl AS DOUBLE) / stats.avgdl))
+                     AS s
+              FROM tf, dfq, stats WHERE tf.term = dfq.term)
+            SELECT doc_id, round(sum(s), 4) AS score FROM scored
+            GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""",
         "text_quantiles": """
             SELECT CAST(count(*) AS BIGINT) AS n_docs,
                    round(quantile_cont(CAST(length(text) AS DOUBLE), 0.25), 4) AS q_25,

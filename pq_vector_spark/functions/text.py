@@ -165,3 +165,130 @@ def ngram_doc_frequency(df, text_col: str, n: int = 3, top: int = 20):
         .orderBy(F.col("df").desc(), F.col("ngram").asc())
         .limit(top)
     )
+
+
+def tfidf_top_terms(df, text_col: str, id_col: str, top: int = 3):
+    """Per-document top-N TF-IDF terms — the classic keyword-extraction /
+    relevance primitive a training-data pipeline uses for topic tagging and
+    boilerplate screening.
+
+    idf is the sklearn-style smooth variant ``ln((N+1)/(df_t+1)) + 1``
+    (strictly positive, never divides by zero); score = tf · idf, ranked
+    per document (score desc, term asc) with ``row_number``.
+
+    Scale shape: one explode shuffles (doc, term) pairs with map-side
+    combine into per-doc term counts; document frequency is a second
+    aggregation on the distinct pairs; the tf↔df join keys on term (AQE
+    picks broadcast when the vocabulary is small enough); the per-doc
+    window repartitions by document — balanced regardless of term skew.
+    The corpus-size scalar joins via an explicit tiny broadcast.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("_id", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    dfreq = (
+        toks.distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df_t"))
+    )
+    n_docs = df.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf").cast("double")
+            * (
+                F.log(
+                    (F.col("_n") + F.lit(1)).cast("double")
+                    / (F.col("df_t") + F.lit(1)).cast("double")
+                )
+                + F.lit(1.0)
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top)
+        .select(
+            F.col("_id").alias(id_col),
+            "term",
+            "tf",
+            F.round("score", 4).alias("score"),
+            "rank",
+        )
+    )
+
+
+def bm25_topk(
+    df,
+    text_col: str,
+    id_col: str,
+    query_terms: Sequence[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """BM25 document ranking for a literal bag of query terms — the search
+    primitive for relevance-filtering a corpus against a topic list.
+
+    Per matched (doc, term): ``idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))``
+    with the Robertson-Sparck-Jones idf in its always-positive "+1" form
+    ``ln(1 + (N − df_t + 0.5)/(df_t + 0.5))``; summed per doc, top-k by
+    (score desc, id asc).
+
+    Scale shape: the query-term filter lands immediately on the exploded
+    stream, so everything after it carries only matching (doc, term) pairs
+    — a tiny fraction of the corpus; document length and the two corpus
+    scalars (N, avgdl) ride along as one broadcast each; the final top-k is
+    TakeOrderedAndProject (bounded heap, no global sort).
+    """
+    terms = [str(t).lower() for t in query_terms]
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        tokens(text_col).alias("_toks"),
+    ).withColumn("dl", F.size("_toks").cast("bigint"))
+    toks = base.select(
+        "_id", "dl", F.explode("_toks").alias("term")
+    ).filter(F.col("term").isin(terms))
+    tf = toks.groupBy("_id", "dl", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    dfreq = (
+        toks.select("_id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df_t"))
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum("dl").cast("double").alias("_total_dl"),
+    ).withColumn("avgdl", F.col("_total_dl") / F.col("_n").cast("double"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_n").cast("double") - F.col("df_t") + F.lit(0.5))
+        / (F.col("df_t").cast("double") + F.lit(0.5))
+    )
+    tf_part = (F.col("tf").cast("double") * F.lit(k1 + 1.0)) / (
+        F.col("tf").cast("double")
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("_s", idf * tf_part)
+    )
+    return (
+        scored.groupBy("_id")
+        .agg(F.round(F.sum("_s"), 4).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("_id").asc())
+        .limit(k)
+        .select(F.col("_id").alias(id_col), "score")
+    )

@@ -83,3 +83,66 @@ def test_ngram_doc_frequency(spark):
     assert got[0] == ("quick brown dog", 2)  # ties broken by ngram asc
     assert all(df >= got[-1][1] for _, df in got)
     assert ("the quick brown", 2) in got
+
+
+def test_tfidf_top_terms_golden(spark):
+    """3-doc corpus with a hand-computable idf structure: 'rare' appears in
+    one doc only (highest idf), 'common' in all three (lowest)."""
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common rare rare"),
+            (2, "common other other other"),
+            (3, "common other"),
+        ],
+        "doc_id INT, text STRING",
+    )
+    out = {
+        (r["doc_id"], r["term"]): (r["tf"], r["score"], r["rank"])
+        for r in T.tfidf_top_terms(docs, "text", "doc_id", top=2).collect()
+    }
+    idf = lambda df_t: math.log((3 + 1) / (df_t + 1)) + 1.0
+    # doc 1: rare tf=2 df=1 beats common tf=1 df=3
+    assert out[(1, "rare")][2] == 1
+    assert out[(1, "rare")][0] == 2
+    assert out[(1, "rare")][1] == pytest.approx(round(2 * idf(1), 4))
+    assert out[(1, "common")] == (1, pytest.approx(round(idf(3), 4)), 2)
+    # doc 2: other tf=3 df=2 ranks first
+    assert out[(2, "other")][2] == 1
+    # every doc emits at most `top` rows
+    counts = {}
+    for (d, _t), _ in out.items():
+        counts[d] = counts.get(d, 0) + 1
+    assert all(c <= 2 for c in counts.values())
+
+
+def test_bm25_topk_golden(spark):
+    """BM25 must rank the doc with more query-term occurrences (at equal
+    length) first, and ignore docs with no query terms."""
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark pad"),
+            (2, "spark pad pad pad"),
+            (3, "nothing here at all"),
+        ],
+        "doc_id INT, text STRING",
+    )
+    rows = T.bm25_topk(docs, "text", "doc_id", ["spark"], k=10).collect()
+    ids = [r["doc_id"] for r in rows]
+    assert ids == [1, 2]  # doc 3 has no match → absent
+    assert rows[0]["score"] > rows[1]["score"] > 0.0
+
+
+def test_bm25_length_normalization(spark):
+    """Equal tf, different document lengths: the shorter doc scores higher
+    (the b·dl/avgdl penalty)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "spark pad"),
+            (2, "spark pad pad pad pad pad pad pad"),
+        ],
+        "doc_id INT, text STRING",
+    )
+    rows = T.bm25_topk(docs, "text", "doc_id", ["spark"], k=10).collect()
+    assert [r["doc_id"] for r in rows] == [1, 2]
