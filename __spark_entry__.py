@@ -514,6 +514,26 @@ def _rel_setops(spark, sf_dir):
     return both.unionAll(only_b)
 
 
+def _rel_skew_join(spark, sf_dir):
+    """orders ⋈ customer via the EXPLICIT salted join (operators/skew.py):
+    semantics identical to the plain equi-join — the oracle is the
+    unsalted SQL — while the physical plan spreads any hot customer key
+    across `salts` reducers."""
+    from pq_vector_spark.operators.skew import salted_join
+
+    ords = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    j = salted_join(ords, cust, "custkey", salts=8)
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("total"),
+    )
+
+
 def _knn_sql(spark, sf_dir):
     """The reference's canonical query as SQL TEXT through the vector-aware
     front-end (M4 surface, ≙ ctx.sql path src/df_vector/session.rs) — bracket
@@ -717,6 +737,52 @@ def _events_props(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     out = extract_prop(ev, "k", "k")
     return out.filter(F.col("k") >= 50).select("event_id", "k")
+
+
+def _enriched_rollup(events, spark, sf_dir):
+    """events ⟕ customer ⟕ nation (both dims broadcast) → per-nation event
+    counts + 2-decimal value totals. Shared by the batch and streaming
+    twins so both compute the identical plan above the source."""
+    from pq_vector_spark.streaming.events import enrich_join
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = enrich_join(
+        enrich_join(events, cust, "user_id", "c_custkey"),
+        nat,
+        "c_nationkey",
+        "n_nationkey",
+    )
+    return joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+def _events_enriched(spark, sf_dir):
+    """Batch form of the stream-static enrichment rollup."""
+    return _enriched_rollup(load_table(spark, sf_dir, "events"), spark, sf_dir)
+
+
+def _events_stream_enriched(spark, sf_dir):
+    """True stream-static join run: readStream events ⟕ broadcast static
+    dims → complete-mode aggregation into a memory sink. Must equal the
+    batch twin exactly."""
+    from pq_vector_spark.sources.parquet import load_stream
+
+    _utc(spark)
+    stream = load_stream(spark, sf_dir, "events")
+    out = _enriched_rollup(stream, spark, sf_dir)
+    qname = "pq_stream_enriched"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(qname)
 
 
 def _text_stats(spark, sf_dir):
@@ -928,6 +994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_moving_avg": _rel_moving_avg,
         "rel_rollup": _rel_rollup,
         "rel_setops": _rel_setops,
+        "rel_skew_join": _rel_skew_join,
         "knn_sql": _knn_sql,
         "knn_auto": _knn_auto,
         "knn_auto_cosine": _knn_auto_cosine,
@@ -936,6 +1003,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": _events_sessions,
         "events_stream_sessions": _events_stream_sessions,
         "events_props": _events_props,
+        "events_enriched": _events_enriched,
+        "events_stream_enriched": _events_stream_enriched,
         "events_stream_dedup": _events_stream_dedup,
         "events_stream_stats": _events_stream_stats,
         "text_stats": _text_stats,
@@ -1335,6 +1404,15 @@ def oracle_sql() -> dict[str, str]:
               SELECT event_id,
                      TRY_CAST(regexp_extract(props, '"k"\s*:\s*(\d+)', 1) AS BIGINT) AS k
               FROM events) WHERE k >= 50""",
+        # stream-static enrichment rollup; the streaming twin computes the
+        # identical plan over readStream, so both share this oracle
+        "events_enriched": """
+            SELECT n_name, CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events
+            JOIN customer ON user_id = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name""",
         "rel_correlated": """
             SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly,
                    CAST(count(*) AS BIGINT) AS n_items
@@ -1354,6 +1432,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_rows,
                    round(sum(l_quantity), 4) AS sum_qty
             FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+        # salted join ≡ plain equi-join (the salt only re-shards the shuffle)
+        "rel_skew_join": """
+            SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+                   round(sum(o_totalprice), 4) AS total
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment""",
         "rel_setops": """
             SELECT 'both' AS tag, CAST(count(*) AS BIGINT) AS n FROM (
               SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
@@ -1497,6 +1581,8 @@ def oracle_sql() -> dict[str, str]:
     }
     # knn_batch_ivf probes ALL clusters ⇒ bit-identical to brute knn_batch
     oracles["knn_batch_ivf"] = oracles["knn_batch"]
+    # streaming twin computes the same plan over readStream
+    oracles["events_stream_enriched"] = oracles["events_enriched"]
     # ann_cosine_ivf probes ALL clusters ⇒ same row set as brute ann_cosine
     oracles["ann_cosine_ivf"] = oracles["ann_cosine"]
     return oracles

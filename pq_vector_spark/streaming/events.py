@@ -158,6 +158,25 @@ def extract_prop(events: DataFrame, prop: str, out_col: str) -> DataFrame:
     )
 
 
+def enrich_join(
+    events: DataFrame,
+    dim: DataFrame,
+    left_key: str,
+    right_key: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-static (or batch-batch) enrichment join: attach dimension
+    attributes to an event stream. The static side carries an explicit
+    ``broadcast`` hint — the canonical 100 TB shape: the unbounded stream
+    NEVER shuffles for the join; each executor holds the (small) dimension
+    table and enriches its partitions map-side. Works identically on a
+    batch DataFrame (the batch twin the oracle checks) and on a
+    ``readStream`` source (Structured Streaming supports stream-static
+    inner/left joins natively, no watermark required for the join itself).
+    """
+    return events.join(F.broadcast(dim), F.col(left_key) == F.col(right_key), how)
+
+
 def streaming_dedup(
     stream: DataFrame,
     key_cols: list[str],

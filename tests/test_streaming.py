@@ -226,6 +226,31 @@ def test_load_table_normalizes_ntz_event_time(spark, tmp_path):
     ).count()
 
 
+def test_stream_static_enrich_join_matches_batch(spark):
+    """Stream-static enrichment: readStream events joined to a broadcast
+    static dim must produce exactly the batch join's aggregation."""
+    from pq_vector_spark.streaming.events import enrich_join
+
+    ev = _events(spark)
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "cust_id INT, tier STRING"
+    )
+
+    def build(src):
+        return (
+            enrich_join(src, dim, "user_id", "cust_id")
+            .groupBy("tier")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        )
+
+    got = _run_stream(spark, ev, build, "stream_enrich")
+    want = build(ev)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # the static side is broadcast: no shuffle of the stream for the join
+    plan = build(ev)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
 def test_add_batch_is_exact_across_splits():
     """The vectorized distillation fold must give the SAME correctly-rounded
     total as math.fsum over all values, regardless of how the stream of
