@@ -491,7 +491,11 @@ def connected_components(
             .unionByName(shortcut)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)
+            # LAZY checkpoint: the convergence count below is the action
+            # that materializes it, so each round runs ONE job instead of
+            # two (eager checkpoint + count) — lineage is still truncated
+            # before the next round reads `labels`.
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.alias("n")
