@@ -81,6 +81,37 @@ def _indexed_path(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
+_APPEND_CACHE: dict[str, str] = {}
+
+
+def _appended_path(spark: SparkSession, sf_dir: str) -> str:
+    """Indexed layout built from HALF the embeddings then grown to the full
+    table via append_to_index (≙ the reference's in-place append lifecycle)
+    — cached per sf_dir like _indexed_path."""
+    import tempfile
+
+    from pq_vector_spark.index.build import append_to_index, build_index
+    from pq_vector_spark.session import IndexBuildOptions
+
+    cached = _APPEND_CACHE.get(sf_dir)
+    if cached and os.path.isdir(cached):
+        return cached
+    base = tempfile.mkdtemp(prefix="pq_entry_app_")
+    half_a = os.path.join(base, "half_a.parquet")
+    half_b = os.path.join(base, "half_b.parquet")
+    emb = _emb(spark, sf_dir)
+    emb.filter(F.col("vec_id") % 2 == 0).write.parquet(half_a)
+    emb.filter(F.col("vec_id") % 2 == 1).write.parquet(half_b)
+    out = os.path.join(base, "embeddings_appended")
+    build_index(
+        spark, half_a, out, column="embedding",
+        options=IndexBuildOptions(n_clusters=IVF_CLUSTERS),
+    )
+    append_to_index(spark, half_b, out)
+    _APPEND_CACHE[sf_dir] = out
+    return out
+
+
 # ---------------------------------------------------------------- entry ----
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -534,6 +565,24 @@ def _rel_skew_join(spark, sf_dir):
     )
 
 
+def _knn_appended(spark, sf_dir):
+    """Index grown by append (half built, half appended, NO retrain) still
+    answers exactly at nprobe = n_clusters — every appended row is
+    reachable through the reused centroids (index/build.append_to_index)."""
+    from pq_vector_spark.index.search import indexed_topk
+    from pq_vector_spark.session import VectorTopKOptions
+
+    q = _qvec(spark, sf_dir, 0)
+    return indexed_topk(
+        spark,
+        _appended_path(spark, sf_dir),
+        q,
+        K,
+        options=VectorTopKOptions(nprobe=IVF_CLUSTERS),
+        tie_break="vec_id",
+    ).select("vec_id")
+
+
 def _knn_sql(spark, sf_dir):
     """The reference's canonical query as SQL TEXT through the vector-aware
     front-end (M4 surface, ≙ ctx.sql path src/df_vector/session.rs) — bracket
@@ -973,6 +1022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_distance": _knn_distance,
         "knn_ivf_exact": _knn_ivf_exact,
         "knn_ivf_approx": _knn_ivf_approx,
+        "knn_appended": _knn_appended,
         "knn_capped": _knn_capped,
         "ann_cosine": _ann_cosine,
         "ann_cosine_ivf": _ann_cosine_ivf,
@@ -1232,6 +1282,10 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
             ORDER BY {_dist("embedding", qlit)}, vec_id LIMIT {K}""",
         "knn_ivf_exact": f"""
+            SELECT vec_id FROM embeddings
+            ORDER BY {_dist("embedding", qlit)}, vec_id LIMIT {K}""",
+        # appended index at nprobe = n_clusters ⇒ exact over the FULL table
+        "knn_appended": f"""
             SELECT vec_id FROM embeddings
             ORDER BY {_dist("embedding", qlit)}, vec_id LIMIT {K}""",
         "knn_sql": f"""

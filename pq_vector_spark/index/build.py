@@ -168,6 +168,106 @@ def build_index(
             spark.conf.unset("spark.sql.files.maxPartitionBytes")
 
 
+def append_to_index(
+    spark: SparkSession,
+    new_source,
+    indexed_path: str,
+) -> dict:
+    """Append new rows to an EXISTING indexed layout without retraining —
+    the Spark-idiomatic realization of the reference's in-place append
+    (``IndexBuilder::build_inplace`` appending to an already-indexed file,
+    src/ivf/parquet.rs:88-103: the trained quantizer is reused, new rows
+    are assigned and merged into the inverted lists).
+
+    ``new_source`` is a DataFrame or a parquet path with the same schema as
+    the original source (no ``_pq_cluster_id``). New rows are assigned to
+    the EXISTING centroids, written as additional cluster-sorted part-files
+    into the same directory (mode=append — existing files are never
+    touched, concurrent readers keep working), and the sidecar is refreshed
+    (row_count, file_stats; per-file cluster counts are computed for the
+    NEW files only and merged with the stored counts, so the refresh scans
+    just the appended data).
+
+    Index quality note (same trade as the reference): appended data shifts
+    the true cluster structure; after heavy growth, rebuild with
+    ``build_index`` to retrain. Recall for probed queries degrades
+    gracefully — assignment still routes every new row to its nearest
+    existing centroid.
+
+    Returns the refreshed meta dict.
+    """
+    from pq_vector_spark.index.search import IndexError_, load_index
+
+    idx = load_index(spark, indexed_path)
+    meta = dict(idx.meta)
+    meta.pop("counts_sec", None)
+    column = meta["column"]
+    df = (
+        spark.read.parquet(new_source)
+        if isinstance(new_source, str)
+        else new_source
+    )
+    if CLUSTER_COL in df.columns:
+        raise VectorSchemaError(
+            f"new data already has a {CLUSTER_COL} column — pass the raw table"
+        )
+    stats = validate_vector_column(df, column)
+    if int(stats.dim) != int(meta["dim"]):
+        raise IndexError_(
+            f"append dim {stats.dim} does not match index dim {meta['dim']}"
+        )
+    if dict(df.dtypes).get(column) == "array<double>":
+        df = df.withColumn(column, F.col(column).cast("array<float>"))
+    existing_cols = [
+        c for c in spark.read.parquet(indexed_path).columns if c != CLUSTER_COL
+    ]
+    if set(df.columns) != set(existing_cols):
+        raise VectorSchemaError(
+            f"append schema {sorted(df.columns)} does not match indexed table "
+            f"{sorted(existing_cols)}"
+        )
+    df = df.select(*existing_cols)
+
+    assigned = assign_clusters(df, column, idx.centroids)
+    n_clusters = int(meta["n_clusters"])
+    rows_per_part = max(1, (128 << 20) // max(1, stats.dim * 4))
+    n_part = max(1, min(n_clusters, -(-stats.rows // rows_per_part), 2048))
+    cluster_bytes = max(1, stats.rows // n_clusters) * stats.dim * 4
+    block_size = min(max(cluster_bytes, 1 << 20), 128 << 20)
+    (
+        assigned.repartition(n_part, F.col(CLUSTER_COL))
+        .sortWithinPartitions(CLUSTER_COL)
+        .write.mode("append")
+        .option("parquet.block.size", str(block_size))
+        .parquet(indexed_path)
+    )
+
+    meta["row_count"] = int(meta["row_count"]) + int(stats.rows)
+    old_counts = {
+        fs_["file"]: fs_.get("counts")
+        for fs_ in idx.meta.get("file_stats", []) or []
+    }
+    file_stats = _collect_file_stats(spark, indexed_path)
+    if file_stats is not None:
+        new_names = [fs_["file"] for fs_ in file_stats if fs_["file"] not in old_counts]
+        if old_counts and all(c is not None for c in old_counts.values()):
+            counts = _collect_cluster_counts(spark, indexed_path, files=new_names)
+        else:
+            # legacy sidecar without stored counts → one full recount
+            counts = _collect_cluster_counts(spark, indexed_path)
+        for fs_ in file_stats:
+            if fs_["file"] in counts:
+                fs_["counts"] = counts[fs_["file"]]
+            elif old_counts.get(fs_["file"]) is not None:
+                fs_["counts"] = old_counts[fs_["file"]]
+        meta["file_stats"] = file_stats
+        meta["n_files"] = len(file_stats)
+    else:
+        meta.pop("file_stats", None)
+    _write_sidecar(spark, indexed_path, idx.centroids, meta)
+    return meta
+
+
 def _build_index_inner(
     spark: SparkSession,
     source_path: str,
@@ -265,14 +365,28 @@ def _build_index_inner(
     return meta
 
 
-def _collect_cluster_counts(spark: SparkSession, out_path: str) -> dict:
+def _collect_cluster_counts(
+    spark: SparkSession, out_path: str, files: Optional[list] = None
+) -> dict:
     """Per-file per-cluster row counts of the written layout, as
     ``{basename: [[cluster_id, n], ...]}``. One distributed aggregation over
     the cluster column only (column-pruned scan, map-side combine); the
     collected result is ~n_clusters rows of three ints — driver-safe at any
-    table size."""
+    table size. ``files`` (basenames) restricts the scan to just those
+    part-files — the incremental-append path counts only the NEW files."""
+    if files is not None:
+        if not files:
+            return {}
+        root = _local_root(out_path)
+        paths = [
+            os.path.join(root, f) if root is not None else f"{out_path}/{f}"
+            for f in files
+        ]
+        src = spark.read.parquet(*paths)
+    else:
+        src = spark.read.parquet(out_path)
     rows = (
-        spark.read.parquet(out_path)
+        src
         .groupBy(
             F.element_at(F.split(F.input_file_name(), "/"), -1).alias("file"),
             F.col(CLUSTER_COL).alias("cid"),

@@ -457,3 +457,75 @@ def test_in_filter_threshold_restored_after_indexed_topk(spark, indexed_table):
         assert spark.conf.get(key) == "10"
     finally:
         spark.conf.set(key, prev)
+
+
+def test_append_to_index_exactness_and_metadata(spark, tmp_path):
+    """Append new rows to an existing layout (≙ reference in-place append):
+    nprobe=all over the appended table must equal brute force over the
+    UNION, counts metadata must cover every row, and the layout must stay
+    plain parquet."""
+    from pq_vector_spark.index.build import append_to_index
+
+    rng = np.random.default_rng(77)
+    mk = lambda lo, hi: [
+        (int(i), [float(x) for x in rng.random(6, dtype=np.float32)])
+        for i in range(lo, hi)
+    ]
+    src_a = str(tmp_path / "a.parquet")
+    src_b = str(tmp_path / "b.parquet")
+    out = str(tmp_path / "indexed")
+    spark.createDataFrame(mk(0, 600), "id INT, vec ARRAY<FLOAT>").write.parquet(src_a)
+    spark.createDataFrame(mk(600, 1000), "id INT, vec ARRAY<FLOAT>").write.parquet(src_b)
+    meta0 = build_index(spark, src_a, out, column="vec", options=IndexBuildOptions(n_clusters=8))
+    meta1 = append_to_index(spark, src_b, out)
+
+    assert meta1["row_count"] == 1000
+    assert meta1["n_clusters"] == meta0["n_clusters"]  # no retrain
+    # counts metadata covers every row of the grown table
+    total = sum(
+        n for fs in meta1["file_stats"] for _, n in fs.get("counts", [])
+    )
+    assert total == 1000
+    assert spark.read.parquet(out).count() == 1000  # plain parquet, all rows
+
+    q = [0.5] * 6
+    want = [
+        r["id"]
+        for r in brute_force_topk(
+            spark.read.parquet(src_a).union(spark.read.parquet(src_b)),
+            "vec", q, 15, tie_break="id",
+        ).select("id").collect()
+    ]
+    got = [
+        r["id"]
+        for r in indexed_topk(
+            spark, out, q, 15, options=VectorTopKOptions(nprobe=8), tie_break="id"
+        ).select("id").collect()
+    ]
+    assert got == want
+    # appended rows are reachable (ids ≥ 600 can appear in results)
+    far = indexed_topk(
+        spark, out, q, 1000, options=VectorTopKOptions(nprobe=8)
+    ).count()
+    assert far == 1000
+
+
+def test_append_to_index_rejects_bad_input(spark, tmp_path, indexed_table):
+    from pq_vector_spark.index.build import append_to_index
+    from pq_vector_spark.index.search import IndexError_
+
+    wrong_dim = spark.createDataFrame(
+        [(1, [0.0, 1.0])], "id INT, vec ARRAY<FLOAT>"
+    )
+    with pytest.raises(IndexError_, match="dim"):
+        append_to_index(spark, wrong_dim, indexed_table["out"])
+    wrong_schema = spark.createDataFrame(
+        [(1, [0.0] * 8, "x")], "id INT, vec ARRAY<FLOAT>, extra STRING"
+    )
+    with pytest.raises(VectorSchemaError, match="schema"):
+        append_to_index(spark, wrong_schema, indexed_table["out"])
+    with_cluster = spark.createDataFrame(
+        [(1, [0.0] * 8, 0)], f"id INT, vec ARRAY<FLOAT>, {CLUSTER_COL} INT"
+    )
+    with pytest.raises(VectorSchemaError, match="raw table"):
+        append_to_index(spark, with_cluster, indexed_table["out"])
