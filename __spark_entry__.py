@@ -788,6 +788,26 @@ def _events_props(spark, sf_dir):
     return out.filter(F.col("k") >= 50).select("event_id", "k")
 
 
+def _events_asof(spark, sf_dir):
+    """Point-in-time enrichment: every non-purchase event carries the value
+    of the user's MOST RECENT purchase at-or-before its timestamp
+    (operators/asof.py union-window as-of join; DuckDB's native ASOF LEFT
+    JOIN is the oracle)."""
+    from pq_vector_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") != "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.round("value", 2).alias("last_purchase_value")
+    )
+    out = asof_join(
+        left, right, on="ts", by="user_id", value_cols=["last_purchase_value"]
+    )
+    return out.select("event_id", "last_purchase_value")
+
+
 def _enriched_rollup(events, spark, sf_dir):
     """events ⟕ customer ⟕ nation (both dims broadcast) → per-nation event
     counts + 2-decimal value totals. Shared by the batch and streaming
@@ -1053,6 +1073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": _events_sessions,
         "events_stream_sessions": _events_stream_sessions,
         "events_props": _events_props,
+        "events_asof": _events_asof,
         "events_enriched": _events_enriched,
         "events_stream_enriched": _events_stream_enriched,
         "events_stream_dedup": _events_stream_dedup,
@@ -1458,6 +1479,15 @@ def oracle_sql() -> dict[str, str]:
               SELECT event_id,
                      TRY_CAST(regexp_extract(props, '"k"\s*:\s*(\d+)', 1) AS BIGINT) AS k
               FROM events) WHERE k >= 50""",
+        # backward-inclusive as-of join ≡ DuckDB's native ASOF LEFT JOIN
+        "events_asof": """
+            WITH l AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type != 'purchase'),
+                 r AS (SELECT user_id, ts, round(value, 2) AS last_purchase_value
+                       FROM events WHERE event_type = 'purchase')
+            SELECT l.event_id, r.last_purchase_value
+            FROM l ASOF LEFT JOIN r
+            ON l.user_id = r.user_id AND l.ts >= r.ts""",
         # stream-static enrichment rollup; the streaming twin computes the
         # identical plan over readStream, so both share this oracle
         "events_enriched": """
