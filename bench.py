@@ -41,8 +41,10 @@ HEADLINE = [
     "rel_window",
     "events_windowed",
     "events_sessions",
+    "events_asof",
     "text_quality",
     "text_quantiles",
+    "text_tfidf",
     "dedup_exact",
     "dedup_minhash",
     "dedup_resolve",
