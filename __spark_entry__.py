@@ -936,6 +936,13 @@ def _text_tfidf(spark, sf_dir):
     return T.tfidf_top_terms(docs, "text", "doc_id", top=3)
 
 
+def _text_repetition(spark, sf_dir):
+    """Gopher-style repetition filters (duplicate-2-gram fraction + top
+    2-gram fraction) over the documents table; see functions/text.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.repetition_ratios(docs, "text", "doc_id", n=2)
+
+
 BM25_QUERY = ["spark", "window", "hash"]
 
 
@@ -1086,6 +1093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_doc_freq": _text_doc_freq,
         "text_tfidf": _text_tfidf,
         "text_bm25": _text_bm25,
+        "text_repetition": _text_repetition,
         "dedup_exact": _dedup_exact,
         "dedup_jaccard": _dedup_jaccard,
         "dedup_resolve": _dedup_resolve,
@@ -1594,6 +1602,25 @@ def oracle_sql() -> dict[str, str]:
               FROM tf, dfq, stats WHERE tf.term = dfq.term)
             SELECT doc_id, round(sum(s), 4) AS score FROM scored
             GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""",
+        "text_repetition": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            g2 AS (SELECT doc_id,
+                          list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
+                                         i -> array_to_string(toks[i:i+1], ' ')) AS grams
+                   FROM toks),
+            ex AS (SELECT doc_id, unnest(grams) AS gram FROM g2),
+            cnt AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS c
+                    FROM ex GROUP BY doc_id, gram),
+            per AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS total,
+                           CAST(count(*) AS BIGINT) AS dist,
+                           CAST(max(c) AS BIGINT) AS top
+                    FROM cnt GROUP BY doc_id)
+            SELECT doc_id,
+                   round(1.0 - CAST(dist AS DOUBLE) / CAST(total AS DOUBLE), 4)
+                       AS dup_ngram_ratio,
+                   round(CAST(top AS DOUBLE) / CAST(total AS DOUBLE), 4)
+                       AS top_ngram_ratio
+            FROM per""",
         "text_quantiles": """
             SELECT CAST(count(*) AS BIGINT) AS n_docs,
                    round(quantile_cont(CAST(length(text) AS DOUBLE), 0.25), 4) AS q_25,

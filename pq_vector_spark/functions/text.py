@@ -292,3 +292,54 @@ def bm25_topk(
         .limit(k)
         .select(F.col("_id").alias(id_col), "score")
     )
+
+
+def _token_ngrams(col, n: int) -> Column:
+    """NON-distinct token n-grams (the dedup module's ``shingles`` is
+    distinct — repetition metrics need the multiplicity). Same
+    bind-the-token-array trick: a free subtree inside an HOF lambda
+    re-evaluates per element, so tokenization is bound once."""
+    return F.transform(
+        F.array(tokens(col)),
+        lambda toks: F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    )[0]
+
+
+def repetition_ratios(df, text_col: str, id_col: str, n: int = 2):
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1:
+    repetitious documents correlate with low quality and are filtered
+    before training):
+
+    - ``dup_ngram_ratio``: fraction of n-gram OCCURRENCES that are repeats
+      of an earlier n-gram in the same document (1 − distinct/total);
+    - ``top_ngram_ratio``: occurrences of the single most frequent n-gram
+      over total — catches templated boilerplate that the distinct ratio
+      dilutes.
+
+    One explode + two hash aggregations keyed by document — map-side
+    combine keeps the shuffle at (doc, distinct-gram) granularity; ratios
+    are int/int divisions, bit-identical in the DuckDB oracle.
+    """
+    ex = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(_token_ngrams(text_col, n)).alias("_gram"),
+    )
+    g = ex.groupBy("_id", "_gram").agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+    per = g.groupBy("_id").agg(
+        F.sum("_c").cast("bigint").alias("_total"),
+        F.count(F.lit(1)).cast("bigint").alias("_distinct"),
+        F.max("_c").cast("bigint").alias("_top"),
+    )
+    return per.select(
+        F.col("_id").alias(id_col),
+        F.round(
+            F.lit(1.0) - F.col("_distinct").cast("double") / F.col("_total").cast("double"),
+            4,
+        ).alias("dup_ngram_ratio"),
+        F.round(
+            F.col("_top").cast("double") / F.col("_total").cast("double"), 4
+        ).alias("top_ngram_ratio"),
+    )

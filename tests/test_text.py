@@ -146,3 +146,21 @@ def test_bm25_length_normalization(spark):
     )
     rows = T.bm25_topk(docs, "text", "doc_id", ["spark"], k=10).collect()
     assert [r["doc_id"] for r in rows] == [1, 2]
+
+
+def test_repetition_ratios_golden(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # 2-grams: 'a a' ×3 → dup 2/3, top 1.0
+            (2, "w x y z"),          # all distinct → dup 0, top 1/3
+            (3, "solo"),             # single token → one 1-token gram
+        ],
+        "doc_id INT, text STRING",
+    )
+    out = {
+        r["doc_id"]: (r["dup_ngram_ratio"], r["top_ngram_ratio"])
+        for r in T.repetition_ratios(docs, "text", "doc_id", n=2).collect()
+    }
+    assert out[1] == (pytest.approx(round(1 - 1 / 3, 4)), 1.0)
+    assert out[2] == (0.0, pytest.approx(round(1 / 3, 4)))
+    assert out[3] == (0.0, 1.0)
