@@ -177,6 +177,58 @@ def enrich_join(
     return events.join(F.broadcast(dim), F.col(left_key) == F.col(right_key), how)
 
 
+def scd_intervalize(
+    dim: DataFrame,
+    key: str,
+    eff_col: str,
+    end_col: str = "_pq_scd_end",
+) -> DataFrame:
+    """Turn a slowly-changing dimension keyed by effective-timestamp
+    versions into half-open validity intervals: each version's end is the
+    next version's effective time (NULL for the current version). Static
+    batch computation (tiny window over the dim), done ONCE before the
+    stream starts."""
+    w = Window.partitionBy(key).orderBy(F.col(eff_col).asc())
+    return dim.withColumn(end_col, F.lead(eff_col).over(w))
+
+
+def scd_enrich(
+    events: DataFrame,
+    dim: DataFrame,
+    left_key: str,
+    right_key: str,
+    eff_col: str,
+    ts_col: str = "ts",
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment against a SLOWLY-CHANGING dimension:
+    each event joins the dim version effective AT ITS OWN TIMESTAMP
+    (point-in-time correctness), not a static snapshot.
+
+    The dim is intervalized (``scd_intervalize``) and broadcast; events
+    join on key equality + half-open interval containment
+    ``eff <= ts < end``. Structured Streaming supports stream-static
+    inner/left joins with arbitrary range predicates, so the SAME code
+    enriches a ``readStream`` source — the 100 TB shape: the unbounded
+    stream never shuffles, every executor probes its broadcast interval
+    copy map-side. The batch twin of this semantics is
+    ``operators.asof.asof_join`` (union-window carry), which the oracle
+    checks against DuckDB's native ASOF JOIN.
+    """
+    end_col = "_pq_scd_end"
+    intervals = scd_intervalize(dim, right_key, eff_col, end_col)
+    ts = events[ts_col]
+    cond = (
+        (events[left_key] == intervals[right_key])
+        & (ts >= intervals[eff_col])
+        & (intervals[end_col].isNull() | (ts < intervals[end_col]))
+    )
+    out = events.join(F.broadcast(intervals), cond, how)
+    return out.drop(intervals[right_key]).drop(intervals[eff_col]).drop(
+        intervals[end_col]
+    )
+
+
 def streaming_dedup(
     stream: DataFrame,
     key_cols: list[str],

@@ -251,6 +251,53 @@ def test_stream_static_enrich_join_matches_batch(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_scd_enrich_stream_matches_batch_asof_twin(spark):
+    """SCD enrichment: the streaming broadcast-interval join must equal the
+    batch as-of join over a dim with multiple effective-dated versions —
+    including events before the first version (NULL tier)."""
+    from pq_vector_spark.operators.asof import asof_join
+    from pq_vector_spark.streaming.events import scd_enrich
+
+    ev = _events(spark).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 30 MINUTES") * (F.col("user_id") - 1)
+    )
+    dim = spark.createDataFrame(
+        [
+            (1, T0 + dt.timedelta(minutes=5), "bronze"),
+            (1, T0 + dt.timedelta(minutes=45), "gold"),
+            (2, T0 + dt.timedelta(minutes=0), "silver"),
+        ],
+        "cust_id INT, eff TIMESTAMP, tier STRING",
+    )
+
+    def build(src):
+        return (
+            scd_enrich(src, dim, "user_id", "cust_id", "eff")
+            .groupBy("tier")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        )
+
+    key = lambda rows: sorted(
+        ((r["tier"], r["n"]) for r in rows), key=lambda t: (t[0] is None, t)
+    )
+    got = _run_stream(spark, ev, build, "stream_scd")
+    want = build(ev)
+    assert key(got.collect()) == key(want.collect())
+
+    # batch as-of twin computes the identical per-event assignment
+    batch = asof_join(
+        ev,
+        dim.withColumnsRenamed({"cust_id": "user_id", "eff": "ts"}),
+        on="ts",
+        by="user_id",
+        value_cols=["tier"],
+    ).groupBy("tier").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    assert key(want.collect()) == key(batch.collect())
+    # dim is broadcast: the stream side never shuffles for the join
+    plan = build(ev)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
 def test_add_batch_is_exact_across_splits():
     """The vectorized distillation fold must give the SAME correctly-rounded
     total as math.fsum over all values, regardless of how the stream of
