@@ -1692,8 +1692,10 @@ def oracle_sql() -> dict[str, str]:
         "text_repetition": f"""
             WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
             g2 AS (SELECT doc_id,
-                          list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
-                                         i -> array_to_string(toks[i:i+1], ' ')) AS grams
+                          CASE WHEN len(toks) >= 2 THEN
+                            list_transform(range(1, len(toks) - 1 + 1),
+                                           i -> array_to_string(toks[i:i+1], ' '))
+                          ELSE [] END AS grams
                    FROM toks),
             ex AS (SELECT doc_id, unnest(grams) AS gram FROM g2),
             cnt AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS c
@@ -1702,12 +1704,12 @@ def oracle_sql() -> dict[str, str]:
                            CAST(count(*) AS BIGINT) AS dist,
                            CAST(max(c) AS BIGINT) AS top
                     FROM cnt GROUP BY doc_id)
-            SELECT doc_id,
+            SELECT d.doc_id,
                    round(1.0 - CAST(dist AS DOUBLE) / CAST(total AS DOUBLE), 4)
                        AS dup_ngram_ratio,
                    round(CAST(top AS DOUBLE) / CAST(total AS DOUBLE), 4)
                        AS top_ngram_ratio
-            FROM per""",
+            FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""",
         "text_quantiles": """
             SELECT CAST(count(*) AS BIGINT) AS n_docs,
                    round(quantile_cont(CAST(length(text) AS DOUBLE), 0.25), 4) AS q_25,

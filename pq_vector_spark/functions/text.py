@@ -66,14 +66,29 @@ def punct_ratio(col) -> Column:
 def quality_score(col, stopwords: Optional[Sequence[str]] = None) -> Column:
     """Composite [0,1]-ish quality score: favors texts with moderate length,
     some stopwords (natural language), little punctuation noise. The exact
-    weights are conventions of this engine; deterministic int/int math."""
-    t = token_count(col)
-    length_ok = F.when((t >= 5) & (t <= 5000), F.lit(1.0)).otherwise(F.lit(0.0))
-    return (
-        length_ok * F.lit(0.4)
-        + F.least(stopword_ratio(col, stopwords) * F.lit(4.0), F.lit(1.0)) * F.lit(0.4)
-        + (F.lit(1.0) - F.least(punct_ratio(col) * F.lit(10.0), F.lit(1.0))) * F.lit(0.2)
-    )
+    weights are conventions of this engine; deterministic int/int math.
+
+    The token array is let-bound once via ``transform(array(tokens), …)``
+    (Catalyst does not CSE the split across the length/stopword subtrees —
+    unbound, the split would evaluate ≥2× per row on the hottest text
+    path; same trick as ``_token_ngrams``)."""
+    sw = list(stopwords or DEFAULT_STOPWORDS)
+
+    def _score(t: Column) -> Column:
+        n = F.size(t).cast("bigint")
+        length_ok = F.when((n >= 5) & (n <= 5000), F.lit(1.0)).otherwise(F.lit(0.0))
+        sw_ratio = (
+            F.size(F.filter(t, lambda x: x.isin(sw))).cast("double")
+            / F.size(t).cast("double")
+        )
+        return (
+            length_ok * F.lit(0.4)
+            + F.least(sw_ratio * F.lit(4.0), F.lit(1.0)) * F.lit(0.4)
+            + (F.lit(1.0) - F.least(punct_ratio(col) * F.lit(10.0), F.lit(1.0)))
+            * F.lit(0.2)
+        )
+
+    return F.transform(F.array(tokens(col)), _score)[0]
 
 
 def lang_guess(col) -> Column:
@@ -298,13 +313,21 @@ def _token_ngrams(col, n: int) -> Column:
     """NON-distinct token n-grams (the dedup module's ``shingles`` is
     distinct — repetition metrics need the multiplicity). Same
     bind-the-token-array trick: a free subtree inside an HOF lambda
-    re-evaluates per element, so tokenization is bound once."""
+    re-evaluates per element, so tokenization is bound once.
+
+    Documents with fewer than ``n`` tokens yield an EMPTY array (no
+    truncated pseudo-gram, no empty-string gram for empty docs) — a
+    repetition filter keyed on these ratios must see NULL, not 1.0, for
+    docs that have no n-grams at all."""
     return F.transform(
         F.array(tokens(col)),
-        lambda toks: F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
+        lambda toks: F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
     )[0]
 
 
@@ -323,15 +346,19 @@ def repetition_ratios(df, text_col: str, id_col: str, n: int = 2):
     combine keeps the shuffle at (doc, distinct-gram) granularity; ratios
     are int/int divisions, bit-identical in the DuckDB oracle.
     """
+    # explode_outer keeps a NULL-gram row for gram-less docs (< n tokens),
+    # so they surface with NULL ratios — same shuffle, no extra join back
+    # to the corpus
     ex = df.select(
         F.col(id_col).alias("_id"),
-        F.explode(_token_ngrams(text_col, n)).alias("_gram"),
+        F.explode_outer(_token_ngrams(text_col, n)).alias("_gram"),
     )
     g = ex.groupBy("_id", "_gram").agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+    real = F.col("_gram").isNotNull()
     per = g.groupBy("_id").agg(
-        F.sum("_c").cast("bigint").alias("_total"),
-        F.count(F.lit(1)).cast("bigint").alias("_distinct"),
-        F.max("_c").cast("bigint").alias("_top"),
+        F.sum(F.when(real, F.col("_c"))).cast("bigint").alias("_total"),
+        F.count(F.col("_gram")).cast("bigint").alias("_distinct"),
+        F.max(F.when(real, F.col("_c"))).cast("bigint").alias("_top"),
     )
     return per.select(
         F.col("_id").alias(id_col),

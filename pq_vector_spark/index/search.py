@@ -21,6 +21,8 @@ from __future__ import annotations
 
 import json
 from dataclasses import dataclass
+from functools import reduce
+from operator import or_
 from typing import Optional, Sequence
 
 import numpy as np
@@ -235,25 +237,29 @@ def indexed_topk(
     q = _check_query_dim(query, idx.meta["dim"])
 
     probed = nearest_centroids(q, idx.centroids, opts.nprobe)
-    # Spark converts IN-list parquet pushdown to a weak min/max range filter
-    # beyond this threshold (default 10) — probed cluster ids are arbitrary,
-    # so the range spans nearly everything. Keep real IN pushdown for any
-    # plausible nprobe. Raised save/restore style (like build_index does for
-    # maxPartitionBytes) so the session conf is never left mutated: the
-    # physical plan is forced inside the window below, because parquet
-    # filter translation happens at PLANNING time, not at indexed_topk time.
-    _IN_KEY = "spark.sql.parquet.pushdown.inFilterThreshold"
-    try:
-        prev_in = spark.conf.get(_IN_KEY)
-    except Exception:
-        prev_in = None
-    needs_raise = len(probed) > int(prev_in or 10)
-    if needs_raise:
-        spark.conf.set(_IN_KEY, "512")
     df = spark.read.parquet(path)
-    # cluster_id IN (...) pushes to the parquet scan; the cluster-sorted
-    # layout turns it into file/row-group skipping.
-    cands = df.filter(F.col(CLUSTER_COL).isin([int(c) for c in probed]))
+    # The probed-cluster predicate pushes to the parquet scan; the
+    # cluster-sorted layout turns it into file/row-group skipping. Beyond
+    # spark.sql.parquet.pushdown.inFilterThreshold (default 10) parquet-mr
+    # receives an IN-list only as a weak min/max RANGE filter — useless for
+    # arbitrary probed ids — so larger probe sets are emitted as an explicit
+    # OR-of-equals chain instead: ParquetFilters translates Or recursively
+    # (FilterApi.or(eq, eq)) with NO threshold, the pruning is exact, no
+    # session conf is mutated, and the pushdown survives any later
+    # re-planning of DataFrames derived from this one (a save/restore of
+    # the threshold only protected the plan forced inside the window).
+    probed_ids = sorted(int(c) for c in probed)
+    try:
+        in_thr = int(spark.conf.get("spark.sql.parquet.pushdown.inFilterThreshold"))
+    except Exception:
+        in_thr = 10
+    if len(probed_ids) <= in_thr:
+        cluster_pred = F.col(CLUSTER_COL).isin(probed_ids)
+    else:
+        cluster_pred = reduce(
+            or_, [F.col(CLUSTER_COL) == v for v in probed_ids]
+        )
+    cands = df.filter(cluster_pred)
     if opts.max_candidates is not None:
         counts = _candidate_counts_from_meta(idx.meta, probed)
         if counts is None:
@@ -306,17 +312,6 @@ def indexed_topk(
     out = out.orderBy(*order).limit(k).drop(CLUSTER_COL)
     if not keep_distance:
         out = out.drop(DISTANCE_COL)
-    if needs_raise:
-        try:
-            # freeze the physical plan (and its pushed IN filter) while the
-            # raised threshold is in effect — the Dataset caches this
-            # QueryExecution, so later actions reuse the pruned scan
-            out._jdf.queryExecution().executedPlan()
-        finally:
-            if prev_in is None:
-                spark.conf.unset(_IN_KEY)
-            else:
-                spark.conf.set(_IN_KEY, prev_in)
     return out
 
 

@@ -303,28 +303,27 @@ def _normalize_path(p: str) -> str:
     return os.path.abspath(p.rstrip("/"))
 
 
-def _strip_qualifiers(sql: str, qualifiers) -> str:
-    """``emb.vec_id > 5`` → ``vec_id > 5``: the rebuilt scan has no view
-    alias, so qualified names from the optimized plan's Filter must be
-    unqualified before F.expr. Quote-blind but anchored on word boundaries;
-    a resolution failure later simply declines the rewrite."""
-    for q in qualifiers:
-        sql = re.sub(rf"(?<![\w.'\"`]){re.escape(q)}\.", "", sql)
-        sql = re.sub(rf"`{re.escape(q)}`\.", "", sql)
-    return sql
+def _unqualified_sql(spark, jexpr) -> str:
+    """Regenerate a Filter condition's SQL with every ``AttributeReference``
+    qualifier dropped — by rebuilding the EXPRESSION TREE (py4j:
+    ``withQualifier`` on attribute nodes, ``withNewChildren`` up the spine),
+    never by rewriting the SQL string. A string literal whose text contains
+    ``alias.`` therefore survives verbatim (the old regex approach was
+    quote-blind and could corrupt such literals into silently-wrong
+    filters). The rebuilt scan has no view alias, so the unqualified names
+    resolve against it directly."""
+    to_seq = spark._jvm.org.apache.spark.api.python.PythonUtils.toSeq
 
+    def rebuild(e):
+        if _cls(e) == "AttributeReference":
+            return e.withQualifier(to_seq([]))
+        ch = e.children()
+        if ch.size() == 0:
+            return e
+        rebuilt = [rebuild(ch.apply(i)) for i in range(ch.size())]
+        return e.withNewChildren(to_seq(rebuilt))
 
-def _collect_qualifiers(jexpr, acc: set) -> None:
-    """Every qualifier part on every AttributeReference inside ``jexpr`` —
-    conditions may carry the view/CTE alias they were written against, which
-    differs from the sort column's qualifier."""
-    if _cls(jexpr) == "AttributeReference":
-        q = jexpr.qualifier()
-        for i in range(q.size()):
-            acc.add(q.apply(i))
-    ch = jexpr.children()
-    for i in range(ch.size()):
-        _collect_qualifiers(ch.apply(i), acc)
+    return rebuild(jexpr).sql()
 
 
 def try_intercept_topk(
@@ -400,10 +399,7 @@ def _try_intercept(spark, df, options, observation, indexed_tables):
             if _attr_only_project(n2) is None:
                 return None
         else:
-            cond = n2.condition()
-            quals: set = set()
-            _collect_qualifiers(cond, quals)
-            conds.append(_strip_qualifiers(cond.sql(), quals))
+            conds.append(_unqualified_sql(spark, n2.condition()))
         n2 = n2.children().apply(0)
     if _cls(n2) != "LogicalRelation":
         return None

@@ -52,16 +52,19 @@ def _add_batch(partials: list, values) -> list:
     the sequential path so their IEEE propagation matches the old
     behavior bit-for-bit.
     """
-    v = np.concatenate(
-        [np.asarray(partials, dtype=np.float64), np.asarray(values, dtype=np.float64)]
-    )
+    vals = np.asarray(values, dtype=np.float64)
+    v = np.concatenate([np.asarray(partials, dtype=np.float64), vals])
     if v.size == 0:
         return []
-    if not np.all(np.isfinite(v)):
+
+    def _sequential():
         out = list(partials)
-        for x in np.asarray(values, dtype=np.float64):
+        for x in vals:
             out = _grow_partials(out, float(x))
         return out
+
+    if not np.all(np.isfinite(v)):
+        return _sequential()
     sweeps = 0
     while v.size > 8 and sweeps < 200:
         if v.size % 2:
@@ -71,6 +74,14 @@ def _add_batch(partials: list, values) -> list:
         bv = s - a
         err = (a - (s - bv)) + (b - bv)
         v = np.concatenate([s[s != 0.0], err[err != 0.0]])
+        if not np.all(np.isfinite(v)):
+            # TwoSum pairing can overflow transiently (a + b = ±inf with
+            # finite inputs near DBL_MAX), after which err is NaN and
+            # further sweeps fold garbage — and the vectorized pairing hits
+            # overflows the sequential order would not. Redo the whole fold
+            # sequentially on the ORIGINAL inputs so IEEE propagation
+            # matches the pre-vectorized behavior exactly.
+            return _sequential()
         if v.size == 0:
             return []
         sweeps += 1

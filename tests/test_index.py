@@ -433,14 +433,15 @@ def test_hadoop_sidecar_and_footer_io_run_zero_jobs(spark, tmp_path, monkeypatch
     assert after == before, f"unexpected Spark jobs: {sorted(after - before)}"
 
 
-def test_in_filter_threshold_restored_after_indexed_topk(spark, indexed_table):
-    """indexed_topk must not leave the session's parquet IN-pushdown
-    threshold mutated (the raised value is only needed while the physical
-    plan is frozen inside the call) — and the frozen plan must still carry
-    the real IN pushdown, not the degraded min/max range."""
+def test_cluster_pushdown_exact_without_conf_mutation(spark, indexed_table):
+    """Probe sets larger than the parquet IN threshold must still push an
+    EXACT cluster predicate (OR-of-equals chain, translated by parquet-mr
+    with no threshold) — with zero session-conf mutation, and surviving
+    re-planning of DataFrames DERIVED from the returned one (the old
+    save/restore only protected the plan frozen inside the call)."""
     key = "spark.sql.parquet.pushdown.inFilterThreshold"
     prev = spark.conf.get(key)
-    spark.conf.set(key, "10")  # low enough that nprobe=16 needs the raise
+    spark.conf.set(key, "10")  # low enough that nprobe=16 exceeds it
     try:
         out = indexed_topk(
             spark,
@@ -450,9 +451,13 @@ def test_in_filter_threshold_restored_after_indexed_topk(spark, indexed_table):
             options=VectorTopKOptions(nprobe=16),
             tie_break="id",
         )
-        assert spark.conf.get(key) == "10", "conf left mutated by indexed_topk"
+        assert spark.conf.get(key) == "10", "conf mutated by indexed_topk"
         plan = out._jdf.queryExecution().executedPlan().toString()
-        assert f"In({CLUSTER_COL}" in plan, "IN pushdown lost from frozen plan"
+        assert f"EqualTo({CLUSTER_COL}" in plan, "exact cluster pushdown lost"
+        # a DERIVED DataFrame re-plans from scratch — pushdown must survive
+        derived = out.select(out.columns[0])
+        dplan = derived._jdf.queryExecution().executedPlan().toString()
+        assert f"EqualTo({CLUSTER_COL}" in dplan, "pushdown lost on derivation"
         assert len(out.collect()) == 5
         assert spark.conf.get(key) == "10"
     finally:

@@ -90,6 +90,31 @@ def test_where_inside_cte_applies(spark, icpt_table):
     assert all(i >= 100 for i in got)
 
 
+def test_filter_string_literal_containing_alias_dot(spark, icpt_table):
+    """A WHERE clause whose STRING LITERAL contains '<alias>.' must reach
+    the rebuilt scan verbatim: conditions are unqualified by rebuilding the
+    expression tree (withQualifier on attribute nodes), never by regexing
+    the SQL text — the old quote-blind regex corrupted such literals into
+    silently-wrong filters. Interception must still fire, with metrics
+    proving the pruned path executed."""
+    q = (
+        "WITH c AS (SELECT id, vec FROM icpt_vectors) "
+        "SELECT id FROM c "
+        "WHERE CAST(id AS STRING) != 'see c. below' AND id >= 250 "
+        f"ORDER BY array_distance(vec, {VEC}), id LIMIT 10"
+    )
+    raw = spark.sql(expand_vector_functions(q))
+    obs = Observation("icpt_alias_literal")
+    hit = try_intercept_topk(
+        spark, raw, options=VectorTopKOptions(nprobe=N_CLUSTERS), observation=obs
+    )
+    assert hit is not None
+    got = [r["id"] for r in hit.collect()]
+    assert got == _brute(spark, q)
+    assert all(i >= 250 for i in got)
+    assert obs.get["candidate_rows"] > 0  # indexed (pruned) path ran
+
+
 def test_dataframe_api_intercepts(spark, icpt_table):
     """DataFrame-API query (F.expr HOF distance) over the registered view
     intercepts too — plan matching is representation-agnostic."""

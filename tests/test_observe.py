@@ -53,3 +53,41 @@ def test_full_probe_observes_all_rows(spark, obs_table):
     )
     out.collect()
     assert obs.get["candidate_rows"] == 1000
+
+
+def test_explain_vector_renders_counters_with_plan(spark, obs_table):
+    """explain_vector must show candidate_rows/files_scanned next to the
+    plan (≙ reference metric-annotated plan tree, exec.rs:302-331) —
+    inline on the CollectMetrics node and in the summary section — driving
+    execution itself when the plan has not run yet."""
+    from pq_vector_spark.plans.explain import explain_vector
+
+    obs = Observation("pq_vector_explain")
+    out = indexed_topk(
+        spark,
+        obs_table,
+        [0.5] * 4,
+        5,
+        options=VectorTopKOptions(nprobe=2),
+        tie_break="id",
+        observation=obs,
+    )
+    text = explain_vector(out, obs)  # not collected yet: helper executes
+    assert "== Vector Metrics ==" in text
+    assert "candidate_rows = " in text and "files_scanned = " in text
+    inline = [l for l in text.splitlines() if "CollectMetrics" in l and "candidate_rows=" in l]
+    assert inline, "counters not annotated on the CollectMetrics node"
+    n = int(text.split("candidate_rows = ")[1].split("\n")[0])
+    assert 0 < n < 1000
+
+
+def test_explain_vector_unexecuted_without_drive(spark, obs_table):
+    from pq_vector_spark.plans.explain import explain_vector
+
+    obs = Observation("pq_vector_noexec")
+    out = indexed_topk(
+        spark, obs_table, [0.5] * 4, 5,
+        options=VectorTopKOptions(nprobe=2), observation=obs,
+    )
+    text = explain_vector(out, obs, execute=False)
+    assert "(not executed)" in text

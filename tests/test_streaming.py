@@ -333,6 +333,28 @@ def test_add_batch_is_exact_across_splits():
         assert math.fsum(partials) == math.fsum(seq)
 
 
+def test_add_batch_transient_overflow_falls_back_to_sequential():
+    """Finite inputs near DBL_MAX can overflow inside a TwoSum sweep
+    (a + b = inf → err = NaN); the fold must detect this after each sweep
+    and redo the accumulation sequentially on the ORIGINAL inputs, matching
+    the pre-vectorized Shewchuk behavior element-for-element."""
+    import numpy as np
+
+    from pq_vector_spark.streaming.stateful import _add_batch, _grow_partials
+
+    cases = [
+        [9e307] * 12 + [-9e307] * 12,          # adjacent same-sign pairs → inf
+        [1.7e308, 1.7e308, -1.7e308] * 4,      # mixed, pairwise overflow
+        [8.9e307] * 9 + [-8.9e307] * 9 + [1.0],
+    ]
+    for vals in cases:
+        got = _add_batch([], np.array(vals, dtype=float))
+        seq: list = []
+        for x in vals:
+            seq = _grow_partials(seq, float(x))
+        assert [repr(g) for g in got] == [repr(s) for s in seq], vals[:3]
+
+
 def test_stateful_user_stats_matches_batch(spark):
     """applyInPandasWithState custom state: final per-user stats must equal
     the batch aggregation (latest emit per key wins)."""

@@ -153,7 +153,8 @@ def test_repetition_ratios_golden(spark):
         [
             (1, "a a a a"),          # 2-grams: 'a a' ×3 → dup 2/3, top 1.0
             (2, "w x y z"),          # all distinct → dup 0, top 1/3
-            (3, "solo"),             # single token → one 1-token gram
+            (3, "solo"),             # < n tokens → no grams → NULL ratios
+            (4, ""),                 # empty doc → no grams → NULL ratios
         ],
         "doc_id INT, text STRING",
     )
@@ -163,4 +164,7 @@ def test_repetition_ratios_golden(spark):
     }
     assert out[1] == (pytest.approx(round(1 - 1 / 3, 4)), 1.0)
     assert out[2] == (0.0, pytest.approx(round(1 / 3, 4)))
-    assert out[3] == (0.0, 1.0)
+    # docs without a single full n-gram must NOT read as maximally
+    # repetitive (top_ngram_ratio 1.0) — they have no signal at all
+    assert out[3] == (None, None)
+    assert out[4] == (None, None)

@@ -30,15 +30,29 @@ def generate(
     noise: float = 0.15,
     out_dir: str = DEFAULT_DIR,
     chunk: int = 100_000,
+    point_seed: int | None = None,
+    start_id: int = 0,
 ) -> str:
-    """Write (or reuse) the synthetic table; returns the parquet path."""
+    """Write (or reuse) the synthetic table; returns the parquet path.
+
+    ``point_seed`` draws the point mixture from a DIFFERENT stream while
+    keeping the latent centers from ``seed`` — fresh rows from the SAME
+    distribution, the append scenario (new data arriving for an index
+    whose centroids were trained before it existed). ``start_id`` offsets
+    ``vec_id`` so an appended table's ids continue the original's."""
     tag = f"scale_emb_{n_rows}x{dim}_c{n_centers}_s{seed}"
+    if point_seed is not None:
+        tag += f"_p{point_seed}"
+    if start_id:
+        tag += f"_o{start_id}"
     path = os.path.join(out_dir, f"{tag}.parquet")
     if os.path.exists(path):
         return path
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(seed)
     centers = rng.normal(size=(n_centers, dim)).astype(np.float32)
+    if point_seed is not None:
+        rng = np.random.default_rng(point_seed)
     tmp = path + ".tmp"
     writer = None
     try:
@@ -48,7 +62,10 @@ def generate(
             pts = centers[ids] + rng.normal(scale=noise, size=(m, dim)).astype(np.float32)
             tbl = pa.table(
                 {
-                    "vec_id": pa.array(range(start, start + m), type=pa.int64()),
+                    "vec_id": pa.array(
+                        range(start_id + start, start_id + start + m),
+                        type=pa.int64(),
+                    ),
                     "embedding": pa.FixedSizeListArray.from_arrays(
                         pa.array(pts.reshape(-1), type=pa.float32()), dim
                     ).cast(pa.list_(pa.float32())),
