@@ -996,6 +996,60 @@ def _text_repetition(spark, sf_dir):
     return T.repetition_ratios(docs, "text", "doc_id", n=2)
 
 
+def _pii_aug(docs):
+    """Documents carry no real PII, so the scrub must be proven against
+    DETERMINISTIC synthetic PII: append an email + URL derived from doc_id
+    (identically reconstructable in the oracle's SQL)."""
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com via https://ex.example/p/"),
+        F.col("doc_id").cast("string"),
+    )
+
+
+def _text_pii(spark, sf_dir):
+    """PII redaction + audit counts (functions/text.py:pii_scrub) — pure
+    regexp_replace chain, whole-stage codegen, zero shuffle at any scale.
+    Output hashes the scrubbed text (md5) so the oracle compare stays
+    row-sized. Phone scrubbing exists too but is pytest-golden-verified
+    only (Java/RE2 greedy-digit-run semantics are not bit-contractual)."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = _pii_aug(docs)
+    return docs.select(
+        "doc_id",
+        F.md5(T.pii_scrub(aug, kinds=("email", "url"))).alias("scrub_md5"),
+        T.pii_count(aug, "email").alias("n_emails"),
+        T.pii_count(aug, "url").alias("n_urls"),
+    )
+
+
+def _sample_hash(spark, sf_dir):
+    """Deterministic 10% corpus sample (operators/sampling.py:hash_sample):
+    row fate = f(doc_id, salt) only — reproducible across runs, engines,
+    partitionings; map-side filter, no shuffle."""
+    from pq_vector_spark.operators.sampling import hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_sample(docs, "doc_id", 0.1, salt="bench").select("doc_id", "lang")
+
+
+def _sample_mix(spark, sf_dir):
+    """Weighted deterministic dataset mix (100% src0 + 50% src1 + 25% src2)
+    — the training-mixture primitive (operators/sampling.py:weighted_mix);
+    a union of map-side hash filters, each source tagged."""
+    from pq_vector_spark.operators.sampling import weighted_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    parts = {
+        "src0": (docs.filter(F.col("source") == "src0"), 1.0),
+        "src1": (docs.filter(F.col("source") == "src1"), 0.5),
+        "src2": (docs.filter(F.col("source") == "src2"), 0.25),
+    }
+    return weighted_mix(parts, "doc_id").select("doc_id", "mix_source")
+
+
 BM25_QUERY = ["spark", "window", "hash"]
 
 
@@ -1128,14 +1182,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- multimodal family --
         "multimodal_features": _multimodal_features,
         "multimodal_frames": _multimodal_frames,
+        # -- sampling / PII (training-pipeline curation) --
+        "sample_hash": _sample_hash,
+        "sample_mix": _sample_mix,
+        "text_pii": _text_pii,
         # -- relational representatives --
         "rel_topk": _rel_topk,
         "rel_agg": _rel_agg,
         "rel_join_agg": _rel_join_agg,
-        "rel_join_region": _rel_join_region,
         "rel_window": _rel_window,
-        "rel_join_part": _rel_join_part,
-        "rel_moving_avg": _rel_moving_avg,
         "rel_skew_join": _rel_skew_join,
         # -- events: batch + streaming twins --
         "events_windowed": _events_windowed,
@@ -1165,6 +1220,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_appended": _knn_appended,
         "knn_capped": _knn_capped,
         "knn_ivf_approx": _knn_ivf_approx,  # no_oracle (recall-gated) — never spends a budget row
+        "rel_join_region": _rel_join_region,
+        "rel_join_part": _rel_join_part,
+        "rel_moving_avg": _rel_moving_avg,
         "rel_semijoin": _rel_semijoin,
         "rel_conditional_agg": _rel_conditional_agg,
         "rel_antijoin": _rel_antijoin,
@@ -1710,6 +1768,44 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(top AS DOUBLE) / CAST(total AS DOUBLE), 4)
                        AS top_ngram_ratio
             FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""",
+        # PII scrub over deterministically-augmented docs: email scrubbed
+        # FIRST, then url (same order as pq_vector_spark pii_scrub); counts
+        # on the pre-scrub text. Patterns are the Java/RE2-portable subset.
+        "text_pii": f"""
+            WITH aug AS (SELECT doc_id,
+                   text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com via https://ex.example/p/'
+                        || CAST(doc_id AS VARCHAR) AS a
+                 FROM documents)
+            SELECT doc_id,
+                   md5(regexp_replace(regexp_replace(a,
+                         '{T.PII_PATTERNS["email"]}', '[PII]', 'g'),
+                         '{T.PII_PATTERNS["url"]}', '[PII]', 'g')) AS scrub_md5,
+                   CAST(len(regexp_extract_all(a, '{T.PII_PATTERNS["email"]}'))
+                        AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(a, '{T.PII_PATTERNS["url"]}'))
+                        AS BIGINT) AS n_urls
+            FROM aug""",
+        # deterministic hash sampling ≡ the identical md5-bucket predicate
+        "sample_hash": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE {_TOKHASH.format(s="concat('bench', CAST(doc_id AS VARCHAR))")}
+                  % 1000000 < 100000""",
+        "sample_mix": f"""
+            SELECT doc_id, 'src0' AS mix_source FROM documents
+            WHERE source = 'src0'
+              AND {_TOKHASH.format(s="concat('src0', CAST(doc_id AS VARCHAR))")}
+                  % 1000000 < 1000000
+            UNION ALL
+            SELECT doc_id, 'src1' AS mix_source FROM documents
+            WHERE source = 'src1'
+              AND {_TOKHASH.format(s="concat('src1', CAST(doc_id AS VARCHAR))")}
+                  % 1000000 < 500000
+            UNION ALL
+            SELECT doc_id, 'src2' AS mix_source FROM documents
+            WHERE source = 'src2'
+              AND {_TOKHASH.format(s="concat('src2', CAST(doc_id AS VARCHAR))")}
+                  % 1000000 < 250000""",
         "text_quantiles": """
             SELECT CAST(count(*) AS BIGINT) AS n_docs,
                    round(quantile_cont(CAST(length(text) AS DOUBLE), 0.25), 4) AS q_25,

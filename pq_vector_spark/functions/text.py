@@ -309,6 +309,36 @@ def bm25_topk(
     )
 
 
+# PII patterns deliberately restricted to syntax with identical semantics
+# in Java regex (Spark) and RE2 (DuckDB oracle): character classes, greedy
+# quantifiers, no lookaround/backrefs.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+    "phone": r"\+?\d[\d\- ]{7,}\d",
+}
+# scrub emails/urls BEFORE phones: both contain digit runs a phone pattern
+# could partially claim
+PII_ORDER = ("email", "url", "phone")
+
+
+def pii_scrub(col, kinds: Sequence[str] = PII_ORDER, token: str = "[PII]") -> Column:
+    """Replace every occurrence of the selected PII kinds with ``token`` —
+    the redaction pass a corpus takes before training. Pure map-side
+    ``regexp_replace`` chain (whole-stage codegen, no Python workers);
+    at 100 TB this is a linear scan with zero shuffle."""
+    c = F.col(col) if isinstance(col, str) else col
+    for k in kinds:
+        c = F.regexp_replace(c, PII_PATTERNS[k], token)
+    return c
+
+
+def pii_count(col, kind: str) -> Column:
+    """Occurrences of one PII kind (audit metric for scrub reports)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(PII_PATTERNS[kind])).cast("bigint")
+
+
 def _token_ngrams(col, n: int) -> Column:
     """NON-distinct token n-grams (the dedup module's ``shingles`` is
     distinct — repetition metrics need the multiplicity). Same

@@ -1,0 +1,92 @@
+"""Deterministic sampling and dataset mixing — training-data pipeline
+primitives (north-star extension; the reference's engine has no sampling
+surface beyond its internal index-training sample, src/ivf/index.rs:63-88).
+
+``df.sample()`` is unsuitable for corpus curation at 100 TB: its outcome
+depends on partitioning and run order, so reruns and engine migrations
+silently change the training set. These operators key every row's fate on
+an md5-derived hash of a stable id instead:
+
+- reproducible across runs, partitionings, AND engines (the DuckDB oracle
+  computes the identical bucket from the same bytes);
+- stable under growth — appending data never flips an existing row's fate;
+- pure map-side filters (no shuffle, no state), pushed like any predicate;
+- salt-parameterized, so independent draws (train/validation splits,
+  epoch-level subsampling) use the same machinery with different salts.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from typing import Mapping, Tuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pq_vector_spark.functions.text import token_hash
+
+# bucket space: fine enough that rate granularity is 1e-6, small enough
+# that the 60-bit hash is uniform over it
+BUCKETS = 1_000_000
+
+
+def hash_bucket(col, salt: str = "") -> Column:
+    """Stable bucket in [0, BUCKETS) from the md5 of the salted, stringified
+    key (``functions.text.token_hash`` — portable: DuckDB reproduces it
+    bit-for-bit, unlike engine-native hashes)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.pmod(
+        token_hash(F.concat(F.lit(salt), c.cast("string"))), F.lit(BUCKETS)
+    )
+
+
+def hash_sample(df: DataFrame, key_col: str, rate: float, salt: str = "") -> DataFrame:
+    """Deterministic ``rate``-sampling: keep rows whose hash bucket falls
+    below ``rate * BUCKETS``. A row's membership depends only on
+    (key, salt) — never on partitioning, ordering, or corpus size."""
+    if not (0.0 <= rate <= 1.0):
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    threshold = int(round(rate * BUCKETS))
+    return df.filter(hash_bucket(key_col, salt) < F.lit(threshold))
+
+
+def train_split(
+    df: DataFrame, key_col: str, holdout: float = 0.01, salt: str = "split"
+) -> Tuple[DataFrame, DataFrame]:
+    """(train, holdout) partition by hash bucket — disjoint and exhaustive,
+    and a document NEVER migrates between splits as the corpus grows (the
+    leakage guarantee a random split cannot give)."""
+    if not (0.0 < holdout < 1.0):
+        raise ValueError(f"holdout must be in (0, 1), got {holdout}")
+    threshold = int(round(holdout * BUCKETS))
+    b = hash_bucket(key_col, salt)
+    return df.filter(b >= F.lit(threshold)), df.filter(b < F.lit(threshold))
+
+
+def weighted_mix(
+    parts: Mapping[str, Tuple[DataFrame, float]],
+    key_col: str,
+    salt: str = "",
+    tag_col: str = "mix_source",
+) -> DataFrame:
+    """Weighted deterministic interleave of corpora — the training-mixture
+    primitive ("100% wiki + 30% web + 5% code"): each part is
+    hash-sampled at its weight and tagged with ``tag_col``.
+
+    Scale shape: a union of map-side filters — no shuffle, no sampling
+    state; each source's scan prunes independently and the union is purely
+    logical (Spark unions partitions, it does not materialize them).
+    Weights > 1 are rejected — upsampling (epoch repetition) belongs in
+    the data loader, not the corpus definition.
+    """
+    if not parts:
+        raise ValueError("parts must name at least one (DataFrame, weight)")
+    outs = []
+    for name in sorted(parts):
+        df, weight = parts[name]
+        outs.append(
+            hash_sample(df, key_col, weight, salt=salt or name).withColumn(
+                tag_col, F.lit(name)
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), outs)

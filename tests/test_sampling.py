@@ -1,0 +1,128 @@
+"""Deterministic sampling / dataset mixing / PII scrubbing tests —
+training-pipeline curation primitives (operators/sampling.py,
+functions/text.py PII section)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pq_vector_spark.functions import text as T
+from pq_vector_spark.operators.sampling import (
+    BUCKETS,
+    hash_sample,
+    train_split,
+    weighted_mix,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc "), F.col("id").cast("string")).alias("text"),
+    )
+
+
+def test_hash_sample_rate_and_determinism(spark, corpus):
+    s1 = {r["doc_id"] for r in hash_sample(corpus, "doc_id", 0.2).collect()}
+    # re-running and re-partitioning must give the IDENTICAL set
+    s2 = {
+        r["doc_id"]
+        for r in hash_sample(corpus.repartition(7), "doc_id", 0.2).collect()
+    }
+    assert s1 == s2
+    assert 0.15 < len(s1) / 2000 < 0.25  # ~rate, hash-uniform
+
+
+def test_hash_sample_stable_under_growth(spark, corpus):
+    """Appending data must never flip an existing row's fate: the sample of
+    the grown corpus, restricted to the old ids, equals the old sample."""
+    grown = corpus.unionByName(
+        spark.range(2000, 3000).select(
+            F.col("id").alias("doc_id"),
+            F.lit("new").alias("text"),
+        )
+    )
+    old = {r["doc_id"] for r in hash_sample(corpus, "doc_id", 0.3).collect()}
+    new = {
+        r["doc_id"]
+        for r in hash_sample(grown, "doc_id", 0.3).collect()
+        if r["doc_id"] < 2000
+    }
+    assert old == new
+
+
+def test_hash_sample_salt_gives_independent_draws(spark, corpus):
+    a = {r["doc_id"] for r in hash_sample(corpus, "doc_id", 0.5, salt="a").collect()}
+    b = {r["doc_id"] for r in hash_sample(corpus, "doc_id", 0.5, salt="b").collect()}
+    assert a != b
+    jacc = len(a & b) / len(a | b)
+    assert 0.2 < jacc < 0.45  # ≈ 1/3 for two independent 50% draws
+
+
+def test_hash_sample_bounds(spark, corpus):
+    with pytest.raises(ValueError, match="rate"):
+        hash_sample(corpus, "doc_id", 1.5)
+    assert hash_sample(corpus, "doc_id", 0.0).count() == 0
+    assert hash_sample(corpus, "doc_id", 1.0).count() == 2000
+
+
+def test_train_split_disjoint_exhaustive_stable(spark, corpus):
+    train, held = train_split(corpus, "doc_id", holdout=0.1)
+    t = {r["doc_id"] for r in train.collect()}
+    h = {r["doc_id"] for r in held.collect()}
+    assert t.isdisjoint(h)
+    assert len(t) + len(h) == 2000
+    assert 0.05 < len(h) / 2000 < 0.15
+    # no leakage as the corpus grows: holdout membership of old ids is fixed
+    grown = corpus.unionByName(
+        spark.range(2000, 2500).select(
+            F.col("id").alias("doc_id"), F.lit("x").alias("text")
+        )
+    )
+    _, h2 = train_split(grown, "doc_id", holdout=0.1)
+    assert {r["doc_id"] for r in h2.collect() if r["doc_id"] < 2000} == h
+
+
+def test_weighted_mix_tags_and_weights(spark, corpus):
+    a = corpus.filter(F.col("doc_id") < 1000)
+    b = corpus.filter(F.col("doc_id") >= 1000)
+    out = weighted_mix({"full": (a, 1.0), "third": (b, 0.3)}, "doc_id")
+    counts = {
+        r["mix_source"]: r["n"]
+        for r in out.groupBy("mix_source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert counts["full"] == 1000
+    assert 200 < counts["third"] < 400
+    # no shuffle anywhere: a union of filters over the sources
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    with pytest.raises(ValueError, match="at least one"):
+        weighted_mix({}, "doc_id")
+
+
+def test_pii_scrub_goldens(spark):
+    rows = [
+        (1, "mail me at jo.doe+x@corp.example.org today"),
+        (2, "see https://a.example/path?q=1#f and http://b.example"),
+        (3, "call +1 555 010 4477 or 555-010-4478 now"),
+        (4, "clean text, no pii at all"),
+    ]
+    df = spark.createDataFrame(rows, "id INT, t STRING")
+    got = {
+        r["id"]: r["s"]
+        for r in df.select("id", T.pii_scrub("t").alias("s")).collect()
+    }
+    assert got[1] == "mail me at [PII] today"
+    assert got[2] == "see [PII] and [PII]"
+    assert got[3] == "call [PII] or [PII] now"
+    assert got[4] == "clean text, no pii at all"
+
+
+def test_pii_count(spark):
+    df = spark.createDataFrame(
+        [(1, "a@b.example c@d.example https://e.example")], "id INT, t STRING"
+    )
+    row = df.select(
+        T.pii_count("t", "email").alias("e"), T.pii_count("t", "url").alias("u")
+    ).collect()[0]
+    assert (row["e"], row["u"]) == (2, 1)
