@@ -900,7 +900,13 @@ def _events_scd_enriched(spark, sf_dir):
     dim = _scd_tier_dim(spark, sf_dir, dict(ev.dtypes)["ts"]).withColumnRenamed(
         "eff_ts", "ts"
     )
-    joined = asof_join(keyed, dim, on="ts", by="c_nationkey", value_cols=["tier"])
+    # nation-keyed as-of is the canonical HOT-KEY shape (25 keys carry the
+    # whole event stream), so the attested row rides the bucketed variant:
+    # per-(nation, day) partitions with compact carry-in — identical
+    # results, parallel within each nation
+    joined = asof_join(
+        keyed, dim, on="ts", by="c_nationkey", value_cols=["tier"], bucket="1 day"
+    )
     return joined.groupBy("tier").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.round(F.sum("value"), 2).alias("sum_value"),
