@@ -1002,6 +1002,26 @@ def _text_repetition(spark, sf_dir):
     return T.repetition_ratios(docs, "text", "doc_id", n=2)
 
 
+def _text_tokens_bpe(spark, sf_dir):
+    """BPE-ish token counts (functions/text.py:bpe_token_count) next to the
+    whitespace count — the LLM-token sizing signal a pipeline reports per
+    document before budgeting a training run."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count("text").alias("n_ws_tokens"),
+        T.bpe_token_count("text").alias("n_bpe_tokens"),
+    )
+
+
+def _text_winnow(spark, sf_dir):
+    """MOSS winnowing fingerprints (k=3-gram rolling hashes, window w=4):
+    the localizing overlap-detection sketch; see
+    functions/text.py:winnow_fingerprints."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.winnow_fingerprints(docs, "text", "doc_id", k=3, w=4)
+
+
 def _pii_aug(docs):
     """Documents carry no real PII, so the scrub must be proven against
     DETERMINISTIC synthetic PII: append an email + URL derived from doc_id
@@ -1198,8 +1218,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_join_agg": _rel_join_agg,
         "rel_window": _rel_window,
         "rel_skew_join": _rel_skew_join,
-        # -- events: batch + streaming twins --
-        "events_windowed": _events_windowed,
+        # -- events: batch + streaming twins (streaming twins stay in
+        #    budget — they are the regression-prone side; a demoted batch
+        #    twin is still pinned by its stream sibling's shared oracle) --
         "events_stream_windowed": _events_stream_windowed,
         "events_sessions": _events_sessions,
         "events_stream_sessions": _events_stream_sessions,
@@ -1214,7 +1235,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": _text_stats,
         "text_quality": _text_quality,
         "text_lang": _text_lang,
-        "text_fingerprint": _text_fingerprint,
+        "text_tokens_bpe": _text_tokens_bpe,
+        "text_winnow": _text_winnow,
         "text_quantiles": _text_quantiles,
         "text_doc_freq": _text_doc_freq,
         "text_tfidf": _text_tfidf,
@@ -1226,6 +1248,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_appended": _knn_appended,
         "knn_capped": _knn_capped,
         "knn_ivf_approx": _knn_ivf_approx,  # no_oracle (recall-gated) — never spends a budget row
+        "events_windowed": _events_windowed,
+        "text_fingerprint": _text_fingerprint,
         "rel_join_region": _rel_join_region,
         "rel_join_part": _rel_join_part,
         "rel_moving_avg": _rel_moving_avg,
@@ -1792,6 +1816,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(a, '{T.PII_PATTERNS["url"]}'))
                         AS BIGINT) AS n_urls
             FROM aug""",
+        # BPE-ish pre-tokenizer counts: non-overlapping regex matches —
+        # pattern restricted to Java/RE2-common semantics
+        "text_tokens_bpe": f"""
+            SELECT doc_id,
+                   CAST(len({_TOKS}) AS BIGINT) AS n_ws_tokens,
+                   CAST(len(regexp_extract_all(text,
+                        '{T.BPE_SPLIT_PATTERN}')) AS BIGINT) AS n_bpe_tokens
+            FROM documents""",
+        # MOSS winnowing: 3-gram rolling hashes, min over each window of 4,
+        # full windows only, distinct per doc (parallel unnest zips
+        # gram/index lists)
+        "text_winnow": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            g3 AS (SELECT doc_id,
+                     CASE WHEN len(toks) >= 3 THEN
+                       list_transform(range(1, len(toks) - 2 + 1),
+                                      i -> array_to_string(toks[i:i+2], ' '))
+                     ELSE [] END AS grams FROM toks),
+            ex AS (SELECT doc_id, unnest(grams) AS gram,
+                          unnest(range(1, len(grams) + 1)) AS i FROM g3),
+            h AS (SELECT doc_id, i, {_TOKHASH.format(s="gram")} AS h FROM ex),
+            win AS (SELECT doc_id, i,
+                      min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+                      count(*) OVER (PARTITION BY doc_id) AS n
+                    FROM h)
+            SELECT DISTINCT doc_id, fp FROM win WHERE i <= n - 3""",
         # deterministic hash sampling ≡ the identical md5-bucket predicate
         "sample_hash": f"""
             SELECT doc_id, lang FROM documents

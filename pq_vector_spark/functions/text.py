@@ -127,6 +127,21 @@ def fingerprint(col) -> Column:
     return F.md5(normalize_text(col))
 
 
+# GPT-2-style pre-tokenizer pattern, reduced to the Java/RE2-portable
+# subset (no lookahead, no unicode classes): a token is an optional-space
+# letter run, digit run, or punctuation run, else a whitespace run.
+BPE_SPLIT_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
+def bpe_token_count(col) -> Column:
+    """BPE-ish token count: non-overlapping matches of the pre-tokenizer
+    pattern — a much closer LLM-token estimate than whitespace splitting
+    (punctuation and digit runs count separately, as real BPE vocabularies
+    see them). Native ``regexp_count``, map-side, no shuffle."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(BPE_SPLIT_PATTERN)).cast("bigint")
+
+
 def token_hash(col_or_expr) -> Column:
     """Deterministic 60-bit integer hash of a string via md5 hex prefix —
     portable across engines (DuckDB computes the identical value), unlike
@@ -359,6 +374,44 @@ def _token_ngrams(col, n: int) -> Column:
             ),
         ).otherwise(F.array().cast("array<string>")),
     )[0]
+
+
+def winnow_fingerprints(df, text_col: str, id_col: str, k: int = 3, w: int = 4):
+    """MOSS-style winnowing fingerprints (Schleimer et al., SIGMOD 2003) —
+    the rolling-hash document fingerprinting scheme: hash every token
+    k-gram, slide a window of ``w`` consecutive hashes, keep each window's
+    minimum, emit the distinct (doc, fingerprint) set.
+
+    Guarantees (the winnowing theorems): any shared substring of at least
+    k + w - 1 tokens produces at least one IDENTICAL fingerprint in both
+    documents, and the selected density is ~2/(w+1) — a tunable sketch for
+    plagiarism/overlap detection that, unlike MinHash, LOCALIZES matches.
+
+    Scale shape: one explode + two window passes partitioned by document +
+    a distinct keyed by (doc, fp) — all shuffles are doc-keyed; no
+    cross-document work until fingerprints are joined downstream. Docs
+    with fewer than k + w - 1 tokens emit nothing (no full window).
+    """
+    from pyspark.sql import Window
+
+    grams = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(_token_ngrams(text_col, k)).alias("_pos", "_gram"),
+    )
+    h = grams.select("_id", "_pos", token_hash(F.col("_gram")).alias("_h"))
+    win = Window.partitionBy("_id").orderBy(F.col("_pos").asc()).rowsBetween(0, w - 1)
+    per_doc = Window.partitionBy("_id")
+    fp = (
+        h.select(
+            "_id",
+            "_pos",
+            F.min("_h").over(win).alias("fp"),
+            F.count(F.lit(1)).over(per_doc).alias("_n"),
+        )
+        # full windows only (0-based): positions 0 .. n_grams - w
+        .filter(F.col("_pos") <= F.col("_n") - w)
+    )
+    return fp.select(F.col("_id").alias(id_col), "fp").distinct()
 
 
 def repetition_ratios(df, text_col: str, id_col: str, n: int = 2):

@@ -148,6 +148,42 @@ def test_bm25_length_normalization(spark):
     assert [r["doc_id"] for r in rows] == [1, 2]
 
 
+def test_bpe_token_count_golden(spark):
+    rows = [
+        (1, "Hello, world! 123 abc"),  # Hello , _world ! _123 _abc → 6
+        (2, "don't"),                  # don ' t → 3
+        (3, ""),                       # no matches
+    ]
+    df = spark.createDataFrame(rows, "id INT, t STRING")
+    got = {r["id"]: r["n"] for r in df.select("id", T.bpe_token_count("t").alias("n")).collect()}
+    assert got == {1: 6, 2: 3, 3: 0}
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """Winnowing theorem: two documents sharing a run of >= k + w - 1
+    tokens (here 3 + 4 - 1 = 6) must share at least one fingerprint;
+    documents with no full window emit nothing."""
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 shared tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro words {shared} tail one"),
+            (2, f"completely different head {shared} other ending"),
+            (3, "unrelated text entirely here now okay fine"),
+            (4, "tiny doc"),  # < k tokens → no grams → no fingerprints
+        ],
+        "doc_id INT, text STRING",
+    )
+    fp = T.winnow_fingerprints(docs, "text", "doc_id", k=3, w=4)
+    by_doc = {}
+    for r in fp.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared 6-token run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    assert 4 not in by_doc
+    # density sanity: far fewer fingerprints than grams
+    assert len(by_doc[1]) < 9  # doc 1 has 10 tokens → 8 grams
+
+
 def test_repetition_ratios_golden(spark):
     docs = spark.createDataFrame(
         [
