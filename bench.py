@@ -183,6 +183,11 @@ def main() -> None:
         if os.environ.get("PQ_BENCH_SCALE", "1") != "0"
         else None
     )
+    scale_asof = (
+        _asof_scale_bench(spark)
+        if os.environ.get("PQ_BENCH_SCALE", "1") != "0"
+        else None
+    )
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -207,6 +212,8 @@ def main() -> None:
         out["scale"] = scale
     if scale_dedup is not None:
         out["scale_dedup"] = scale_dedup
+    if scale_asof is not None:
+        out["scale_asof"] = scale_asof
     print(json.dumps(out))
 
 
@@ -523,6 +530,80 @@ def _dedup_scale_bench(spark) -> dict:
         "dup_components": int(n_components),
         "simhash_sec": simhash_sec,
         "simhash_distinct": int(n_sim),
+    }
+
+
+def _asof_scale_bench(spark) -> dict:
+    """As-of join under single-hot-key skew: one entity holds 90% of the
+    stream (the shape where the plain union-window serializes that key in
+    ONE task). Times plain vs bucketed (``bucket="1 day"`` over a ~30-day
+    span → the hot key spreads across ~30 tasks) and cross-checks that
+    both produce identical aggregates. Fully deterministic (id-arithmetic
+    timestamps, no rand()).
+
+    Default 4M rows: on local[32] the bucketing overhead (two extra
+    compact shuffles) crosses over between 1M (parity) and 4M (~2.8×
+    faster) — and the gap widens linearly with the hot key's row count,
+    which is exactly the property that matters at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from pq_vector_spark.operators.asof import asof_join
+
+    n_left = int(os.environ.get("PQ_BENCH_ASOF_ROWS", "4000000"))
+    n_right = max(n_left // 100, 100)
+    span_sec = 30 * 24 * 3600
+
+    def keyed(df):
+        # 90% of rows on key 0, remainder spread over 999 other keys
+        return df.withColumn(
+            "user_id",
+            F.when(F.col("id") % 10 < 9, F.lit(0)).otherwise(
+                (F.pmod(F.col("id") * 31 + 7, 999) + 1)
+            ).cast("bigint"),
+        ).withColumn(
+            "ts",
+            F.timestamp_seconds(
+                F.lit(1704067200) + F.pmod(F.col("id") * 7919, F.lit(span_sec))
+            ),
+        )
+
+    left = keyed(spark.range(n_left)).select(
+        F.col("id").alias("event_id"), "user_id", "ts"
+    )
+    right = keyed(spark.range(n_right)).select(
+        "user_id", "ts", (F.col("id") % 1000).cast("double").alias("snap")
+    ).dropDuplicates(["user_id", "ts"])
+    left.count(), right.count()  # warm
+
+    def agg(df):
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("snap").isNull(), 1).otherwise(0)).alias("nulls"),
+            F.round(F.sum("snap"), 2).alias("s"),
+        ).collect()[0]
+
+    plain_df = asof_join(left, right, on="ts", by="user_id", value_cols=["snap"])
+    agg(plain_df)  # warm codegen
+    t0 = time.time()
+    plain = agg(plain_df)
+    plain_sec = round(time.time() - t0, 3)
+
+    bucketed_df = asof_join(
+        left, right, on="ts", by="user_id", value_cols=["snap"], bucket="1 day"
+    )
+    agg(bucketed_df)
+    t0 = time.time()
+    bucketed = agg(bucketed_df)
+    bucketed_sec = round(time.time() - t0, 3)
+
+    return {
+        "left_rows": n_left,
+        "right_rows": n_right,
+        "hot_key_fraction": 0.9,
+        "plain_sec": plain_sec,
+        "bucketed_sec": bucketed_sec,
+        "bucketed_speedup": round(plain_sec / bucketed_sec, 2) if bucketed_sec else None,
+        "results_match": tuple(plain) == tuple(bucketed),
     }
 
 
