@@ -1,0 +1,67 @@
+"""Training-shard sink tests (sources/sinks.py): balanced range shards,
+within-shard ordering, manifest, guards."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pq_vector_spark.sources.sinks import shard_manifest, write_training_shards
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # skewed shard key: quality clustered at two modes — range partitioning
+    # must still balance counts
+    return spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"),
+        (F.when(F.col("id") % 4 == 0, F.col("id") % 97)
+          .otherwise(900 + F.col("id") % 53)).cast("double").alias("quality"),
+        F.concat(F.lit("d"), F.col("id").cast("string")).alias("text"),
+    )
+
+
+def test_write_shards_balanced_and_sorted(spark, corpus, tmp_path):
+    out = str(tmp_path / "shards")
+    write_training_shards(
+        corpus, out, shard_col="quality", sort_cols=["quality", "doc_id"], n_shards=8
+    )
+    man = {r["file"]: r["n_rows"] for r in shard_manifest(spark, out).collect()}
+    assert len(man) == 8
+    sizes = sorted(man.values())
+    assert sizes[0] > 0 and sizes[-1] / sizes[0] < 3  # balanced under skew
+
+    # within-file: quality ascending; across the range partitioner, every
+    # row of a higher-boundary file >= every row of a lower one
+    rows = (
+        spark.read.parquet(out)
+        .select(F.input_file_name().alias("f"), "quality", "doc_id")
+        .collect()
+    )
+    per_file = {}
+    for r in rows:
+        per_file.setdefault(r["f"], []).append((r["quality"], r["doc_id"]))
+    ranges = []
+    for f, vals in per_file.items():
+        assert vals == sorted(vals), f"shard {f} not sorted"
+        ranges.append((min(v[0] for v in vals), max(v[0] for v in vals)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, "shard quality ranges overlap"
+    # nothing lost
+    assert sum(man.values()) == 4000
+
+
+def test_write_shards_max_records_per_file(spark, corpus, tmp_path):
+    out = str(tmp_path / "capped")
+    write_training_shards(
+        corpus, out, shard_col="doc_id", n_shards=4, max_records_per_file=300
+    )
+    man = shard_manifest(spark, out).collect()
+    assert all(r["n_rows"] <= 300 for r in man)
+    assert sum(r["n_rows"] for r in man) == 4000
+
+
+def test_write_shards_guards(spark, corpus, tmp_path):
+    with pytest.raises(ValueError, match="n_shards"):
+        write_training_shards(corpus, str(tmp_path / "x"), shard_col="quality", n_shards=0)
+    with pytest.raises(ValueError, match="missing"):
+        write_training_shards(corpus, str(tmp_path / "y"), shard_col="nope")
