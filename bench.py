@@ -42,9 +42,13 @@ HEADLINE = [
     "events_windowed",
     "events_sessions",
     "events_asof",
+    "events_scd_enriched",
     "text_quality",
     "text_quantiles",
     "text_tfidf",
+    "text_winnow",
+    "text_pii",
+    "sample_mix",
     "dedup_exact",
     "dedup_minhash",
     "dedup_resolve",

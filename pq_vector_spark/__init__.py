@@ -24,6 +24,16 @@ from pq_vector_spark.index.build import append_to_index, build_index, has_index
 from pq_vector_spark.index.search import indexed_topk, load_index
 from pq_vector_spark.plans.sql import pq_sql, register_indexed_table
 from pq_vector_spark.plans.intercept import try_intercept_topk
+from pq_vector_spark.plans.explain import explain_vector
+from pq_vector_spark.operators.asof import asof_join
+from pq_vector_spark.operators.skew import salted_join
+from pq_vector_spark.operators.sampling import (
+    hash_sample,
+    train_split,
+    weighted_mix,
+)
+from pq_vector_spark.sources.sinks import shard_manifest, write_training_shards
+from pq_vector_spark.streaming.events import enrich_join, scd_enrich
 
 __all__ = [
     "PqSession",
@@ -46,6 +56,16 @@ __all__ = [
     "pq_sql",
     "register_indexed_table",
     "try_intercept_topk",
+    "explain_vector",
+    "asof_join",
+    "salted_join",
+    "hash_sample",
+    "train_split",
+    "weighted_mix",
+    "shard_manifest",
+    "write_training_shards",
+    "enrich_join",
+    "scd_enrich",
 ]
 
 __version__ = "0.1.0"
