@@ -574,9 +574,15 @@ def _asof_scale_bench(spark) -> dict:
     left = keyed(spark.range(n_left)).select(
         F.col("id").alias("event_id"), "user_id", "ts"
     )
-    right = keyed(spark.range(n_right)).select(
-        "user_id", "ts", (F.col("id") % 1000).cast("double").alias("snap")
-    ).dropDuplicates(["user_id", "ts"])
+    # deterministic unique-per-(key, ts): max(snap), NOT dropDuplicates —
+    # dropDuplicates keeps an arbitrary row and is recomputed per action,
+    # so the plain/bucketed cross-check could diverge spuriously
+    right = (
+        keyed(spark.range(n_right))
+        .select("user_id", "ts", (F.col("id") % 1000).cast("double").alias("snap"))
+        .groupBy("user_id", "ts")
+        .agg(F.max("snap").alias("snap"))
+    )
     left.count(), right.count()  # warm
 
     def agg(df):
