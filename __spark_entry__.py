@@ -154,6 +154,21 @@ def _knn_distance(spark, sf_dir):
     return out.select("vec_id", F.round(F.col("_pq_distance"), 4).alias("distance"))
 
 
+def _knn_quantized(spark, sf_dir):
+    """Top-k by DEQUANTIZED int8 distance (functions/quantize.py): per-row
+    asymmetric SQ8 codes, distance folded over dequantized values — the 4×
+    storage/IO scale path; recall vs exact measured in bench scale.sq8."""
+    from pq_vector_spark.functions.quantize import quantize_vectors, quantized_distance
+
+    q = _qvec(spark, sf_dir, 0)
+    qz = quantize_vectors(_emb(spark, sf_dir), "embedding")
+    return (
+        qz.select("vec_id", F.round(quantized_distance(q), 4).alias("qdist"))
+        .orderBy(F.col("qdist").asc(), F.col("vec_id").asc())
+        .limit(K)
+    )
+
+
 def _knn_ivf_exact(spark, sf_dir):
     # nprobe = n_clusters ⇒ candidate set is ALL rows ⇒ exactly brute force
     # (reference guarantee via nprobe.min(n_clusters), src/ivf/index.rs:131)
@@ -1187,6 +1202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_filtered": _knn_filtered,
         "knn_distance": _knn_distance,
         "knn_ivf_exact": _knn_ivf_exact,
+        "knn_quantized": _knn_quantized,
         "knn_sql": _knn_sql,
         "knn_auto": _knn_auto,
         "knn_auto_cosine": _knn_auto_cosine,
@@ -1222,7 +1238,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    budget — they are the regression-prone side; a demoted batch
         #    twin is still pinned by its stream sibling's shared oracle) --
         "events_stream_windowed": _events_stream_windowed,
-        "events_sessions": _events_sessions,
         "events_stream_sessions": _events_stream_sessions,
         "events_props": _events_props,
         "events_asof": _events_asof,
@@ -1249,6 +1264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_capped": _knn_capped,
         "knn_ivf_approx": _knn_ivf_approx,  # no_oracle (recall-gated) — never spends a budget row
         "events_windowed": _events_windowed,
+        "events_sessions": _events_sessions,
         "text_fingerprint": _text_fingerprint,
         "rel_join_region": _rel_join_region,
         "rel_join_part": _rel_join_part,
@@ -1470,6 +1486,33 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivf_exact": f"""
             SELECT vec_id FROM embeddings
             ORDER BY {_dist("embedding", qlit)}, vec_id LIMIT {K}""",
+        # SQ8 scalar quantization: codes = floor((x-mn)/sc + 0.5) - 128
+        # (explicit floor(+0.5) — engine round() half-way modes differ),
+        # distance over dequantized doubles, fold mirrors the Spark order
+        "knn_quantized": f"""
+            WITH base AS (SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                   FROM embeddings),
+            m AS (SELECT vec_id, e,
+                     list_aggregate(e, 'min') AS mn,
+                     list_aggregate(e, 'max') AS mx FROM base),
+            m2 AS (SELECT vec_id, e, mn,
+                     CASE WHEN mx > mn THEN (mx - mn) / 255.0 ELSE 1.0 END AS sc
+                   FROM m),
+            c AS (SELECT vec_id, mn, sc,
+                     list_transform(e, x -> floor((x - mn) / sc + 0.5) - 128) AS cd
+                   FROM m2),
+            d AS (SELECT vec_id,
+                     sqrt(list_reduce(
+                       list_transform(list_zip(cd, {qlit}), p ->
+                         ((mn + (CAST(p[1] AS DOUBLE) + 128.0) * sc)
+                           - CAST(p[2] AS DOUBLE)) *
+                         ((mn + (CAST(p[1] AS DOUBLE) + 128.0) * sc)
+                           - CAST(p[2] AS DOUBLE))),
+                       (x, y) -> x + y)) AS qdist
+                   FROM c)
+            SELECT vec_id, round(qdist, 4) AS qdist FROM d
+            ORDER BY round(qdist, 4), vec_id LIMIT {K}""",
         # appended index at nprobe = n_clusters ⇒ exact over the FULL table
         "knn_appended": f"""
             SELECT vec_id FROM embeddings

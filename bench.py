@@ -423,6 +423,39 @@ def _scale_bench(spark) -> dict:
     ]
     append_recall = len(set(app_got) & set(app_truth)) / k
 
+    # --- SQ8 scalar quantization: the storage/IO scale path -----------------
+    # 4x smaller vectors (float32 -> int8 codes + 2 doubles/row); measure
+    # the written size ratio, a full quantized-scan top-k latency, and
+    # recall@100 vs the float truth. At 100 TB the win is bytes scanned;
+    # locally (page-cache-resident) the dequant math costs CPU instead —
+    # report both honestly.
+    from pq_vector_spark.functions.quantize import quantize_vectors, quantized_distance
+
+    sq8_path = os.path.join(os.path.dirname(src), f"sq8_{n_rows}x{dim}.parquet")
+    if not os.path.exists(sq8_path):
+        quantize_vectors(emb, "embedding").select(
+            "vec_id", "q_codes", "q_mn", "q_scale"
+        ).write.mode("overwrite").parquet(sq8_path)
+    sq8 = spark.read.parquet(sq8_path)
+    sq8.count()  # warm
+
+    def _sq8_topk():
+        return [
+            r["vec_id"]
+            for r in sq8.select(
+                "vec_id", quantized_distance(qvec).alias("_qd")
+            )
+            .orderBy(F.col("_qd").asc(), F.col("vec_id").asc())
+            .limit(k)
+            .select("vec_id")
+            .collect()
+        ]
+
+    _sq8_topk()
+    sq8_sec, sq8_got = best_of(_sq8_topk)
+    sq8_recall = len(set(sq8_got) & set(truth)) / k
+    sq8_bytes = _dir_bytes(sq8_path)
+
     def _by_q(rows):
         d = {}
         for r in rows:
@@ -462,6 +495,10 @@ def _scale_bench(spark) -> dict:
         "cosine_ivf_sec": cos_ivf_sec,
         "cosine_speedup": round(cos_brute_sec / cos_ivf_sec, 2) if cos_ivf_sec else None,
         "cosine_recall_at_100": round(cosine_recall, 4),
+        "sq8_scan_sec": sq8_sec,
+        "sq8_recall_at_100": round(sq8_recall, 4),
+        "sq8_bytes": sq8_bytes,
+        "sq8_compression": round(_dir_bytes(src) / sq8_bytes, 2) if sq8_bytes else None,
         "append_rows": n_app,
         "append_sec": append_sec,
         "append_recall_at_100": round(append_recall, 4),

@@ -32,6 +32,11 @@ from pq_vector_spark.operators.sampling import (
     train_split,
     weighted_mix,
 )
+from pq_vector_spark.functions.quantize import (
+    dequantize,
+    quantize_vectors,
+    quantized_distance,
+)
 from pq_vector_spark.sources.sinks import shard_manifest, write_training_shards
 from pq_vector_spark.streaming.events import enrich_join, scd_enrich
 
@@ -62,6 +67,9 @@ __all__ = [
     "hash_sample",
     "train_split",
     "weighted_mix",
+    "quantize_vectors",
+    "dequantize",
+    "quantized_distance",
     "shard_manifest",
     "write_training_shards",
     "enrich_join",
