@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -79,9 +81,28 @@ def quantized_distance(
     mn_col: str = MIN_COL,
     scale_col: str = SCALE_COL,
 ) -> Column:
-    """L2 distance between a float query and a quantized row — dequantizes
-    inline inside one ``zip_with`` fold (no intermediate array
-    materialization, stays in whole-stage codegen)."""
+    """L2 distance between a float query and a quantized row.
+
+    Narrow vectors dequantize inline inside one ``zip_with`` fold; wide
+    vectors (> UNROLL_LIMIT dims, where Catalyst HOFs run interpreted)
+    switch to an Arrow kernel with the SAME per-dimension left-to-right
+    float64 accumulation as the fold — bit-identical results (the exact
+    technique ``functions/distance.py`` uses for its wide kernels).
+
+    The wide kernel reads the quantized columns as STORED data (the normal
+    shape — quantization exists to be written once and scanned many
+    times). Applying it in the same plan that derives the codes makes
+    Spark collapse the quantize HOF expressions into the Python-UDF
+    argument projection, whose interpreted evaluator cannot execute them
+    (ExpressionProxy INTERNAL_ERROR) — persist the quantized table first,
+    or stay at ≤ UNROLL_LIMIT dims where the pure-HOF fold handles both
+    shapes."""
+    from pq_vector_spark.functions.distance import UNROLL_LIMIT
+
+    if len(query) > UNROLL_LIMIT:
+        return _arrow_quantized_kernel(query)(
+            F.col(codes_col), F.col(mn_col), F.col(scale_col)
+        )
     qlit = F.array(*[F.lit(float(v)).cast("double") for v in query])
     # diffs first, then square inside the fold via the lambda variable —
     # the dequant subtree evaluates once per element
@@ -94,3 +115,35 @@ def quantized_distance(
         - qi,
     )
     return F.sqrt(F.aggregate(diff, F.lit(0.0), lambda a, d: a + d * d))
+
+
+def _arrow_quantized_kernel(query: Sequence[float]):
+    """Pandas-UDF dequantized-distance kernel: per-dimension left-to-right
+    float64 accumulation (vectorized across rows) ⇒ the identical addition
+    sequence as the zip_with/aggregate fold and the DuckDB oracle."""
+    from pyspark.sql.types import DoubleType
+
+    qd = np.asarray([float(x) for x in query], dtype=np.float64)
+    dim = qd.shape[0]
+
+    @F.pandas_udf(DoubleType())
+    def _k(codes: pd.Series, mn: pd.Series, sc: pd.Series) -> pd.Series:
+        arrs = codes.to_numpy()
+        lens = np.fromiter(
+            (len(a) if a is not None else -1 for a in arrs), dtype=np.int64
+        )
+        ok = (lens == dim) & ~mn.isna().to_numpy() & ~sc.isna().to_numpy()
+        out = np.full(len(arrs), np.nan)
+        if ok.any():
+            mat = np.stack(arrs[ok]).astype(np.float64)
+            mnv = mn.to_numpy(dtype=np.float64, na_value=np.nan)[ok]
+            scv = sc.to_numpy(dtype=np.float64, na_value=np.nan)[ok]
+            acc = np.zeros(mat.shape[0])
+            for j in range(dim):
+                d = (mnv + (mat[:, j] + 128.0) * scv) - qd[j]
+                acc += d * d
+            out[ok] = np.sqrt(acc)
+        res = pd.arrays.FloatingArray(out, mask=np.asarray(~ok))
+        return pd.Series(res)
+
+    return _k

@@ -44,6 +44,46 @@ def test_constant_vector_roundtrips_exactly(spark):
     assert row["deq"] == [2.5, 2.5, 2.5]
 
 
+def test_wide_kernel_bit_identical_to_hof_fold(spark, tmp_path):
+    """Above UNROLL_LIMIT the Arrow kernel takes over; its per-dimension
+    left-to-right accumulation must reproduce the HOF fold EXACTLY
+    (repr-level equality of every double). Runs over a STORED quantized
+    table — the kernel's documented contract (quantize → write → scan)."""
+    from pq_vector_spark.functions.distance import UNROLL_LIMIT
+
+    dim = UNROLL_LIMIT + 32
+    rng = np.random.default_rng(31)
+    rows = [
+        (int(i), [float(x) for x in rng.normal(size=dim).astype(np.float32)])
+        for i in range(50)
+    ]
+    out = str(tmp_path / "sq8")
+    quantize_vectors(
+        spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<FLOAT>"),
+        "embedding",
+    ).write.mode("overwrite").parquet(out)
+    df = spark.read.parquet(out)
+    q = rows[0][1]
+    wide = {
+        r["vec_id"]: r["d"]
+        for r in df.select("vec_id", quantized_distance(q).alias("d")).collect()
+    }
+    # force the HOF path for the same data by calling the fold directly
+    qlit = F.array(*[F.lit(float(v)).cast("double") for v in q])
+    diff = F.zip_with(
+        F.col("q_codes"), qlit,
+        lambda c, qi: (F.col("q_mn") + (c.cast("double") + F.lit(128.0)) * F.col("q_scale")) - qi,
+    )
+    hof = {
+        r["vec_id"]: r["d"]
+        for r in df.select(
+            "vec_id",
+            F.sqrt(F.aggregate(diff, F.lit(0.0), lambda a, d: a + d * d)).alias("d"),
+        ).collect()
+    }
+    assert {k: repr(v) for k, v in wide.items()} == {k: repr(v) for k, v in hof.items()}
+
+
 def test_quantized_distance_close_to_exact_and_recall(spark, vecs):
     q = vecs.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
     qz = quantize_vectors(vecs, "embedding")
