@@ -1029,6 +1029,14 @@ def _text_tokens_bpe(spark, sf_dir):
     )
 
 
+def _text_logprob(spark, sf_dir):
+    """Per-doc mean unigram log-probability under the corpus's smoothed
+    MLE (functions/text.py:unigram_logprob) — the cheap LM quality /
+    gibberish-filter signal."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.unigram_logprob(docs, "text", "doc_id")
+
+
 def _text_winnow(spark, sf_dir):
     """MOSS winnowing fingerprints (k=3-gram rolling hashes, window w=4):
     the localizing overlap-detection sketch; see
@@ -1252,8 +1260,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang": _text_lang,
         "text_tokens_bpe": _text_tokens_bpe,
         "text_winnow": _text_winnow,
+        "text_logprob": _text_logprob,
         "text_quantiles": _text_quantiles,
-        "text_doc_freq": _text_doc_freq,
         "text_tfidf": _text_tfidf,
         "text_bm25": _text_bm25,
         "text_repetition": _text_repetition,
@@ -1266,6 +1274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed": _events_windowed,
         "events_sessions": _events_sessions,
         "text_fingerprint": _text_fingerprint,
+        "text_doc_freq": _text_doc_freq,
         "rel_join_region": _rel_join_region,
         "rel_join_part": _rel_join_part,
         "rel_moving_avg": _rel_moving_avg,
@@ -1859,6 +1868,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(a, '{T.PII_PATTERNS["url"]}'))
                         AS BIGINT) AS n_urls
             FROM aug""",
+        # corpus-MLE unigram log-prob, add-1 smoothing; avg rounded to 4
+        # (absorbs sum-order drift, same convention as every agg row)
+        "text_logprob": f"""
+            WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+            vocab AS (SELECT term, CAST(count(*) AS BIGINT) AS c
+                      FROM toks GROUP BY term),
+            stats AS (SELECT CAST(sum(c) AS DOUBLE) AS n,
+                             CAST(count(*) AS DOUBLE) AS v FROM vocab),
+            per AS (SELECT t.doc_id,
+                      round(avg(ln((CAST(c AS DOUBLE) + 1.0) / (n + 1.0 * v))), 4)
+                          AS logprob,
+                      CAST(count(*) AS BIGINT) AS n_tokens
+                    FROM toks t JOIN vocab USING (term) CROSS JOIN stats
+                    GROUP BY t.doc_id)
+            SELECT d.doc_id, logprob, n_tokens
+            FROM documents d LEFT JOIN per USING (doc_id)""",
         # BPE-ish pre-tokenizer counts: non-overlapping regex matches —
         # pattern restricted to Java/RE2-common semantics
         "text_tokens_bpe": f"""

@@ -376,6 +376,51 @@ def _token_ngrams(col, n: int) -> Column:
     )[0]
 
 
+def unigram_logprob(df, text_col: str, id_col: str, smoothing: float = 1.0):
+    """Mean unigram log-probability per document under the corpus's own
+    add-k-smoothed MLE — the classic cheap language-model quality signal:
+    gibberish and OCR noise score far below fluent text because their
+    tokens are corpus-rare. ``p(t) = (c_t + k) / (N + k·V)``;
+    ``score(doc) = mean over tokens of ln p(t)``.
+
+    Scale shape: one explode + one (term) count shuffle builds the vocab;
+    the two corpus scalars (N, V) broadcast; the token→vocab join keys on
+    term (AQE broadcasts small vocabularies); the per-doc mean is a second
+    doc-keyed aggregation with map-side combine. Docs surface even when
+    they produced no tokens (left join → NULL score).
+    """
+    k = float(smoothing)
+    toks = df.select(
+        F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("term")
+    )
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+    stats = vocab.agg(
+        F.sum("_c").cast("double").alias("_n"),
+        F.count(F.lit(1)).cast("double").alias("_v"),
+    )
+    scored = (
+        toks.join(vocab, "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("_id")
+        .agg(
+            F.round(
+                F.avg(
+                    F.log(
+                        (F.col("_c").cast("double") + F.lit(k))
+                        / (F.col("_n") + F.lit(k) * F.col("_v"))
+                    )
+                ),
+                4,
+            ).alias("logprob"),
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        )
+    )
+    ids = df.select(F.col(id_col).alias("_id"))
+    return ids.join(scored, "_id", "left").select(
+        F.col("_id").alias(id_col), "logprob", "n_tokens"
+    )
+
+
 def winnow_fingerprints(df, text_col: str, id_col: str, k: int = 3, w: int = 4):
     """MOSS-style winnowing fingerprints (Schleimer et al., SIGMOD 2003) —
     the rolling-hash document fingerprinting scheme: hash every token

@@ -184,6 +184,26 @@ def test_winnow_shared_substring_guarantee(spark):
     assert len(by_doc[1]) < 9  # doc 1 has 10 tokens → 8 grams
 
 
+def test_unigram_logprob_ranks_gibberish_below_fluent(spark):
+    """Common-token docs must score above docs of corpus-rare tokens; a
+    doc with the corpus's most frequent tokens scores highest; all docs
+    surface (left join), scores strictly negative."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cat ran to the mat"),
+            (3, "zxqv jkwp qqrr vvbn zzyy xxoo"),  # singletons only
+            (4, "the the the the the the"),        # most frequent token
+        ],
+        "doc_id INT, text STRING",
+    )
+    out = {r["doc_id"]: r["logprob"] for r in T.unigram_logprob(docs, "text", "doc_id").collect()}
+    assert len(out) == 4
+    assert all(v < 0 for v in out.values())
+    assert out[4] > out[1] > out[3]
+    assert out[2] > out[3]
+
+
 def test_repetition_ratios_golden(spark):
     docs = spark.createDataFrame(
         [
