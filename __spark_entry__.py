@@ -169,6 +169,23 @@ def _knn_quantized(spark, sf_dir):
     )
 
 
+def _knn_pq(spark, sf_dir):
+    """Two-stage PQ/ADC search (index/pq.py) in its exactness envelope: the
+    re-rank candidate count covers the whole table, so the exact second
+    stage reproduces brute-force top-k regardless of code quality — the PQ
+    twin of knn_ivf_exact's nprobe=n_clusters gate. Realistic-rerank recall
+    and ADC speedup are measured in bench ``scale.pq``."""
+    from pq_vector_spark.index.pq import pq_topk, train_pq
+
+    emb = _emb(spark, sf_dir)
+    q = _qvec(spark, sf_dir, 0)
+    n = emb.count()
+    cb = train_pq(emb, "embedding", m=8, nbits=8, seed=42)
+    return pq_topk(
+        emb, "embedding", cb, q, K, rerank=-(-n // K), tie_break="vec_id"
+    ).select("vec_id")
+
+
 def _knn_ivf_exact(spark, sf_dir):
     # nprobe = n_clusters ⇒ candidate set is ALL rows ⇒ exactly brute force
     # (reference guarantee via nprobe.min(n_clusters), src/ivf/index.rs:131)
@@ -1211,6 +1228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_distance": _knn_distance,
         "knn_ivf_exact": _knn_ivf_exact,
         "knn_quantized": _knn_quantized,
+        "knn_pq": _knn_pq,
         "knn_sql": _knn_sql,
         "knn_auto": _knn_auto,
         "knn_auto_cosine": _knn_auto_cosine,
@@ -1239,7 +1257,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- relational representatives --
         "rel_topk": _rel_topk,
         "rel_agg": _rel_agg,
-        "rel_join_agg": _rel_join_agg,
         "rel_window": _rel_window,
         "rel_skew_join": _rel_skew_join,
         # -- events: batch + streaming twins (streaming twins stay in
@@ -1275,6 +1292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": _events_sessions,
         "text_fingerprint": _text_fingerprint,
         "text_doc_freq": _text_doc_freq,
+        "rel_join_agg": _rel_join_agg,
         "rel_join_region": _rel_join_region,
         "rel_join_part": _rel_join_part,
         "rel_moving_avg": _rel_moving_avg,
@@ -1493,6 +1511,9 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
             ORDER BY {_dist("embedding", qlit)}, vec_id LIMIT {K}""",
         "knn_ivf_exact": f"""
+            SELECT vec_id FROM embeddings
+            ORDER BY {_dist("embedding", qlit)}, vec_id LIMIT {K}""",
+        "knn_pq": f"""
             SELECT vec_id FROM embeddings
             ORDER BY {_dist("embedding", qlit)}, vec_id LIMIT {K}""",
         # SQ8 scalar quantization: codes = floor((x-mn)/sc + 0.5) - 128

@@ -456,6 +456,52 @@ def _scale_bench(spark) -> dict:
     sq8_recall = len(set(sq8_got) & set(truth)) / k
     sq8_bytes = _dir_bytes(sq8_path)
 
+    # --- PQ/ADC: train m sub-quantizers (k=256) on the bounded sample,
+    # pre-encode the corpus to a codes-only table (id + m bytes/row — the
+    # at-rest shape), then two-stage search: ADC scan of the codes table +
+    # broadcast-fetch exact rerank. The scan-bytes axis: dim×4 bytes → m.
+    from pq_vector_spark.index.pq import (
+        PQCodebook,
+        encode_pq,
+        pq_topk_with_fetch,
+        train_pq,
+    )
+
+    pq_m = 16
+    cache_dir = os.path.dirname(src)
+    pq_path = os.path.join(cache_dir, f"pq_codes_{n_rows}x{dim}_m{pq_m}.parquet")
+    cb_path = os.path.join(cache_dir, f"pq_cb_{n_rows}x{dim}_m{pq_m}.npz")
+    if os.path.exists(cb_path) and os.path.exists(pq_path):
+        pq_cb = PQCodebook.load(cb_path)
+        pq_train_sec = pq_encode_sec = 0.0  # cached fixture (like gen_sec)
+    else:
+        t0 = time.time()
+        pq_cb = train_pq(emb, "embedding", m=pq_m, nbits=8, seed=42)
+        pq_train_sec = round(time.time() - t0, 3)
+        t0 = time.time()
+        encode_pq(emb, "embedding", pq_cb).select(
+            "vec_id", "pq_codes"
+        ).write.mode("overwrite").parquet(pq_path)
+        pq_encode_sec = round(time.time() - t0, 3)
+        pq_cb.save(cb_path)
+    pq_codes = spark.read.parquet(pq_path)
+    pq_codes.count()  # warm
+
+    def _pq_topk():
+        return [
+            r["vec_id"]
+            for r in pq_topk_with_fetch(
+                pq_codes, emb, "embedding", "vec_id", pq_cb, qvec, k, rerank=4
+            )
+            .select("vec_id")
+            .collect()
+        ]
+
+    _pq_topk()
+    pq_sec, pq_got = best_of(_pq_topk)
+    pq_recall = len(set(pq_got) & set(truth)) / k
+    pq_bytes = _dir_bytes(pq_path)
+
     def _by_q(rows):
         d = {}
         for r in rows:
@@ -499,6 +545,14 @@ def _scale_bench(spark) -> dict:
         "sq8_recall_at_100": round(sq8_recall, 4),
         "sq8_bytes": sq8_bytes,
         "sq8_compression": round(_dir_bytes(src) / sq8_bytes, 2) if sq8_bytes else None,
+        "pq_m": pq_m,
+        "pq_train_sec": pq_train_sec,
+        "pq_encode_sec": pq_encode_sec,
+        "pq_scan_sec": pq_sec,
+        "pq_speedup": round(brute_sec / pq_sec, 2) if pq_sec else None,
+        "pq_recall_at_100": round(pq_recall, 4),
+        "pq_bytes": pq_bytes,
+        "pq_compression": round(_dir_bytes(src) / pq_bytes, 2) if pq_bytes else None,
         "append_rows": n_app,
         "append_sec": append_sec,
         "append_recall_at_100": round(append_recall, 4),

@@ -1,0 +1,154 @@
+"""Product-quantization (PQ/ADC) tests — deterministic training, map-side
+encoding, LUT distances, and two-stage recall."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pq_vector_spark.index.pq import (
+    CODES_COL,
+    PQCodebook,
+    adc_distance,
+    encode_pq,
+    pq_topk,
+    train_pq,
+)
+
+
+def _clustered(n=400, dim=16, n_clusters=8, seed=7):
+    rng = np.random.default_rng(seed)
+    cents = rng.normal(0, 10, size=(n_clusters, dim))
+    rows = cents[rng.integers(0, n_clusters, n)] + rng.normal(0, 0.5, (n, dim))
+    return rows.astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def vec_df(spark):
+    data = _clustered()
+    return spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(data)],
+        "id: bigint, vec: array<float>",
+    ).cache(), data
+
+
+def test_train_deterministic(spark, vec_df):
+    df, _ = vec_df
+    cb1 = train_pq(df, "vec", m=4, nbits=4, seed=11)
+    cb2 = train_pq(df, "vec", m=4, nbits=4, seed=11)
+    assert np.array_equal(cb1.codebooks, cb2.codebooks)
+    assert cb1.m == 4 and cb1.k == 16 and cb1.dsub == 4 and cb1.dim == 16
+
+
+def test_train_validations(spark, vec_df):
+    df, _ = vec_df
+    with pytest.raises(ValueError, match="not divisible"):
+        train_pq(df, "vec", m=5)
+    with pytest.raises(ValueError, match="nbits"):
+        train_pq(df, "vec", m=4, nbits=9)
+
+
+def test_encode_shape_and_nulls(spark, vec_df):
+    df, _ = vec_df
+    cb = train_pq(df, "vec", m=4, nbits=4, seed=11)
+    extra = spark.createDataFrame(
+        [(9001, None), (9002, [1.0, 2.0])], "id: bigint, vec: array<float>"
+    )
+    enc = encode_pq(df.unionByName(extra), "vec", cb).collect()
+    by_id = {r["id"]: r[CODES_COL] for r in enc}
+    assert by_id[9001] is None  # null vector
+    assert by_id[9002] is None  # wrong dim
+    codes = [v for k, v in by_id.items() if k < 9000]
+    assert all(len(c) == 4 for c in codes)
+    assert all(0 <= x < 16 for c in codes for x in c)
+
+
+def test_adc_approximates_exact(spark, vec_df):
+    df, data = vec_df
+    cb = train_pq(df, "vec", m=8, nbits=8, seed=11)
+    q = [float(x) for x in data[0]]
+    enc = encode_pq(df, "vec", cb)
+    rows = enc.withColumn("adc", adc_distance(cb, q)).select("id", "adc").collect()
+    exact = np.sqrt(((data - np.asarray(q, dtype=np.float32)) ** 2).sum(axis=1))
+    adc = np.empty(len(rows))
+    for r in rows:
+        adc[r["id"]] = r["adc"]
+    # ADC must correlate strongly with exact distance on clustered data
+    corr = np.corrcoef(adc, exact)[0, 1]
+    assert corr > 0.98
+    # and the ADC-nearest row should be the query's own row
+    assert int(np.argmin(adc)) == 0
+
+
+def test_adc_null_codes(spark, vec_df):
+    df, _ = vec_df
+    cb = train_pq(df, "vec", m=4, nbits=4, seed=11)
+    bad = spark.createDataFrame([(1, None)], f"id: bigint, {CODES_COL}: array<smallint>")
+    [r] = bad.withColumn("adc", adc_distance(cb, [0.0] * 16)).collect()
+    assert r["adc"] is None
+
+
+def test_lookup_table_dim_check(spark, vec_df):
+    df, _ = vec_df
+    cb = train_pq(df, "vec", m=4, nbits=4, seed=11)
+    with pytest.raises(ValueError, match="query dim"):
+        cb.lookup_table([1.0, 2.0])
+
+
+def test_pq_topk_recall(spark, vec_df):
+    df, data = vec_df
+    cb = train_pq(df, "vec", m=8, nbits=8, seed=11)
+    q = [float(x) for x in data[17]]
+    k = 10
+    got = pq_topk(df, "vec", cb, q, k, rerank=4, tie_break="id")
+    got_ids = {r["id"] for r in got.collect()}
+    exact = np.sqrt(((data - np.asarray(q, dtype=np.float32)) ** 2).sum(axis=1))
+    true_ids = set(np.argsort(exact, kind="stable")[:k].tolist())
+    recall = len(got_ids & true_ids) / k
+    assert recall >= 0.9
+    # result schema: codes/adc internals dropped, original columns kept
+    assert set(got.columns) == {"id", "vec"}
+
+
+def test_pq_topk_precoded_keep_distance(spark, vec_df):
+    df, data = vec_df
+    cb = train_pq(df, "vec", m=8, nbits=8, seed=11)
+    enc = encode_pq(df, "vec", cb).cache()
+    q = [float(x) for x in data[3]]
+    out = pq_topk(
+        enc, "vec", cb, q, 5, rerank=8, codes_col=CODES_COL,
+        tie_break="id", keep_distance=True,
+    )
+    rows = out.collect()
+    assert len(rows) == 5
+    # distances ascending and row 3 (the query itself) first at distance ~0
+    ds = [r["_pq_distance"] for r in rows]
+    assert ds == sorted(ds)
+    assert rows[0]["id"] == 3 and ds[0] < 1e-3
+    # pre-coded path keeps the caller's codes column
+    assert CODES_COL in out.columns
+
+
+def test_pq_topk_with_fetch(spark, vec_df):
+    from pq_vector_spark.index.pq import pq_topk_with_fetch
+
+    df, data = vec_df
+    cb = train_pq(df, "vec", m=8, nbits=8, seed=11)
+    codes = encode_pq(df, "vec", cb).select("id", CODES_COL).cache()
+    q = [float(x) for x in data[42]]
+    k = 10
+    got = pq_topk_with_fetch(codes, df, "vec", "id", cb, q, k, rerank=4)
+    got_ids = {r["id"] for r in got.collect()}
+    exact = np.sqrt(((data - np.asarray(q, dtype=np.float32)) ** 2).sum(axis=1))
+    true_ids = set(np.argsort(exact, kind="stable")[:k].tolist())
+    assert len(got_ids & true_ids) / k >= 0.9
+    assert set(got.columns) == {"id", "vec"}
+
+
+def test_codebook_save_load(tmp_path, spark, vec_df):
+    df, _ = vec_df
+    cb = train_pq(df, "vec", m=4, nbits=4, seed=11)
+    p = str(tmp_path / "pq_codebook")
+    cb.save(p)
+    back = PQCodebook.load(p)
+    assert np.array_equal(back.codebooks, cb.codebooks)
+    assert back.dim == cb.dim
