@@ -1126,6 +1126,28 @@ def _text_bm25(spark, sf_dir):
     return T.bm25_topk(docs, "text", "doc_id", BM25_QUERY, k=10)
 
 
+def _hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval (operators/hybrid.py): BM25 top-40 ∪ cosine top-40
+    fused by reciprocal-rank (k_rrf=60) into a top-10 — the rank-based
+    fusion glue between the engine's lexical and vector halves."""
+    from pq_vector_spark.operators.hybrid import hybrid_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = _emb(spark, sf_dir)
+    q = _qvec(spark, sf_dir, 0)
+    return hybrid_topk(
+        docs,
+        "text",
+        "doc_id",
+        BM25_QUERY,
+        q,
+        K,
+        vectors=emb,
+        vec_id_col="vec_id",
+        pool=40,
+    )
+
+
 def _dedup_simhash(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", D.simhash("text", bits=16).alias("simhash"))
@@ -1239,6 +1261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_join_ivf": _similarity_join_ivf,
         "knn_batch": _knn_batch,
         "knn_batch_ivf": _knn_batch_ivf,
+        "hybrid_rrf": _hybrid_rrf,
         # -- dedup family --
         "dedup_exact": _dedup_exact,
         "dedup_jaccard": _dedup_jaccard,
@@ -1264,7 +1287,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    twin is still pinned by its stream sibling's shared oracle) --
         "events_stream_windowed": _events_stream_windowed,
         "events_stream_sessions": _events_stream_sessions,
-        "events_props": _events_props,
         "events_asof": _events_asof,
         "events_enriched": _events_enriched,
         "events_stream_enriched": _events_stream_enriched,
@@ -1290,6 +1312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf_approx": _knn_ivf_approx,  # no_oracle (recall-gated) — never spends a budget row
         "events_windowed": _events_windowed,
         "events_sessions": _events_sessions,
+        "events_props": _events_props,
         "text_fingerprint": _text_fingerprint,
         "text_doc_freq": _text_doc_freq,
         "rel_join_agg": _rel_join_agg,
@@ -1850,6 +1873,49 @@ def oracle_sql() -> dict[str, str]:
               FROM tf, dfq, stats WHERE tf.term = dfq.term)
             SELECT doc_id, round(sum(s), 4) AS score FROM scored
             GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""",
+        # RRF fusion of the BM25 top-40 and cosine top-40 lists; contribs
+        # are 1/(60+rank) doubles summed per doc (≤2 terms — commutative,
+        # so fold order cannot diverge between engines)
+        "hybrid_rrf": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            base AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM toks),
+            ex AS (SELECT doc_id, dl, unnest(toks) AS term FROM base),
+            m AS (SELECT doc_id, dl, term FROM ex
+                  WHERE term IN ('spark', 'window', 'hash')),
+            tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+                   FROM m GROUP BY doc_id, dl, term),
+            dfq AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df_t
+                    FROM m GROUP BY term),
+            stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                             CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+                      FROM base),
+            scored AS (
+              SELECT tf.doc_id,
+                     ln(1.0 + (CAST(stats.n AS DOUBLE) - dfq.df_t + 0.5)
+                              / (CAST(dfq.df_t AS DOUBLE) + 0.5))
+                     * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+                       / (CAST(tf.tf AS DOUBLE)
+                          + 1.2 * (1.0 - 0.75 + 0.75 * CAST(tf.dl AS DOUBLE) / stats.avgdl))
+                     AS s
+              FROM tf, dfq, stats WHERE tf.term = dfq.term),
+            bscore AS (SELECT doc_id, round(sum(s), 4) AS score FROM scored
+                       GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 40),
+            lex AS (SELECT doc_id,
+                           row_number() OVER (ORDER BY score DESC, doc_id) AS r
+                    FROM bscore),
+            ctop AS (SELECT vec_id, {_cos("embedding", _Q0)} AS c FROM embeddings
+                     ORDER BY c DESC, vec_id LIMIT 40),
+            sem AS (SELECT vec_id AS doc_id,
+                           row_number() OVER (ORDER BY c DESC, vec_id) AS r
+                    FROM ctop),
+            u AS (SELECT doc_id, 1.0 / (60.0 + CAST(r AS DOUBLE)) AS contrib FROM lex
+                  UNION ALL
+                  SELECT doc_id, 1.0 / (60.0 + CAST(r AS DOUBLE)) FROM sem),
+            f AS (SELECT doc_id, sum(contrib) AS s, CAST(count(*) AS INT) AS n_lists
+                  FROM u GROUP BY doc_id)
+            SELECT doc_id, round(s, 6) AS rrf_score, n_lists,
+                   CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT) AS rank
+            FROM f ORDER BY s DESC, doc_id LIMIT {K}""",
         "text_repetition": f"""
             WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
             g2 AS (SELECT doc_id,
