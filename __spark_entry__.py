@@ -840,6 +840,31 @@ def _events_asof(spark, sf_dir):
     return out.select("event_id", "last_purchase_value")
 
 
+def _events_range_join(spark, sf_dir):
+    """Sliding-window attribution: per purchase, how many view/click events
+    the same user produced in the strictly-preceding 24 h — the banded
+    range join (operators/rangejoin.py) whose (key, time-bucket) shuffle
+    spreads hot users instead of cross-producting them."""
+    from pq_vector_spark.operators.rangejoin import range_join
+
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    prior = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id", F.col("ts").alias("ts2"), F.col("event_id").alias("prior_id")
+    )
+    j = range_join(
+        purchases, prior, "user_id", "ts", "ts2", -86400.0, 0.0, how="left"
+    )
+    return (
+        j.groupBy("event_id")
+        .agg(F.count("prior_id").cast("bigint").alias("n_prior"))
+        .orderBy("event_id")
+    )
+
+
 def _enriched_rollup(events, spark, sf_dir):
     """events ⟕ customer ⟕ nation (both dims broadcast) → per-nation event
     counts + 2-decimal value totals. Shared by the batch and streaming
@@ -1251,7 +1276,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf_exact": _knn_ivf_exact,
         "knn_quantized": _knn_quantized,
         "knn_pq": _knn_pq,
-        "knn_sql": _knn_sql,
         "knn_auto": _knn_auto,
         "knn_auto_cosine": _knn_auto_cosine,
         # -- similarity family --
@@ -1288,6 +1312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_windowed": _events_stream_windowed,
         "events_stream_sessions": _events_stream_sessions,
         "events_asof": _events_asof,
+        "events_range_join": _events_range_join,
         "events_enriched": _events_enriched,
         "events_stream_enriched": _events_stream_enriched,
         "events_scd_enriched": _events_scd_enriched,
@@ -1307,6 +1332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- 50-row budget cutoff: tail variants below were driver-green in
         # r5 (CORRECTNESS_r05.json) and their code is unchanged; rotate any
         # of them back above this line whenever their implementation changes.
+        "knn_sql": _knn_sql,
         "knn_appended": _knn_appended,
         "knn_capped": _knn_capped,
         "knn_ivf_approx": _knn_ivf_approx,  # no_oracle (recall-gated) — never spends a budget row
@@ -1749,6 +1775,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT l.event_id, r.last_purchase_value
             FROM l ASOF LEFT JOIN r
             ON l.user_id = r.user_id AND l.ts >= r.ts""",
+        # banded range join: purchases × same-user view/click in the
+        # strictly-preceding 24 h (half-open [ts-24h, ts)), counted per
+        # purchase; microsecond-integer window arithmetic on both engines
+        "events_range_join": """
+            WITH p AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'purchase'),
+                 v AS (SELECT user_id, ts, event_id AS prior_id FROM events
+                       WHERE event_type IN ('view', 'click'))
+            SELECT p.event_id, CAST(count(v.prior_id) AS BIGINT) AS n_prior
+            FROM p LEFT JOIN v
+              ON p.user_id = v.user_id
+             AND epoch_us(v.ts) >= epoch_us(p.ts) - 86400000000
+             AND epoch_us(v.ts) < epoch_us(p.ts)
+            GROUP BY p.event_id ORDER BY p.event_id""",
         # stream-static enrichment rollup; the streaming twin computes the
         # identical plan over readStream, so both share this oracle
         "events_enriched": """
