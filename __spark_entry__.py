@@ -865,6 +865,19 @@ def _events_range_join(spark, sf_dir):
     )
 
 
+def _events_funnel(spark, sf_dir):
+    """Ordered view→click→purchase funnel (operators/funnel.py): one
+    user-keyed shuffle + a native array_sort/aggregate fold per user; the
+    oracle is the equivalent iterated greedy min-ts construction."""
+    from pq_vector_spark.operators.funnel import funnel_counts
+
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_counts(
+        ev, "user_id", "event_type", "ts", ["view", "click", "purchase"]
+    )
+
+
 def _enriched_rollup(events, spark, sf_dir):
     """events ⟕ customer ⟕ nation (both dims broadcast) → per-nation event
     counts + 2-decimal value totals. Shared by the batch and streaming
@@ -1282,7 +1295,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine": _ann_cosine,
         "ann_cosine_ivf": _ann_cosine_ivf,
         "similarity_join": _similarity_join,
-        "similarity_join_ivf": _similarity_join_ivf,
         "knn_batch": _knn_batch,
         "knn_batch_ivf": _knn_batch_ivf,
         "hybrid_rrf": _hybrid_rrf,
@@ -1313,6 +1325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_sessions": _events_stream_sessions,
         "events_asof": _events_asof,
         "events_range_join": _events_range_join,
+        "events_funnel": _events_funnel,
         "events_enriched": _events_enriched,
         "events_stream_enriched": _events_stream_enriched,
         "events_scd_enriched": _events_scd_enriched,
@@ -1333,6 +1346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5 (CORRECTNESS_r05.json) and their code is unchanged; rotate any
         # of them back above this line whenever their implementation changes.
         "knn_sql": _knn_sql,
+        "similarity_join_ivf": _similarity_join_ivf,
         "knn_appended": _knn_appended,
         "knn_capped": _knn_capped,
         "knn_ivf_approx": _knn_ivf_approx,  # no_oracle (recall-gated) — never spends a budget row
@@ -1789,6 +1803,29 @@ def oracle_sql() -> dict[str, str]:
              AND epoch_us(v.ts) >= epoch_us(p.ts) - 86400000000
              AND epoch_us(v.ts) < epoch_us(p.ts)
             GROUP BY p.event_id ORDER BY p.event_id""",
+        # ordered funnel: greedy earliest-match per user; the iterated
+        # min-ts construction is provably the same matcher as the Spark
+        # side's sorted-fold for the unconstrained funnel
+        "events_funnel": """
+            WITH t1 AS (SELECT user_id, min(ts) AS ts1 FROM events
+                        WHERE event_type = 'view' GROUP BY user_id),
+                 t2 AS (SELECT e.user_id, min(e.ts) AS ts2 FROM events e
+                        JOIN t1 USING (user_id)
+                        WHERE e.event_type = 'click' AND e.ts > t1.ts1
+                        GROUP BY e.user_id),
+                 t3 AS (SELECT e.user_id, min(e.ts) AS ts3 FROM events e
+                        JOIN t2 USING (user_id)
+                        WHERE e.event_type = 'purchase' AND e.ts > t2.ts2
+                        GROUP BY e.user_id)
+            SELECT CAST(1 AS INTEGER) AS step, 'view' AS step_type,
+                   CAST((SELECT count(*) FROM t1) AS BIGINT) AS n_users
+            UNION ALL
+            SELECT CAST(2 AS INTEGER), 'click',
+                   CAST((SELECT count(*) FROM t2) AS BIGINT)
+            UNION ALL
+            SELECT CAST(3 AS INTEGER), 'purchase',
+                   CAST((SELECT count(*) FROM t3) AS BIGINT)
+            ORDER BY step""",
         # stream-static enrichment rollup; the streaming twin computes the
         # identical plan over readStream, so both share this oracle
         "events_enriched": """
