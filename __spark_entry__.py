@@ -924,6 +924,30 @@ def _events_stream_enriched(spark, sf_dir):
     return spark.table(qname)
 
 
+def _events_stream_join(spark, sf_dir):
+    """True stream-stream inner join run: purchases × same-user clicks in
+    the strictly-preceding 24 h, both sides watermarked branches of ONE
+    readStream source, time-range condition bounding join state
+    (streaming/events.py stream_stream_window_join) → append-mode memory
+    sink. Hash-checked against the plain SQL join."""
+    from pq_vector_spark.sources.parquet import load_stream
+    from pq_vector_spark.streaming.events import stream_stream_window_join
+
+    _utc(spark)
+    stream = load_stream(spark, sf_dir, "events")
+    out = stream_stream_window_join(stream)
+    qname = "pq_stream_join"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(qname)
+
+
 def _scd_tier_dim(spark, sf_dir, ts_type):
     """Deterministic slowly-changing dimension derived from ``nation``:
     three tier versions per nation, effective 2024-01-01 / -11 / -21
@@ -1296,7 +1320,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_ivf": _ann_cosine_ivf,
         "similarity_join": _similarity_join,
         "knn_batch": _knn_batch,
-        "knn_batch_ivf": _knn_batch_ivf,
         "hybrid_rrf": _hybrid_rrf,
         # -- dedup family --
         "dedup_exact": _dedup_exact,
@@ -1329,6 +1352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_enriched": _events_enriched,
         "events_stream_enriched": _events_stream_enriched,
         "events_scd_enriched": _events_scd_enriched,
+        "events_stream_join": _events_stream_join,
         "events_stream_dedup": _events_stream_dedup,
         "events_stream_stats": _events_stream_stats,
         # -- text family --
@@ -1346,6 +1370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5 (CORRECTNESS_r05.json) and their code is unchanged; rotate any
         # of them back above this line whenever their implementation changes.
         "knn_sql": _knn_sql,
+        "knn_batch_ivf": _knn_batch_ivf,
         "similarity_join_ivf": _similarity_join_ivf,
         "knn_appended": _knn_appended,
         "knn_capped": _knn_capped,
@@ -1803,6 +1828,19 @@ def oracle_sql() -> dict[str, str]:
              AND epoch_us(v.ts) >= epoch_us(p.ts) - 86400000000
              AND epoch_us(v.ts) < epoch_us(p.ts)
             GROUP BY p.event_id ORDER BY p.event_id""",
+        # stream-stream join twin: the pair set is watermark-independent
+        # for an inner join under availableNow (watermarks only bound
+        # state), so the plain SQL join is an exact oracle
+        "events_stream_join": """
+            WITH p AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'purchase'),
+                 c AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'click')
+            SELECT p.event_id AS purchase_id, c.event_id AS click_id
+            FROM p JOIN c
+              ON p.user_id = c.user_id
+             AND c.ts >= p.ts - INTERVAL 24 HOUR
+             AND c.ts < p.ts""",
         # ordered funnel: greedy earliest-match per user; the iterated
         # min-ts construction is provably the same matcher as the Spark
         # side's sorted-fold for the unconstrained funnel

@@ -254,3 +254,55 @@ def streaming_dedup(
             key_cols
         )
     return stream.dropDuplicates(key_cols)
+
+
+def stream_stream_window_join(
+    events: DataFrame,
+    *,
+    left_type: str = "purchase",
+    right_type: str = "click",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    window: str = "24 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: each ``left_type`` event pairs with the
+    same user's ``right_type`` events in the strictly-preceding ``window``
+    (half-open — the batch twin is operators/rangejoin.py's banded join).
+
+    Both sides derive from ONE source stream, each branch with its own
+    watermark; the time-range condition on the two event-time columns is
+    what lets Structured Streaming bound join state (rows older than
+    watermark + window are evicted — without the range condition the join
+    would need unbounded state). Works on a batch DataFrame too (watermarks
+    skipped) — the same plan both modes, like the other twins here.
+
+    Output: (left id, right id) pairs as (``{left_type}_id``,
+    ``{right_type}_id``).
+    """
+    base = _watermarkable(events, ts_col)
+    left = base.filter(F.col(type_col) == left_type).select(
+        F.col(id_col).alias("_lid"),
+        F.col(user_col).alias("_lu"),
+        F.col(ts_col).alias("_lts"),
+    )
+    right = base.filter(F.col(type_col) == right_type).select(
+        F.col(id_col).alias("_rid"),
+        F.col(user_col).alias("_ru"),
+        F.col(ts_col).alias("_rts"),
+    )
+    if left.isStreaming:
+        left = left.withWatermark("_lts", watermark)
+    if right.isStreaming:
+        right = right.withWatermark("_rts", watermark)
+    cond = (
+        (F.col("_lu") == F.col("_ru"))
+        & (F.col("_rts") >= F.col("_lts") - F.expr(f"INTERVAL {window}"))
+        & (F.col("_rts") < F.col("_lts"))
+    )
+    return left.join(right, cond, "inner").select(
+        F.col("_lid").alias(f"{left_type}_id"),
+        F.col("_rid").alias(f"{right_type}_id"),
+    )

@@ -392,3 +392,51 @@ def test_stateful_user_stats_matches_batch(spark):
         assert g[uid]["first_ts"] == w[uid]["first_ts"]
         assert g[uid]["last_ts"] == w[uid]["last_ts"]
         assert g[uid]["sum_value"] == pytest.approx(w[uid]["sum_value"], abs=1e-9)
+
+
+def _attr_events(spark):
+    rows = [
+        # user 1: clicks at t0+0/10/2000 min, purchases at t0+30min and t0+25h
+        (100, 1, T0, "click"),
+        (101, 1, T0 + dt.timedelta(minutes=10), "click"),
+        (102, 1, T0 + dt.timedelta(minutes=30), "purchase"),
+        (103, 1, T0 + dt.timedelta(hours=25), "purchase"),
+        (104, 1, T0 + dt.timedelta(minutes=2000), "click"),
+        # user 2: click AFTER its only purchase → no pair
+        (200, 2, T0 + dt.timedelta(minutes=5), "purchase"),
+        (201, 2, T0 + dt.timedelta(minutes=6), "click"),
+        # same-instant click+purchase → excluded (strictly before)
+        (300, 3, T0, "click"),
+        (301, 3, T0, "purchase"),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id BIGINT, user_id INT, ts TIMESTAMP, event_type STRING"
+    )
+
+
+def test_stream_stream_join_batch_golden(spark):
+    from pq_vector_spark.streaming.events import stream_stream_window_join
+
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in stream_stream_window_join(_attr_events(spark)).collect()
+    }
+    # purchase 102 pairs with clicks 100+101 (within 24h before);
+    # purchase 103 pairs with clicks 101? (25h-10min > 24h → no), 100 (no),
+    # 104 at 2000min=33.3h < 25h? 2000min > 25h*60=1500min → click AFTER → no
+    assert got == {(102, 100), (102, 101)}
+
+
+def test_stream_stream_join_streaming_matches_batch(spark):
+    from pq_vector_spark.streaming.events import stream_stream_window_join
+
+    ev = _attr_events(spark)
+    got = _run_stream(
+        spark,
+        ev,
+        lambda s: stream_stream_window_join(s),
+        "stream_attrib",
+        mode="append",
+    )
+    batch = stream_stream_window_join(ev)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
