@@ -865,6 +865,43 @@ def _events_range_join(spark, sf_dir):
     )
 
 
+_ZORD_CACHE: dict[str, str] = {}
+
+
+def _layout_zorder(spark, sf_dir):
+    """Z-order clustered rewrite (sources/layout.py): lineitem re-laid-out
+    on the Morton interleave of (l_quantity, l_extendedprice), then a
+    2-D box query over the rewritten copy — proves the rewrite is
+    content-preserving (oracle runs on the ORIGINAL files) while the
+    pruning advantage is asserted in tests/test_layout.py row-group
+    stats."""
+    import tempfile
+
+    from pq_vector_spark.sources.layout import zorder_write
+
+    out = _ZORD_CACHE.get(sf_dir)
+    if not (out and os.path.isdir(out)):
+        li = load_table(spark, sf_dir, "lineitem")
+        out = os.path.join(tempfile.mkdtemp(prefix="pq_zorder_"), "lineitem_z")
+        zorder_write(
+            li, ["l_quantity", "l_extendedprice"], out, bits=10, num_files=4
+        )
+        _ZORD_CACHE[sf_dir] = out
+    back = spark.read.parquet(out)
+    return (
+        back.filter(
+            F.col("l_quantity").between(10, 20)
+            & F.col("l_extendedprice").between(10000, 30000)
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def _events_funnel(spark, sf_dir):
     """Ordered view→click→purchase funnel (operators/funnel.py): one
     user-keyed shuffle + a native array_sort/aggregate fold per user; the
@@ -1317,7 +1354,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_auto_cosine": _knn_auto_cosine,
         # -- similarity family --
         "ann_cosine": _ann_cosine,
-        "ann_cosine_ivf": _ann_cosine_ivf,
         "similarity_join": _similarity_join,
         "knn_batch": _knn_batch,
         "hybrid_rrf": _hybrid_rrf,
@@ -1341,6 +1377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_agg": _rel_agg,
         "rel_window": _rel_window,
         "rel_skew_join": _rel_skew_join,
+        "layout_zorder": _layout_zorder,
         # -- events: batch + streaming twins (streaming twins stay in
         #    budget — they are the regression-prone side; a demoted batch
         #    twin is still pinned by its stream sibling's shared oracle) --
@@ -1370,6 +1407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5 (CORRECTNESS_r05.json) and their code is unchanged; rotate any
         # of them back above this line whenever their implementation changes.
         "knn_sql": _knn_sql,
+        "ann_cosine_ivf": _ann_cosine_ivf,
         "knn_batch_ivf": _knn_batch_ivf,
         "similarity_join_ivf": _similarity_join_ivf,
         "knn_appended": _knn_appended,
@@ -1828,6 +1866,15 @@ def oracle_sql() -> dict[str, str]:
              AND epoch_us(v.ts) >= epoch_us(p.ts) - 86400000000
              AND epoch_us(v.ts) < epoch_us(p.ts)
             GROUP BY p.event_id ORDER BY p.event_id""",
+        # z-order rewrite content-preservation gate: the Spark side queries
+        # the REWRITTEN copy, the oracle queries the original files
+        "layout_zorder": """
+            SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                   round(sum(l_extendedprice), 2) AS sum_price
+            FROM lineitem
+            WHERE l_quantity BETWEEN 10 AND 20
+              AND l_extendedprice BETWEEN 10000 AND 30000
+            GROUP BY l_returnflag ORDER BY l_returnflag""",
         # stream-stream join twin: the pair set is watermark-independent
         # for an inner join under availableNow (watermarks only bound
         # state), so the plain SQL join is an exact oracle
