@@ -1225,6 +1225,29 @@ def _text_bm25(spark, sf_dir):
     return T.bm25_topk(docs, "text", "doc_id", BM25_QUERY, k=10)
 
 
+def _pipeline_curate(spark, sf_dir):
+    """Composed curation pipeline (operators/curate.py): quality gate →
+    exact-dedup survivor → PII scrub → deterministic 50% hash sample, in
+    one shuffle. The oracle re-derives every stage in SQL."""
+    from pq_vector_spark.operators.curate import curate_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = curate_corpus(
+        docs,
+        "text",
+        "doc_id",
+        min_quality=0.5,
+        sample_rate=0.5,
+        sample_salt="curate",
+        pii_kinds=["email", "url"],
+    )
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.round("quality", 4).alias("quality"),
+    ).orderBy("doc_id")
+
+
 def _hybrid_rrf(spark, sf_dir):
     """Hybrid retrieval (operators/hybrid.py): BM25 top-40 ∪ cosine top-40
     fused by reciprocal-rank (k_rrf=60) into a top-10 — the rank-based
@@ -1372,6 +1395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_hash": _sample_hash,
         "sample_mix": _sample_mix,
         "text_pii": _text_pii,
+        "pipeline_curate": _pipeline_curate,
         # -- relational representatives --
         "rel_topk": _rel_topk,
         "rel_agg": _rel_agg,
@@ -1399,7 +1423,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens_bpe": _text_tokens_bpe,
         "text_winnow": _text_winnow,
         "text_logprob": _text_logprob,
-        "text_quantiles": _text_quantiles,
         "text_tfidf": _text_tfidf,
         "text_bm25": _text_bm25,
         "text_repetition": _text_repetition,
@@ -1417,6 +1440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": _events_sessions,
         "events_props": _events_props,
         "text_fingerprint": _text_fingerprint,
+        "text_quantiles": _text_quantiles,
         "text_doc_freq": _text_doc_freq,
         "rel_join_agg": _rel_join_agg,
         "rel_join_region": _rel_join_region,
@@ -2192,6 +2216,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(length(text) AS BIGINT) AS chars,
                    CAST(len(toks) AS BIGINT) AS n_tokens
             FROM toks""",
+        # composed curation pipeline: quality gate → per-fingerprint
+        # survivor (smallest id) → email+url scrub → salted 50% sample
+        "pipeline_curate": f"""
+            WITH toks AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+            q AS (SELECT doc_id, text, {quality} AS qv FROM toks),
+            kept AS (SELECT * FROM q WHERE qv >= 0.5),
+            d AS (SELECT doc_id, text, qv,
+                         row_number() OVER (PARTITION BY md5({_NORM})
+                                            ORDER BY doc_id) AS rn
+                  FROM kept),
+            surv AS (SELECT doc_id, text, qv FROM d WHERE rn = 1),
+            scrubbed AS (SELECT doc_id,
+                   regexp_replace(regexp_replace(text,
+                         '{T.PII_PATTERNS["email"]}', '[PII]', 'g'),
+                         '{T.PII_PATTERNS["url"]}', '[PII]', 'g') AS text,
+                   qv
+                 FROM surv)
+            SELECT doc_id, md5(text) AS text_md5, round(qv, 4) AS quality
+            FROM scrubbed
+            WHERE {_TOKHASH.format(s="concat('curate', CAST(doc_id AS VARCHAR))")}
+                  % 1000000 < 500000
+            ORDER BY doc_id""",
         "text_quality": f"""
             WITH toks AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
             SELECT doc_id,
