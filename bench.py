@@ -42,6 +42,8 @@ HEADLINE = [
     "events_windowed",
     "events_sessions",
     "events_asof",
+    "events_range_join",
+    "events_funnel",
     "events_scd_enriched",
     "text_quality",
     "text_quantiles",
@@ -52,6 +54,8 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash",
     "dedup_resolve",
+    "hybrid_rrf",
+    "pipeline_curate",
 ]
 
 K = 100
@@ -476,7 +480,9 @@ def _scale_bench(spark) -> dict:
         pq_train_sec = pq_encode_sec = 0.0  # cached fixture (like gen_sec)
     else:
         t0 = time.time()
-        pq_cb = train_pq(emb, "embedding", m=pq_m, nbits=8, seed=42)
+        # max_iters=10: PQ sub-quantizer quality saturates early; the full-20
+        # default would double the one-time train cost at 1M×256
+        pq_cb = train_pq(emb, "embedding", m=pq_m, nbits=8, seed=42, max_iters=10)
         pq_train_sec = round(time.time() - t0, 3)
         t0 = time.time()
         encode_pq(emb, "embedding", pq_cb).select(

@@ -38,7 +38,24 @@ from pq_vector_spark.functions.quantize import (
     quantized_distance,
 )
 from pq_vector_spark.sources.sinks import shard_manifest, write_training_shards
-from pq_vector_spark.streaming.events import enrich_join, scd_enrich
+from pq_vector_spark.streaming.events import (
+    enrich_join,
+    scd_enrich,
+    stream_stream_window_join,
+)
+from pq_vector_spark.index.pq import (
+    PQCodebook,
+    adc_distance,
+    encode_pq,
+    pq_topk,
+    pq_topk_with_fetch,
+    train_pq,
+)
+from pq_vector_spark.operators.hybrid import hybrid_topk, rrf_fuse
+from pq_vector_spark.operators.rangejoin import range_join
+from pq_vector_spark.operators.funnel import funnel_counts, funnel_steps
+from pq_vector_spark.operators.curate import curate_corpus
+from pq_vector_spark.sources.layout import zorder_key, zorder_write
 
 __all__ = [
     "PqSession",
@@ -74,6 +91,21 @@ __all__ = [
     "write_training_shards",
     "enrich_join",
     "scd_enrich",
+    "stream_stream_window_join",
+    "PQCodebook",
+    "adc_distance",
+    "encode_pq",
+    "pq_topk",
+    "pq_topk_with_fetch",
+    "train_pq",
+    "hybrid_topk",
+    "rrf_fuse",
+    "range_join",
+    "funnel_counts",
+    "funnel_steps",
+    "curate_corpus",
+    "zorder_key",
+    "zorder_write",
 ]
 
 __version__ = "0.1.0"
