@@ -1359,6 +1359,142 @@ def _multimodal_frames(spark, sf_dir):
     )
 
 
+def _text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (operators/decontaminate.py): corpus docs
+    sharing ≥2 distinct 3-gram shingles with the eval slice (doc_id % 50 ==
+    7). Corpus side is map-side shingling + broadcast join against the
+    benchmark-sized eval gram table — the corpus never shuffles to
+    discover contamination; only matching gram pairs reach the count."""
+    from pq_vector_spark.operators.decontaminate import contamination_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 50 == 7)
+    co = docs.filter(F.col("doc_id") % 50 != 7)
+    rep = contamination_report(co, ev, "text", n=3, min_grams=2)
+    return rep.select(
+        "doc_id",
+        "eval_id",
+        "shared_grams",
+        "eval_grams",
+        F.round("overlap_frac", 4).alias("overlap_frac"),
+    )
+
+
+def _pack_sequences(spark, sf_dir):
+    """GPT-style sequence packing (operators/packing.py): concatenate each
+    source's docs in doc_id order and cut every 256 tokens; per-doc start
+    offset + first/last sequence index. ONE window shuffle keyed on the
+    shard column; running sum is O(1) window state."""
+    from pq_vector_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "source", F.size(T.tokens("text")).cast("bigint").alias("n_tokens")
+    )
+    out = pack_sequences(
+        d, "n_tokens", group_col="source", order_col="doc_id", max_tokens=256
+    )
+    return out.select(
+        "doc_id", "source", "n_tokens", "start_offset", "first_seq", "last_seq"
+    )
+
+
+def _sample_stratified(spark, sf_dir):
+    """Exact-k-per-stratum deterministic draw (operators/sampling.py:
+    stratified_sample): 7 docs per language, ranked by md5 hash bucket —
+    the balanced-per-class sample rate sampling cannot give. One
+    WindowGroupLimit-prunable shuffle on the stratum."""
+    from pq_vector_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(docs, "lang", "doc_id", 7, salt="strat").select(
+        "lang", "doc_id", "source"
+    )
+
+
+def _merge_upsert(spark, sf_dir):
+    """CDC merge (operators/merge.py): apply a deterministic changeset to
+    customer — deletes (key%10==0), a superseded + a winning update
+    (key%10==1, last-writer-wins on version), inserts (key%10==3 at
+    key+1e6). Base never shuffles: winner keys broadcast into a LEFT ANTI,
+    upserts union in."""
+    from pq_vector_spark.operators.merge import merge_upsert
+
+    cust = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    deletes = cust.filter(k % 10 == 0).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+        F.lit("D").alias("op"),
+        F.lit(1).cast("bigint").alias("version"),
+    )
+    upd_win = cust.filter(k % 10 == 1).select(
+        "c_custkey",
+        F.concat(F.lit("UPD-"), k.cast("string")).alias("c_name"),
+        "c_nationkey",
+        F.round(F.col("c_acctbal") + F.lit(100.0), 2).alias("c_acctbal"),
+        F.lit("RETAIL").alias("c_mktsegment"),
+        F.lit("U").alias("op"),
+        F.lit(2).cast("bigint").alias("version"),
+    )
+    upd_stale = cust.filter(k % 10 == 1).select(
+        "c_custkey",
+        F.lit("STALE").alias("c_name"),
+        "c_nationkey",
+        F.lit(0.0).alias("c_acctbal"),
+        "c_mktsegment",
+        F.lit("U").alias("op"),
+        F.lit(1).cast("bigint").alias("version"),
+    )
+    inserts = cust.filter(k % 10 == 3).select(
+        (k + F.lit(1000000)).alias("c_custkey"),
+        F.concat(F.lit("NEW-"), k.cast("string")).alias("c_name"),
+        "c_nationkey",
+        F.lit(10.0).alias("c_acctbal"),
+        F.lit("NEW").alias("c_mktsegment"),
+        F.lit("U").alias("op"),
+        F.lit(1).cast("bigint").alias("version"),
+    )
+    changes = (
+        deletes.unionByName(upd_win).unionByName(upd_stale).unionByName(inserts)
+    )
+    out = merge_upsert(cust, changes, ["c_custkey"], "version")
+    return out.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+
+
+def _dedup_incremental(spark, sf_dir):
+    """Incremental ingest dedup (operators/dedup.py:incremental_dedup):
+    delta (doc_id % 5 == 0) deduped within itself and against the corpus
+    (% 5 != 0) by content fingerprint. The corpus never shuffles — the
+    delta's fingerprint set broadcasts as a map-side semi-join probe."""
+    from pq_vector_spark.operators.dedup import incremental_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    delta = docs.filter(F.col("doc_id") % 5 == 0)
+    out = incremental_dedup(corpus, delta, "text", "doc_id")
+    return out.select("doc_id", "source")
+
+
+def _embedding_centroids(spark, sf_dir):
+    """Per-label mean embedding (functions/vector.py:group_centroids) —
+    class prototypes without collect_list: posexplode + two
+    combiner-friendly hash aggs; exchanges carry O(labels × dim)."""
+    from pq_vector_spark.functions.vector import group_centroids
+
+    emb = _emb(spark, sf_dir)
+    return group_centroids(emb, "label", "embedding", decimals=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's correctness checker attests at most the
     # FIRST 50 entries.  Every operator family must have its representatives
@@ -1369,17 +1505,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- vector top-k (core reference surface) --
         "knn_exact": _knn_exact,
         "knn_filtered": _knn_filtered,
-        "knn_distance": _knn_distance,
         "knn_ivf_exact": _knn_ivf_exact,
         "knn_quantized": _knn_quantized,
         "knn_pq": _knn_pq,
         "knn_auto": _knn_auto,
-        "knn_auto_cosine": _knn_auto_cosine,
         # -- similarity family --
         "ann_cosine": _ann_cosine,
         "similarity_join": _similarity_join,
         "knn_batch": _knn_batch,
         "hybrid_rrf": _hybrid_rrf,
+        "embedding_centroids": _embedding_centroids,
         # -- dedup family --
         "dedup_exact": _dedup_exact,
         "dedup_jaccard": _dedup_jaccard,
@@ -1388,18 +1523,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _dedup_simhash,
         "dedup_embedding": _dedup_embedding,
         "dedup_embedding_bucketed": _dedup_embedding_bucketed,
+        "dedup_incremental": _dedup_incremental,
         # -- multimodal family --
         "multimodal_features": _multimodal_features,
         "multimodal_frames": _multimodal_frames,
-        # -- sampling / PII (training-pipeline curation) --
+        # -- sampling / PII / packing / merge (training-pipeline curation) --
         "sample_hash": _sample_hash,
         "sample_mix": _sample_mix,
+        "sample_stratified": _sample_stratified,
         "text_pii": _text_pii,
+        "text_decontaminate": _text_decontaminate,
         "pipeline_curate": _pipeline_curate,
+        "pack_sequences": _pack_sequences,
+        "merge_upsert": _merge_upsert,
         # -- relational representatives --
         "rel_topk": _rel_topk,
-        "rel_agg": _rel_agg,
-        "rel_window": _rel_window,
         "rel_skew_join": _rel_skew_join,
         "layout_zorder": _layout_zorder,
         # -- events: batch + streaming twins (streaming twins stay in
@@ -1410,11 +1548,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": _events_asof,
         "events_range_join": _events_range_join,
         "events_funnel": _events_funnel,
-        "events_enriched": _events_enriched,
         "events_stream_enriched": _events_stream_enriched,
         "events_scd_enriched": _events_scd_enriched,
         "events_stream_join": _events_stream_join,
-        "events_stream_dedup": _events_stream_dedup,
         "events_stream_stats": _events_stream_stats,
         # -- text family --
         "text_stats": _text_stats,
@@ -1430,6 +1566,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5 (CORRECTNESS_r05.json) and their code is unchanged; rotate any
         # of them back above this line whenever their implementation changes.
         "knn_sql": _knn_sql,
+        "knn_distance": _knn_distance,
+        "knn_auto_cosine": _knn_auto_cosine,
+        "rel_agg": _rel_agg,
+        "rel_window": _rel_window,
+        "events_enriched": _events_enriched,
+        "events_stream_dedup": _events_stream_dedup,
         "ann_cosine_ivf": _ann_cosine_ivf,
         "knn_batch_ivf": _knn_batch_ivf,
         "similarity_join_ivf": _similarity_join_ivf,
@@ -2204,6 +2346,104 @@ def oracle_sql() -> dict[str, str]:
             WHERE source = 'src2'
               AND {_TOKHASH.format(s="concat('src2', CAST(doc_id AS VARCHAR))")}
                   % 1000000 < 250000""",
+        # exact-k-per-stratum draw: identical md5 bucket ranking
+        "sample_stratified": f"""
+            WITH b AS (SELECT lang, doc_id, source,
+                   {_TOKHASH.format(s="concat('strat', CAST(doc_id AS VARCHAR))")}
+                       % 1000000 AS bk
+                   FROM documents),
+            r AS (SELECT lang, doc_id, source,
+                         row_number() OVER (PARTITION BY lang
+                                            ORDER BY bk, doc_id) AS rk
+                  FROM b)
+            SELECT lang, doc_id, source FROM r WHERE rk <= 7""",
+        # eval-set n-gram contamination: distinct 3-gram shingle hashes,
+        # corpus (% 50 <> 7) joined to eval (% 50 = 7), pairs with ≥2 shared
+        "text_decontaminate": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM toks),
+            ex AS (SELECT doc_id, len(sh) AS ng,
+                          unnest(list_transform(sh, s -> {_TOKHASH.format(s='s')})) AS g
+                   FROM sh),
+            ev AS (SELECT doc_id AS eid, ng AS eng, g FROM ex WHERE doc_id % 50 = 7),
+            co AS (SELECT doc_id, g FROM ex WHERE doc_id % 50 <> 7),
+            j AS (SELECT co.doc_id, ev.eid, ev.eng,
+                         CAST(count(*) AS BIGINT) AS shared
+                  FROM co JOIN ev USING (g) GROUP BY 1, 2, 3)
+            SELECT doc_id, eid AS eval_id, shared AS shared_grams,
+                   CAST(eng AS BIGINT) AS eval_grams,
+                   round(CAST(shared AS DOUBLE) / CAST(eng AS DOUBLE), 4)
+                       AS overlap_frac
+            FROM j WHERE shared >= 2""",
+        # concatenate-and-cut packing: exclusive running token sum per
+        # source (doc_id order), sequence ids = floor-div by the budget
+        "pack_sequences": f"""
+            WITH toks AS (SELECT doc_id, source,
+                                 CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+                          FROM documents),
+            w AS (SELECT doc_id, source, n_tokens,
+                         CAST(sum(n_tokens) OVER (PARTITION BY source
+                              ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                              - n_tokens AS BIGINT) AS start_offset
+                  FROM toks)
+            SELECT doc_id, source, n_tokens, start_offset,
+                   CAST(floor(start_offset / 256) AS BIGINT) AS first_seq,
+                   CAST(floor((start_offset + greatest(n_tokens, 1) - 1) / 256)
+                        AS BIGINT) AS last_seq
+            FROM w""",
+        # CDC merge, last-writer-wins (version DESC, op DESC): base rows
+        # with no change survive, winning upserts apply, deletes vanish
+        "merge_upsert": """
+            WITH base AS (SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+                                 c_mktsegment FROM customer),
+            changes AS (
+              SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+                     'D' AS op, 1 AS version FROM base WHERE c_custkey % 10 = 0
+              UNION ALL
+              SELECT c_custkey, 'UPD-' || CAST(c_custkey AS VARCHAR), c_nationkey,
+                     round(c_acctbal + 100.0, 2), 'RETAIL', 'U', 2
+              FROM base WHERE c_custkey % 10 = 1
+              UNION ALL
+              SELECT c_custkey, 'STALE', c_nationkey, 0.0, c_mktsegment, 'U', 1
+              FROM base WHERE c_custkey % 10 = 1
+              UNION ALL
+              SELECT c_custkey + 1000000, 'NEW-' || CAST(c_custkey AS VARCHAR),
+                     c_nationkey, 10.0, 'NEW', 'U', 1
+              FROM base WHERE c_custkey % 10 = 3),
+            w AS (SELECT *, row_number() OVER (PARTITION BY c_custkey
+                           ORDER BY version DESC, (op = 'D') DESC, op DESC)
+                       AS rk FROM changes),
+            win AS (SELECT * FROM w WHERE rk = 1)
+            SELECT c_custkey, c_name, c_nationkey,
+                   round(c_acctbal, 2) AS c_acctbal, c_mktsegment
+            FROM base WHERE c_custkey NOT IN (SELECT c_custkey FROM win)
+            UNION ALL
+            SELECT c_custkey, c_name, c_nationkey, round(c_acctbal, 2),
+                   c_mktsegment
+            FROM win WHERE op <> 'D'""",
+        # incremental dedup: delta survivors (min id per fingerprint) whose
+        # content is absent from the standing corpus
+        "dedup_incremental": f"""
+            WITH fp AS (SELECT doc_id, source, md5({_NORM}) AS f FROM documents),
+            delta AS (SELECT * FROM fp WHERE doc_id % 5 = 0),
+            corpus AS (SELECT DISTINCT f FROM fp WHERE doc_id % 5 <> 0),
+            surv AS (SELECT *, row_number() OVER (PARTITION BY f
+                                                  ORDER BY doc_id) AS rn
+                     FROM delta)
+            SELECT doc_id, source FROM surv
+            WHERE rn = 1 AND f NOT IN (SELECT f FROM corpus)""",
+        # per-label mean embedding: positional unnest → per-dim avg
+        # (rounded 4dp, the rel_agg ulp guard) → ordered list re-assembly
+        "embedding_centroids": """
+            WITH ex AS (SELECT label, unnest(embedding) AS x,
+                               generate_subscripts(embedding, 1) AS i
+                        FROM embeddings WHERE embedding IS NOT NULL),
+            pd AS (SELECT label, i, round(avg(CAST(x AS DOUBLE)), 4) AS m,
+                          CAST(count(*) AS BIGINT) AS n
+                   FROM ex GROUP BY label, i)
+            SELECT label, max(n) AS n_vectors, list(m ORDER BY i) AS centroid
+            FROM pd GROUP BY label""",
         "text_quantiles": """
             SELECT CAST(count(*) AS BIGINT) AS n_docs,
                    round(quantile_cont(CAST(length(text) AS DOUBLE), 0.25), 4) AS q_25,

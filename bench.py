@@ -56,6 +56,11 @@ HEADLINE = [
     "dedup_resolve",
     "hybrid_rrf",
     "pipeline_curate",
+    "text_decontaminate",
+    "pack_sequences",
+    "sample_stratified",
+    "merge_upsert",
+    "embedding_centroids",
 ]
 
 K = 100

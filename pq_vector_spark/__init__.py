@@ -55,6 +55,11 @@ from pq_vector_spark.operators.hybrid import hybrid_topk, rrf_fuse
 from pq_vector_spark.operators.rangejoin import range_join
 from pq_vector_spark.operators.funnel import funnel_counts, funnel_steps
 from pq_vector_spark.operators.curate import curate_corpus
+from pq_vector_spark.operators.decontaminate import contamination_report, decontaminate
+from pq_vector_spark.operators.merge import latest_changes, merge_upsert
+from pq_vector_spark.operators.packing import pack_sequences, packing_stats
+from pq_vector_spark.operators.sampling import stratified_sample
+from pq_vector_spark.functions.vector import group_centroids, l2_normalize
 from pq_vector_spark.sources.layout import zorder_key, zorder_write
 
 __all__ = [
@@ -104,6 +109,15 @@ __all__ = [
     "funnel_counts",
     "funnel_steps",
     "curate_corpus",
+    "contamination_report",
+    "decontaminate",
+    "latest_changes",
+    "merge_upsert",
+    "pack_sequences",
+    "packing_stats",
+    "stratified_sample",
+    "group_centroids",
+    "l2_normalize",
     "zorder_key",
     "zorder_write",
 ]

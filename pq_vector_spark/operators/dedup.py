@@ -539,3 +539,38 @@ def resolve_duplicates(
         .withColumn("is_canonical", F.col(id_col) == F.col("canonical_id"))
         .drop("node", "component")
     )
+
+
+def incremental_dedup(
+    corpus: DataFrame,
+    delta: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Dedup an incoming DELTA batch against an existing corpus without
+    re-processing the corpus — the incremental-ingest primitive (nightly
+    crawls append to a 100 TB corpus; re-running ``exact_dedup`` over the
+    union every night would re-shuffle the world).
+
+    Returns the delta rows that survive: within-delta duplicates collapse
+    to the smallest id, and any delta row whose normalized-content
+    fingerprint already exists in the corpus is dropped.
+
+    Scale design: the delta's distinct fingerprint set is BROADCAST twice —
+    once as a semi-join probe over the corpus scan (map-side; the corpus
+    NEVER shuffles, and only fingerprints the delta also has survive the
+    probe — a delta-bounded set), once more as the anti-join filter on the
+    delta. The only exchange is the within-delta survivor window, which is
+    delta-sized. Pairs with ``index/build.append_to_index`` (the vector
+    side of the same incremental contract).
+    """
+    dfp = delta.withColumn("_fp", fingerprint(text_col))
+    w = Window.partitionBy("_fp").orderBy(F.col(id_col).asc())
+    surv = dfp.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    probe = surv.select("_fp").distinct()
+    hits = (
+        corpus.select(fingerprint(text_col).alias("_fp"))
+        .join(F.broadcast(probe), "_fp", "left_semi")
+        .distinct()
+    )
+    return surv.join(F.broadcast(hits), "_fp", "left_anti").drop("_fp")

@@ -1,0 +1,89 @@
+"""CDC merge / upsert — apply a changeset (inserts, updates, deletes) to a
+base table, latest change per key winning (north-star extension: the
+incremental-corpus primitive — nightly crawl deltas, takedown requests,
+label corrections — without which a 100 TB corpus would be rebuilt from
+scratch on every revision).
+
+Semantics (``MERGE INTO`` with last-writer-wins):
+- ``changes`` carries the base's payload columns plus an op column
+  (upsert vs delete) and a version column ordering changes to the same key.
+- For each key, the highest-version change is selected; earlier changes to
+  that key are superseded (never applied).
+- Result = base rows whose key has no change, plus the payload of each
+  key's winning change when it is an upsert; keys whose winning change is
+  a delete disappear. Keys new to the base appear (insert).
+
+Scale design (100 TB base, delta-sized changeset):
+- The winner-per-key window shuffles only the CHANGES (delta-sized).
+- The apply is one LEFT ANTI (drop superseded/deleted base rows) plus a
+  union with the winning upserts. The changeset key set is broadcast, so
+  the base NEVER shuffles — the whole merge is a map-side filter over the
+  base plus a logical union. With a non-broadcastable changeset Spark
+  falls back to a sort-merge join on the key: one shuffle each side,
+  still no window over the base.
+- Output partitioning follows the base scan — downstream layout
+  (Z-order, index) is re-applied per the usual rewrite path.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def latest_changes(
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    version_col: str,
+    *,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Winner per key: highest version; version ties broken delete-first (a
+    delete outranks an upsert at the same version — deterministic, and the
+    conservative reading of a conflicting feed), then op descending for
+    full determinism among non-delete ops. Shuffles only the changeset."""
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(version_col).desc(),
+        (F.col(op_col) == F.lit(delete_op)).desc(),
+        F.col(op_col).desc(),
+    )
+    return (
+        changes.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+
+
+def merge_upsert(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    version_col: str,
+    *,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Apply ``changes`` to ``base`` (schema: base columns + op/version).
+
+    Returns a DataFrame with exactly the base's columns. The changeset key
+    set rides a broadcast LEFT ANTI against the base (base never
+    shuffles); winning upserts union in with the base's column order.
+    """
+    key_cols = list(key_cols)
+    missing = [c for c in key_cols + [version_col, op_col] if c not in changes.columns]
+    if missing:
+        raise ValueError(f"changes is missing required columns: {missing}")
+    payload_missing = [c for c in base.columns if c not in changes.columns]
+    if payload_missing:
+        raise ValueError(f"changes lacks base payload columns: {payload_missing}")
+
+    winners = latest_changes(
+        changes, key_cols, version_col, op_col=op_col, delete_op=delete_op
+    )
+    touched = winners.select(*key_cols).distinct()
+    untouched = base.join(F.broadcast(touched), key_cols, "left_anti")
+    upserts = winners.filter(F.col(op_col) != F.lit(delete_op)).select(*base.columns)
+    return untouched.unionByName(upserts)

@@ -63,6 +63,45 @@ def train_split(
     return df.filter(b >= F.lit(threshold)), df.filter(b < F.lit(threshold))
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Exactly min(k, |stratum|) rows per stratum, chosen deterministically:
+    rank rows within each stratum by their hash bucket (ties broken by key)
+    and keep the first k. The balanced-per-class draw ``hash_sample`` can't
+    give — rate sampling yields binomial counts; this yields exact counts.
+
+    Determinism contract: which rows win depends only on
+    (stratum, key, salt) — never on partitioning or run order. Unlike
+    ``hash_sample``, membership IS affected by corpus growth (a new row can
+    out-rank an old one) — that is inherent to exact-k semantics; use
+    ``hash_sample`` when append-stability matters more than exact counts.
+
+    Scale shape: ONE shuffle keyed on the stratum. The rank-≤-k filter is
+    Spark's WindowGroupLimit pattern — each map task pre-prunes to its
+    local top-k per stratum before the exchange, so the shuffle carries
+    O(n_partitions × strata × k), not the corpus. Strata counts are
+    typically ≪ rows (languages, sources, quality buckets); a stratum with
+    fewer than k rows yields all of them.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(
+        hash_bucket(key_col, salt).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= F.lit(int(k)))
+        .drop("_rk")
+    )
+
+
 def weighted_mix(
     parts: Mapping[str, Tuple[DataFrame, float]],
     key_col: str,

@@ -191,3 +191,53 @@ def test_resolve_duplicates_survivor_policy(spark):
     assert canon == {0: 0, 1: 1, 2: 2, 3: 3, 4: 1, 5: 1}
     kept = sorted(r["doc_id"] for r in out if r["is_canonical"])
     assert kept == [0, 1, 2, 3]  # 4 and 5 collapse into 1
+
+
+def test_incremental_dedup_against_corpus(spark):
+    from pq_vector_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "already in the corpus"), (2, "another existing doc")],
+        ["doc_id", "text"],
+    )
+    delta = spark.createDataFrame(
+        [
+            (10, "already in the corpus"),  # exists in corpus → dropped
+            (11, "fresh new content"),  # new → kept
+            (12, "fresh new content"),  # within-delta dup → collapses to 11
+            (13, "Another   EXISTING doc"),  # normalized match → dropped
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"] for r in incremental_dedup(corpus, delta, "text", "doc_id").collect()}
+    assert out == {11}
+
+
+def test_incremental_dedup_keeps_schema_and_min_id(spark):
+    from pq_vector_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame([(1, "x", "s0")], ["doc_id", "text", "src"])
+    delta = spark.createDataFrame(
+        [(7, "dup body", "s1"), (5, "dup body", "s2"), (9, "solo", "s3")],
+        ["doc_id", "text", "src"],
+    )
+    rows = incremental_dedup(corpus, delta, "text", "doc_id").collect()
+    assert {r["doc_id"] for r in rows} == {5, 9}  # min id survives
+    assert rows[0].asDict().keys() == {"doc_id", "text", "src"}
+
+
+def test_incremental_dedup_corpus_never_shuffles(spark):
+    """100 TB contract: both corpus-facing joins are broadcast — no
+    SortMergeJoin / corpus Exchange in the executed plan."""
+    from pq_vector_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    delta = spark.createDataFrame([(2, "b")], ["doc_id", "text"])
+    plan = (
+        incremental_dedup(corpus, delta, "text", "doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2

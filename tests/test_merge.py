@@ -1,0 +1,95 @@
+"""CDC merge/upsert tests (operators/merge.py): last-writer-wins
+semantics, delete/insert/update paths, guards, and the broadcast plan
+shape that keeps the base un-shuffled."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pq_vector_spark.operators.merge import latest_changes, merge_upsert
+
+
+@pytest.fixture(scope="module")
+def base(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+        ["id", "name", "bal"],
+    )
+
+
+def _changes(spark, rows):
+    return spark.createDataFrame(rows, ["id", "name", "bal", "op", "version"])
+
+
+def test_update_insert_delete(spark, base):
+    ch = _changes(
+        spark,
+        [
+            (2, "b2", 21.0, "U", 1),  # update
+            (3, None, 0.0, "D", 1),  # delete
+            (9, "new", 90.0, "U", 1),  # insert
+        ],
+    )
+    out = {r["id"]: (r["name"], r["bal"]) for r in merge_upsert(base, ch, ["id"], "version").collect()}
+    assert out == {
+        1: ("a", 10.0),
+        2: ("b2", 21.0),
+        4: ("d", 40.0),
+        9: ("new", 90.0),
+    }
+
+
+def test_last_writer_wins(spark, base):
+    ch = _changes(
+        spark,
+        [
+            (2, "stale", 0.0, "U", 1),
+            (2, "winner", 99.0, "U", 5),
+            (2, "mid", 50.0, "U", 3),
+        ],
+    )
+    out = {r["id"]: r["name"] for r in merge_upsert(base, ch, ["id"], "version").collect()}
+    assert out[2] == "winner"
+
+
+def test_delete_then_higher_version_upsert_resurrects(spark, base):
+    """The winning change is applied regardless of earlier deletes."""
+    ch = _changes(spark, [(3, None, 0.0, "D", 1), (3, "back", 31.0, "U", 2)])
+    out = {r["id"]: r["name"] for r in merge_upsert(base, ch, ["id"], "version").collect()}
+    assert out[3] == "back"
+
+
+def test_delete_outranks_upsert_at_same_version(spark, base):
+    """Tie on version → delete-first tie-break: the delete wins (the
+    conservative reading of a conflicting feed)."""
+    ch = _changes(spark, [(3, "dup", 0.0, "U", 7), (3, None, 0.0, "D", 7)])
+    w = latest_changes(ch, ["id"], "version")
+    assert w.collect()[0]["op"] == "D"
+    ids = {r["id"] for r in merge_upsert(base, ch, ["id"], "version").collect()}
+    assert 3 not in ids
+
+
+def test_schema_is_base_schema(spark, base):
+    ch = _changes(spark, [(2, "b2", 21.0, "U", 1)])
+    out = merge_upsert(base, ch, ["id"], "version")
+    assert out.columns == base.columns
+
+
+def test_missing_payload_column_rejected(spark, base):
+    bad = spark.createDataFrame([(2, "x", "U", 1)], ["id", "name", "op", "version"])
+    with pytest.raises(ValueError, match="payload"):
+        merge_upsert(base, bad, ["id"], "version")
+
+
+def test_missing_version_column_rejected(spark, base):
+    bad = spark.createDataFrame([(2, "x", 1.0, "U")], ["id", "name", "bal", "op"])
+    with pytest.raises(ValueError, match="missing required"):
+        merge_upsert(base, bad, ["id"], "version")
+
+
+def test_base_side_is_broadcast_anti_join(spark, base):
+    """The 100 TB contract: the base never shuffles — the touched-key set
+    rides a BroadcastHashJoin LeftAnti."""
+    ch = _changes(spark, [(2, "b2", 21.0, "U", 1)])
+    plan = merge_upsert(base, ch, ["id"], "version")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan

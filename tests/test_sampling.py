@@ -126,3 +126,50 @@ def test_pii_count(spark):
         T.pii_count("t", "email").alias("e"), T.pii_count("t", "url").alias("u")
     ).collect()[0]
     assert (row["e"], row["u"]) == (2, 1)
+
+
+def test_stratified_exact_counts(spark):
+    from pq_vector_spark.operators.sampling import stratified_sample
+
+    rows = [(i, "big" if i < 100 else "small") for i in range(110)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = stratified_sample(df, "lang", "doc_id", 7)
+    counts = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    # exactly k from the big stratum, all of the under-k stratum
+    assert counts == {"big": 7, "small": 7}
+    tiny = stratified_sample(df.filter(F.col("doc_id") < 3), "lang", "doc_id", 7)
+    assert tiny.count() == 3
+
+
+def test_stratified_deterministic_under_repartition(spark):
+    from pq_vector_spark.operators.sampling import stratified_sample
+
+    rows = [(i, f"l{i % 4}") for i in range(400)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    a = {r["doc_id"] for r in stratified_sample(df, "lang", "doc_id", 5).collect()}
+    b = {
+        r["doc_id"]
+        for r in stratified_sample(df.repartition(11), "lang", "doc_id", 5).collect()
+    }
+    assert a == b and len(a) == 20
+
+
+def test_stratified_salt_changes_draw(spark):
+    from pq_vector_spark.operators.sampling import stratified_sample
+
+    rows = [(i, "x") for i in range(500)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    a = {r["doc_id"] for r in stratified_sample(df, "lang", "doc_id", 50, salt="a").collect()}
+    b = {r["doc_id"] for r in stratified_sample(df, "lang", "doc_id", 50, salt="b").collect()}
+    assert a != b  # independent draws
+
+
+def test_stratified_k_guard(spark):
+    from pq_vector_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "lang"])
+    with pytest.raises(ValueError, match="k must be positive"):
+        stratified_sample(df, "lang", "doc_id", 0)

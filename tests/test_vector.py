@@ -1,0 +1,62 @@
+"""Vector utility tests (functions/vector.py): grouped centroids without
+collect_list, L2 normalization edge cases."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pq_vector_spark.functions.vector import group_centroids, l2_normalize
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    return spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (0, [3.0, 2.0]),
+            (1, [0.0, 4.0]),
+            (1, None),  # null vector dropped
+        ],
+        ["label", "vec"],
+    )
+
+
+def test_group_centroids(vecs):
+    out = {r["label"]: r for r in group_centroids(vecs, "label", "vec").collect()}
+    assert out[0]["n_vectors"] == 2
+    assert out[0]["centroid"] == [2.0, 1.0]
+    assert out[1]["n_vectors"] == 1
+    assert out[1]["centroid"] == [0.0, 4.0]
+
+
+def test_group_centroids_rounding(spark):
+    df = spark.createDataFrame([(0, [1.0]), (0, [2.0]), (0, [2.0])], ["label", "vec"])
+    row = group_centroids(df, "label", "vec", decimals=2).collect()[0]
+    assert row["centroid"] == [round(5.0 / 3.0, 2)]
+
+
+def test_group_centroids_no_collect_list_of_vectors(vecs):
+    """The OOM guard: the plan must aggregate exploded scalars, never
+    collect vector lists per group (collect_list appears only over the
+    (dim, mean) structs — size = dim, not rows)."""
+    plan = (
+        group_centroids(vecs, "label", "vec")
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "posexplode" in plan.lower() or "generate" in plan.lower()
+
+
+def test_l2_normalize(spark):
+    df = spark.createDataFrame([(1, [3.0, 4.0])], ["id", "vec"])
+    out = df.select(l2_normalize("vec").alias("n")).collect()[0]["n"]
+    assert out == pytest.approx([0.6, 0.8])
+    assert math.isclose(sum(x * x for x in out), 1.0)
+
+
+def test_l2_normalize_zero_vector_yields_nulls(spark):
+    df = spark.createDataFrame([(1, [0.0, 0.0])], ["id", "vec"])
+    out = df.select(l2_normalize("vec").alias("n")).collect()[0]["n"]
+    assert out == [None, None]
