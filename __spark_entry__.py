@@ -1471,6 +1471,36 @@ def _merge_upsert(spark, sf_dir):
     )
 
 
+def _text_chunks(spark, sf_dir):
+    """Document chunking for embedding (operators/chunk.py): 120-char
+    windows, 20-char overlap — pure map-side sequence + posexplode +
+    substr, zero shuffle at any scale. Chunk text rides as md5 to keep the
+    compare row-sized."""
+    from pq_vector_spark.operators.chunk import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = chunk_documents(docs, "text", "doc_id", chunk_chars=120, overlap=20)
+    return out.select(
+        "doc_id", "chunk_id", "chunk_start", F.md5("chunk_text").alias("chunk_md5")
+    )
+
+
+def _quality_checks(spark, sf_dir):
+    """Deequ-style constraint suite (operators/constraints.py): four
+    row-wise rules over documents evaluated in ONE scan/aggregation —
+    adding a rule adds a counter, never a pass."""
+    from pq_vector_spark.operators.constraints import check_constraints
+
+    docs = load_table(spark, sf_dir, "documents")
+    rules = {
+        "text_not_null": F.col("text").isNotNull(),
+        "n_chars_consistent": F.length("text") == F.col("n_chars"),
+        "lang_known": F.col("lang").isin("en", "de", "es", "fr", "zh"),
+        "doc_id_nonneg": F.col("doc_id") >= 0,
+    }
+    return check_constraints(docs, rules)
+
+
 def _dedup_incremental(spark, sf_dir):
     """Incremental ingest dedup (operators/dedup.py:incremental_dedup):
     delta (doc_id % 5 == 0) deduped within itself and against the corpus
@@ -1553,9 +1583,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_join": _events_stream_join,
         "events_stream_stats": _events_stream_stats,
         # -- text family --
-        "text_stats": _text_stats,
         "text_quality": _text_quality,
-        "text_lang": _text_lang,
+        "text_chunks": _text_chunks,
+        "quality_checks": _quality_checks,
         "text_tokens_bpe": _text_tokens_bpe,
         "text_winnow": _text_winnow,
         "text_logprob": _text_logprob,
@@ -1581,6 +1611,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed": _events_windowed,
         "events_sessions": _events_sessions,
         "events_props": _events_props,
+        "text_stats": _text_stats,
+        "text_lang": _text_lang,
         "text_fingerprint": _text_fingerprint,
         "text_quantiles": _text_quantiles,
         "text_doc_freq": _text_doc_freq,
@@ -2422,6 +2454,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_name, c_nationkey, round(c_acctbal, 2),
                    c_mktsegment
             FROM win WHERE op <> 'D'""",
+        # map-side chunking: starts every 100 chars (120-char windows,
+        # 20 overlap), 1-based substr on both engines
+        "text_chunks": """
+            WITH st AS (SELECT doc_id, text,
+                               range(0, greatest(length(text) - 1, 0) + 1, 100)
+                                   AS starts
+                        FROM documents),
+            ex AS (SELECT doc_id, text, unnest(starts) AS s,
+                          generate_subscripts(starts, 1) AS i
+                   FROM st)
+            SELECT doc_id, CAST(i - 1 AS INT) AS chunk_id,
+                   CAST(s AS BIGINT) AS chunk_start,
+                   md5(substr(text, CAST(s AS INT) + 1, 120)) AS chunk_md5
+            FROM ex""",
+        # one-pass constraint suite; NULL rule result counts as violation
+        "quality_checks": """
+            WITH w AS (SELECT CAST(count(*) AS BIGINT) AS total,
+                CAST(sum(CASE WHEN NOT coalesce(doc_id >= 0, FALSE)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS v_doc_id_nonneg,
+                CAST(sum(CASE WHEN NOT coalesce(
+                         lang IN ('en','de','es','fr','zh'), FALSE)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS v_lang_known,
+                CAST(sum(CASE WHEN NOT coalesce(length(text) = n_chars, FALSE)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS v_n_chars_consistent,
+                CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                    AS v_text_not_null
+                FROM documents)
+            SELECT rule, violations, total,
+                   round(1.0 - CAST(violations AS DOUBLE)
+                             / CAST(total AS DOUBLE), 6) AS pass_frac
+            FROM (
+              SELECT 'doc_id_nonneg' AS rule, v_doc_id_nonneg AS violations,
+                     total FROM w
+              UNION ALL SELECT 'lang_known', v_lang_known, total FROM w
+              UNION ALL SELECT 'n_chars_consistent', v_n_chars_consistent,
+                               total FROM w
+              UNION ALL SELECT 'text_not_null', v_text_not_null, total FROM w
+            )""",
         # incremental dedup: delta survivors (min id per fingerprint) whose
         # content is absent from the standing corpus
         "dedup_incremental": f"""

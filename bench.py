@@ -61,6 +61,9 @@ HEADLINE = [
     "sample_stratified",
     "merge_upsert",
     "embedding_centroids",
+    "dedup_incremental",
+    "text_chunks",
+    "quality_checks",
 ]
 
 K = 100
@@ -623,6 +626,27 @@ def _dedup_scale_bench(spark) -> dict:
     )
     simhash_sec = round(time.time() - t0, 3)
 
+    # Decontamination at scale: ~1k-doc eval slice broadcast against the
+    # remaining ~999k corpus (map-side shingles + broadcast gram join —
+    # the corpus-never-shuffles contract under load).
+    from pq_vector_spark.operators.decontaminate import decontaminate
+
+    ev = docs.filter(F.col("doc_id") % 1000 == 7)
+    corpus_side = docs.filter(F.col("doc_id") % 1000 != 7)
+    t0 = time.time()
+    n_clean = decontaminate(
+        corpus_side, ev, "text", n=5, min_grams=8, threshold=0.5
+    ).count()
+    decon_sec = round(time.time() - t0, 3)
+
+    # Incremental ingest dedup: 10% delta against the standing 90% corpus
+    # (broadcast fingerprint probe; corpus map-side only).
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+    standing = docs.filter(F.col("doc_id") % 10 != 0)
+    t0 = time.time()
+    n_new = D.incremental_dedup(standing, delta, "text", "doc_id").count()
+    incr_sec = round(time.time() - t0, 3)
+
     return {
         "n_docs": n_docs,
         "gen_sec": gen_sec,
@@ -636,6 +660,10 @@ def _dedup_scale_bench(spark) -> dict:
         "dup_components": int(n_components),
         "simhash_sec": simhash_sec,
         "simhash_distinct": int(n_sim),
+        "decon_sec": decon_sec,
+        "decon_survivors": int(n_clean),
+        "incremental_sec": incr_sec,
+        "incremental_new": int(n_new),
     }
 
 

@@ -54,8 +54,11 @@ from pq_vector_spark.index.pq import (
 from pq_vector_spark.operators.hybrid import hybrid_topk, rrf_fuse
 from pq_vector_spark.operators.rangejoin import range_join
 from pq_vector_spark.operators.funnel import funnel_counts, funnel_steps
+from pq_vector_spark.operators.chunk import chunk_documents
+from pq_vector_spark.operators.constraints import check_constraints, check_unique
 from pq_vector_spark.operators.curate import curate_corpus
 from pq_vector_spark.operators.decontaminate import contamination_report, decontaminate
+from pq_vector_spark.operators.dedup import incremental_dedup
 from pq_vector_spark.operators.merge import latest_changes, merge_upsert
 from pq_vector_spark.operators.packing import pack_sequences, packing_stats
 from pq_vector_spark.operators.sampling import stratified_sample
@@ -109,6 +112,10 @@ __all__ = [
     "funnel_counts",
     "funnel_steps",
     "curate_corpus",
+    "chunk_documents",
+    "check_constraints",
+    "check_unique",
+    "incremental_dedup",
     "contamination_report",
     "decontaminate",
     "latest_changes",

@@ -1,0 +1,135 @@
+"""Chunking + constraint-check tests (operators/chunk.py,
+operators/constraints.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pq_vector_spark.operators.chunk import chunk_documents
+from pq_vector_spark.operators.constraints import check_constraints, check_unique
+
+
+# ------------------------------------------------------------- chunking ----
+
+
+def test_chunk_windows_and_overlap(spark):
+    df = spark.createDataFrame([(1, "abcdefghij")], ["doc_id", "text"])
+    rows = sorted(
+        chunk_documents(df, "text", "doc_id", chunk_chars=4, overlap=1).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    # starts every 3 chars: 0,3,6,9; windows of 4
+    assert [(r["chunk_start"], r["chunk_text"]) for r in rows] == [
+        (0, "abcd"),
+        (3, "defg"),
+        (6, "ghij"),
+        (9, "j"),
+    ]
+    assert [r["chunk_id"] for r in rows] == [0, 1, 2, 3]
+
+
+def test_chunk_short_empty_null_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "ab"), (2, ""), (3, None)], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in chunk_documents(df, "text", "doc_id").collect()}
+    # every doc yields exactly one chunk — no silent row drops
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["chunk_text"] == "ab"
+    assert rows[2]["chunk_text"] == ""
+    assert rows[3]["chunk_text"] is None
+
+
+def test_chunk_reconstruction(spark):
+    """Zero-overlap chunks concatenate back to the original text."""
+    text = "the quick brown fox jumps over the lazy dog" * 3
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = sorted(
+        chunk_documents(df, "text", "doc_id", chunk_chars=7, overlap=0).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    assert "".join(r["chunk_text"] for r in rows) == text
+
+
+def test_chunk_guards(spark):
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="chunk_chars"):
+        chunk_documents(df, "text", "doc_id", chunk_chars=0)
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, "text", "doc_id", chunk_chars=5, overlap=5)
+
+
+def test_chunk_plan_is_shuffle_free(spark):
+    df = spark.createDataFrame([(1, "hello world")], ["doc_id", "text"])
+    plan = (
+        chunk_documents(df, "text", "doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+# ----------------------------------------------------------- constraints ----
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (0, "good", "en"),
+            (1, None, "en"),  # null text
+            (2, "ok", "xx"),  # unknown lang
+            (-3, "neg", "en"),  # negative id
+        ],
+        ["doc_id", "text", "lang"],
+    )
+
+
+def test_check_constraints_counts(docs):
+    rules = {
+        "text_not_null": F.col("text").isNotNull(),
+        "lang_known": F.col("lang").isin("en", "de"),
+        "id_nonneg": F.col("doc_id") >= 0,
+    }
+    out = {r["rule"]: r for r in check_constraints(docs, rules).collect()}
+    assert out["text_not_null"]["violations"] == 1
+    assert out["lang_known"]["violations"] == 1
+    assert out["id_nonneg"]["violations"] == 1
+    assert all(r["total"] == 4 for r in out.values())
+    assert out["id_nonneg"]["pass_frac"] == 0.75
+
+
+def test_null_rule_result_is_violation(spark):
+    """NULL comparisons (SQL three-valued logic) count as violations —
+    unknown is not a pass."""
+    df = spark.createDataFrame([(1, None)], "id INT, v DOUBLE")
+    out = check_constraints(df, {"v_positive": F.col("v") > 0}).collect()[0]
+    assert out["violations"] == 1
+
+
+def test_check_constraints_single_pass(docs):
+    """All rules fold into ONE aggregate — no per-rule jobs, no Exchange of
+    data rows (only the 1-row partial agg exchange)."""
+    rules = {
+        "a": F.col("doc_id") >= 0,
+        "b": F.col("text").isNotNull(),
+        "c": F.col("lang") == "en",
+    }
+    plan = (
+        check_constraints(docs, rules)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("HashAggregate") <= 4  # partial+final, not per-rule
+
+
+def test_check_constraints_empty_rules_rejected(docs):
+    with pytest.raises(ValueError, match="rules"):
+        check_constraints(docs, {})
+
+
+def test_check_unique(spark):
+    df = spark.createDataFrame([(1,), (2,), (2,), (3,), (3,), (3,)], ["k"])
+    row = check_unique(df, ["k"]).collect()[0]
+    assert (row["n_rows"], row["n_distinct"], row["duplicates"]) == (6, 3, 3)
