@@ -173,3 +173,25 @@ def test_stratified_k_guard(spark):
     df = spark.createDataFrame([(1, "x")], ["doc_id", "lang"])
     with pytest.raises(ValueError, match="k must be positive"):
         stratified_sample(df, "lang", "doc_id", 0)
+
+
+def test_stratified_map_side_group_limit_plan(spark):
+    """100 TB contract: a Partial WindowGroupLimit must run BEFORE the
+    exchange (each map task pre-prunes to its local per-stratum top-k, so
+    the shuffle carries O(partitions × strata × k), not the corpus)."""
+    from pq_vector_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame([(i, f"l{i % 3}") for i in range(300)], ["doc_id", "lang"])
+    plan = (
+        stratified_sample(df, "lang", "doc_id", 5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    partial = plan.find("Partial")
+    exchange = plan.find("Exchange")
+    assert "WindowGroupLimit" in plan
+    assert partial != -1 and exchange != -1
+    # plans print top-down: the Partial limit appears BELOW (after) the
+    # Exchange line ⇒ it executes before it
+    assert partial > exchange
