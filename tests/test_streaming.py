@@ -440,3 +440,56 @@ def test_stream_stream_join_streaming_matches_batch(spark):
     )
     batch = stream_stream_window_join(ev)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_streaming_ingest_dedup_append(spark, tmp_path):
+    """Continuous ingestion composition (streaming/ingest.py): two
+    micro-batch files stream through foreachBatch incremental dedup into a
+    standing parquet corpus — corpus dups dropped, within-batch dups
+    collapse, fresh content appends."""
+    from pq_vector_spark.streaming.ingest import streaming_ingest
+
+    corpus_dir = str(tmp_path / "corpus")
+    in_dir = str(tmp_path / "incoming")
+    chk = str(tmp_path / "chk")
+
+    spark.createDataFrame(
+        [(1, "seed document one"), (2, "seed document two")], ["doc_id", "text"]
+    ).write.mode("overwrite").parquet(corpus_dir)
+
+    incoming = spark.createDataFrame(
+        [
+            (10, "seed document one"),  # already in corpus → dropped
+            (11, "brand new content"),  # fresh → appended
+            (12, "brand new content"),  # within-batch dup → collapses
+            (13, "other fresh content"),  # fresh → appended
+        ],
+        ["doc_id", "text"],
+    )
+    incoming.write.mode("overwrite").parquet(in_dir)
+
+    stream = spark.readStream.schema(incoming.schema).parquet(in_dir)
+    q = (
+        streaming_ingest(stream, corpus_dir, "text", "doc_id", checkpoint=chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["doc_id"] for r in spark.read.parquet(corpus_dir).collect()
+    }
+    assert got == {1, 2, 11, 13}
+
+
+def test_dedup_append_batch_idempotent_on_rerun(spark, tmp_path):
+    """Re-applying the same batch appends nothing (content already
+    present) — the property that makes foreachBatch retries safe."""
+    from pq_vector_spark.streaming.ingest import dedup_append_batch
+
+    corpus_dir = str(tmp_path / "corpus2")
+    spark.createDataFrame([(1, "base")], ["doc_id", "text"]).write.parquet(corpus_dir)
+    batch = spark.createDataFrame([(5, "added once")], ["doc_id", "text"])
+    assert dedup_append_batch(batch, corpus_dir, "text", "doc_id") == 1
+    assert dedup_append_batch(batch, corpus_dir, "text", "doc_id") == 0
+    assert spark.read.parquet(corpus_dir).count() == 2
