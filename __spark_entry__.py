@@ -1501,6 +1501,17 @@ def _quality_checks(spark, sf_dir):
     return check_constraints(docs, rules)
 
 
+def _embedding_outliers(spark, sf_dir):
+    """Distance-to-class-centroid outliers (functions/vector.py:
+    embedding_outliers): top-5 farthest vectors per label — the
+    mislabeled-embedding detector; centroids broadcast, corpus map-side,
+    WindowGroupLimit-prunable per-label rank."""
+    from pq_vector_spark.functions.vector import embedding_outliers
+
+    emb = _emb(spark, sf_dir)
+    return embedding_outliers(emb, "label", "embedding", "vec_id", k=5)
+
+
 def _dedup_incremental(spark, sf_dir):
     """Incremental ingest dedup (operators/dedup.py:incremental_dedup):
     delta (doc_id % 5 == 0) deduped within itself and against the corpus
@@ -1545,6 +1556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_batch": _knn_batch,
         "hybrid_rrf": _hybrid_rrf,
         "embedding_centroids": _embedding_centroids,
+        "embedding_outliers": _embedding_outliers,
         # -- dedup family --
         "dedup_exact": _dedup_exact,
         "dedup_jaccard": _dedup_jaccard,
@@ -1589,7 +1601,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens_bpe": _text_tokens_bpe,
         "text_winnow": _text_winnow,
         "text_logprob": _text_logprob,
-        "text_tfidf": _text_tfidf,
         "text_bm25": _text_bm25,
         "text_repetition": _text_repetition,
         # ---- 50-row budget cutoff: tail variants below were driver-green in
@@ -1613,6 +1624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props": _events_props,
         "text_stats": _text_stats,
         "text_lang": _text_lang,
+        "text_tfidf": _text_tfidf,
         "text_fingerprint": _text_fingerprint,
         "text_quantiles": _text_quantiles,
         "text_doc_freq": _text_doc_freq,
@@ -2514,6 +2526,22 @@ def oracle_sql() -> dict[str, str]:
                    FROM ex GROUP BY label, i)
             SELECT label, max(n) AS n_vectors, list(m ORDER BY i) AS centroid
             FROM pd GROUP BY label""",
+        # farthest-from-centroid per label: centroid CTE (identical to
+        # embedding_centroids) + exact L2 fold vs the rounded centroid
+        "embedding_outliers": f"""
+            WITH ex AS (SELECT label, unnest(embedding) AS x,
+                               generate_subscripts(embedding, 1) AS i
+                        FROM embeddings WHERE embedding IS NOT NULL),
+            pd AS (SELECT label, i, round(avg(CAST(x AS DOUBLE)), 4) AS m
+                   FROM ex GROUP BY label, i),
+            cent AS (SELECT label, list(m ORDER BY i) AS c FROM pd GROUP BY label),
+            d AS (SELECT e.label, e.vec_id,
+                         round({_dist("e.embedding", "cent.c")}, 4) AS dist
+                  FROM embeddings e JOIN cent USING (label)
+                  WHERE e.embedding IS NOT NULL),
+            r AS (SELECT *, row_number() OVER (PARTITION BY label
+                           ORDER BY dist DESC, vec_id) AS rk FROM d)
+            SELECT label, vec_id, dist FROM r WHERE rk <= 5""",
         "text_quantiles": """
             SELECT CAST(count(*) AS BIGINT) AS n_docs,
                    round(quantile_cont(CAST(length(text) AS DOUBLE), 0.25), 4) AS q_25,

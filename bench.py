@@ -64,6 +64,7 @@ HEADLINE = [
     "dedup_incremental",
     "text_chunks",
     "quality_checks",
+    "embedding_outliers",
 ]
 
 K = 100

@@ -62,7 +62,11 @@ from pq_vector_spark.operators.dedup import incremental_dedup
 from pq_vector_spark.operators.merge import latest_changes, merge_upsert
 from pq_vector_spark.operators.packing import pack_sequences, packing_stats
 from pq_vector_spark.operators.sampling import stratified_sample
-from pq_vector_spark.functions.vector import group_centroids, l2_normalize
+from pq_vector_spark.functions.vector import (
+    embedding_outliers,
+    group_centroids,
+    l2_normalize,
+)
 from pq_vector_spark.sources.layout import zorder_key, zorder_write
 
 __all__ = [
@@ -123,6 +127,7 @@ __all__ = [
     "pack_sequences",
     "packing_stats",
     "stratified_sample",
+    "embedding_outliers",
     "group_centroids",
     "l2_normalize",
     "zorder_key",

@@ -81,3 +81,48 @@ def group_centroids(
         )
         .select(F.col("_g").alias(group_col), "n_vectors", "centroid")
     )
+
+
+def embedding_outliers(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str,
+    id_col: str,
+    *,
+    k: int = 5,
+    decimals: int = 4,
+) -> DataFrame:
+    """Per-group embedding outliers: the k vectors farthest from their
+    group's centroid — the mislabeled/corrupt-embedding detector a corpus
+    runs before training (a vector far from its class prototype is a
+    labeling or pipeline error candidate).
+
+    Composition: ``group_centroids`` (tiny: groups × dim) BROADCAST back
+    onto the corpus, distance computed map-side with the engine's exact
+    L2 kernel, per-group top-k via a WindowGroupLimit-prunable rank (each
+    map task pre-prunes to its local k before the one group-keyed
+    shuffle). The corpus never joins anything non-broadcast.
+
+    Distances are rounded to ``decimals`` (matching the rounded centroid);
+    ties break by id ascending for full determinism.
+    """
+    from pyspark.sql import Window
+
+    from pq_vector_spark.functions.distance import array_distance
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    cents = group_centroids(df, group_col, vec_col, decimals=decimals)
+    joined = df.filter(F.col(vec_col).isNotNull()).join(
+        F.broadcast(cents.select(group_col, "centroid")), group_col
+    )
+    dist = F.round(array_distance(F.col(vec_col), F.col("centroid")), decimals)
+    w = Window.partitionBy(group_col).orderBy(
+        dist.desc(), F.col(id_col).asc()
+    )
+    return (
+        joined.withColumn("dist", dist)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= F.lit(int(k)))
+        .select(group_col, id_col, "dist")
+    )

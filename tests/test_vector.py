@@ -60,3 +60,47 @@ def test_l2_normalize_zero_vector_yields_nulls(spark):
     df = spark.createDataFrame([(1, [0.0, 0.0])], ["id", "vec"])
     out = df.select(l2_normalize("vec").alias("n")).collect()[0]["n"]
     assert out == [None, None]
+
+
+def test_embedding_outliers(spark):
+    from pq_vector_spark.functions.vector import embedding_outliers
+
+    rows = [
+        (0, 1, [0.0, 0.0]),
+        (0, 2, [1.0, 0.0]),
+        (0, 3, [10.0, 0.0]),  # the outlier of label 0
+        (1, 4, [5.0, 5.0]),
+        (1, 5, [5.0, 6.0]),
+    ]
+    df = spark.createDataFrame(rows, ["label", "vec_id", "vec"])
+    out = embedding_outliers(df, "label", "vec", "vec_id", k=1)
+    got = {r["label"]: r["vec_id"] for r in out.collect()}
+    assert got[0] == 3
+    assert got[1] in (4, 5)  # symmetric pair — tie broken by id → 4
+    assert got[1] == 4
+
+
+def test_embedding_outliers_k_and_guards(spark):
+    import pytest as _pt
+
+    from pq_vector_spark.functions.vector import embedding_outliers
+
+    df = spark.createDataFrame([(0, 1, [0.0]), (0, 2, [1.0])], ["label", "vec_id", "vec"])
+    assert embedding_outliers(df, "label", "vec", "vec_id", k=5).count() == 2
+    with _pt.raises(ValueError, match="k must be positive"):
+        embedding_outliers(df, "label", "vec", "vec_id", k=0)
+
+
+def test_embedding_outliers_broadcast_plan(spark):
+    """Centroids broadcast; no sort-merge join of the corpus."""
+    from pq_vector_spark.functions.vector import embedding_outliers
+
+    df = spark.createDataFrame([(0, 1, [0.0]), (0, 2, [1.0])], ["label", "vec_id", "vec"])
+    plan = (
+        embedding_outliers(df, "label", "vec", "vec_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
