@@ -100,3 +100,78 @@ def test_fingerprint_normalization_idempotent(spark, text):
         F.md5(normalize_text(normalize_text("t"))).alias("f2"),
     ).collect()[0]
     assert row["f1"] == row["f2"]
+
+
+@settings(max_examples=10, deadline=None)
+@given(data=st.data())
+def test_pack_sequences_matches_python_reference(spark, data):
+    """Packing invariants on arbitrary token-count multisets: start offsets
+    are exclusive prefix sums in id order per group; first/last bins match
+    the scalar reference."""
+    from pq_vector_spark.operators.packing import pack_sequences
+
+    toks = data.draw(
+        st.lists(st.integers(min_value=0, max_value=500), min_size=1, max_size=30)
+    )
+    max_tokens = data.draw(st.integers(min_value=1, max_value=300))
+    rows = [(i, "g", t) for i, t in enumerate(toks)]
+    df = spark.createDataFrame(rows, ["doc_id", "grp", "tok"])
+    got = {
+        r["doc_id"]: (r["start_offset"], r["first_seq"], r["last_seq"])
+        for r in pack_sequences(
+            df, "tok", group_col="grp", order_col="doc_id", max_tokens=max_tokens
+        ).collect()
+    }
+    run = 0
+    for i, t in enumerate(toks):
+        first = run // max_tokens
+        last = (run + max(t, 1) - 1) // max_tokens
+        assert got[i] == (run, first, last), (i, t, max_tokens)
+        run += t
+
+
+@settings(max_examples=10, deadline=None)
+@given(data=st.data())
+def test_merge_upsert_matches_python_reference(spark, data):
+    """CDC merge on arbitrary changesets: result equals a dict-based
+    last-writer-wins reference (delete-first on version ties)."""
+    from pq_vector_spark.operators.merge import merge_upsert
+
+    base_keys = data.draw(st.sets(st.integers(0, 8), min_size=1, max_size=6))
+    changes = data.draw(
+        st.lists(
+            st.tuples(
+                st.integers(0, 10),  # key
+                st.integers(0, 3),  # version
+                st.sampled_from(["U", "D"]),
+            ),
+            min_size=0,
+            max_size=12,
+        )
+    )
+    base_rows = [(k, f"b{k}") for k in sorted(base_keys)]
+    # make (key, version, op) unique — duplicate rows would make the
+    # winner genuinely ambiguous in any engine
+    chg = {(k, v, op) for k, v, op in changes}
+    chg_rows = [(k, f"c{k}v{v}", op, v) for k, v, op in sorted(chg)]
+
+    base = spark.createDataFrame(base_rows, "id INT, name STRING")
+    if not chg_rows:
+        return
+    ch = spark.createDataFrame(chg_rows, "id INT, name STRING, op STRING, version INT")
+    got = {r["id"]: r["name"] for r in merge_upsert(base, ch, ["id"], "version").collect()}
+
+    # reference: per key, max version; tie → D wins, else op desc
+    expect = {k: f"b{k}" for k in base_keys}
+    per_key = {}
+    for k, v, op in chg:
+        cur = per_key.get(k)
+        cand = (v, 1 if op == "D" else 0, op)
+        if cur is None or cand > cur:
+            per_key[k] = cand
+    for k, (v, is_d, op) in per_key.items():
+        if op == "D":
+            expect.pop(k, None)
+        else:
+            expect[k] = f"c{k}v{v}"
+    assert got == expect
