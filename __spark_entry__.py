@@ -186,6 +186,55 @@ def _knn_pq(spark, sf_dir):
     ).select("vec_id")
 
 
+_PQ_CODES_CACHE: dict[str, str] = {}
+
+
+def _codes_path(spark, sf_dir, codebook) -> str:
+    """Codes sidecar table for the cached indexed layout (built once per
+    sf_dir per process, like _indexed_path)."""
+    import tempfile
+
+    from pq_vector_spark.index.pq import encode_indexed
+
+    cached = _PQ_CODES_CACHE.get(sf_dir)
+    if cached and os.path.isdir(cached):
+        return cached
+    out = os.path.join(tempfile.mkdtemp(prefix="pq_entry_codes_"), "codes")
+    encode_indexed(
+        spark, _indexed_path(spark, sf_dir), out, "embedding", "vec_id", codebook
+    )
+    _PQ_CODES_CACHE[sf_dir] = out
+    return out
+
+
+def _knn_ivfpq(spark, sf_dir):
+    """IVF-PQ composition (index/pq.py:ivfpq_topk) in its exactness
+    envelope: nprobe = n_clusters and a re-rank covering the table, so the
+    coarse prune + ADC stage + exact re-rank reproduce brute force. The
+    production point (nprobe < n_clusters, small rerank: a doubly-pruned
+    scan — cluster subset × m-byte codes) is measured in bench
+    ``scale.ivfpq``."""
+    from pq_vector_spark.index.pq import ivfpq_topk, train_pq
+
+    emb = _emb(spark, sf_dir)
+    q = _qvec(spark, sf_dir, 0)
+    n = emb.count()
+    cb = train_pq(emb, "embedding", m=8, nbits=8, seed=42)
+    codes = _codes_path(spark, sf_dir, cb)
+    return ivfpq_topk(
+        spark,
+        _indexed_path(spark, sf_dir),
+        codes,
+        "embedding",
+        "vec_id",
+        cb,
+        q,
+        K,
+        nprobe=IVF_CLUSTERS,
+        rerank=-(-n // K),
+    ).select("vec_id")
+
+
 def _knn_ivf_exact(spark, sf_dir):
     # nprobe = n_clusters ⇒ candidate set is ALL rows ⇒ exactly brute force
     # (reference guarantee via nprobe.min(n_clusters), src/ivf/index.rs:131)
@@ -1549,6 +1598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf_exact": _knn_ivf_exact,
         "knn_quantized": _knn_quantized,
         "knn_pq": _knn_pq,
+        "knn_ivfpq": _knn_ivfpq,
         "knn_auto": _knn_auto,
         # -- similarity family --
         "ann_cosine": _ann_cosine,
@@ -1601,7 +1651,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens_bpe": _text_tokens_bpe,
         "text_winnow": _text_winnow,
         "text_logprob": _text_logprob,
-        "text_bm25": _text_bm25,
         "text_repetition": _text_repetition,
         # ---- 50-row budget cutoff: tail variants below were driver-green in
         # r5 (CORRECTNESS_r05.json) and their code is unchanged; rotate any
@@ -1625,6 +1674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": _text_stats,
         "text_lang": _text_lang,
         "text_tfidf": _text_tfidf,
+        "text_bm25": _text_bm25,
         "text_fingerprint": _text_fingerprint,
         "text_quantiles": _text_quantiles,
         "text_doc_freq": _text_doc_freq,
@@ -1850,6 +1900,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id FROM embeddings
             ORDER BY {_dist("embedding", qlit)}, vec_id LIMIT {K}""",
         "knn_pq": f"""
+            SELECT vec_id FROM embeddings
+            ORDER BY {_dist("embedding", qlit)}, vec_id LIMIT {K}""",
+        # IVF-PQ exactness envelope (nprobe = n_clusters, rerank covers the
+        # table) ⇒ brute-force top-k, same oracle as knn_pq
+        "knn_ivfpq": f"""
             SELECT vec_id FROM embeddings
             ORDER BY {_dist("embedding", qlit)}, vec_id LIMIT {K}""",
         # SQ8 scalar quantization: codes = floor((x-mn)/sc + 0.5) - 128

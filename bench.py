@@ -517,6 +517,46 @@ def _scale_bench(spark) -> dict:
     pq_recall = len(set(pq_got) & set(truth)) / k
     pq_bytes = _dir_bytes(pq_path)
 
+    # --- IVF-PQ: both pruning axes at once — cluster IN (probed) pushed
+    # into a cluster-sorted CODES table (nprobe/n_clusters of the rows ×
+    # m/dim·4 of the bytes), ADC top-C, broadcast exact rerank against the
+    # (equally pruned) raw layout.
+    from pq_vector_spark.index.pq import encode_indexed, ivfpq_topk
+
+    ivfpq_path = os.path.join(
+        cache_dir, f"ivfpq_codes_{n_rows}x{dim}_m{pq_m}.parquet"
+    )
+    if os.path.exists(ivfpq_path):
+        ivfpq_encode_sec = 0.0  # cached fixture
+    else:
+        t0 = time.time()
+        encode_indexed(spark, out_path, ivfpq_path, "embedding", "vec_id", pq_cb)
+        ivfpq_encode_sec = round(time.time() - t0, 3)
+    spark.read.parquet(ivfpq_path).count()  # warm
+
+    def _ivfpq_topk():
+        return [
+            r["vec_id"]
+            for r in ivfpq_topk(
+                spark,
+                out_path,
+                ivfpq_path,
+                "embedding",
+                "vec_id",
+                pq_cb,
+                qvec,
+                k,
+                nprobe=nprobe,
+                rerank=4,
+            )
+            .select("vec_id")
+            .collect()
+        ]
+
+    _ivfpq_topk()
+    ivfpq_sec, ivfpq_got = best_of(_ivfpq_topk)
+    ivfpq_recall = len(set(ivfpq_got) & set(truth)) / k
+
     def _by_q(rows):
         d = {}
         for r in rows:
@@ -568,6 +608,10 @@ def _scale_bench(spark) -> dict:
         "pq_recall_at_100": round(pq_recall, 4),
         "pq_bytes": pq_bytes,
         "pq_compression": round(_dir_bytes(src) / pq_bytes, 2) if pq_bytes else None,
+        "ivfpq_encode_sec": ivfpq_encode_sec,
+        "ivfpq_scan_sec": ivfpq_sec,
+        "ivfpq_speedup": round(brute_sec / ivfpq_sec, 2) if ivfpq_sec else None,
+        "ivfpq_recall_at_100": round(ivfpq_recall, 4),
         "append_rows": n_app,
         "append_sec": append_sec,
         "append_recall_at_100": round(append_recall, 4),

@@ -50,6 +50,8 @@ from pq_vector_spark.index.pq import (
     pq_topk,
     pq_topk_with_fetch,
     train_pq,
+    encode_indexed,
+    ivfpq_topk,
 )
 from pq_vector_spark.operators.hybrid import hybrid_topk, rrf_fuse
 from pq_vector_spark.operators.rangejoin import range_join
@@ -110,6 +112,8 @@ __all__ = [
     "pq_topk",
     "pq_topk_with_fetch",
     "train_pq",
+    "encode_indexed",
+    "ivfpq_topk",
     "hybrid_topk",
     "rrf_fuse",
     "range_join",

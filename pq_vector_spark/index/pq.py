@@ -299,3 +299,107 @@ def pq_topk_with_fetch(
         .limit(k)
     )
     return out if keep_distance else out.drop(DISTANCE_COL)
+
+
+def encode_indexed(
+    spark,
+    indexed_path: str,
+    out_path: str,
+    column: str,
+    id_col: str,
+    codebook: PQCodebook,
+    *,
+    n_files: Optional[int] = None,
+) -> None:
+    """Write the codes sidecar table for an IVF-indexed layout:
+    (id, cluster id, m-byte codes), cluster-sorted parquet — so an
+    IVF-PQ probe's ``cluster IN (...)`` filter prunes the codes scan by
+    row-group stats exactly like the raw layout's.
+
+    One shuffle (the cluster repartition); encoding itself is the same
+    map-side Arrow pass as ``encode_pq``. Run once at ingest; refresh for
+    appended files the same way ``append_to_index`` adds raw files.
+    """
+    from pq_vector_spark.index.build import CLUSTER_COL
+
+    raw = spark.read.parquet(indexed_path)
+    if CLUSTER_COL not in raw.columns:
+        raise ValueError(f"{indexed_path} is not an indexed layout ({CLUSTER_COL} missing)")
+    codes = encode_pq(
+        raw.select(id_col, CLUSTER_COL, column), column, codebook, CODES_COL
+    ).drop(column)
+    n_files = n_files or max(spark.sparkContext.defaultParallelism, 1)
+    (
+        codes.repartition(n_files, F.col(CLUSTER_COL))
+        .sortWithinPartitions(CLUSTER_COL)
+        .write.mode("overwrite")
+        .parquet(out_path)
+    )
+
+
+def ivfpq_topk(
+    spark,
+    indexed_path: str,
+    codes_path: str,
+    column: str,
+    id_col: str,
+    codebook: PQCodebook,
+    query: Sequence[float],
+    k: int,
+    *,
+    nprobe: int = 5,
+    rerank: int = 4,
+    keep_distance: bool = False,
+) -> DataFrame:
+    """IVF-PQ search — the classic two-level ANN recipe (coarse quantizer
+    prune × product-quantized scan × exact re-rank), composed from this
+    engine's IVF index and PQ codes sidecar:
+
+    1. Probe the sidecar centroids on the driver (zero jobs), push
+       ``cluster IN (probed)`` into the CODES table scan — I/O ∝
+       (nprobe/n_clusters) × (m bytes/row): both pruning axes at once,
+       the combination neither alone can reach at 100 TB.
+    2. ADC-scan the surviving codes → bounded-heap top ``k·rerank`` ids.
+    3. Broadcast those ids into the raw indexed table (same cluster
+       filter prunes its row groups) and re-score exactly → top k.
+
+    Exactness envelope: with ``nprobe = n_clusters`` and ``rerank``
+    covering the candidate set this equals brute force (the oracle row);
+    production recall at nprobe < n_clusters is measured in bench.
+    """
+    from pq_vector_spark.functions.distance import array_distance
+    from pq_vector_spark.index.build import CLUSTER_COL
+    from pq_vector_spark.index.kmeans import nearest_centroids
+    from pq_vector_spark.index.search import load_index
+    from pq_vector_spark.operators.topk import DISTANCE_COL
+
+    idx = load_index(spark, indexed_path)
+    if idx.meta["dim"] != codebook.dim:
+        raise ValueError(
+            f"index dim {idx.meta['dim']} != codebook dim {codebook.dim}"
+        )
+    q = np.asarray(list(query), dtype=np.float32)
+    if q.shape != (codebook.dim,):
+        raise ValueError(f"query dim {q.shape} != {codebook.dim}")
+    probed = [int(c) for c in nearest_centroids(q, idx.centroids, nprobe)]
+
+    pred = F.col(CLUSTER_COL).isin(probed)
+    codes = spark.read.parquet(codes_path).filter(pred)
+    c = max(k * rerank, k)
+    cand = (
+        codes.withColumn(ADC_COL, adc_distance(codebook, list(query), CODES_COL))
+        .orderBy(F.col(ADC_COL).asc_nulls_last(), F.col(id_col).asc())
+        .limit(c)
+        .select(id_col)
+    )
+    raw = spark.read.parquet(indexed_path).filter(pred)
+    out = (
+        raw.join(F.broadcast(cand), id_col)
+        .withColumn(
+            DISTANCE_COL, array_distance(column, list(query), dim_hint=codebook.dim)
+        )
+        .orderBy(F.col(DISTANCE_COL).asc_nulls_last(), F.col(id_col).asc())
+        .limit(k)
+        .drop(CLUSTER_COL)
+    )
+    return out if keep_distance else out.drop(DISTANCE_COL)
