@@ -1550,6 +1550,18 @@ def _quality_checks(spark, sf_dir):
     return check_constraints(docs, rules)
 
 
+def _corpus_drift(spark, sf_dir):
+    """Distribution drift (operators/drift.py): PSI per length bucket
+    between the even- and odd-doc_id halves of the corpus — two map-side
+    binning passes + O(bins) aggregations; nothing else moves at 100 TB."""
+    from pq_vector_spark.operators.drift import distribution_drift
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    return distribution_drift(a, b, "n_chars", lo=0.0, hi=1000.0, bins=10)
+
+
 def _embedding_outliers(spark, sf_dir):
     """Distance-to-class-centroid outliers (functions/vector.py:
     embedding_outliers): top-5 farthest vectors per label — the
@@ -1594,7 +1606,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- vector top-k (core reference surface) --
         "knn_exact": _knn_exact,
-        "knn_filtered": _knn_filtered,
         "knn_ivf_exact": _knn_ivf_exact,
         "knn_quantized": _knn_quantized,
         "knn_pq": _knn_pq,
@@ -1607,6 +1618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf": _hybrid_rrf,
         "embedding_centroids": _embedding_centroids,
         "embedding_outliers": _embedding_outliers,
+        "corpus_drift": _corpus_drift,
         # -- dedup family --
         "dedup_exact": _dedup_exact,
         "dedup_jaccard": _dedup_jaccard,
@@ -1656,6 +1668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5 (CORRECTNESS_r05.json) and their code is unchanged; rotate any
         # of them back above this line whenever their implementation changes.
         "knn_sql": _knn_sql,
+        "knn_filtered": _knn_filtered,
         "knn_distance": _knn_distance,
         "knn_auto_cosine": _knn_auto_cosine,
         "rel_agg": _rel_agg,
@@ -2581,6 +2594,36 @@ def oracle_sql() -> dict[str, str]:
                    FROM ex GROUP BY label, i)
             SELECT label, max(n) AS n_vectors, list(m ORDER BY i) AS centroid
             FROM pd GROUP BY label""",
+        # PSI drift: equal-width length buckets (w=100, clamped), shares =
+        # count/total, contribution (p−q)·ln(p/q) with 1e-6 floor
+        "corpus_drift": """
+            WITH a AS (SELECT CAST(least(greatest(
+                           floor(CAST(n_chars AS DOUBLE) / 100.0), 0), 9) AS INT)
+                           AS bucket
+                       FROM documents WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL),
+            b AS (SELECT CAST(least(greatest(
+                      floor(CAST(n_chars AS DOUBLE) / 100.0), 0), 9) AS INT)
+                      AS bucket
+                  FROM documents WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL),
+            sa AS (SELECT bucket,
+                          CAST(count(*) AS DOUBLE)
+                              / (SELECT CAST(count(*) AS DOUBLE) FROM a) AS share_a
+                   FROM a GROUP BY bucket),
+            sb AS (SELECT bucket,
+                          CAST(count(*) AS DOUBLE)
+                              / (SELECT CAST(count(*) AS DOUBLE) FROM b) AS share_b
+                   FROM b GROUP BY bucket),
+            allb AS (SELECT CAST(unnest(range(0, 10)) AS INT) AS bucket),
+            j AS (SELECT allb.bucket,
+                         coalesce(sa.share_a, 0.0) AS share_a,
+                         coalesce(sb.share_b, 0.0) AS share_b
+                  FROM allb LEFT JOIN sa USING (bucket) LEFT JOIN sb USING (bucket))
+            SELECT bucket, round(share_a, 6) AS share_a,
+                   round(share_b, 6) AS share_b,
+                   round((greatest(share_a, 1e-6) - greatest(share_b, 1e-6))
+                         * ln(greatest(share_a, 1e-6) / greatest(share_b, 1e-6)), 6)
+                       AS psi_contrib
+            FROM j""",
         # farthest-from-centroid per label: centroid CTE (identical to
         # embedding_centroids) + exact L2 fold vs the rounded centroid
         "embedding_outliers": f"""

@@ -65,6 +65,7 @@ HEADLINE = [
     "text_chunks",
     "quality_checks",
     "embedding_outliers",
+    "corpus_drift",
 ]
 
 K = 100

@@ -61,6 +61,7 @@ from pq_vector_spark.operators.constraints import check_constraints, check_uniqu
 from pq_vector_spark.operators.curate import curate_corpus
 from pq_vector_spark.operators.decontaminate import contamination_report, decontaminate
 from pq_vector_spark.operators.dedup import incremental_dedup
+from pq_vector_spark.operators.drift import distribution_drift, psi
 from pq_vector_spark.operators.merge import latest_changes, merge_upsert
 from pq_vector_spark.operators.packing import pack_sequences, packing_stats
 from pq_vector_spark.operators.sampling import stratified_sample
@@ -124,6 +125,8 @@ __all__ = [
     "check_constraints",
     "check_unique",
     "incremental_dedup",
+    "distribution_drift",
+    "psi",
     "contamination_report",
     "decontaminate",
     "latest_changes",

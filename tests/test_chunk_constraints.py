@@ -133,3 +133,46 @@ def test_check_unique(spark):
     df = spark.createDataFrame([(1,), (2,), (2,), (3,), (3,), (3,)], ["k"])
     row = check_unique(df, ["k"]).collect()[0]
     assert (row["n_rows"], row["n_distinct"], row["duplicates"]) == (6, 3, 3)
+
+
+# ---------------------------------------------------------------- drift ----
+
+
+def test_bucketize_edges(spark):
+    from pq_vector_spark.operators.drift import bucketize
+
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (99.9,), (100.0,), (999.0,), (5000.0,)], ["x"]
+    )
+    got = [r["b"] for r in df.select(bucketize("x", 0, 1000, 10).alias("b")).collect()]
+    # clamped below/above; exact edge goes to the next bucket
+    assert got == [0, 0, 0, 1, 9, 9]
+
+
+def test_psi_identical_distributions_is_zero(spark):
+    from pq_vector_spark.operators.drift import psi
+
+    df = spark.createDataFrame([(float(i % 100),) for i in range(1000)], ["x"])
+    assert psi(df, df, "x", lo=0, hi=100, bins=10) == 0.0
+
+
+def test_psi_detects_shift(spark):
+    from pq_vector_spark.operators.drift import distribution_drift, psi
+
+    a = spark.createDataFrame([(float(i % 100),) for i in range(1000)], ["x"])
+    b = spark.createDataFrame([(float(i % 100) + 50,) for i in range(1000)], ["x"])
+    val = psi(a, b, "x", lo=0, hi=100, bins=10)
+    assert val > 0.2  # the standard "investigate" threshold
+    # every bucket present in the drift table, missing mass eps-floored
+    rows = distribution_drift(a, b, "x", lo=0, hi=100, bins=10).collect()
+    assert sorted(r["bucket"] for r in rows) == list(range(10))
+    assert all(r["share_a"] is not None and r["share_b"] is not None for r in rows)
+
+
+def test_drift_guards(spark):
+    from pq_vector_spark.operators.drift import bucketize
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="hi > lo"):
+        bucketize("x", 10, 10, 5)
