@@ -39,14 +39,16 @@ def bucketize(col, lo: float, hi: float, bins: int) -> Column:
 
 
 def _shares(df: DataFrame, col: str, lo: float, hi: float, bins: int, name: str) -> DataFrame:
+    """One corpus pass: bucket counts, with the total derived from the
+    bins-row result (a broadcast cross join) instead of a second scan."""
     b = df.filter(F.col(col).isNotNull()).select(
         bucketize(col, lo, hi, bins).alias("bucket")
     )
     counts = b.groupBy("bucket").agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
-    total = b.count()
-    return counts.select(
+    total = counts.agg(F.sum("_n").cast("double").alias("_t"))
+    return counts.crossJoin(F.broadcast(total)).select(
         "bucket",
-        (F.col("_n").cast("double") / F.lit(float(total))).alias(name),
+        (F.col("_n").cast("double") / F.col("_t")).alias(name),
     )
 
 
