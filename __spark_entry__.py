@@ -1550,6 +1550,25 @@ def _quality_checks(spark, sf_dir):
     return check_constraints(docs, rules)
 
 
+def _maxsim(spark, sf_dir):
+    """Late-interaction MaxSim retrieval (operators/similarity.py:
+    maxsim_topk): the 64-dim embeddings reinterpreted as bags of 8×8-dim
+    token vectors; score = Σᵢ maxⱼ qᵢ·dⱼ, all native nested HOFs (no UDF,
+    no shuffle), bounded-heap top-k."""
+    from pq_vector_spark.operators.similarity import maxsim_topk
+
+    emb = _emb(spark, sf_dir)
+    sub = F.transform(
+        F.sequence(F.lit(0), F.lit(7)),
+        lambda i: F.slice(F.col("embedding"), i * 8 + 1, 8),
+    )
+    docs = emb.select("vec_id", sub.alias("vecs"))
+    q = _qvec(spark, sf_dir, 0)
+    qbag = [list(q[i * 8 : (i + 1) * 8]) for i in range(8)]
+    out = maxsim_topk(docs, "vecs", qbag, K, id_col="vec_id")
+    return out.select("vec_id", F.round("maxsim", 4).alias("maxsim"))
+
+
 def _corpus_drift(spark, sf_dir):
     """Distribution drift (operators/drift.py): PSI per length bucket
     between the even- and odd-doc_id halves of the corpus — two map-side
@@ -1614,7 +1633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- similarity family --
         "ann_cosine": _ann_cosine,
         "similarity_join": _similarity_join,
-        "knn_batch": _knn_batch,
+        "maxsim": _maxsim,
         "hybrid_rrf": _hybrid_rrf,
         "embedding_centroids": _embedding_centroids,
         "embedding_outliers": _embedding_outliers,
@@ -1668,6 +1687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5 (CORRECTNESS_r05.json) and their code is unchanged; rotate any
         # of them back above this line whenever their implementation changes.
         "knn_sql": _knn_sql,
+        "knn_batch": _knn_batch,
         "knn_filtered": _knn_filtered,
         "knn_distance": _knn_distance,
         "knn_auto_cosine": _knn_auto_cosine,
@@ -2594,6 +2614,23 @@ def oracle_sql() -> dict[str, str]:
                    FROM ex GROUP BY label, i)
             SELECT label, max(n) AS n_vectors, list(m ORDER BY i) AS centroid
             FROM pd GROUP BY label""",
+        # ColBERT-style MaxSim: 8×8-dim token-vector bags, score =
+        # Σᵢ maxⱼ qᵢ·dⱼ; identical left-to-right double folds both sides
+        "maxsim": f"""
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+            d AS (SELECT vec_id,
+                         list_transform(range(0, 8),
+                                        i -> embedding[i*8+1:i*8+8]) AS vecs
+                  FROM embeddings WHERE embedding IS NOT NULL)
+            SELECT d.vec_id, round(
+              list_reduce(list_transform(range(0, 8), i ->
+                 list_max(list_transform(d.vecs, dv ->
+                    list_reduce(list_transform(list_zip(q.qe[i*8+1:i*8+8], dv),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+                        (x, y) -> x + y)
+                 ))
+              ), (x, y) -> x + y), 4) AS maxsim
+            FROM d, q ORDER BY maxsim DESC, vec_id LIMIT {K}""",
         # PSI drift: equal-width length buckets (w=100, clamped), shares =
         # count/total, contribution (p−q)·ln(p/q) with 1e-6 floor
         "corpus_drift": """

@@ -20,6 +20,7 @@ from pq_vector_spark.functions.distance import (
 )
 from pq_vector_spark.schema import infer_vector_column, validate_vector_column
 from pq_vector_spark.operators.topk import topk, brute_force_topk
+from pq_vector_spark.operators.similarity import maxsim_topk
 from pq_vector_spark.index.build import append_to_index, build_index, has_index
 from pq_vector_spark.index.search import indexed_topk, load_index
 from pq_vector_spark.plans.sql import pq_sql, register_indexed_table
@@ -85,6 +86,7 @@ __all__ = [
     "validate_vector_column",
     "topk",
     "brute_force_topk",
+    "maxsim_topk",
     "append_to_index",
     "build_index",
     "has_index",

@@ -430,3 +430,59 @@ def ivf_similarity_join(
         cols.append(F.col(corpus_id))
     cols += [F.col("score"), F.col("rank")]
     return ranked.select(*cols)
+
+
+def maxsim_topk(
+    df: DataFrame,
+    multi_vec_col: str,
+    query_vecs,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    tie_break: bool = True,
+) -> DataFrame:
+    """Late-interaction (ColBERT-style) multi-vector retrieval: each
+    document carries a BAG of vectors (array<array<float>>); the score is
+    MaxSim = Σ_i max_j (qᵢ·dⱼ) over query vectors qᵢ — the relevance model
+    dense single-vector search cannot express (per-term alignment).
+
+    Spark-first shape: the query bag is a LITERAL (rides the plan, never
+    joins), the whole score is nested native higher-order functions —
+    ``aggregate`` over query vectors of ``array_max`` of per-doc-vector
+    dot products — entirely JVM-side, no UDF, no shuffle; top-k is the
+    bounded-heap ``TakeOrderedAndProject``. Doubles fold left-to-right
+    (query order, then element order), so an external engine reproduces
+    the score bit-for-bit.
+
+    At 100 TB this scans once like every other brute path; the IVF
+    accelerant applies unchanged by indexing a pooled (e.g. mean) vector
+    per document and re-ranking candidates with full MaxSim.
+    """
+    if not query_vecs:
+        raise ValueError("query_vecs must contain at least one vector")
+    qlit = F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in qv])
+            for qv in query_vecs
+        ]
+    )
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    d = F.col(multi_vec_col)
+    score = F.aggregate(
+        qlit,
+        F.lit(0.0),
+        lambda acc, qv: acc
+        + F.array_max(F.transform(d, lambda dv: _dot(qv, dv))),
+    )
+    out = df.filter(d.isNotNull()).withColumn("maxsim", score)
+    order = [F.col("maxsim").desc_nulls_last()]
+    if tie_break:
+        order.append(F.col(id_col).asc())
+    return out.orderBy(*order).limit(k)

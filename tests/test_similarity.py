@@ -329,3 +329,56 @@ def test_batch_topk_dispatch(spark, corpus, indexed_corpus, tmp_path_factory):
     key = lambda r: (r["qid"], r["rank"])
     as_t = lambda rows: [(r["qid"], r["cid"], r["score"]) for r in sorted(rows, key=key)]
     assert as_t(got_i) == as_t(got_p) == as_t(got_d)
+
+
+def test_maxsim_scores_and_ordering(spark):
+    """MaxSim = Σ_i max_j q_i·d_j — hand-computed on a 2-query-vector,
+    2-doc fixture; alignment means a doc matching both query terms on
+    DIFFERENT vectors outranks one matching on the same vector."""
+    from pq_vector_spark.operators.similarity import maxsim_topk
+
+    docs = spark.createDataFrame(
+        [
+            # doc 1: one vector aligned with q0, another with q1 → 1+1
+            (1, [[1.0, 0.0], [0.0, 1.0]]),
+            # doc 2: both vectors aligned only with q0 → 1+0
+            (2, [[1.0, 0.0], [0.9, 0.0]]),
+        ],
+        "vec_id: bigint, vecs: array<array<double>>",
+    )
+    out = maxsim_topk(docs, "vecs", [[1.0, 0.0], [0.0, 1.0]], 2, id_col="vec_id")
+    rows = out.collect()
+    assert [r["vec_id"] for r in rows] == [1, 2]
+    assert rows[0]["maxsim"] == 2.0
+    assert rows[1]["maxsim"] == 1.0
+
+
+def test_maxsim_null_docs_dropped_and_guard(spark):
+    from pq_vector_spark.operators.similarity import maxsim_topk
+
+    docs = spark.createDataFrame(
+        [(1, [[1.0]]), (2, None)], "vec_id: bigint, vecs: array<array<double>>"
+    )
+    assert maxsim_topk(docs, "vecs", [[1.0]], 5).count() == 1
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="query_vecs"):
+        maxsim_topk(docs, "vecs", [], 5)
+
+
+def test_maxsim_plan_is_scan_plus_heap(spark):
+    """No shuffle, no UDF: literal query bag + TakeOrderedAndProject."""
+    from pq_vector_spark.operators.similarity import maxsim_topk
+
+    docs = spark.createDataFrame(
+        [(1, [[1.0, 0.0]])], "vec_id: bigint, vecs: array<array<double>>"
+    )
+    plan = (
+        maxsim_topk(docs, "vecs", [[1.0, 0.0], [0.0, 1.0]], 3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
