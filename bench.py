@@ -395,48 +395,6 @@ def _scale_bench(spark) -> dict:
     cos_ivf_sec, cos_got = best_of(_cos_ivf)
     cosine_recall = len(set(cos_truth) & set(cos_got)) / k
 
-    # --- appended-index recall at nprobe < n_clusters ----------------------
-    # knn_appended (correctness gate) proves exactness only at
-    # nprobe = n_clusters; the drift the reference accepts on append
-    # (src/ivf/index.rs:189-206 — quantizer reused, never retrained) shows
-    # up when probing: appended rows sit in clusters whose centroids never
-    # saw them. Append 5% fresh rows from the SAME distribution (new point
-    # stream, same latent centers), query a vector from the appended batch,
-    # and measure recall@100 vs brute force over the grown table.
-    # Runs LAST among the indexed sections because it mutates the layout.
-    from pq_vector_spark.index.build import append_to_index
-
-    n_app = max(n_rows // 20, 1_000)
-    app_src = generate(n_app, dim, point_seed=777, start_id=n_rows)
-    app_df = spark.read.parquet(app_src)
-    t0 = time.time()
-    append_to_index(spark, app_src, out_path)
-    append_sec = round(time.time() - t0, 3)
-    grown = emb.unionByName(app_df)
-    qvec_app = app_df.filter(F.col("vec_id") == n_rows).select(
-        "embedding"
-    ).collect()[0][0]
-    app_truth = [
-        r["vec_id"]
-        for r in brute_force_topk(grown, "embedding", qvec_app, k, tie_break="vec_id")
-        .select("vec_id")
-        .collect()
-    ]
-    app_got = [
-        r["vec_id"]
-        for r in indexed_topk(
-            spark,
-            out_path,
-            qvec_app,
-            k,
-            options=VectorTopKOptions(nprobe=nprobe),
-            tie_break="vec_id",
-        )
-        .select("vec_id")
-        .collect()
-    ]
-    append_recall = len(set(app_got) & set(app_truth)) / k
-
     # --- SQ8 scalar quantization: the storage/IO scale path -----------------
     # 4x smaller vectors (float32 -> int8 codes + 2 doubles/row); measure
     # the written size ratio, a full quantized-scan top-k latency, and
@@ -564,6 +522,49 @@ def _scale_bench(spark) -> dict:
     _ivfpq_topk()
     ivfpq_sec, ivfpq_got = best_of(_ivfpq_topk)
     ivfpq_recall = len(set(ivfpq_got) & set(truth)) / k
+
+    # --- appended-index recall at nprobe < n_clusters ----------------------
+    # knn_appended (correctness gate) proves exactness only at
+    # nprobe = n_clusters; the drift the reference accepts on append
+    # (src/ivf/index.rs:189-206 — quantizer reused, never retrained) shows
+    # up when probing: appended rows sit in clusters whose centroids never
+    # saw them. Append 5% fresh rows from the SAME distribution (new point
+    # stream, same latent centers), query a vector from the appended batch,
+    # and measure recall@100 vs brute force over the grown table.
+    # Runs LAST among the indexed sections because it mutates the layout.
+    from pq_vector_spark.index.build import append_to_index
+
+    n_app = max(n_rows // 20, 1_000)
+    app_src = generate(n_app, dim, point_seed=777, start_id=n_rows)
+    app_df = spark.read.parquet(app_src)
+    t0 = time.time()
+    append_to_index(spark, app_src, out_path)
+    append_sec = round(time.time() - t0, 3)
+    grown = emb.unionByName(app_df)
+    qvec_app = app_df.filter(F.col("vec_id") == n_rows).select(
+        "embedding"
+    ).collect()[0][0]
+    app_truth = [
+        r["vec_id"]
+        for r in brute_force_topk(grown, "embedding", qvec_app, k, tie_break="vec_id")
+        .select("vec_id")
+        .collect()
+    ]
+    app_got = [
+        r["vec_id"]
+        for r in indexed_topk(
+            spark,
+            out_path,
+            qvec_app,
+            k,
+            options=VectorTopKOptions(nprobe=nprobe),
+            tie_break="vec_id",
+        )
+        .select("vec_id")
+        .collect()
+    ]
+    append_recall = len(set(app_got) & set(app_truth)) / k
+
 
     def _by_q(rows):
         d = {}

@@ -328,10 +328,16 @@ def encode_indexed(
     codes = encode_pq(
         raw.select(id_col, CLUSTER_COL, column), column, codebook, CODES_COL
     ).drop(column)
-    n_files = n_files or max(spark.sparkContext.defaultParallelism, 1)
+    # RANGE partitioning, not hash: the codes table is small enough that
+    # each output file holds a single parquet row group, so pruning must
+    # happen at FILE granularity — contiguous cluster ranges give every
+    # file a tight [min,max] cluster span and the probe's IN filter skips
+    # whole files. (The raw layout can rely on within-file row-group
+    # stats instead because its files span many row groups.)
+    n_files = n_files or max(4 * spark.sparkContext.defaultParallelism, 1)
     (
-        codes.repartition(n_files, F.col(CLUSTER_COL))
-        .sortWithinPartitions(CLUSTER_COL)
+        codes.repartitionByRange(n_files, F.col(CLUSTER_COL), F.col(id_col))
+        .sortWithinPartitions(CLUSTER_COL, id_col)
         .write.mode("overwrite")
         .parquet(out_path)
     )
