@@ -1550,6 +1550,17 @@ def _quality_checks(spark, sf_dir):
     return check_constraints(docs, rules)
 
 
+def _events_retention(spark, sf_dir):
+    """Weekly cohort retention (operators/retention.py): distinct-user
+    activity reduced before a user-keyed join; three combiner-friendly
+    exchanges, no count-distinct state."""
+    from pq_vector_spark.operators.retention import cohort_retention
+
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return cohort_retention(ev, "user_id", "ts")
+
+
 def _maxsim(spark, sf_dir):
     """Late-interaction MaxSim retrieval (operators/similarity.py:
     maxsim_topk): the 64-dim embeddings reinterpreted as bags of 8×8-dim
@@ -1671,7 +1682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": _events_asof,
         "events_range_join": _events_range_join,
         "events_funnel": _events_funnel,
-        "events_stream_enriched": _events_stream_enriched,
+        "events_retention": _events_retention,
         "events_scd_enriched": _events_scd_enriched,
         "events_stream_join": _events_stream_join,
         "events_stream_stats": _events_stream_stats,
@@ -1694,6 +1705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_agg": _rel_agg,
         "rel_window": _rel_window,
         "events_enriched": _events_enriched,
+        "events_stream_enriched": _events_stream_enriched,
         "events_stream_dedup": _events_stream_dedup,
         "ann_cosine_ivf": _ann_cosine_ivf,
         "knn_batch_ivf": _knn_batch_ivf,
@@ -2614,6 +2626,18 @@ def oracle_sql() -> dict[str, str]:
                    FROM ex GROUP BY label, i)
             SELECT label, max(n) AS n_vectors, list(m ORDER BY i) AS centroid
             FROM pd GROUP BY label""",
+        # weekly cohort retention: Monday-truncated weeks both engines,
+        # offset = exact day-diff / 7 over distinct (user, week) activity
+        "events_retention": """
+            WITH act AS (SELECT DISTINCT user_id AS u,
+                                CAST(date_trunc('week', ts) AS DATE) AS w
+                         FROM events),
+            first AS (SELECT u, min(w) AS cohort FROM act GROUP BY u)
+            SELECT cohort AS cohort_week,
+                   CAST(datediff('day', cohort, w) / 7 AS BIGINT) AS week_offset,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM act JOIN first USING (u)
+            GROUP BY 1, 2""",
         # ColBERT-style MaxSim: 8×8-dim token-vector bags, score =
         # Σᵢ maxⱼ qᵢ·dⱼ; identical left-to-right double folds both sides
         "maxsim": f"""

@@ -66,6 +66,7 @@ HEADLINE = [
     "quality_checks",
     "embedding_outliers",
     "corpus_drift",
+    "maxsim",
 ]
 
 K = 100

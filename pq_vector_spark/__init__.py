@@ -65,6 +65,7 @@ from pq_vector_spark.operators.dedup import incremental_dedup
 from pq_vector_spark.operators.drift import distribution_drift, psi
 from pq_vector_spark.operators.merge import latest_changes, merge_upsert
 from pq_vector_spark.operators.packing import pack_sequences, packing_stats
+from pq_vector_spark.operators.retention import cohort_retention
 from pq_vector_spark.operators.sampling import stratified_sample
 from pq_vector_spark.functions.vector import (
     embedding_outliers,
@@ -135,6 +136,7 @@ __all__ = [
     "merge_upsert",
     "pack_sequences",
     "packing_stats",
+    "cohort_retention",
     "stratified_sample",
     "embedding_outliers",
     "group_centroids",

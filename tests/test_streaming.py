@@ -493,3 +493,31 @@ def test_dedup_append_batch_idempotent_on_rerun(spark, tmp_path):
     assert dedup_append_batch(batch, corpus_dir, "text", "doc_id") == 1
     assert dedup_append_batch(batch, corpus_dir, "text", "doc_id") == 0
     assert spark.read.parquet(corpus_dir).count() == 2
+
+
+def test_cohort_retention(spark):
+    """Hand-computed weekly cohorts: user 1 joins week 0 and returns in
+    week 2; user 2 joins week 0 only; user 3 joins week 2."""
+    from datetime import datetime
+
+    from pq_vector_spark.operators.retention import cohort_retention
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Mondays: 2024-01-01, 2024-01-15 (week0, week2)
+    rows = [
+        (1, datetime(2024, 1, 2)),
+        (1, datetime(2024, 1, 3)),  # same week, deduped
+        (1, datetime(2024, 1, 16)),
+        (2, datetime(2024, 1, 4)),
+        (3, datetime(2024, 1, 17)),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts"])
+    got = {
+        (str(r["cohort_week"]), r["week_offset"]): r["n_users"]
+        for r in cohort_retention(ev).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,  # users 1, 2 join week of Jan 1
+        ("2024-01-01", 2): 1,  # user 1 returns two weeks later
+        ("2024-01-15", 0): 1,  # user 3's own cohort
+    }
