@@ -356,6 +356,7 @@ def ivfpq_topk(
     nprobe: int = 5,
     rerank: int = 4,
     keep_distance: bool = False,
+    observation=None,
 ) -> DataFrame:
     """IVF-PQ search — the classic two-level ANN recipe (coarse quantizer
     prune × product-quantized scan × exact re-rank), composed from this
@@ -391,6 +392,12 @@ def ivfpq_topk(
 
     pred = F.col(CLUSTER_COL).isin(probed)
     codes = spark.read.parquet(codes_path).filter(pred)
+    if observation is not None:
+        # same metric name as indexed_topk's CollectMetrics (A23 parity):
+        # how many code rows survived the coarse prune and were ADC-scanned
+        codes = codes.observe(
+            observation, F.count(F.lit(1)).alias("candidate_rows")
+        )
     c = max(k * rerank, k)
     cand = (
         codes.withColumn(ADC_COL, adc_distance(codebook, list(query), CODES_COL))

@@ -232,3 +232,21 @@ def test_ivfpq_guards(spark, ivfpq_setup, tmp_path):
     spark.createDataFrame([(1, [1.0] * 16)], "id: bigint, vec: array<float>").write.parquet(plain)
     with pytest.raises(ValueError, match="not an indexed layout"):
         encode_indexed(spark, plain, plain + "_x", "vec", "id", cb)
+
+
+def test_ivfpq_observation_reports_candidates(spark, ivfpq_setup):
+    """A23 metrics parity: the coarse prune's surviving code-row count is
+    observable, and it is smaller than the table at nprobe < n_clusters."""
+    from pyspark.sql import Observation
+
+    from pq_vector_spark.index.pq import ivfpq_topk
+
+    idx, codes, cb, data = ivfpq_setup
+    obs = Observation("ivfpq_metrics")
+    q = [float(x) for x in data[0]]
+    ivfpq_topk(
+        spark, idx, codes, "vec", "id", cb, q, 5, nprobe=2, rerank=2,
+        observation=obs,
+    ).collect()
+    n = obs.get["candidate_rows"]
+    assert 0 < n < len(data)
