@@ -66,6 +66,8 @@ from pq_vector_spark.operators.drift import distribution_drift, psi
 from pq_vector_spark.operators.merge import latest_changes, merge_upsert
 from pq_vector_spark.operators.packing import pack_sequences, packing_stats
 from pq_vector_spark.operators.retention import cohort_retention
+from pq_vector_spark.streaming.ingest import dedup_append_batch, streaming_ingest
+from pq_vector_spark.streaming.monitor import drift_metrics_batch, streaming_drift_monitor
 from pq_vector_spark.operators.sampling import stratified_sample
 from pq_vector_spark.functions.vector import (
     embedding_outliers,
@@ -137,6 +139,10 @@ __all__ = [
     "pack_sequences",
     "packing_stats",
     "cohort_retention",
+    "dedup_append_batch",
+    "streaming_ingest",
+    "drift_metrics_batch",
+    "streaming_drift_monitor",
     "stratified_sample",
     "embedding_outliers",
     "group_centroids",

@@ -521,3 +521,40 @@ def test_cohort_retention(spark):
         ("2024-01-01", 2): 1,  # user 1 returns two weeks later
         ("2024-01-15", 0): 1,  # user 3's own cohort
     }
+
+
+def test_streaming_drift_monitor(spark, tmp_path):
+    """Two micro-batches against a uniform baseline: the in-distribution
+    batch scores ~0 PSI, the shifted batch crosses the 0.2 alert line."""
+    from pq_vector_spark.streaming.monitor import streaming_drift_monitor
+
+    baseline = spark.createDataFrame([(float(i % 100),) for i in range(1000)], ["x"])
+    in_dir = str(tmp_path / "in")
+    metrics = str(tmp_path / "metrics")
+    chk = str(tmp_path / "chk")
+
+    same = spark.createDataFrame([(float(i % 100),) for i in range(500)], ["x"])
+    shifted = spark.createDataFrame([(float(i % 30),) for i in range(500)], ["x"])
+    same.coalesce(1).write.parquet(in_dir)
+    shifted.coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema(same.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        streaming_drift_monitor(
+            stream, baseline, "x", metrics, lo=0, hi=100, bins=10, checkpoint=chk
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = spark.read.parquet(metrics).collect()
+    assert len(rows) == 2
+    psis = sorted(r["psi"] for r in rows)
+    assert psis[0] < 0.05  # in-distribution batch
+    assert psis[1] > 0.2  # shifted batch trips the alert threshold
+    assert all(r["n_rows"] == 500 for r in rows)
