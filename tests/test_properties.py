@@ -175,3 +175,56 @@ def test_merge_upsert_matches_python_reference(spark, data):
         else:
             expect[k] = f"c{k}v{v}"
     assert got == expect
+
+
+@settings(max_examples=10, deadline=None)
+@given(data=st.data())
+def test_chunk_reconstruction_property(spark, data):
+    """For arbitrary text and window params, zero-overlap chunks
+    concatenate to the original; overlapping chunks each match the
+    corresponding substring and starts step uniformly."""
+    from pq_vector_spark.operators.chunk import chunk_documents
+
+    text = data.draw(st.text(min_size=0, max_size=200))
+    chunk = data.draw(st.integers(min_value=1, max_value=50))
+    overlap = data.draw(st.integers(min_value=0, max_value=min(chunk - 1, 20)))
+    df = spark.createDataFrame([(1, text)], "doc_id: bigint, text: string")
+    rows = sorted(
+        chunk_documents(df, "text", "doc_id", chunk_chars=chunk, overlap=overlap).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    step = chunk - overlap
+    for i, r in enumerate(rows):
+        assert r["chunk_start"] == i * step
+        assert r["chunk_text"] == text[i * step : i * step + chunk]
+    if overlap == 0:
+        assert "".join(r["chunk_text"] for r in rows) == text
+    # every character is covered by at least one chunk
+    assert rows[-1]["chunk_start"] + chunk >= len(text)
+
+
+@settings(max_examples=8, deadline=None)
+@given(data=st.data())
+def test_stratified_sample_counts_property(spark, data):
+    """min(k, |stratum|) rows per stratum for arbitrary stratum layouts,
+    invariant under repartitioning."""
+    from collections import Counter
+
+    from pq_vector_spark.operators.sampling import stratified_sample
+
+    sizes = data.draw(
+        st.lists(st.integers(min_value=0, max_value=25), min_size=1, max_size=5)
+    )
+    k = data.draw(st.integers(min_value=1, max_value=12))
+    rows, nid = [], 0
+    for s_i, n in enumerate(sizes):
+        for _ in range(n):
+            rows.append((nid, f"s{s_i}"))
+            nid += 1
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, ["doc_id", "stratum"])
+    got = stratified_sample(df.repartition(5), "stratum", "doc_id", k).collect()
+    counts = Counter(r["stratum"] for r in got)
+    for s_i, n in enumerate(sizes):
+        assert counts.get(f"s{s_i}", 0) == min(k, n)
