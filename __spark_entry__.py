@@ -1550,6 +1550,19 @@ def _quality_checks(spark, sf_dir):
     return check_constraints(docs, rules)
 
 
+def _sample_importance(spark, sf_dir):
+    """Quality-weighted importance sampling (operators/sampling.py:
+    importance_sample): each doc kept with probability = its own quality
+    score — deterministic curriculum sampling; map-side filter, no
+    shuffle, engine-replayable draw."""
+    from pq_vector_spark.operators.sampling import importance_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.withColumn("_p", T.quality_score("text"))
+    out = importance_sample(scored, "doc_id", "_p", salt="imp")
+    return out.select("doc_id", F.round("_p", 4).alias("prob"))
+
+
 def _events_retention(spark, sf_dir):
     """Weekly cohort retention (operators/retention.py): distinct-user
     activity reduced before a user-keyed join; three combiner-friendly
@@ -1665,6 +1678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_hash": _sample_hash,
         "sample_mix": _sample_mix,
         "sample_stratified": _sample_stratified,
+        "sample_importance": _sample_importance,
         "text_pii": _text_pii,
         "text_decontaminate": _text_decontaminate,
         "pipeline_curate": _pipeline_curate,
@@ -1672,7 +1686,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert": _merge_upsert,
         # -- relational representatives --
         "rel_topk": _rel_topk,
-        "rel_skew_join": _rel_skew_join,
         "layout_zorder": _layout_zorder,
         # -- events: batch + streaming twins (streaming twins stay in
         #    budget — they are the regression-prone side; a demoted batch
@@ -1704,6 +1717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_auto_cosine": _knn_auto_cosine,
         "rel_agg": _rel_agg,
         "rel_window": _rel_window,
+        "rel_skew_join": _rel_skew_join,
         "events_enriched": _events_enriched,
         "events_stream_enriched": _events_stream_enriched,
         "events_stream_dedup": _events_stream_dedup,
@@ -2626,6 +2640,16 @@ def oracle_sql() -> dict[str, str]:
                    FROM ex GROUP BY label, i)
             SELECT label, max(n) AS n_vectors, list(m ORDER BY i) AS centroid
             FROM pd GROUP BY label""",
+        # importance sampling: keep iff bucket < floor(p·1e6 + 0.5), p =
+        # the doc's own quality score (identical fragment as text_quality)
+        "sample_importance": f"""
+            WITH toks AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+            q AS (SELECT doc_id, {quality} AS p FROM toks)
+            SELECT doc_id, round(p, 4) AS prob FROM q
+            WHERE {_TOKHASH.format(s="concat('imp', CAST(doc_id AS VARCHAR))")}
+                      % 1000000
+                  < CAST(floor(least(greatest(p, 0.0), 1.0) * 1000000 + 0.5)
+                         AS BIGINT)""",
         # weekly cohort retention: Monday-truncated weeks both engines,
         # offset = exact day-diff / 7 over distinct (user, week) activity
         "events_retention": """

@@ -67,6 +67,7 @@ HEADLINE = [
     "embedding_outliers",
     "corpus_drift",
     "maxsim",
+    "events_retention",
 ]
 
 K = 100

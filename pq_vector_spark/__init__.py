@@ -68,7 +68,7 @@ from pq_vector_spark.operators.packing import pack_sequences, packing_stats
 from pq_vector_spark.operators.retention import cohort_retention
 from pq_vector_spark.streaming.ingest import dedup_append_batch, streaming_ingest
 from pq_vector_spark.streaming.monitor import drift_metrics_batch, streaming_drift_monitor
-from pq_vector_spark.operators.sampling import stratified_sample
+from pq_vector_spark.operators.sampling import importance_sample, stratified_sample
 from pq_vector_spark.functions.vector import (
     embedding_outliers,
     group_centroids,
@@ -144,6 +144,7 @@ __all__ = [
     "drift_metrics_batch",
     "streaming_drift_monitor",
     "stratified_sample",
+    "importance_sample",
     "embedding_outliers",
     "group_centroids",
     "l2_normalize",

@@ -129,3 +129,24 @@ def weighted_mix(
             )
         )
     return reduce(lambda a, b: a.unionByName(b), outs)
+
+
+def importance_sample(
+    df: DataFrame, key_col: str, prob_col, salt: str = ""
+) -> DataFrame:
+    """Per-row deterministic acceptance sampling: keep a row iff its hash
+    bucket falls below ``prob_col`` × BUCKETS — importance/curriculum
+    sampling ("keep high-quality docs with probability ∝ quality") with
+    the same reproducibility contract as ``hash_sample`` (fate =
+    f(key, salt, that row's own probability); partitioning/order/engine
+    never change the draw, and the DuckDB oracle replays it exactly).
+
+    ``prob_col`` is a column (or name) of values in [0, 1]; values are
+    clamped. Map-side filter, no shuffle — pushes like any predicate.
+    """
+    p = F.col(prob_col) if isinstance(prob_col, str) else prob_col
+    clamped = F.least(F.greatest(p.cast("double"), F.lit(0.0)), F.lit(1.0))
+    # explicit floor(+0.5): engine round() half-way modes differ (same
+    # portability trade as SQ8's code rounding, functions/quantize.py)
+    threshold = F.floor(clamped * F.lit(BUCKETS) + F.lit(0.5)).cast("bigint")
+    return df.filter(hash_bucket(key_col, salt) < threshold)

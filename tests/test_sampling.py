@@ -195,3 +195,35 @@ def test_stratified_map_side_group_limit_plan(spark):
     # plans print top-down: the Partial limit appears BELOW (after) the
     # Exchange line ⇒ it executes before it
     assert partial > exchange
+
+
+def test_importance_sample_extremes_and_determinism(spark):
+    from pq_vector_spark.operators.sampling import importance_sample
+
+    rows = [(i, 1.0 if i < 100 else 0.0) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "p"])
+    got = {r["doc_id"] for r in importance_sample(df, "doc_id", "p").collect()}
+    # p=1 rows always kept, p=0 rows never
+    assert got == set(range(100))
+    # deterministic under repartition
+    got2 = {
+        r["doc_id"]
+        for r in importance_sample(df.repartition(7), "doc_id", "p").collect()
+    }
+    assert got == got2
+
+
+def test_importance_sample_rate_tracks_probability(spark):
+    from pq_vector_spark.operators.sampling import importance_sample
+
+    df = spark.createDataFrame([(i, 0.3) for i in range(5000)], ["doc_id", "p"])
+    n = importance_sample(df, "doc_id", "p").count()
+    assert 0.25 < n / 5000 < 0.35
+
+
+def test_importance_sample_clamps_out_of_range(spark):
+    from pq_vector_spark.operators.sampling import importance_sample
+
+    df = spark.createDataFrame([(1, 7.5), (2, -3.0)], ["doc_id", "p"])
+    got = {r["doc_id"] for r in importance_sample(df, "doc_id", "p").collect()}
+    assert got == {1}  # >1 clamps to always-keep, <0 to never
