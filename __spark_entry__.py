@@ -1550,6 +1550,22 @@ def _quality_checks(spark, sf_dir):
     return check_constraints(docs, rules)
 
 
+def _text_score_normalize(spark, sf_dir):
+    """Per-source quantile normalization (operators/normalize.py): doc
+    length rank-calibrated within each source so one global threshold
+    means the same thing across heterogeneous sources. One group-keyed
+    window shuffle."""
+    from pq_vector_spark.operators.normalize import quantile_normalize
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = quantile_normalize(
+        docs.select("doc_id", "source", "n_chars"),
+        "n_chars",
+        group_col="source",
+    )
+    return out.select("doc_id", "source", "score_qn")
+
+
 def _sample_importance(spark, sf_dir):
     """Quality-weighted importance sampling (operators/sampling.py:
     importance_sample): each doc kept with probability = its own quality
@@ -1690,7 +1706,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- events: batch + streaming twins (streaming twins stay in
         #    budget — they are the regression-prone side; a demoted batch
         #    twin is still pinned by its stream sibling's shared oracle) --
-        "events_stream_windowed": _events_stream_windowed,
         "events_stream_sessions": _events_stream_sessions,
         "events_asof": _events_asof,
         "events_range_join": _events_range_join,
@@ -1701,6 +1716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_stats": _events_stream_stats,
         # -- text family --
         "text_quality": _text_quality,
+        "text_score_normalize": _text_score_normalize,
         "text_chunks": _text_chunks,
         "quality_checks": _quality_checks,
         "text_tokens_bpe": _text_tokens_bpe,
@@ -1728,6 +1744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_capped": _knn_capped,
         "knn_ivf_approx": _knn_ivf_approx,  # no_oracle (recall-gated) — never spends a budget row
         "events_windowed": _events_windowed,
+        "events_stream_windowed": _events_stream_windowed,
         "events_sessions": _events_sessions,
         "events_props": _events_props,
         "text_stats": _text_stats,
@@ -2640,6 +2657,13 @@ def oracle_sql() -> dict[str, str]:
                    FROM ex GROUP BY label, i)
             SELECT label, max(n) AS n_vectors, list(m ORDER BY i) AS centroid
             FROM pd GROUP BY label""",
+        # per-source percent-rank calibration: (rank−1)/(n−1), ANSI tie
+        # semantics — integer/integer math both engines
+        "text_score_normalize": """
+            SELECT doc_id, source,
+                   round(percent_rank() OVER (PARTITION BY source
+                                              ORDER BY n_chars), 6) AS score_qn
+            FROM documents""",
         # importance sampling: keep iff bucket < floor(p·1e6 + 0.5), p =
         # the doc's own quality score (identical fragment as text_quality)
         "sample_importance": f"""

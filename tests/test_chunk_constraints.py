@@ -176,3 +176,37 @@ def test_drift_guards(spark):
 
     with _pt.raises(ValueError, match="hi > lo"):
         bucketize("x", 10, 10, 5)
+
+
+# ------------------------------------------------------- normalization ----
+
+
+def test_quantile_normalize_goldens(spark):
+    from pq_vector_spark.operators.normalize import quantile_normalize
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "a", 30), (4, "b", 5), (5, "b", 5)],
+        ["doc_id", "src", "score"],
+    )
+    got = {
+        r["doc_id"]: r["score_qn"]
+        for r in quantile_normalize(df, "score", group_col="src").collect()
+    }
+    assert got[1] == 0.0 and got[2] == 0.5 and got[3] == 1.0
+    # ties share a rank; both b rows are rank 1 of 2 → 0.0
+    assert got[4] == 0.0 and got[5] == 0.0
+
+
+def test_quantile_normalize_calibrates_across_scales(spark):
+    """Two sources with disjoint score ranges map onto the same [0,1]
+    scale — the cross-source threshold property."""
+    from pq_vector_spark.operators.normalize import quantile_normalize
+
+    rows = [(i, "small", i) for i in range(100)] + [
+        (1000 + i, "big", 100000 + i) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "src", "score"])
+    out = quantile_normalize(df, "score", group_col="src")
+    top = out.filter(F.col("score_qn") >= 0.9)
+    by_src = {r["src"]: r["n"] for r in top.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert by_src["small"] == by_src["big"]  # same share survives per source
