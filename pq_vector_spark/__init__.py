@@ -20,8 +20,13 @@ from pq_vector_spark.functions.distance import (
 )
 from pq_vector_spark.schema import infer_vector_column, validate_vector_column
 from pq_vector_spark.operators.topk import topk, brute_force_topk
-from pq_vector_spark.operators.similarity import maxsim_topk
-from pq_vector_spark.index.build import append_to_index, build_index, has_index
+from pq_vector_spark.operators.similarity import ivf_maxsim_topk, maxsim_topk
+from pq_vector_spark.index.build import (
+    append_to_index,
+    build_index,
+    has_index,
+    index_health,
+)
 from pq_vector_spark.index.search import indexed_topk, load_index
 from pq_vector_spark.plans.sql import pq_sql, register_indexed_table
 from pq_vector_spark.plans.intercept import try_intercept_topk
@@ -91,9 +96,11 @@ __all__ = [
     "topk",
     "brute_force_topk",
     "maxsim_topk",
+    "ivf_maxsim_topk",
     "append_to_index",
     "build_index",
     "has_index",
+    "index_health",
     "indexed_topk",
     "load_index",
     "pq_sql",

@@ -243,6 +243,8 @@ def append_to_index(
     )
 
     meta["row_count"] = int(meta["row_count"]) + int(stats.rows)
+    # staleness accounting for index_health: rows the quantizer never saw
+    meta["appended_rows"] = int(meta.get("appended_rows", 0)) + int(stats.rows)
     old_counts = {
         fs_["file"]: fs_.get("counts")
         for fs_ in idx.meta.get("file_stats", []) or []
@@ -642,3 +644,31 @@ def has_index(path: str, spark: Optional[SparkSession] = None) -> bool:
         _hadoop_glob(spark, f"{path}/{INDEX_DIR}/meta/part-*")
         and _hadoop_glob(spark, f"{path}/{INDEX_DIR}/centroids/*.parquet")
     )
+
+
+def index_health(spark: SparkSession, indexed_path: str, *, stale_threshold: float = 0.2) -> dict:
+    """Index staleness probe — how much of the table the trained quantizer
+    has never seen (``append_to_index`` reuses the original centroids, so
+    recall decays as appended mass grows; the reference accepts the same
+    drift, src/ivf/index.rs:189-206, but gives operators no gauge).
+
+    Zero Spark jobs: everything comes from the sidecar. Returns
+    ``row_count``, ``appended_rows``, ``appended_fraction``,
+    ``n_clusters``, ``n_files``, and ``stale`` (fraction ≥ threshold —
+    the "rebuild me" signal; 0.2 default ≈ where the bench's measured
+    append-recall starts moving at nprobe < n_clusters).
+    """
+    from pq_vector_spark.index.search import load_index
+
+    idx = load_index(spark, indexed_path)
+    total = int(idx.meta["row_count"])
+    appended = int(idx.meta.get("appended_rows", 0))
+    frac = (appended / total) if total else 0.0
+    return {
+        "row_count": total,
+        "appended_rows": appended,
+        "appended_fraction": round(frac, 6),
+        "n_clusters": int(idx.meta["n_clusters"]),
+        "n_files": int(idx.meta.get("n_files", 0)),
+        "stale": frac >= stale_threshold,
+    }

@@ -486,3 +486,53 @@ def maxsim_topk(
     if tie_break:
         order.append(F.col(id_col).asc())
     return out.orderBy(*order).limit(k)
+
+
+def ivf_maxsim_topk(
+    spark,
+    pooled_indexed_path: str,
+    bags: DataFrame,
+    bag_col: str,
+    id_col: str,
+    query_vecs,
+    k: int,
+    *,
+    nprobe: int = 5,
+    candidates: int = 200,
+) -> DataFrame:
+    """IVF-accelerated MaxSim — the scale path ``maxsim_topk`` documents:
+    index the POOLED (mean) vector per document, prune with the coarse
+    quantizer, and re-rank only the survivors with full late interaction.
+
+    Stage one runs the engine's indexed top-k on the pooled table (pushed
+    cluster filter, row-group pruning, bounded heap) for the mean of the
+    query bag; stage two broadcast-joins the ``candidates`` winning ids
+    into the bag table and scores full MaxSim — so the expensive nested
+    fold touches ``candidates`` rows, never the corpus.
+
+    Exactness envelope: nprobe = n_clusters AND candidates ≥ table rows
+    reproduces brute ``maxsim_topk``; production recall depends on how
+    well mean-pooling preserves neighborhood (measured in tests on the
+    clustered fixture — the standard two-stage ColBERT serving recipe).
+    """
+    import numpy as np
+
+    from pq_vector_spark.index.search import indexed_topk
+    from pq_vector_spark.session import VectorTopKOptions
+
+    if not query_vecs:
+        raise ValueError("query_vecs must contain at least one vector")
+    pooled_q = np.asarray(query_vecs, dtype=np.float64).mean(axis=0).tolist()
+    cand = (
+        indexed_topk(
+            spark,
+            pooled_indexed_path,
+            pooled_q,
+            max(int(candidates), k),
+            options=VectorTopKOptions(nprobe=nprobe),
+            tie_break=id_col,
+        )
+        .select(id_col)
+    )
+    pruned = bags.join(F.broadcast(cand), id_col)
+    return maxsim_topk(pruned, bag_col, query_vecs, k, id_col=id_col)

@@ -534,3 +534,33 @@ def test_append_to_index_rejects_bad_input(spark, tmp_path, indexed_table):
     )
     with pytest.raises(VectorSchemaError, match="raw table"):
         append_to_index(spark, with_cluster, indexed_table["out"])
+
+
+def test_index_health_probe(spark, tmp_path):
+    """Staleness gauge: fresh build reports zero appended mass; appends
+    accumulate; threshold flips the stale flag. Zero Spark jobs (sidecar
+    only)."""
+    from pq_vector_spark.index.build import append_to_index, build_index, index_health
+    from pq_vector_spark.session import IndexBuildOptions
+
+    src = str(tmp_path / "src.parquet")
+    idx = str(tmp_path / "indexed")
+    df = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(100)], "vec_id: bigint, embedding: array<float>"
+    )
+    df.write.parquet(src)
+    build_index(spark, src, idx, column="embedding", options=IndexBuildOptions(n_clusters=4))
+
+    h0 = index_health(spark, idx)
+    assert h0["row_count"] == 100 and h0["appended_rows"] == 0
+    assert h0["appended_fraction"] == 0.0 and not h0["stale"]
+
+    extra = spark.createDataFrame(
+        [(100 + i, [float(i), 1.0]) for i in range(30)],
+        "vec_id: bigint, embedding: array<float>",
+    )
+    append_to_index(spark, extra, idx)
+    h1 = index_health(spark, idx)
+    assert h1["row_count"] == 130 and h1["appended_rows"] == 30
+    assert h1["stale"]  # 30/130 ≈ 0.23 ≥ 0.2
+    assert not index_health(spark, idx, stale_threshold=0.5)["stale"]

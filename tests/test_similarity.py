@@ -382,3 +382,62 @@ def test_maxsim_plan_is_scan_plus_heap(spark):
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ivf_maxsim_envelope_and_recall(spark, tmp_path):
+    """Two-stage MaxSim: with nprobe = n_clusters and candidates covering
+    the table it equals brute maxsim_topk exactly; at the production point
+    (pruned) recall stays high on clustered bags."""
+    import numpy as np
+
+    from pq_vector_spark.index.build import build_index
+    from pq_vector_spark.operators.similarity import ivf_maxsim_topk, maxsim_topk
+    from pq_vector_spark.session import IndexBuildOptions
+
+    rng = np.random.default_rng(5)
+    cents = rng.normal(0, 10, size=(6, 8))
+    bags_np = []
+    for i in range(300):
+        base = cents[i % 6]
+        bags_np.append([(base + rng.normal(0, 0.3, 8)).tolist() for _ in range(4)])
+    bags = spark.createDataFrame(
+        [(i, b) for i, b in enumerate(bags_np)],
+        "id: bigint, bag: array<array<double>>",
+    ).cache()
+
+    pooled_src = str(tmp_path / "pooled.parquet")
+    pooled_idx = str(tmp_path / "pooled_indexed")
+    bags.select(
+        "id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda i: F.aggregate(
+                F.col("bag"), F.lit(0.0), lambda acc, v: acc + v[i]
+            )
+            / F.lit(4.0),
+        ).alias("pooled"),
+    ).write.parquet(pooled_src)
+    build_index(
+        spark, pooled_idx_src := pooled_src, pooled_idx, column="pooled",
+        options=IndexBuildOptions(n_clusters=6),
+    )
+
+    qbag = bags_np[17]
+    brute = [r["id"] for r in maxsim_topk(bags, "bag", qbag, 10, id_col="id").collect()]
+    exact = [
+        r["id"]
+        for r in ivf_maxsim_topk(
+            spark, pooled_idx, bags, "bag", "id", qbag, 10,
+            nprobe=6, candidates=300,
+        ).collect()
+    ]
+    assert exact == brute  # envelope
+
+    pruned = {
+        r["id"]
+        for r in ivf_maxsim_topk(
+            spark, pooled_idx, bags, "bag", "id", qbag, 10,
+            nprobe=2, candidates=60,
+        ).collect()
+    }
+    assert len(pruned & set(brute)) >= 8  # production-point recall
