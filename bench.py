@@ -208,6 +208,11 @@ def main() -> None:
         if os.environ.get("PQ_BENCH_SCALE", "1") != "0"
         else None
     )
+    scale_maxsim = (
+        _maxsim_scale_bench(spark)
+        if os.environ.get("PQ_BENCH_SCALE", "1") != "0"
+        else None
+    )
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -234,6 +239,8 @@ def main() -> None:
         out["scale_dedup"] = scale_dedup
     if scale_asof is not None:
         out["scale_asof"] = scale_asof
+    if scale_maxsim is not None:
+        out["scale_maxsim"] = scale_maxsim
     print(json.dumps(out))
 
 
@@ -806,3 +813,91 @@ def _asof_scale_bench(spark) -> dict:
 
 if __name__ == "__main__":
     main()
+
+
+def _maxsim_scale_bench(spark) -> dict:
+    """Late-interaction MaxSim at bench scale: 100k docs × 8 token-vectors
+    (the cached 100k×256 fixture sliced into 8×32-dim sub-vectors), brute
+    full-corpus MaxSim vs the two-stage IVF path (pooled-vector prune →
+    candidates-only MaxSim), with recall@100 of the pruned path."""
+    from pyspark.sql import functions as F
+
+    from pq_vector_spark.index.build import build_index
+    from pq_vector_spark.operators.similarity import ivf_maxsim_topk, maxsim_topk
+    from pq_vector_spark.session import IndexBuildOptions
+    from tools.gen_scale_embeddings import generate
+
+    n_rows, dim, m = 100_000, 256, 8
+    sub = dim // m
+    k, nprobe, candidates = 100, 16, 1000
+    src = generate(n_rows, dim)
+    cache_dir = os.path.dirname(src)
+
+    emb = spark.read.parquet(src)
+    bags = emb.select(
+        "vec_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda i: F.slice(F.col("embedding"), i * sub + 1, sub),
+        ).alias("bag"),
+    ).cache()
+    bags.count()  # warm
+
+    pooled_idx = os.path.join(cache_dir, f"maxsim_pooled_idx_{n_rows}x{dim}_m{m}")
+    if not os.path.exists(os.path.join(pooled_idx, "_pq_index")):
+        pooled_src = os.path.join(cache_dir, f"maxsim_pooled_{n_rows}x{dim}_m{m}.parquet")
+        if not os.path.exists(pooled_src):
+            emb.select(
+                "vec_id",
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(sub - 1)),
+                    lambda j: F.aggregate(
+                        F.sequence(F.lit(0), F.lit(m - 1)),
+                        F.lit(0.0),
+                        lambda acc, i: acc
+                        + F.col("embedding")[i * sub + j].cast("double"),
+                    )
+                    / F.lit(float(m)),
+                ).alias("pooled"),
+            ).write.mode("overwrite").parquet(pooled_src)
+        build_index(
+            spark, pooled_src, pooled_idx, column="pooled",
+            options=IndexBuildOptions(n_clusters=100),
+        )
+
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    qbag = [list(qrow[i * sub : (i + 1) * sub]) for i in range(m)]
+
+    def _brute():
+        return [
+            r["vec_id"]
+            for r in maxsim_topk(bags, "bag", qbag, k, id_col="vec_id")
+            .select("vec_id")
+            .collect()
+        ]
+
+    def _ivf():
+        return [
+            r["vec_id"]
+            for r in ivf_maxsim_topk(
+                spark, pooled_idx, bags, "bag", "vec_id", qbag, k,
+                nprobe=nprobe, candidates=candidates,
+            )
+            .select("vec_id")
+            .collect()
+        ]
+
+    _brute()
+    t0 = time.time(); truth = _brute(); brute_sec = round(time.time() - t0, 3)
+    _ivf()
+    t0 = time.time(); got = _ivf(); ivf_sec = round(time.time() - t0, 3)
+    bags.unpersist()
+    return {
+        "rows": n_rows,
+        "vectors_per_doc": m,
+        "sub_dim": sub,
+        "brute_sec": brute_sec,
+        "ivf_sec": ivf_sec,
+        "speedup": round(brute_sec / ivf_sec, 2) if ivf_sec else None,
+        "recall_at_100": round(len(set(got) & set(truth)) / k, 4),
+    }
