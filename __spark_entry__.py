@@ -1550,6 +1550,26 @@ def _quality_checks(spark, sf_dir):
     return check_constraints(docs, rules)
 
 
+def _events_abtest(spark, sf_dir):
+    """Two-proportion experiment readout (operators/abtest.py): variants
+    assigned by user parity, exposure = view, conversion = purchase;
+    distinct (unit, variant) reduction before any join, z from pooled SE
+    (sqrt/arithmetic only — engine-replayable to the digit)."""
+    from pq_vector_spark.operators.abtest import ab_test
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "variant",
+        F.when(F.col("user_id") % 2 == 0, F.lit("A")).otherwise(F.lit("B")),
+    )
+    return ab_test(
+        ev,
+        "variant",
+        "user_id",
+        F.col("event_type") == "view",
+        F.col("event_type") == "purchase",
+    )
+
+
 def _text_score_normalize(spark, sf_dir):
     """Per-source quantile normalization (operators/normalize.py): doc
     length rank-calibrated within each source so one global threshold
@@ -1765,6 +1785,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_correlated": _rel_correlated,
         "rel_rollup": _rel_rollup,
         "rel_setops": _rel_setops,
+        # new this round, tail-declared (no budget slot free without
+        # displacing a sentinel): locally oracle-verified; rotates into
+        # the budget next round per the rotation contract above
+        "events_abtest": _events_abtest,
     }
 
 
@@ -2674,6 +2698,35 @@ def oracle_sql() -> dict[str, str]:
                       % 1000000
                   < CAST(floor(least(greatest(p, 0.0), 1.0) * 1000000 + 0.5)
                          AS BIGINT)""",
+        # two-proportion z readout: distinct (unit, variant) exposure ∧
+        # conversion, pooled SE; variant = user parity
+        "events_abtest": """
+            WITH ev AS (SELECT *, CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END
+                               AS variant FROM events),
+            exposed AS (SELECT DISTINCT variant AS v, user_id AS u FROM ev
+                        WHERE event_type = 'view'),
+            conv AS (SELECT DISTINCT variant AS v, user_id AS u FROM ev
+                     WHERE event_type = 'purchase'),
+            per AS (SELECT e.v, CAST(count(*) AS BIGINT) AS n,
+                           CAST(sum(CASE WHEN c.u IS NULL THEN 0 ELSE 1 END)
+                                AS BIGINT) AS conv
+                    FROM exposed e LEFT JOIN conv c ON e.v = c.v AND e.u = c.u
+                    GROUP BY e.v)
+            , pairs AS (
+              SELECT a.v AS variant_a, b.v AS variant_b, a.n AS n_a, b.n AS n_b,
+                     CAST(a.conv AS DOUBLE) / a.n AS pa,
+                     CAST(b.conv AS DOUBLE) / b.n AS pb,
+                     sqrt((CAST(a.conv + b.conv AS DOUBLE) / (a.n + b.n))
+                          * (1.0 - CAST(a.conv + b.conv AS DOUBLE) / (a.n + b.n))
+                          * (1.0 / a.n + 1.0 / b.n)) AS se
+              FROM per a JOIN per b ON a.v < b.v)
+            SELECT variant_a, variant_b, n_a, n_b,
+                   round(pa, 6) AS rate_a, round(pb, 6) AS rate_b,
+                   round(CASE WHEN se = 0.0 THEN 0.0
+                         ELSE (pa - pb) / se END, 6) AS z,
+                   abs(CASE WHEN se = 0.0 THEN 0.0
+                       ELSE (pa - pb) / se END) >= 1.96 AS significant
+            FROM pairs""",
         # weekly cohort retention: Monday-truncated weeks both engines,
         # offset = exact day-diff / 7 over distinct (user, week) activity
         "events_retention": """

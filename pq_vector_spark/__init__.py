@@ -70,6 +70,7 @@ from pq_vector_spark.operators.dedup import incremental_dedup
 from pq_vector_spark.operators.drift import distribution_drift, psi
 from pq_vector_spark.operators.merge import latest_changes, merge_upsert
 from pq_vector_spark.operators.packing import pack_sequences, packing_stats
+from pq_vector_spark.operators.abtest import ab_test
 from pq_vector_spark.operators.normalize import quantile_normalize
 from pq_vector_spark.operators.retention import cohort_retention
 from pq_vector_spark.streaming.ingest import dedup_append_batch, streaming_ingest
@@ -148,6 +149,7 @@ __all__ = [
     "packing_stats",
     "cohort_retention",
     "quantile_normalize",
+    "ab_test",
     "dedup_append_batch",
     "streaming_ingest",
     "drift_metrics_batch",

@@ -558,3 +558,51 @@ def test_streaming_drift_monitor(spark, tmp_path):
     assert psis[0] < 0.05  # in-distribution batch
     assert psis[1] > 0.2  # shifted batch trips the alert threshold
     assert all(r["n_rows"] == 500 for r in rows)
+
+
+def test_ab_test_readout(spark):
+    """Hand-built experiment: A converts 3/4, B converts 1/4 — rates,
+    pooled z sign, and the multi-event dedup (one user counted once)."""
+    from pq_vector_spark.operators.abtest import ab_test
+
+    rows = []
+    for u in range(4):
+        rows.append((u, "A", "view"))
+        rows.append((u, "A", "view"))  # duplicate exposure — counted once
+    for u in (0, 1, 2):
+        rows.append((u, "A", "purchase"))
+    for u in range(4, 8):
+        rows.append((u, "B", "view"))
+    rows.append((4, "B", "purchase"))
+    ev = spark.createDataFrame(rows, ["user_id", "variant", "event_type"])
+    out = ab_test(
+        ev, "variant", "user_id",
+        F.col("event_type") == "view",
+        F.col("event_type") == "purchase",
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["variant_a"], r["variant_b"]) == ("A", "B")
+    assert (r["n_a"], r["n_b"]) == (4, 4)
+    assert (r["rate_a"], r["rate_b"]) == (0.75, 0.25)
+    assert r["z"] > 0  # A better than B
+    # z = 0.5 / sqrt(0.5*0.5*(0.25+0.25)) = sqrt(2) ≈ 1.414 → not significant
+    assert abs(r["z"] - 1.414214) < 1e-4
+    assert not r["significant"]
+
+
+def test_ab_test_degenerate_se_zero(spark):
+    """Everyone converts in both arms → se = 0 → z defined as 0."""
+    from pq_vector_spark.operators.abtest import ab_test
+
+    rows = []
+    for u, v in [(1, "A"), (2, "B")]:
+        rows.append((u, v, "view"))
+        rows.append((u, v, "purchase"))
+    ev = spark.createDataFrame(rows, ["user_id", "variant", "event_type"])
+    r = ab_test(
+        ev, "variant", "user_id",
+        F.col("event_type") == "view",
+        F.col("event_type") == "purchase",
+    ).collect()[0]
+    assert r["z"] == 0.0 and not r["significant"]
