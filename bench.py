@@ -811,8 +811,6 @@ def _asof_scale_bench(spark) -> dict:
     }
 
 
-if __name__ == "__main__":
-    main()
 
 
 def _maxsim_scale_bench(spark) -> dict:
@@ -901,3 +899,7 @@ def _maxsim_scale_bench(spark) -> dict:
         "speedup": round(brute_sec / ivf_sec, 2) if ivf_sec else None,
         "recall_at_100": round(len(set(got) & set(truth)) / k, 4),
     }
+
+
+if __name__ == "__main__":
+    main()
