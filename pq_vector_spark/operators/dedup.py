@@ -434,16 +434,57 @@ def embedding_near_dup_bucketed(
     )
 
 
+def _local_components(spark, edges: DataFrame) -> DataFrame:
+    """Driver union-find over a bounded, already-collected-size edge list;
+    always attaches the larger root under the smaller, so by induction the
+    root of every tree is the minimum node of its component — identical
+    labels to the distributed min-label propagation."""
+    from pyspark.sql.types import StructField, StructType
+
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in edges.collect():
+        a, b = r["_src"], r["_dst"]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    t = edges.schema["_src"].dataType
+    schema = StructType(
+        [StructField("node", t), StructField("component", t)]
+    )
+    return spark.createDataFrame([(n, find(n)) for n in parent], schema)
+
+
 def connected_components(
     pairs: DataFrame,
     left: str = "id_a",
     right: str = "id_b",
     *,
     max_iters: int = 20,
+    local_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Duplicate-cluster resolution: (node, component) for every node that
     appears in ``pairs``, where component = the minimum node id reachable
     through the pair graph.
+
+    Small-graph fast path: when the (distinct) edge count is ≤
+    ``local_threshold``, the edge list is collected and resolved with
+    driver-side union-find — the same bounded-driver-state trade as a
+    broadcast join (1M edges ≈ 16 MB; near-dup pair graphs are SPARSE —
+    even the 1M-doc bench yields ~160k pairs). The result is identical
+    (min-label CC is unique), but the driver-paced iteration loop — the
+    dominant cost at small scale, ~1 s of job scheduling per round —
+    disappears. Pass ``local_threshold=0`` to force the distributed path.
 
     Distributed min-label propagation with pointer jumping (the MapReduce
     CC recipe of Kiveris et al., "Connected Components in MapReduce and
@@ -471,6 +512,8 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if local_threshold and edges.count() <= local_threshold:
+        return _local_components(pairs.sparkSession, edges)
     labels = (
         edges.select(F.col("_src").alias("node"))
         .distinct()

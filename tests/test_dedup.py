@@ -241,3 +241,24 @@ def test_incremental_dedup_corpus_never_shuffles(spark):
     )
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_local_fast_path_matches_distributed(spark):
+    """The bounded union-find fast path and the distributed pointer-jumping
+    path label an awkward graph (two chains + a clique + a singleton pair)
+    identically."""
+    from pq_vector_spark.operators.dedup import connected_components
+
+    pairs = [(2, 1), (3, 2), (10, 11), (11, 12), (12, 13), (20, 21), (21, 22), (20, 22), (30, 31)]
+    df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    fast = {
+        (r["node"], r["component"])
+        for r in connected_components(df).collect()
+    }
+    dist = {
+        (r["node"], r["component"])
+        for r in connected_components(df, local_threshold=0).collect()
+    }
+    assert fast == dist
+    comp = dict(fast)
+    assert comp[3] == 1 and comp[13] == 10 and comp[22] == 20 and comp[31] == 30
