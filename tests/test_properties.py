@@ -228,3 +228,26 @@ def test_stratified_sample_counts_property(spark, data):
     counts = Counter(r["stratum"] for r in got)
     for s_i, n in enumerate(sizes):
         assert counts.get(f"s{s_i}", 0) == min(k, n)
+
+
+@settings(max_examples=8, deadline=None)
+@given(data=st.data())
+def test_psi_contributions_nonnegative_property(spark, data):
+    """Each PSI bucket term (p−q)·ln(p/q) is ≥ 0 for any pair of
+    distributions (both factors share sign), and PSI(d, d) = 0."""
+    from pq_vector_spark.operators.drift import distribution_drift
+
+    xs = data.draw(
+        st.lists(st.floats(min_value=0, max_value=100, allow_nan=False,
+                           allow_infinity=False), min_size=5, max_size=40)
+    )
+    ys = data.draw(
+        st.lists(st.floats(min_value=0, max_value=100, allow_nan=False,
+                           allow_infinity=False), min_size=5, max_size=40)
+    )
+    a = spark.createDataFrame([(float(x),) for x in xs], "x: double")
+    b = spark.createDataFrame([(float(y),) for y in ys], "x: double")
+    rows = distribution_drift(a, b, "x", lo=0, hi=100, bins=5).collect()
+    assert all(r["psi_contrib"] >= 0.0 for r in rows)
+    self_rows = distribution_drift(a, a, "x", lo=0, hi=100, bins=5).collect()
+    assert all(r["psi_contrib"] == 0.0 for r in self_rows)
