@@ -251,3 +251,33 @@ def test_psi_contributions_nonnegative_property(spark, data):
     assert all(r["psi_contrib"] >= 0.0 for r in rows)
     self_rows = distribution_drift(a, a, "x", lo=0, hi=100, bins=5).collect()
     assert all(r["psi_contrib"] == 0.0 for r in self_rows)
+
+
+@settings(max_examples=8, deadline=None)
+@given(data=st.data())
+def test_maxsim_matches_numpy_property(spark, data):
+    """MaxSim nested-HOF fold vs numpy ground truth on random bags."""
+    from pq_vector_spark.operators.similarity import maxsim_topk
+
+    dim = data.draw(st.integers(min_value=1, max_value=6))
+    n_docs = data.draw(st.integers(min_value=1, max_value=8))
+    small = st.floats(min_value=-10, max_value=10, allow_nan=False,
+                      allow_infinity=False)
+    docs, mats = [], []
+    for i in range(n_docs):
+        nv = data.draw(st.integers(min_value=1, max_value=4))
+        bag = [[data.draw(small) for _ in range(dim)] for _ in range(nv)]
+        docs.append((i, bag))
+        mats.append(np.array(bag, dtype=np.float64))
+    nq = data.draw(st.integers(min_value=1, max_value=3))
+    qbag = [[data.draw(small) for _ in range(dim)] for _ in range(nq)]
+    qm = np.array(qbag, dtype=np.float64)
+
+    df = spark.createDataFrame(docs, "id: bigint, bag: array<array<double>>")
+    got = {
+        r["id"]: r["maxsim"]
+        for r in maxsim_topk(df, "bag", qbag, n_docs, id_col="id").collect()
+    }
+    for i, m in enumerate(mats):
+        want = float((qm @ m.T).max(axis=1).sum())
+        assert got[i] == pytest.approx(want, rel=1e-9, abs=1e-9)
