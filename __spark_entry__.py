@@ -1550,6 +1550,17 @@ def _quality_checks(spark, sf_dir):
     return check_constraints(docs, rules)
 
 
+def _events_transitions(spark, sf_dir):
+    """Markov transition matrix over user event journeys (operators/
+    retention.py:event_transitions): one user-keyed lag window + a
+    (from, to) count; totals broadcast for row normalization."""
+    from pq_vector_spark.operators.retention import event_transitions
+
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return event_transitions(ev)
+
+
 def _events_abtest(spark, sf_dir):
     """Two-proportion experiment readout (operators/abtest.py): variants
     assigned by user parity, exposure = view, conversion = purchase;
@@ -1789,6 +1800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # displacing a sentinel): locally oracle-verified; rotates into
         # the budget next round per the rotation contract above
         "events_abtest": _events_abtest,
+        "events_transitions": _events_transitions,
     }
 
 
@@ -2698,6 +2710,21 @@ def oracle_sql() -> dict[str, str]:
                       % 1000000
                   < CAST(floor(least(greatest(p, 0.0), 1.0) * 1000000 + 0.5)
                          AS BIGINT)""",
+        # Markov transitions: lag over (ts, event_id)-ordered per-user
+        # sequences, row-normalized counts
+        "events_transitions": """
+            WITH seq AS (SELECT user_id, event_type,
+                                lag(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS prev
+                         FROM events),
+            pairs AS (SELECT prev AS from_type, event_type AS to_type,
+                             CAST(count(*) AS BIGINT) AS n
+                      FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+            tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS t
+                    FROM pairs GROUP BY 1)
+            SELECT p.from_type, p.to_type, p.n,
+                   round(CAST(p.n AS DOUBLE) / CAST(t.t AS DOUBLE), 6) AS prob
+            FROM pairs p JOIN tot t USING (from_type)""",
         # two-proportion z readout: distinct (unit, variant) exposure ∧
         # conversion, pooled SE; variant = user parity
         "events_abtest": """

@@ -72,7 +72,7 @@ from pq_vector_spark.operators.merge import latest_changes, merge_upsert
 from pq_vector_spark.operators.packing import pack_sequences, packing_stats
 from pq_vector_spark.operators.abtest import ab_test
 from pq_vector_spark.operators.normalize import quantile_normalize
-from pq_vector_spark.operators.retention import cohort_retention
+from pq_vector_spark.operators.retention import cohort_retention, event_transitions
 from pq_vector_spark.streaming.ingest import dedup_append_batch, streaming_ingest
 from pq_vector_spark.streaming.monitor import drift_metrics_batch, streaming_drift_monitor
 from pq_vector_spark.operators.sampling import importance_sample, stratified_sample
@@ -148,6 +148,7 @@ __all__ = [
     "pack_sequences",
     "packing_stats",
     "cohort_retention",
+    "event_transitions",
     "quantile_normalize",
     "ab_test",
     "dedup_append_batch",

@@ -21,7 +21,7 @@ Scale design (100 TB of events):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -46,4 +46,44 @@ def cohort_retention(
         )
         .groupBy("cohort_week", "week_offset")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order transition matrix over per-user event sequences:
+    (from_type, to_type, n, prob) where prob is row-normalized over
+    ``from_type`` — the Markov view of user journeys (what follows what),
+    the complement of the funnel's fixed-pattern matching.
+
+    Deterministic ordering: (ts, id) so timestamp ties cannot flip pairs
+    between engines. Scale shape: ONE user-keyed window (lag — O(1)
+    state), then a (from, to) count with map-side combine; the
+    row-normalizing totals are a types-row aggregate broadcast back.
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    pairs = (
+        events.withColumn("_prev", F.lag(type_col).over(w))
+        .filter(F.col("_prev").isNotNull())
+        .groupBy(F.col("_prev").alias("from_type"), F.col(type_col).alias("to_type"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("n").cast("bigint").alias("_t"))
+    return (
+        pairs.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("_t").cast("double"), 6).alias(
+                "prob"
+            ),
+        )
     )

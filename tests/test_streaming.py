@@ -606,3 +606,25 @@ def test_ab_test_degenerate_se_zero(spark):
         F.col("event_type") == "purchase",
     ).collect()[0]
     assert r["z"] == 0.0 and not r["significant"]
+
+
+def test_event_transitions(spark):
+    """Hand-built journeys: A→B→A for user 1, A→B for user 2 → counts
+    {A→B: 2, B→A: 1}; probs row-normalized; cross-user pairs never form."""
+    from datetime import datetime
+
+    from pq_vector_spark.operators.retention import event_transitions
+
+    rows = [
+        (1, 1, datetime(2024, 1, 1, 0, 0), "A"),
+        (2, 1, datetime(2024, 1, 1, 0, 1), "B"),
+        (3, 1, datetime(2024, 1, 1, 0, 2), "A"),
+        (4, 2, datetime(2024, 1, 1, 0, 0), "A"),
+        (5, 2, datetime(2024, 1, 1, 0, 1), "B"),
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "event_type"])
+    got = {
+        (r["from_type"], r["to_type"]): (r["n"], r["prob"])
+        for r in event_transitions(ev).collect()
+    }
+    assert got == {("A", "B"): (2, 1.0), ("B", "A"): (1, 1.0)}
