@@ -1550,6 +1550,15 @@ def _quality_checks(spark, sf_dir):
     return check_constraints(docs, rules)
 
 
+def _embedding_norms(spark, sf_dir):
+    """Per-label L2-norm vital signs (functions/vector.py:norm_stats):
+    map-side bound-once norm fold, one group agg; exact percentiles over
+    rounded norms (bounded value→count map)."""
+    from pq_vector_spark.functions.vector import norm_stats
+
+    return norm_stats(_emb(spark, sf_dir), "embedding", "label")
+
+
 def _events_transitions(spark, sf_dir):
     """Markov transition matrix over user event journeys (operators/
     retention.py:event_transitions): one user-keyed lag window + a
@@ -1801,6 +1810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the budget next round per the rotation contract above
         "events_abtest": _events_abtest,
         "events_transitions": _events_transitions,
+        "embedding_norms": _embedding_norms,
     }
 
 
@@ -2710,6 +2720,20 @@ def oracle_sql() -> dict[str, str]:
                       % 1000000
                   < CAST(floor(least(greatest(p, 0.0), 1.0) * 1000000 + 0.5)
                          AS BIGINT)""",
+        # per-label norm vitals: norms rounded to 4dp before aggregation
+        # (both engines), exact quantile_cont over the rounded values
+        "embedding_norms": f"""
+            WITH n AS (SELECT label,
+                              CASE WHEN embedding IS NULL THEN NULL
+                                   ELSE round({_nrm("embedding")}, 4) END AS nv
+                       FROM embeddings)
+            SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+                   CAST(sum(CASE WHEN nv IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_null,
+                   round(avg(nv), 4) AS mean_norm,
+                   round(quantile_cont(nv, 0.5), 4) AS p50_norm,
+                   round(quantile_cont(nv, 0.95), 4) AS p95_norm
+            FROM n GROUP BY label""",
         # Markov transitions: lag over (ts, event_id)-ordered per-user
         # sequences, row-normalized counts
         "events_transitions": """

@@ -80,6 +80,7 @@ from pq_vector_spark.functions.vector import (
     embedding_outliers,
     group_centroids,
     l2_normalize,
+    norm_stats,
 )
 from pq_vector_spark.sources.layout import zorder_key, zorder_write
 
@@ -160,6 +161,7 @@ __all__ = [
     "embedding_outliers",
     "group_centroids",
     "l2_normalize",
+    "norm_stats",
     "zorder_key",
     "zorder_write",
 ]

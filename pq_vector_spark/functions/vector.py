@@ -126,3 +126,59 @@ def embedding_outliers(
         .filter(F.col("_rk") <= F.lit(int(k)))
         .select(group_col, id_col, "dist")
     )
+
+
+def norm_stats(
+    df: DataFrame,
+    vec_col: str,
+    group_col: str,
+    *,
+    decimals: int = 4,
+) -> DataFrame:
+    """Per-group L2-norm distribution of an embedding column: (group,
+    n_vectors, n_null, mean_norm, p50_norm, p95_norm) — the embedding
+    pipeline's vital sign (a collapsing or exploding norm distribution is
+    the first symptom of a broken encoder or a bad normalization step;
+    checked before any similarity math trusts the vectors).
+
+    Map-side norm fold (bound once) + ONE group aggregation; exact
+    percentiles aggregate a value→count map (norms rounded to ``decimals``
+    first, so the map's cardinality is bounded at any corpus size — the
+    same trade as ``length_quantiles``)."""
+    c = F.col(vec_col)
+    norm = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        ),
+        decimals,
+    )
+    g = df.select(
+        F.col(group_col).alias("_g"),
+        F.when(c.isNull(), None).otherwise(norm).alias("_n"),
+    )
+    return (
+        g.groupBy("_g")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.sum(F.when(F.col("_n").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_null"),
+            F.round(F.avg("_n"), decimals).alias("mean_norm"),
+            F.round(F.percentile(F.col("_n"), F.lit(0.5)), decimals).alias("p50_norm"),
+            F.round(F.percentile(F.col("_n"), F.lit(0.95)), decimals).alias(
+                "p95_norm"
+            ),
+        )
+        .select(
+            F.col("_g").alias(group_col),
+            "n_vectors",
+            "n_null",
+            "mean_norm",
+            "p50_norm",
+            "p95_norm",
+        )
+    )

@@ -104,3 +104,18 @@ def test_embedding_outliers_broadcast_plan(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_norm_stats(spark):
+    from pq_vector_spark.functions.vector import norm_stats
+
+    df = spark.createDataFrame(
+        [(0, [3.0, 4.0]), (0, [6.0, 8.0]), (0, None), (1, [0.0, 0.0])],
+        "label: int, vec: array<double>",
+    )
+    out = {r["label"]: r for r in norm_stats(df, "vec", "label").collect()}
+    r0 = out[0]
+    assert (r0["n_vectors"], r0["n_null"]) == (3, 1)
+    assert r0["mean_norm"] == 7.5  # (5 + 10) / 2, nulls excluded from avg
+    assert r0["p50_norm"] == 7.5
+    assert out[1]["mean_norm"] == 0.0  # zero vector has norm 0, not null
