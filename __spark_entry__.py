@@ -1550,6 +1550,16 @@ def _quality_checks(spark, sf_dir):
     return check_constraints(docs, rules)
 
 
+def _events_trending(spark, sf_dir):
+    """Hourly top-3 event types (streaming/events.py:trending): one
+    (window, key) partial agg + a WindowGroupLimit-pruned per-window
+    rank."""
+    from pq_vector_spark.streaming.events import trending
+
+    _utc(spark)
+    return trending(load_table(spark, sf_dir, "events"), k=3)
+
+
 def _embedding_norms(spark, sf_dir):
     """Per-label L2-norm vital signs (functions/vector.py:norm_stats):
     map-side bound-once norm fold, one group agg; exact percentiles over
@@ -1811,6 +1821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_abtest": _events_abtest,
         "events_transitions": _events_transitions,
         "embedding_norms": _embedding_norms,
+        "events_trending": _events_trending,
     }
 
 
@@ -2720,6 +2731,17 @@ def oracle_sql() -> dict[str, str]:
                       % 1000000
                   < CAST(floor(least(greatest(p, 0.0), 1.0) * 1000000 + 0.5)
                          AS BIGINT)""",
+        # hourly heavy hitters: per-window counts then rank ≤ 3, ties by key
+        "events_trending": """
+            WITH c AS (SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT)
+                              AS window_start,
+                              event_type, CAST(count(*) AS BIGINT) AS n_events
+                       FROM events GROUP BY 1, 2),
+            r AS (SELECT *, CAST(row_number() OVER (PARTITION BY window_start
+                           ORDER BY n_events DESC, event_type) AS INT) AS rank
+                  FROM c)
+            SELECT window_start, event_type, n_events, rank
+            FROM r WHERE rank <= 3""",
         # per-label norm vitals: norms rounded to 4dp before aggregation
         # (both engines), exact quantile_cont over the rounded values
         "embedding_norms": f"""

@@ -46,6 +46,7 @@ from pq_vector_spark.functions.quantize import (
 from pq_vector_spark.sources.sinks import shard_manifest, write_training_shards
 from pq_vector_spark.streaming.events import (
     enrich_join,
+    trending,
     scd_enrich,
     stream_stream_window_join,
 )
@@ -120,6 +121,7 @@ __all__ = [
     "shard_manifest",
     "write_training_shards",
     "enrich_join",
+    "trending",
     "scd_enrich",
     "stream_stream_window_join",
     "PQCodebook",

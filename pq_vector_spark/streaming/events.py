@@ -306,3 +306,40 @@ def stream_stream_window_join(
         F.col("_lid").alias(f"{left_type}_id"),
         F.col("_rid").alias(f"{right_type}_id"),
     )
+
+
+def trending(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window_duration: str = "1 hour",
+    k: int = 3,
+) -> DataFrame:
+    """Windowed heavy hitters: the top-``k`` keys per tumbling window by
+    event count — the "what's trending each hour" rollup.
+
+    Batch form: one (window, key) partial-agg shuffle, then a per-window
+    rank that Spark's WindowGroupLimit prunes map-side (each task keeps
+    its local k per window before the exchange). Ties break by key
+    ascending for engine-identical output. The streaming twin is the
+    standard pattern: ``streaming_tumbling_agg`` feeds a foreachBatch (or
+    complete-mode sink) that ranks — windowed rank itself is not a
+    streaming operator, the per-window counts are.
+    """
+    w = F.window(_watermarkable(events, ts_col)[ts_col], window_duration)
+    counts = (
+        events.groupBy(w.alias("_w"), F.col(key_col))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("_w.start")).cast("bigint").alias("window_start"),
+            key_col,
+            "n_events",
+        )
+    )
+    rank_w = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), F.col(key_col).asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(rank_w).cast("int"))
+        .filter(F.col("rank") <= F.lit(int(k)))
+    )

@@ -628,3 +628,27 @@ def test_event_transitions(spark):
         for r in event_transitions(ev).collect()
     }
     assert got == {("A", "B"): (2, 1.0), ("B", "A"): (1, 1.0)}
+
+
+def test_trending_heavy_hitters(spark):
+    """Hourly top-k: counts, ordering, tie-break by key, k cutoff."""
+    from datetime import datetime
+
+    from pq_vector_spark.streaming.events import trending
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    rows = []
+    eid = 0
+    for et, n in [("a", 5), ("b", 3), ("c", 3), ("d", 1)]:
+        for _ in range(n):
+            rows.append((eid, datetime(2024, 1, 1, 10, eid % 60), et)); eid += 1
+    rows.append((eid, datetime(2024, 1, 1, 11, 0), "z"))
+    ev = spark.createDataFrame(rows, ["event_id", "ts", "event_type"])
+    got = sorted(
+        (r["window_start"], r["rank"], r["event_type"], r["n_events"])
+        for r in trending(ev, k=2).collect()
+    )
+    h10 = [g for g in got if g[0] == 1704103200]
+    assert h10 == [(1704103200, 1, "a", 5), (1704103200, 2, "b", 3)]  # b beats c on tie
+    h11 = [g for g in got if g[0] == 1704106800]
+    assert h11 == [(1704106800, 1, "z", 1)]
