@@ -1550,6 +1550,42 @@ def _quality_checks(spark, sf_dir):
     return check_constraints(docs, rules)
 
 
+def _dedup_rates(spark, sf_dir):
+    """Per-source duplication dashboard: docs vs distinct content
+    fingerprints and the implied duplicate rate — one fingerprint+source
+    aggregation (map-side md5), the curation run's first health chart."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("source", T.fingerprint("text").alias("_fp"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("_fp").cast("bigint").alias("n_distinct"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_distinct",
+            F.round(
+                F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_docs").cast("double"),
+                6,
+            ).alias("dup_rate"),
+        )
+    )
+
+
+def _text_lang_confusion(spark, sf_dir):
+    """Declared-vs-guessed language confusion matrix (lang column vs
+    functions/text.py lang_guess): the label-quality audit for a
+    multilingual corpus. One (declared, guessed) count aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.col("lang").alias("declared"), T.lang_guess("text").alias("guessed"))
+        .groupBy("declared", "guessed")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+
+
 def _events_trending(spark, sf_dir):
     """Hourly top-3 event types (streaming/events.py:trending): one
     (window, key) partial agg + a WindowGroupLimit-pruned per-window
@@ -1822,6 +1858,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_transitions": _events_transitions,
         "embedding_norms": _embedding_norms,
         "events_trending": _events_trending,
+        "dedup_rates": _dedup_rates,
+        "text_lang_confusion": _text_lang_confusion,
     }
 
 
@@ -2731,6 +2769,20 @@ def oracle_sql() -> dict[str, str]:
                       % 1000000
                   < CAST(floor(least(greatest(p, 0.0), 1.0) * 1000000 + 0.5)
                          AS BIGINT)""",
+        # per-source duplication dashboard over content fingerprints
+        "dedup_rates": f"""
+            WITH fp AS (SELECT source, md5({_NORM}) AS f FROM documents)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT f) AS BIGINT) AS n_distinct,
+                   round(1.0 - CAST(count(DISTINCT f) AS DOUBLE)
+                             / CAST(count(*) AS DOUBLE), 6) AS dup_rate
+            FROM fp GROUP BY source""",
+        # declared-vs-guessed language confusion (guess = text_lang's oracle)
+        "text_lang_confusion": f"""
+            SELECT d.lang AS declared, lg.lang_guess AS guessed,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents d JOIN ({_lang_sql()}) lg USING (doc_id)
+            GROUP BY 1, 2""",
         # hourly heavy hitters: per-window counts then rank ≤ 3, ties by key
         "events_trending": """
             WITH c AS (SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT)
