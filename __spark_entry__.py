@@ -1550,6 +1550,16 @@ def _quality_checks(spark, sf_dir):
     return check_constraints(docs, rules)
 
 
+def _quality_profile(spark, sf_dir):
+    """One-pass column profiler (operators/constraints.py:
+    profile_columns): nulls / distinct / min / max for four document
+    columns in a single aggregation over a single scan."""
+    from pq_vector_spark.operators.constraints import profile_columns
+
+    docs = load_table(spark, sf_dir, "documents")
+    return profile_columns(docs, ["doc_id", "lang", "source", "n_chars"])
+
+
 def _dedup_rates(spark, sf_dir):
     """Per-source duplication dashboard: docs vs distinct content
     fingerprints and the implied duplicate rate — one fingerprint+source
@@ -1860,6 +1870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_trending": _events_trending,
         "dedup_rates": _dedup_rates,
         "text_lang_confusion": _text_lang_confusion,
+        "quality_profile": _quality_profile,
     }
 
 
@@ -2769,6 +2780,34 @@ def oracle_sql() -> dict[str, str]:
                       % 1000000
                   < CAST(floor(least(greatest(p, 0.0), 1.0) * 1000000 + 0.5)
                          AS BIGINT)""",
+        # one-pass column profile, min/max stringified (non-float columns
+        # only — float formatting differs across engines)
+        "quality_profile": """
+            SELECT 'doc_id' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_nulls,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+                   CAST(min(doc_id) AS VARCHAR) AS min_value,
+                   CAST(max(doc_id) AS VARCHAR) AS max_value
+            FROM documents
+            UNION ALL
+            SELECT 'lang', CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(count(DISTINCT lang) AS BIGINT),
+                   CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR)
+            FROM documents
+            UNION ALL
+            SELECT 'source', CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(count(DISTINCT source) AS BIGINT),
+                   CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+            FROM documents
+            UNION ALL
+            SELECT 'n_chars', CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(count(DISTINCT n_chars) AS BIGINT),
+                   CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+            FROM documents""",
         # per-source duplication dashboard over content fingerprints
         "dedup_rates": f"""
             WITH fp AS (SELECT source, md5({_NORM}) AS f FROM documents)

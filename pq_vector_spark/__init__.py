@@ -64,7 +64,11 @@ from pq_vector_spark.operators.hybrid import hybrid_topk, rrf_fuse
 from pq_vector_spark.operators.rangejoin import range_join
 from pq_vector_spark.operators.funnel import funnel_counts, funnel_steps
 from pq_vector_spark.operators.chunk import chunk_documents
-from pq_vector_spark.operators.constraints import check_constraints, check_unique
+from pq_vector_spark.operators.constraints import (
+    check_constraints,
+    check_unique,
+    profile_columns,
+)
 from pq_vector_spark.operators.curate import curate_corpus
 from pq_vector_spark.operators.decontaminate import contamination_report, decontaminate
 from pq_vector_spark.operators.dedup import incremental_dedup
@@ -141,6 +145,7 @@ __all__ = [
     "chunk_documents",
     "check_constraints",
     "check_unique",
+    "profile_columns",
     "incremental_dedup",
     "distribution_drift",
     "psi",

@@ -81,3 +81,48 @@ def check_unique(df: DataFrame, key_cols: Sequence[str]) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
         (F.sum("_c") - F.count(F.lit(1))).cast("bigint").alias("duplicates"),
     )
+
+
+def profile_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Generic column profile — (column, n_rows, n_nulls, n_distinct,
+    min_value, max_value) per requested column, min/max stringified for a
+    type-uniform long format (the ingest-time "what does this table look
+    like" report; pairs with ``check_constraints`` the way a profiler
+    pairs with assertions).
+
+    All columns profile in ONE aggregation pass over one scan (Catalyst
+    plans the multi-distinct via a single expand — adding a column adds
+    counters, not a scan). NULLs are excluded from distinct/min/max
+    (standard SQL aggregate semantics, identical in the oracle).
+    """
+    cols = list(cols)
+    if not cols:
+        raise ValueError("cols must name at least one column")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("_total")]
+    for c in cols:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"_nn_{c}")
+        )
+        aggs.append(F.countDistinct(F.col(c)).cast("bigint").alias(f"_nd_{c}"))
+        aggs.append(F.min(F.col(c)).cast("string").alias(f"_mn_{c}"))
+        aggs.append(F.max(F.col(c)).cast("string").alias(f"_mx_{c}"))
+    wide = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', _nn_{c}, _nd_{c}, _mn_{c}, _mx_{c}" for c in cols
+    )
+    return wide.select(
+        F.col("_total"),
+        F.expr(
+            f"stack({len(cols)}, {stack}) AS "
+            "(column, n_nulls, n_distinct, min_value, max_value)"
+        ),
+    ).select(
+        "column",
+        F.col("_total").alias("n_rows"),
+        "n_nulls",
+        "n_distinct",
+        "min_value",
+        "max_value",
+    )

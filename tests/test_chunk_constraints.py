@@ -210,3 +210,20 @@ def test_quantile_normalize_calibrates_across_scales(spark):
     top = out.filter(F.col("score_qn") >= 0.9)
     by_src = {r["src"]: r["n"] for r in top.groupBy("src").agg(F.count("*").alias("n")).collect()}
     assert by_src["small"] == by_src["big"]  # same share survives per source
+
+
+def test_profile_columns(spark):
+    from pq_vector_spark.operators.constraints import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "c")], "id INT, name STRING"
+    )
+    out = {r["column"]: r for r in profile_columns(df, ["id", "name"]).collect()}
+    rid = out["id"]
+    assert (rid["n_rows"], rid["n_nulls"], rid["n_distinct"]) == (3, 0, 2)
+    assert (rid["min_value"], rid["max_value"]) == ("1", "2")
+    rn = out["name"]
+    assert (rn["n_nulls"], rn["n_distinct"]) == (1, 2)
+    assert (rn["min_value"], rn["max_value"]) == ("a", "c")
+    with pytest.raises(ValueError, match="cols"):
+        profile_columns(df, [])
