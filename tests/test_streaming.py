@@ -652,3 +652,55 @@ def test_trending_heavy_hitters(spark):
     assert h10 == [(1704103200, 1, "a", 5), (1704103200, 2, "b", 3)]  # b beats c on tie
     h11 = [g for g in got if g[0] == 1704106800]
     assert h11 == [(1704106800, 1, "z", 1)]
+
+
+def test_trending_streaming_twin(spark, tmp_path):
+    """The trending docstring's streaming recipe end-to-end: watermarked
+    windowed counts stream into a foreachBatch ranking sink; final metrics
+    table matches the batch trending() output."""
+    from datetime import datetime
+
+    from pq_vector_spark.streaming.events import streaming_tumbling_agg, trending
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    rows = []
+    eid = 0
+    for et, n in [("a", 4), ("b", 2), ("c", 1)]:
+        for _ in range(n):
+            rows.append((eid, datetime(2024, 1, 1, 10, eid % 60), et, 1.0)); eid += 1
+    ev = spark.createDataFrame(rows, ["event_id", "ts", "event_type", "value"])
+    in_dir, out_dir, chk = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "chk")
+    ev.write.parquet(in_dir)
+
+    stream = spark.readStream.schema(ev.schema).parquet(in_dir)
+    counts = streaming_tumbling_agg(stream, "ts", "event_type", "value", "1 hour")
+
+    def _rank_sink(batch_df, batch_id):
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("window_start").orderBy(
+            F.col("n_events").desc(), F.col("event_type").asc()
+        )
+        out = batch_df.withColumn("rank", F.row_number().over(w).cast("int")).filter(
+            F.col("rank") <= 2
+        )
+        out.write.mode("overwrite").parquet(out_dir)
+
+    q = (
+        counts.writeStream.foreachBatch(_rank_sink)
+        .outputMode("complete")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["window_start"], r["rank"]): (r["event_type"], r["n_events"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    want = {
+        (r["window_start"], r["rank"]): (r["event_type"], r["n_events"])
+        for r in trending(ev, k=2).collect()
+    }
+    assert got == want and len(got) == 2
