@@ -1744,12 +1744,15 @@ def _dedup_incremental(spark, sf_dir):
 
 def _embedding_centroids(spark, sf_dir):
     """Per-label mean embedding (functions/vector.py:group_centroids) —
-    class prototypes without collect_list: posexplode + two
-    combiner-friendly hash aggs; exchanges carry O(labels × dim)."""
+    class prototypes without collect_list: posexplode + ONE
+    combiner-friendly hash agg; exchanges carry O(labels × dim).
+    Declared in long format (label, dim_idx, mean, n_vectors): scalar-only
+    output columns, per the driver canonicalizer's hashable-cell contract
+    (r6 lesson: the array<double> wide form was hash-unattestable)."""
     from pq_vector_spark.functions.vector import group_centroids
 
     emb = _emb(spark, sf_dir)
-    return group_centroids(emb, "label", "embedding", decimals=4)
+    return group_centroids(emb, "label", "embedding", decimals=4, long_format=True)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2752,17 +2755,17 @@ def oracle_sql() -> dict[str, str]:
                      FROM delta)
             SELECT doc_id, source FROM surv
             WHERE rn = 1 AND f NOT IN (SELECT f FROM corpus)""",
-        # per-label mean embedding: positional unnest → per-dim avg
-        # (rounded 4dp, the rel_agg ulp guard) → ordered list re-assembly
+        # per-label mean embedding, LONG format (scalar cells only — the
+        # driver canonicalizer cannot hash array cells): positional unnest
+        # → per-(label, dim) avg (rounded 4dp, the rel_agg ulp guard)
         "embedding_centroids": """
             WITH ex AS (SELECT label, unnest(embedding) AS x,
                                generate_subscripts(embedding, 1) AS i
-                        FROM embeddings WHERE embedding IS NOT NULL),
-            pd AS (SELECT label, i, round(avg(CAST(x AS DOUBLE)), 4) AS m,
-                          CAST(count(*) AS BIGINT) AS n
-                   FROM ex GROUP BY label, i)
-            SELECT label, max(n) AS n_vectors, list(m ORDER BY i) AS centroid
-            FROM pd GROUP BY label""",
+                        FROM embeddings WHERE embedding IS NOT NULL)
+            SELECT label, i - 1 AS dim_idx,
+                   round(avg(CAST(x AS DOUBLE)), 4) AS mean,
+                   CAST(count(*) AS BIGINT) AS n_vectors
+            FROM ex GROUP BY label, i""",
         # per-source percent-rank calibration: (rank−1)/(n−1), ANSI tie
         # semantics — integer/integer math both engines
         "text_score_normalize": """

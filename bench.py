@@ -8,8 +8,13 @@ index build time, brute-force query latency, indexed query latency,
 recall@k of the indexed path vs brute force — plus the relational /
 dedup / text headline queries from __spark_entry__.
 
-Prints exactly ONE JSON line:
+Output contract (driver parses the LAST line of stdout): scale sections
+(`scale`, `scale_dedup`, `scale_asof`, `scale_maxsim`) are each printed as
+their OWN `{"section": "...", ...}` JSON line first, and the FINAL line is
+the compact bounded-size headline the driver records:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+(r6 lesson: folding the scale sections into the one headline line pushed it
+past the driver's tail-capture buffer and BENCH_r06 recorded parsed=null.)
 """
 
 from __future__ import annotations
@@ -233,15 +238,17 @@ def main() -> None:
         "index_build_counts_sec": counts_sec,
         "approx_recall_at_10": approx_recall,
     }
-    if scale is not None:
-        out["scale"] = scale
-    if scale_dedup is not None:
-        out["scale_dedup"] = scale_dedup
-    if scale_asof is not None:
-        out["scale_asof"] = scale_asof
-    if scale_maxsim is not None:
-        out["scale_maxsim"] = scale_maxsim
-    print(json.dumps(out))
+    # Scale sections as their own lines (see module docstring: the driver
+    # tail-parses the LAST line, which must stay bounded-size forever).
+    for name, section in (
+        ("scale", scale),
+        ("scale_dedup", scale_dedup),
+        ("scale_asof", scale_asof),
+        ("scale_maxsim", scale_maxsim),
+    ):
+        if section is not None:
+            print(json.dumps({"section": name, **section}), flush=True)
+    print(json.dumps(out), flush=True)
 
 
 def _dir_bytes(path: str) -> int:

@@ -48,9 +48,18 @@ def group_centroids(
     vec_col: str,
     *,
     decimals: int = 4,
+    long_format: bool = False,
 ) -> DataFrame:
     """Per-group mean vector (the class prototype): (group, n_vectors,
     centroid array<double>).
+
+    With ``long_format=True`` the array re-assembly is skipped and the
+    per-dimension stage is returned directly as scalar columns
+    (group, dim_idx, mean, n_vectors) — one row per (group, dimension).
+    This is the shape downstream tabular consumers (and the driver's
+    value-hash canonicalizer, which requires hashable scalar cells) want,
+    and it is strictly cheaper: the second group-by and the collect_list
+    re-assembly never run.
 
     Means are rounded to ``decimals`` places — the repo's standard guard
     (cf. rel_agg) against summation-order ulp drift, since float addition
@@ -70,6 +79,13 @@ def group_centroids(
         F.round(F.avg(F.col("_x").cast("double")), decimals).alias("_m"),
         F.count(F.lit(1)).cast("bigint").alias("_n"),
     )
+    if long_format:
+        return per_dim.select(
+            F.col("_g").alias(group_col),
+            F.col("_i").alias("dim_idx"),
+            F.col("_m").alias("mean"),
+            F.col("_n").alias("n_vectors"),
+        )
     return (
         per_dim.groupBy("_g")
         .agg(

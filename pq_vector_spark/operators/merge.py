@@ -65,12 +65,23 @@ def merge_upsert(
     *,
     op_col: str = "op",
     delete_op: str = "D",
+    broadcast: bool | None = None,
+    broadcast_max_rows: int = 4_000_000,
 ) -> DataFrame:
     """Apply ``changes`` to ``base`` (schema: base columns + op/version).
 
-    Returns a DataFrame with exactly the base's columns. The changeset key
-    set rides a broadcast LEFT ANTI against the base (base never
-    shuffles); winning upserts union in with the base's column order.
+    Returns a DataFrame with exactly the base's columns. When the changeset
+    is small its key set rides a broadcast LEFT ANTI against the base (base
+    never shuffles); a changeset too large to broadcast (a quarter-billion
+    takedown keys would OOM executors) falls back to a sort-merge anti-join
+    — one shuffle each side, still no window over the base, and AQE may
+    still downgrade it to a broadcast at runtime if the shuffled key set
+    turns out tiny.
+
+    ``broadcast=None`` (auto) sizes the changeset with a bounded probe —
+    ``changes.limit(broadcast_max_rows + 1).count()`` stops scanning at the
+    cap and upper-bounds the distinct key count without running the
+    winner window twice. Pass True/False to force either join strategy.
     """
     key_cols = list(key_cols)
     missing = [c for c in key_cols + [version_col, op_col] if c not in changes.columns]
@@ -80,10 +91,16 @@ def merge_upsert(
     if payload_missing:
         raise ValueError(f"changes lacks base payload columns: {payload_missing}")
 
+    if broadcast is None:
+        probe = changes.select(*key_cols).limit(broadcast_max_rows + 1).count()
+        broadcast = probe <= broadcast_max_rows
+
     winners = latest_changes(
         changes, key_cols, version_col, op_col=op_col, delete_op=delete_op
     )
     touched = winners.select(*key_cols).distinct()
-    untouched = base.join(F.broadcast(touched), key_cols, "left_anti")
+    if broadcast:
+        touched = F.broadcast(touched)
+    untouched = base.join(touched, key_cols, "left_anti")
     upserts = winners.filter(F.col(op_col) != F.lit(delete_op)).select(*base.columns)
     return untouched.unionByName(upserts)

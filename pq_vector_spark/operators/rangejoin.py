@@ -95,10 +95,21 @@ def range_join(
     if how == "left":
         # left rows whose window matched nothing come back with NULL right
         # columns — derived via a cheap anti-join on the (deduped) matched
-        # left keys, not by re-running the range probe
+        # left rows, not by re-running the range probe. The anti-join is
+        # NULL-SAFE on every column (eqNullSafe): a plain column-list
+        # anti-join treats NULL <> NULL, so a *matched* left row carrying a
+        # NULL non-key value would fail the match and ALSO be emitted in
+        # the null-padded branch — a duplicate. Matched columns are renamed
+        # first so the self-lineage join resolves unambiguously.
         right_cols = [c for c in right.columns if c not in keys]
-        matched = joined.select(*left.columns).distinct()
-        missing = left.join(matched, left.columns, "left_anti")
+        matched = joined.select(
+            *[F.col(c).alias(f"_rj_m_{c}") for c in left.columns]
+        ).distinct()
+        cond = None
+        for c in left.columns:
+            e = F.col(c).eqNullSafe(F.col(f"_rj_m_{c}"))
+            cond = e if cond is None else (cond & e)
+        missing = left.join(matched, cond, "left_anti")
         for c in right_cols:
             missing = missing.withColumn(
                 c, F.lit(None).cast(dict(right.dtypes)[c])

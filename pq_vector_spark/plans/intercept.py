@@ -35,12 +35,54 @@ reference's rule declining to fire.
 
 from __future__ import annotations
 
+import logging
 import os
 import re
-from typing import Optional
+from typing import Dict, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_LOG = logging.getLogger("pq_vector_spark.intercept")
+
+# Decline telemetry (≙ the reference's per-node metrics philosophy,
+# exec.rs:302-331): at 100 TB a silent fall-through to brute force is a 20×
+# cost surprise, so every decline records WHICH guard fired. Read it back
+# with ``last_decline_reason()`` after a try_intercept_topk that returned
+# None; it is also logged at INFO on the module logger.
+LAST_DECLINE_REASON: Optional[str] = None
+
+
+def last_decline_reason() -> Optional[str]:
+    """Reason the most recent ``try_intercept_topk`` declined (None if the
+    most recent call intercepted successfully)."""
+    return LAST_DECLINE_REASON
+
+
+class _Decline(Exception):
+    """Internal control flow: a guard declining the rewrite, with reason."""
+
+
+def _decline(reason: str):
+    raise _Decline(reason)
+
+
+# PQ codes sidecars keyed by normalized indexed path: when registered, the
+# interceptor can route a matching top-k to the doubly-pruned IVF-PQ plan
+# (cluster prune × m-byte ADC scan) instead of the raw IVF probe.
+_CODES_SIDECARS: Dict[str, tuple] = {}
+
+
+def register_codes_sidecar(
+    indexed_path: str, codes_path: str, codebook, id_col: str = "vec_id"
+) -> None:
+    """Register a PQ codes sidecar (``encode_indexed`` output) for an
+    indexed layout so automatic interception prefers the IVF-PQ plan —
+    the engine picks the cheapest plan rather than requiring the user to
+    call ``ivfpq_topk`` by hand (≙ the reference's single physical rule
+    being its SQL users' only entry point, src/df_vector/physical.rs:20-229).
+    """
+    _CODES_SIDECARS[_normalize_path(indexed_path)] = (codes_path, codebook, id_col)
 
 
 def _cls(jnode) -> str:
@@ -336,59 +378,79 @@ def try_intercept_topk(
     top-k-by-L2-distance shape over a registered indexed table, return the
     equivalent IVF-probe DataFrame (same output columns), else None.
 
-    Never raises: any unexpected plan/py4j shape declines (returns None).
+    Never raises: any unexpected plan/py4j shape declines (returns None)
+    and records the guard that fired in ``last_decline_reason()``.
     """
+    global LAST_DECLINE_REASON
     from pq_vector_spark.plans.sql import _INDEXED_TABLES
 
     if not _INDEXED_TABLES:
+        LAST_DECLINE_REASON = "no-indexed-tables: register_indexed_table was never called"
+        _LOG.info("intercept declined: %s", LAST_DECLINE_REASON)
         return None
     try:
-        return _try_intercept(spark, df, options, observation, _INDEXED_TABLES)
-    except Exception:
+        out = _try_intercept(spark, df, options, observation, _INDEXED_TABLES)
+        LAST_DECLINE_REASON = None
+        return out
+    except _Decline as d:
+        LAST_DECLINE_REASON = str(d)
+        _LOG.info("intercept declined: %s", LAST_DECLINE_REASON)
+        return None
+    except Exception as e:  # py4j surprises etc. — never propagate
+        LAST_DECLINE_REASON = f"unexpected-{type(e).__name__}: {e}"
+        _LOG.info("intercept declined: %s", LAST_DECLINE_REASON)
         return None
 
 
 def _try_intercept(spark, df, options, observation, indexed_tables):
     plan = df._jdf.queryExecution().optimizedPlan()
     if _cls(plan) != "GlobalLimit":
-        return None
+        _decline(f"root-not-global-limit: plan root is {_cls(plan)}, not GlobalLimit")
     k_lit = plan.limitExpr()
     if _cls(k_lit) != "Literal":
-        return None
+        _decline("limit-not-literal: LIMIT is not a constant")
     k = int(k_lit.value())
     node = plan.children().apply(0)
     if _cls(node) != "LocalLimit":
-        return None
+        _decline(f"no-local-limit: under GlobalLimit is {_cls(node)}")
     node = node.children().apply(0)
     if _cls(node) == "Project":
         if _attr_only_project(node) is None:
-            return None
+            _decline("project-not-attrs-only: projection computes expressions")
         node = node.children().apply(0)
     if _cls(node) != "Sort" or not getattr(node, "global")():
-        return None
+        _decline(f"no-global-sort: under limit is {_cls(node)} (need global Sort)")
     order = node.order()
     if order.size() not in (1, 2):
-        return None
+        _decline(f"order-keys: {order.size()} sort keys (need 1-2)")
     so = order.apply(0)
     if so.direction().sql() == "ASC":
         # L2 distance, ascending — the reference's one shape
         # (ASC-only guard ≙ physical.rs:143-145)
         matched = _match_l2_sort_expr(so.child())
         metric = "l2"
+        if matched is None:
+            _decline(
+                "sort-expr-not-l2: ASC sort key is not the canonical "
+                "l2/squared-l2(column, literal-vector) expression"
+            )
     else:
         # cosine similarity, DESCENDING — our extension metric over the
         # same layout (probes L2 centroids like the batch kernel)
         matched = _match_cosine_sort_expr(so.child())
         metric = "cosine"
-    if matched is None:
-        return None
+        if matched is None:
+            _decline(
+                "sort-expr-not-cosine: DESC sort key is not the canonical "
+                "cosine_similarity(column, literal-vector) expression"
+            )
     attr, vec = matched
     tie_break = None
     if order.size() == 2:
         so2 = order.apply(1)
         t = _strip_cast(so2.child())
         if so2.direction().sql() != "ASC" or _cls(t) != "AttributeReference":
-            return None
+            _decline("tie-break-shape: second sort key must be a plain attribute ASC")
         tie_break = t.name()
 
     # below the Sort: only attr-projections and filters down to one parquet scan
@@ -397,25 +459,25 @@ def _try_intercept(spark, df, options, observation, indexed_tables):
     while _cls(n2) in ("Project", "Filter"):
         if _cls(n2) == "Project":
             if _attr_only_project(n2) is None:
-                return None
+                _decline("pre-sort-project: projection below Sort computes expressions")
         else:
             conds.append(_unqualified_sql(spark, n2.condition()))
         n2 = n2.children().apply(0)
     if _cls(n2) != "LogicalRelation":
-        return None
+        _decline(f"scan-shape: below Sort is {_cls(n2)}, not a simple relation scan")
     rel = n2.relation()
     if _cls(rel) != "HadoopFsRelation":
-        return None
+        _decline(f"relation-kind: {_cls(rel)} is not a file-based relation")
     rps = rel.location().rootPaths()
     if rps.size() != 1:
-        return None
+        _decline(f"multi-root-scan: {rps.size()} root paths (need exactly 1)")
     scan_path = _normalize_path(rps.apply(0).toString())
     path = next(
         (p for p in indexed_tables.values() if _normalize_path(p) == scan_path),
         None,
     )
     if path is None:
-        return None
+        _decline(f"path-not-indexed: {scan_path} is not a registered indexed table")
 
     pre = None
     for c in conds:
@@ -426,6 +488,43 @@ def _try_intercept(spark, df, options, observation, indexed_tables):
         # scan can't resolve declines HERE, before an Observation could be
         # attached to a plan that then fails.
         spark.read.parquet(path).filter(pre).schema
+
+    # Prefer the doubly-pruned IVF-PQ plan (cluster prune × m-byte ADC
+    # codes scan × exact re-rank) when a codes sidecar is registered for
+    # this layout and the shape allows it: L2 metric (ADC tables are
+    # squared-L2), no pre-filter (the codes table carries only id+cluster+
+    # codes, so a payload filter can't push into stage one), and the
+    # tie-break — if any — matching the sidecar's id column (ivfpq_topk
+    # breaks ties on it unconditionally). Any failure inside the PQ route
+    # falls back to the raw IVF probe below, never to brute force.
+    if metric == "l2" and pre is None:
+        sidecar = _CODES_SIDECARS.get(_normalize_path(path))
+        if sidecar is not None:
+            codes_path, codebook, id_col = sidecar
+            if tie_break is None or tie_break == id_col:
+                try:
+                    from pq_vector_spark.index.pq import ivfpq_topk
+
+                    out = ivfpq_topk(
+                        spark,
+                        path,
+                        codes_path,
+                        attr.name(),
+                        id_col,
+                        codebook,
+                        vec,
+                        k,
+                        nprobe=options.nprobe if options else 5,
+                        rerank=getattr(options, "rerank", 4) if options else 4,
+                        observation=observation,
+                    )
+                    return out.select(*df.columns)
+                except Exception as e:
+                    _LOG.info(
+                        "ivfpq route failed (%s: %s); falling back to IVF probe",
+                        type(e).__name__,
+                        e,
+                    )
 
     from pq_vector_spark.index.search import indexed_topk
 

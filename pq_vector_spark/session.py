@@ -25,11 +25,15 @@ class VectorTopKOptions:
     ``nprobe`` — number of IVF clusters probed (reference default 5,
     src/df_vector/options.rs:12-19). ``max_candidates`` — global cap on
     candidate rows fetched, interleaved fairly across files
-    (reference: src/df_vector/access.rs:193-243).
+    (reference: src/df_vector/access.rs:193-243). ``rerank`` — exact
+    re-rank multiplier for the IVF-PQ route (k·rerank ADC candidates are
+    re-scored exactly; only used when a codes sidecar is registered,
+    plans/intercept.py:register_codes_sidecar).
     """
 
     nprobe: int = 5
     max_candidates: Optional[int] = None
+    rerank: int = 4
 
 
 @dataclass

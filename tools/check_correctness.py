@@ -66,6 +66,25 @@ def main():
             failures.append(name)
             continue
         sql = oracles.get(name)
+        # Driver-canonicalizer contract: the gate pandas-sorts every output
+        # column, which dies on non-hashable cells (lists/dicts). Reject
+        # array/map/struct output columns HERE so local green implies
+        # driver green (r6: embedding_centroids shipped an array<double>
+        # column that passed this repr-based checker and failed the gate).
+        if sql is not None:
+            bad = [
+                f.name
+                for f in sdf.schema.fields
+                if f.dataType.typeName() in ("array", "map", "struct")
+            ]
+            if bad:
+                print(
+                    f"FAIL {name}: non-scalar output columns {bad} — the "
+                    "driver canonicalizer cannot hash these; emit a long "
+                    "format or array_join to a string"
+                )
+                failures.append(name)
+                continue
         if sql is None:
             print(f"ok   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
             continue
