@@ -29,7 +29,12 @@ from pq_vector_spark.index.build import (
 )
 from pq_vector_spark.index.search import indexed_topk, load_index
 from pq_vector_spark.plans.sql import pq_sql, register_indexed_table
-from pq_vector_spark.plans.intercept import try_intercept_topk
+from pq_vector_spark.plans.intercept import (
+    last_decline_reason,
+    register_codes_sidecar,
+    try_intercept_topk,
+    unregister_codes_sidecar,
+)
 from pq_vector_spark.plans.explain import explain_vector
 from pq_vector_spark.operators.asof import asof_join
 from pq_vector_spark.operators.skew import salted_join
@@ -113,6 +118,9 @@ __all__ = [
     "pq_sql",
     "register_indexed_table",
     "try_intercept_topk",
+    "last_decline_reason",
+    "register_codes_sidecar",
+    "unregister_codes_sidecar",
     "explain_vector",
     "asof_join",
     "salted_join",

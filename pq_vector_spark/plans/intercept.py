@@ -38,6 +38,7 @@ from __future__ import annotations
 import logging
 import os
 import re
+import threading
 from typing import Dict, Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -49,14 +50,23 @@ _LOG = logging.getLogger("pq_vector_spark.intercept")
 # exec.rs:302-331): at 100 TB a silent fall-through to brute force is a 20×
 # cost surprise, so every decline records WHICH guard fired. Read it back
 # with ``last_decline_reason()`` after a try_intercept_topk that returned
-# None; it is also logged at INFO on the module logger.
-LAST_DECLINE_REASON: Optional[str] = None
+# None; it is also logged at INFO on the module logger. The reason is
+# THREAD-LOCAL: concurrent sessions/threads interleaving calls each read
+# their own thread's most recent outcome, never another's.
+_TLS = threading.local()
+
+
+def _set_decline(reason: Optional[str]) -> None:
+    _TLS.reason = reason
+    if reason is not None:
+        _LOG.info("intercept declined: %s", reason)
 
 
 def last_decline_reason() -> Optional[str]:
-    """Reason the most recent ``try_intercept_topk`` declined (None if the
-    most recent call intercepted successfully)."""
-    return LAST_DECLINE_REASON
+    """Reason the most recent ``try_intercept_topk`` ON THIS THREAD declined
+    (None if that call intercepted successfully, or if this thread never
+    called it)."""
+    return getattr(_TLS, "reason", None)
 
 
 class _Decline(Exception):
@@ -83,6 +93,13 @@ def register_codes_sidecar(
     being its SQL users' only entry point, src/df_vector/physical.rs:20-229).
     """
     _CODES_SIDECARS[_normalize_path(indexed_path)] = (codes_path, codebook, id_col)
+
+
+def unregister_codes_sidecar(indexed_path: str) -> None:
+    """Forget a registered codes sidecar (e.g. after the codes table is
+    dropped or superseded by a rebuild); interception for the layout falls
+    back to the raw IVF probe."""
+    _CODES_SIDECARS.pop(_normalize_path(indexed_path), None)
 
 
 def _cls(jnode) -> str:
@@ -368,6 +385,82 @@ def _unqualified_sql(spark, jexpr) -> str:
     return rebuild(jexpr).sql()
 
 
+def _try_pq_route(
+    spark, df, path, column, vec, k, tie_break, options, observation
+):
+    """Attempt the IVF-PQ interception route for an L2, unfiltered top-k
+    over ``path``. Returns ``(out_df, obs_consumed)``:
+
+    - ``(DataFrame, _)`` — route succeeded;
+    - ``(None, False)`` — route not applicable or failed before the
+      Observation was attached (caller falls back to the IVF probe with the
+      observation intact);
+    - ``(None, True)`` — route failed AFTER the single-use Observation was
+      bound to the abandoned plan (caller must fall back WITHOUT it).
+
+    Route validation happens before the observation can be attached: the
+    output-column pre-check rejects queries projecting columns the PQ plan
+    drops (e.g. the cluster column) instead of failing post-attach.
+    """
+    sidecar = _CODES_SIDECARS.get(_normalize_path(path))
+    if sidecar is None:
+        return None, False
+    codes_path, codebook, id_col = sidecar
+    if tie_break is not None and tie_break != id_col:
+        return None, False
+    try:
+        from pq_vector_spark.index.build import CLUSTER_COL
+        from pq_vector_spark.index.pq import ivfpq_topk
+        from pq_vector_spark.index.search import load_index
+
+        # ivfpq_topk's output is the raw layout minus the cluster column;
+        # a projection outside that set cannot take this route (schema-only
+        # probe — no job)
+        avail = set(spark.read.parquet(path).columns) - {CLUSTER_COL}
+        if not set(df.columns) <= avail:
+            _LOG.info(
+                "ivfpq route skipped: projection needs columns the codes "
+                "route drops (%s)", sorted(set(df.columns) - avail)
+            )
+            return None, False
+        idx = load_index(spark, path)
+        nprobe = options.nprobe if options else 5
+        rerank = getattr(options, "rerank", 4) if options else 4
+        if nprobe >= int(idx.meta["n_clusters"]):
+            # Exactness envelope is STRUCTURAL (SURVEY §2.C.5): probing
+            # every cluster promises brute-force-equal results, so the ADC
+            # heap must cover the entire candidate set — bump rerank to
+            # ceil(rows/k). Never trade exactness without being asked
+            # (≙ the reference rule, src/df_vector/physical.rs:161-168).
+            rows = int(idx.meta["row_count"])
+            rerank = max(rerank, -(-rows // max(k, 1)))
+        out = ivfpq_topk(
+            spark,
+            path,
+            codes_path,
+            column,
+            id_col,
+            codebook,
+            vec,
+            k,
+            nprobe=nprobe,
+            rerank=rerank,
+            observation=observation,
+        )
+        return out.select(*df.columns), False
+    except Exception as e:
+        consumed = (
+            observation is not None and getattr(observation, "_jo", None) is not None
+        )
+        _LOG.info(
+            "ivfpq route failed (%s: %s); falling back to IVF probe%s",
+            type(e).__name__,
+            e,
+            " without the consumed observation" if consumed else "",
+        )
+        return None, consumed
+
+
 def try_intercept_topk(
     spark: SparkSession,
     df: DataFrame,
@@ -381,24 +474,20 @@ def try_intercept_topk(
     Never raises: any unexpected plan/py4j shape declines (returns None)
     and records the guard that fired in ``last_decline_reason()``.
     """
-    global LAST_DECLINE_REASON
     from pq_vector_spark.plans.sql import _INDEXED_TABLES
 
     if not _INDEXED_TABLES:
-        LAST_DECLINE_REASON = "no-indexed-tables: register_indexed_table was never called"
-        _LOG.info("intercept declined: %s", LAST_DECLINE_REASON)
+        _set_decline("no-indexed-tables: register_indexed_table was never called")
         return None
     try:
         out = _try_intercept(spark, df, options, observation, _INDEXED_TABLES)
-        LAST_DECLINE_REASON = None
+        _set_decline(None)
         return out
     except _Decline as d:
-        LAST_DECLINE_REASON = str(d)
-        _LOG.info("intercept declined: %s", LAST_DECLINE_REASON)
+        _set_decline(str(d))
         return None
     except Exception as e:  # py4j surprises etc. — never propagate
-        LAST_DECLINE_REASON = f"unexpected-{type(e).__name__}: {e}"
-        _LOG.info("intercept declined: %s", LAST_DECLINE_REASON)
+        _set_decline(f"unexpected-{type(e).__name__}: {e}")
         return None
 
 
@@ -498,33 +587,17 @@ def _try_intercept(spark, df, options, observation, indexed_tables):
     # breaks ties on it unconditionally). Any failure inside the PQ route
     # falls back to the raw IVF probe below, never to brute force.
     if metric == "l2" and pre is None:
-        sidecar = _CODES_SIDECARS.get(_normalize_path(path))
-        if sidecar is not None:
-            codes_path, codebook, id_col = sidecar
-            if tie_break is None or tie_break == id_col:
-                try:
-                    from pq_vector_spark.index.pq import ivfpq_topk
-
-                    out = ivfpq_topk(
-                        spark,
-                        path,
-                        codes_path,
-                        attr.name(),
-                        id_col,
-                        codebook,
-                        vec,
-                        k,
-                        nprobe=options.nprobe if options else 5,
-                        rerank=getattr(options, "rerank", 4) if options else 4,
-                        observation=observation,
-                    )
-                    return out.select(*df.columns)
-                except Exception as e:
-                    _LOG.info(
-                        "ivfpq route failed (%s: %s); falling back to IVF probe",
-                        type(e).__name__,
-                        e,
-                    )
+        pq_out, obs_consumed = _try_pq_route(
+            spark, df, path, attr.name(), vec, k, tie_break, options, observation
+        )
+        if pq_out is not None:
+            return pq_out
+        if obs_consumed:
+            # the single-use Observation is already bound to the failed PQ
+            # plan; the IVF fallback must run without it (re-attaching would
+            # raise REUSE_OBSERVATION and turn a route fallback into a full
+            # decline to brute force)
+            observation = None
 
     from pq_vector_spark.index.search import indexed_topk
 

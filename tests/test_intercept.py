@@ -203,3 +203,265 @@ def test_wrong_lambda_shape_declines(spark, icpt_table):
     )
     df = spark.table("icpt_vectors").orderBy(F.expr(evil)).limit(5).select("id")
     assert try_intercept_topk(spark, df) is None
+
+
+# ---------------------------------------------------------- decline telemetry
+
+
+def test_decline_reasons_for_guard_shapes(spark, icpt_table):
+    """Each non-matching shape records WHICH guard declined (≙ the
+    reference's per-node metrics philosophy — a silent fall-through to
+    brute force at 100 TB is a 20× cost surprise)."""
+    from pq_vector_spark.plans.intercept import last_decline_reason
+
+    raw = spark.sql("SELECT count(*) AS n FROM icpt_vectors")
+    assert try_intercept_topk(spark, raw) is None
+    assert last_decline_reason().startswith("root-not-global-limit")
+
+    q = (
+        "WITH c AS (SELECT id, vec FROM icpt_vectors) "
+        f"SELECT id FROM c ORDER BY array_distance(vec, {VEC}) DESC LIMIT 5"
+    )
+    raw = spark.sql(expand_vector_functions(q))
+    assert try_intercept_topk(spark, raw) is None
+    assert last_decline_reason().startswith("sort-expr-not-cosine")
+
+    spark.read.parquet(icpt_table["src"]).createOrReplaceTempView("icpt_plain2")
+    q = (
+        "WITH c AS (SELECT id, vec FROM icpt_plain2) "
+        f"SELECT id FROM c ORDER BY array_distance(vec, {VEC}), id LIMIT 5"
+    )
+    raw = spark.sql(expand_vector_functions(q))
+    assert try_intercept_topk(spark, raw) is None
+    assert last_decline_reason().startswith("path-not-indexed")
+
+    # a successful interception clears this thread's reason
+    q = (
+        "WITH c AS (SELECT id, vec FROM icpt_vectors) "
+        f"SELECT id FROM c ORDER BY array_distance(vec, {VEC}), id LIMIT 5"
+    )
+    raw = spark.sql(expand_vector_functions(q))
+    assert try_intercept_topk(spark, raw, options=VectorTopKOptions(nprobe=N_CLUSTERS)) is not None
+    assert last_decline_reason() is None
+
+
+def test_decline_reason_is_thread_local(spark, icpt_table):
+    """Two threads interleaving try_intercept_topk each read their OWN
+    outcome — the telemetry is thread-local, not a shared global."""
+    import threading
+
+    from pq_vector_spark.plans.intercept import last_decline_reason
+
+    barrier = threading.Barrier(2, timeout=60)
+    results = {}
+
+    def declining(name):
+        raw = spark.sql("SELECT count(*) AS n FROM icpt_vectors")
+        assert try_intercept_topk(spark, raw) is None
+        barrier.wait()  # other thread now runs its (successful) intercept
+        barrier.wait()
+        results[name] = last_decline_reason()
+
+    def succeeding(name):
+        barrier.wait()  # after the declining thread recorded its reason
+        q = (
+            "WITH c AS (SELECT id, vec FROM icpt_vectors) "
+            f"SELECT id FROM c ORDER BY array_distance(vec, {VEC}), id LIMIT 5"
+        )
+        raw = spark.sql(expand_vector_functions(q))
+        assert (
+            try_intercept_topk(spark, raw, options=VectorTopKOptions(nprobe=N_CLUSTERS))
+            is not None
+        )
+        results[name] = last_decline_reason()
+        barrier.wait()
+
+    t1 = threading.Thread(target=declining, args=("decliner",))
+    t2 = threading.Thread(target=succeeding, args=("succeeder",))
+    t1.start(); t2.start(); t1.join(60); t2.join(60)
+    assert results["decliner"].startswith("root-not-global-limit")
+    assert results["succeeder"] is None
+
+
+# ------------------------------------------------------------ IVF-PQ route
+
+
+@pytest.fixture()
+def icpt_sidecar(spark, icpt_table, tmp_path):
+    """PQ codes sidecar for the module's indexed layout, registered for the
+    duration of one test and ALWAYS unregistered after (other tests in this
+    module assert raw-IVF-probe behavior on the same path)."""
+    from pq_vector_spark.index.pq import encode_indexed, train_pq
+    from pq_vector_spark.plans.intercept import (
+        register_codes_sidecar,
+        unregister_codes_sidecar,
+    )
+
+    codes = str(tmp_path / "codes")
+    emb = spark.read.parquet(icpt_table["src"])
+    cb = train_pq(emb, "vec", m=4, nbits=8, seed=42)
+    encode_indexed(spark, icpt_table["out"], codes, "vec", "id", cb)
+    register_codes_sidecar(icpt_table["out"], codes, cb, id_col="id")
+    yield {"codes": codes, "codebook": cb}
+    unregister_codes_sidecar(icpt_table["out"])
+
+
+def test_sidecar_pq_route_fires_and_is_exact(spark, icpt_table, icpt_sidecar):
+    """With a registered codes sidecar the interceptor routes through the
+    IVF-PQ plan (codes scan visible in the optimized plan) and — at
+    nprobe = n_clusters — stays EXACT: the structural envelope bumps rerank
+    to cover the candidate set (never trades exactness without being asked,
+    ≙ physical.rs:161-168; session default rerank=4 would drop true
+    neighbors otherwise)."""
+    q = (
+        "WITH c AS (SELECT id, vec FROM icpt_vectors) "
+        f"SELECT id FROM c ORDER BY array_distance(vec, {VEC}), id LIMIT 10"
+    )
+    raw = spark.sql(expand_vector_functions(q))
+    obs = Observation("icpt_pq_route")
+    hit = try_intercept_topk(
+        spark, raw, options=VectorTopKOptions(nprobe=N_CLUSTERS), observation=obs
+    )
+    assert hit is not None
+    plan = hit._jdf.queryExecution().optimizedPlan().toString()
+    assert "pq_codes" in plan  # proof: the codes table is scanned
+    assert [r["id"] for r in hit.collect()] == _brute(spark, q)
+    assert obs.get["candidate_rows"] == N_ROWS  # all clusters probed → all codes
+
+
+def test_sidecar_pq_route_prunes_at_low_nprobe(spark, icpt_table, icpt_sidecar):
+    """Production point: nprobe < n_clusters ADC-scans only the surviving
+    clusters' code rows (both pruning axes at once)."""
+    q = (
+        "WITH c AS (SELECT id, vec FROM icpt_vectors) "
+        f"SELECT id FROM c ORDER BY array_distance(vec, {VEC}), id LIMIT 5"
+    )
+    raw = spark.sql(expand_vector_functions(q))
+    obs = Observation("icpt_pq_prune")
+    hit = try_intercept_topk(
+        spark, raw, options=VectorTopKOptions(nprobe=2), observation=obs
+    )
+    assert hit is not None
+    assert len(hit.collect()) == 5
+    assert 0 < obs.get["candidate_rows"] < N_ROWS
+
+
+def test_sidecar_cluster_projection_declines_cleanly(
+    spark, icpt_table, icpt_sidecar
+):
+    """A query projecting the cluster column can be served by NEITHER route
+    (both drop it); the pre-attach validation rejects the PQ route before
+    the single-use observation could be bound to a doomed plan, and the
+    whole interception declines to the (correct) brute-force plan with a
+    recorded reason."""
+    from pq_vector_spark.index.build import CLUSTER_COL
+    from pq_vector_spark.plans.intercept import last_decline_reason
+
+    dist = _FN_EXPANSIONS["array_distance"].format(a="vec", b=VEC)
+    df = (
+        spark.read.parquet(icpt_table["out"])
+        .orderBy(F.expr(dist), F.col("id"))
+        .limit(5)
+        .select("id", CLUSTER_COL)
+    )
+    hit = try_intercept_topk(spark, df, options=VectorTopKOptions(nprobe=N_CLUSTERS))
+    assert hit is None
+    assert last_decline_reason() is not None
+
+
+def test_sidecar_bad_codes_path_falls_back_to_ivf(spark, icpt_table, tmp_path):
+    """A sidecar whose codes table has vanished fails BEFORE the
+    observation attaches; the fallback raw IVF probe serves the query with
+    the observation intact."""
+    from pq_vector_spark.plans.intercept import (
+        register_codes_sidecar,
+        unregister_codes_sidecar,
+    )
+    from pq_vector_spark.index.pq import train_pq
+
+    cb = train_pq(spark.read.parquet(icpt_table["src"]), "vec", m=4, nbits=8, seed=42)
+    register_codes_sidecar(
+        icpt_table["out"], str(tmp_path / "nope"), cb, id_col="id"
+    )
+    try:
+        q = (
+            "WITH c AS (SELECT id, vec FROM icpt_vectors) "
+            f"SELECT id FROM c ORDER BY array_distance(vec, {VEC}), id LIMIT 5"
+        )
+        raw = spark.sql(expand_vector_functions(q))
+        obs = Observation("icpt_pq_badpath")
+        hit = try_intercept_topk(
+            spark, raw, options=VectorTopKOptions(nprobe=N_CLUSTERS), observation=obs
+        )
+        assert hit is not None
+        plan = hit._jdf.queryExecution().optimizedPlan().toString()
+        assert "pq_codes" not in plan
+        assert [r["id"] for r in hit.collect()] == _brute(spark, q)
+        assert obs.get["candidate_rows"] > 0  # observation rode the IVF plan
+    finally:
+        unregister_codes_sidecar(icpt_table["out"])
+
+
+def test_sidecar_post_attach_failure_falls_back_without_observation(
+    spark, icpt_table, icpt_sidecar, tmp_path
+):
+    """A PQ route failing AFTER the single-use observation attached (codes
+    table whose id column doesn't match the registration) must fall back to
+    the raw IVF probe WITHOUT re-attaching the consumed observation —
+    re-attaching would raise REUSE_OBSERVATION and turn a route fallback
+    into a full decline to brute force (the ADVICE r7 hazard)."""
+    from pyspark.sql import functions as SF
+
+    from pq_vector_spark.plans.intercept import (
+        register_codes_sidecar,
+        unregister_codes_sidecar,
+    )
+
+    broken = str(tmp_path / "broken_codes")
+    spark.read.parquet(icpt_sidecar["codes"]).withColumnRenamed(
+        "id", "wrong_id"
+    ).write.mode("overwrite").parquet(broken)
+    register_codes_sidecar(
+        icpt_table["out"], broken, icpt_sidecar["codebook"], id_col="id"
+    )
+    try:
+        q = (
+            "WITH c AS (SELECT id, vec FROM icpt_vectors) "
+            f"SELECT id FROM c ORDER BY array_distance(vec, {VEC}), id LIMIT 5"
+        )
+        raw = spark.sql(expand_vector_functions(q))
+        obs = Observation("icpt_pq_postattach")
+        hit = try_intercept_topk(
+            spark, raw, options=VectorTopKOptions(nprobe=N_CLUSTERS), observation=obs
+        )
+        assert hit is not None  # fell back to IVF, did NOT decline
+        plan = hit._jdf.queryExecution().optimizedPlan().toString()
+        assert "pq_codes" not in plan
+        assert [r["id"] for r in hit.collect()] == _brute(spark, q)
+    finally:
+        unregister_codes_sidecar(icpt_table["out"])
+        # re-register the good sidecar so the icpt_sidecar fixture teardown
+        # (which unregisters the same path) stays a no-op double-pop
+        register_codes_sidecar(
+            icpt_table["out"],
+            icpt_sidecar["codes"],
+            icpt_sidecar["codebook"],
+            id_col="id",
+        )
+
+
+def test_sidecar_skipped_on_pre_filter(spark, icpt_table, icpt_sidecar):
+    """A payload pre-filter can't push into the codes scan — the PQ route
+    must decline and the filtered IVF probe answer exactly."""
+    q = (
+        "WITH c AS (SELECT id, vec FROM icpt_vectors WHERE id >= 100) "
+        f"SELECT id FROM c ORDER BY array_distance(vec, {VEC}), id LIMIT 5"
+    )
+    raw = spark.sql(expand_vector_functions(q))
+    hit = try_intercept_topk(spark, raw, options=VectorTopKOptions(nprobe=N_CLUSTERS))
+    assert hit is not None
+    plan = hit._jdf.queryExecution().optimizedPlan().toString()
+    assert "pq_codes" not in plan
+    got = [r["id"] for r in hit.collect()]
+    assert got == _brute(spark, q)
+    assert all(i >= 100 for i in got)
