@@ -743,6 +743,55 @@ def _knn_auto_cosine(spark, sf_dir):
     return out
 
 
+def _knn_auto_pq(spark, sf_dir):
+    """Automatic IVF-PQ interception: with a PQ codes sidecar registered
+    for the indexed layout, the SAME CTE query knn_auto runs is routed
+    through the doubly-pruned IVF-PQ plan (cluster prune × m-byte ADC scan
+    × exact re-rank) with no query change — the engine picks the cheapest
+    plan, ≙ the reference's physical rule being its SQL users' only entry
+    point (src/df_vector/physical.rs:20-229). nprobe = n_clusters engages
+    the STRUCTURAL exactness envelope (plans/intercept.py bumps rerank to
+    cover the candidate set), so the answer equals brute force. The plan
+    asserts prove both that interception fired (CollectMetrics) and that
+    the codes table — not the raw IVF probe — was scanned (pq_codes)."""
+    from pyspark.sql import Observation
+
+    from pq_vector_spark.index.pq import train_pq
+    from pq_vector_spark.plans.intercept import (
+        register_codes_sidecar,
+        unregister_codes_sidecar,
+    )
+    from pq_vector_spark.plans.sql import pq_sql, register_indexed_table
+    from pq_vector_spark.session import VectorTopKOptions
+
+    path = _indexed_path(spark, sf_dir)
+    cb = train_pq(_emb(spark, sf_dir), "embedding", m=8, nbits=8, seed=42)
+    codes = _codes_path(spark, sf_dir, cb)
+    register_indexed_table(spark, "emb_auto_pq", path)
+    register_codes_sidecar(path, codes, cb, id_col="vec_id")
+    try:
+        q = _qvec(spark, sf_dir, 0)
+        vec = ", ".join(repr(float(x)) for x in q)
+        sql = (
+            "WITH c AS (SELECT vec_id, embedding FROM emb_auto_pq) "
+            f"SELECT vec_id FROM c "
+            f"ORDER BY array_distance(embedding, array({vec})), vec_id LIMIT {K}"
+        )
+        obs = Observation()
+        out = pq_sql(
+            spark, sql, options=VectorTopKOptions(nprobe=IVF_CLUSTERS), observation=obs
+        )
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "CollectMetrics" in plan, "knn_auto_pq: plan interception did not fire"
+        assert "pq_codes" in plan, "knn_auto_pq: codes sidecar route did not fire"
+        return out
+    finally:
+        # never leave the sidecar registered for other queries in this
+        # process (knn_auto must keep exercising the raw IVF route); the
+        # returned DataFrame's plan is already built and unaffected
+        unregister_codes_sidecar(path)
+
+
 def _events_stream_windowed(spark, sf_dir):
     """True Structured Streaming run (readStream → watermark → window →
     memory sink, availableNow trigger) over the same events table; must
@@ -911,6 +960,34 @@ def _events_range_join(spark, sf_dir):
         j.groupBy("event_id")
         .agg(F.count("prior_id").cast("bigint").alias("n_prior"))
         .orderBy("event_id")
+    )
+
+
+def _events_range_join_left(spark, sf_dir):
+    """LEFT-mode banded range join (r7 eqNullSafe regression row): the left
+    side carries a NULLABLE payload column, so a column-list anti-join in
+    the null-padding branch would fail NULL <> NULL and emit matched rows
+    TWICE (operators/rangejoin.py:95-118). Output is the un-aggregated pair
+    list — any duplicated left row changes the row count vs the oracle's
+    plain LEFT JOIN."""
+    from pq_vector_spark.operators.rangejoin import range_join
+
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("value") > 50, F.round("value", 2)).alias("big_val"),
+    )
+    prior = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("ts2"), F.col("event_id").alias("prior_id")
+    )
+    j = range_join(
+        purchases, prior, "user_id", "ts", "ts2", -3600.0, 0.0, how="left"
+    )
+    return j.select("event_id", "big_val", "prior_id").orderBy(
+        "event_id", "prior_id"
     )
 
 
@@ -1765,10 +1842,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- vector top-k (core reference surface) --
         "knn_exact": _knn_exact,
         "knn_ivf_exact": _knn_ivf_exact,
-        "knn_quantized": _knn_quantized,
-        "knn_pq": _knn_pq,
         "knn_ivfpq": _knn_ivfpq,
         "knn_auto": _knn_auto,
+        "knn_auto_pq": _knn_auto_pq,
         # -- similarity family --
         "ann_cosine": _ann_cosine,
         "similarity_join": _similarity_join,
@@ -1776,24 +1852,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf": _hybrid_rrf,
         "embedding_centroids": _embedding_centroids,
         "embedding_outliers": _embedding_outliers,
+        "embedding_norms": _embedding_norms,
         "corpus_drift": _corpus_drift,
         # -- dedup family --
         "dedup_exact": _dedup_exact,
         "dedup_jaccard": _dedup_jaccard,
         "dedup_resolve": _dedup_resolve,
         "dedup_minhash": _dedup_minhash,
-        "dedup_simhash": _dedup_simhash,
         "dedup_embedding": _dedup_embedding,
         "dedup_embedding_bucketed": _dedup_embedding_bucketed,
         "dedup_incremental": _dedup_incremental,
+        "dedup_rates": _dedup_rates,
         # -- multimodal family --
         "multimodal_features": _multimodal_features,
-        "multimodal_frames": _multimodal_frames,
         # -- sampling / PII / packing / merge (training-pipeline curation) --
         "sample_hash": _sample_hash,
-        "sample_mix": _sample_mix,
         "sample_stratified": _sample_stratified,
-        "sample_importance": _sample_importance,
         "text_pii": _text_pii,
         "text_decontaminate": _text_decontaminate,
         "pipeline_curate": _pipeline_curate,
@@ -1808,23 +1882,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_sessions": _events_stream_sessions,
         "events_asof": _events_asof,
         "events_range_join": _events_range_join,
+        "events_range_join_left": _events_range_join_left,
         "events_funnel": _events_funnel,
         "events_retention": _events_retention,
         "events_scd_enriched": _events_scd_enriched,
         "events_stream_join": _events_stream_join,
         "events_stream_stats": _events_stream_stats,
+        "events_abtest": _events_abtest,
+        "events_transitions": _events_transitions,
+        "events_trending": _events_trending,
         # -- text family --
         "text_quality": _text_quality,
         "text_score_normalize": _text_score_normalize,
         "text_chunks": _text_chunks,
         "quality_checks": _quality_checks,
+        "quality_profile": _quality_profile,
+        "text_lang_confusion": _text_lang_confusion,
         "text_tokens_bpe": _text_tokens_bpe,
-        "text_winnow": _text_winnow,
-        "text_logprob": _text_logprob,
-        "text_repetition": _text_repetition,
         # ---- 50-row budget cutoff: tail variants below were driver-green in
         # r5 (CORRECTNESS_r05.json) and their code is unchanged; rotate any
         # of them back above this line whenever their implementation changes.
+        "knn_quantized": _knn_quantized,
+        "knn_pq": _knn_pq,
+        "dedup_simhash": _dedup_simhash,
+        "multimodal_frames": _multimodal_frames,
+        "sample_importance": _sample_importance,
+        "sample_mix": _sample_mix,
+        "text_logprob": _text_logprob,
+        "text_repetition": _text_repetition,
+        "text_winnow": _text_winnow,
         "knn_sql": _knn_sql,
         "knn_batch": _knn_batch,
         "knn_filtered": _knn_filtered,
@@ -1864,16 +1950,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_correlated": _rel_correlated,
         "rel_rollup": _rel_rollup,
         "rel_setops": _rel_setops,
-        # new this round, tail-declared (no budget slot free without
-        # displacing a sentinel): locally oracle-verified; rotates into
-        # the budget next round per the rotation contract above
-        "events_abtest": _events_abtest,
-        "events_transitions": _events_transitions,
-        "embedding_norms": _embedding_norms,
-        "events_trending": _events_trending,
-        "dedup_rates": _dedup_rates,
-        "text_lang_confusion": _text_lang_confusion,
-        "quality_profile": _quality_profile,
     }
 
 
@@ -2131,6 +2207,12 @@ def oracle_sql() -> dict[str, str]:
         "knn_auto": f"""
             SELECT vec_id FROM embeddings WHERE vec_id >= 0
             ORDER BY {_dist("embedding", qlit)}, vec_id LIMIT {K}""",
+        # knn_auto_pq: sidecar-routed IVF-PQ interception in the structural
+        # exactness envelope (nprobe = n_clusters ⇒ rerank bumped to cover
+        # the candidate set) ⇒ exactly the brute-force answer
+        "knn_auto_pq": f"""
+            SELECT vec_id FROM embeddings
+            ORDER BY {_dist("embedding", qlit)}, vec_id LIMIT {K}""",
         # knn_auto_cosine probes all clusters ⇒ exactly the brute-force
         # cosine top-k (same row set as ann_cosine's oracle, ids only)
         "knn_auto_cosine": f"""
@@ -2316,6 +2398,21 @@ def oracle_sql() -> dict[str, str]:
              AND epoch_us(v.ts) >= epoch_us(p.ts) - 86400000000
              AND epoch_us(v.ts) < epoch_us(p.ts)
             GROUP BY p.event_id ORDER BY p.event_id""",
+        # LEFT-mode range join, un-aggregated: a NULL-bearing matched left
+        # row must appear exactly once (the eqNullSafe anti-join fix) — a
+        # duplicate changes the row count vs this plain LEFT JOIN
+        "events_range_join_left": """
+            WITH p AS (SELECT event_id, user_id, ts,
+                         CASE WHEN value > 50 THEN round(value, 2) END AS big_val
+                       FROM events WHERE event_type = 'purchase'),
+                 c AS (SELECT user_id, ts AS ts2, event_id AS prior_id
+                       FROM events WHERE event_type = 'click')
+            SELECT p.event_id, p.big_val, c.prior_id
+            FROM p LEFT JOIN c
+              ON p.user_id = c.user_id
+             AND epoch_us(c.ts2) >= epoch_us(p.ts) - 3600000000
+             AND epoch_us(c.ts2) < epoch_us(p.ts)
+            ORDER BY p.event_id, c.prior_id""",
         # z-order rewrite content-preservation gate: the Spark side queries
         # the REWRITTEN copy, the oracle queries the original files
         "layout_zorder": """
