@@ -82,6 +82,11 @@ def merge_upsert(
     ``changes.limit(broadcast_max_rows + 1).count()`` stops scanning at the
     cap and upper-bounds the distinct key count without running the
     winner window twice. Pass True/False to force either join strategy.
+    HOT-LOOP callers (a foreachBatch applying delta-sized micro-batches)
+    should pin ``broadcast=True`` — the probe is an extra job per call,
+    and a micro-batch is broadcastable by construction
+    (tests/test_merge.py::test_forced_broadcast_skips_probe_job asserts
+    the pinned path launches zero jobs at plan construction).
     """
     key_cols = list(key_cols)
     missing = [c for c in key_cols + [version_col, op_col] if c not in changes.columns]

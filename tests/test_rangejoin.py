@@ -111,3 +111,30 @@ def test_hot_key_spreads_buckets(spark):
     )
     n_buckets = l_exploded.select(_BUCKET).distinct().count()
     assert n_buckets > 10
+
+
+def test_left_null_payload_matched_row_emitted_once(spark):
+    """r7 regression: a MATCHED left row carrying a NULL non-key value must
+    appear exactly once. The null-padding branch derives unmatched rows via
+    an anti-join on the matched left rows; a plain column-list anti-join
+    treats NULL <> NULL, fails the match, and emits the row AGAIN with NULL
+    right columns — the eqNullSafe anti-join prevents the duplicate."""
+    base = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [
+            (1, base, 10, None),          # matched, NULL payload — the hazard
+            (1, base, 11, 5.0),           # matched, non-NULL payload
+            (2, base + dt.timedelta(hours=9), 12, None),  # unmatched, NULL
+        ],
+        "k: bigint, lts: timestamp, lid: bigint, payload: double",
+    )
+    right = spark.createDataFrame(
+        [(1, base + dt.timedelta(seconds=30), 20)],
+        "k: bigint, rts: timestamp, rid: bigint",
+    )
+    out = range_join(left, right, "k", "lts", "rts", 0.0, 60.0, how="left").collect()
+    by_lid = {}
+    for r in out:
+        by_lid.setdefault(r["lid"], []).append(r["rid"])
+    assert by_lid == {10: [20], 11: [20], 12: [None]}
+    assert len(out) == 3  # no duplicate for the NULL-payload matched row
