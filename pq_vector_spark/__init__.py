@@ -23,6 +23,7 @@ from pq_vector_spark.operators.topk import topk, brute_force_topk
 from pq_vector_spark.operators.similarity import ivf_maxsim_topk, maxsim_topk
 from pq_vector_spark.index.build import (
     append_to_index,
+    auto_rebuild_if_stale,
     build_index,
     has_index,
     index_health,
@@ -110,6 +111,7 @@ __all__ = [
     "maxsim_topk",
     "ivf_maxsim_topk",
     "append_to_index",
+    "auto_rebuild_if_stale",
     "build_index",
     "has_index",
     "index_health",

@@ -672,3 +672,82 @@ def index_health(spark: SparkSession, indexed_path: str, *, stale_threshold: flo
         "n_files": int(idx.meta.get("n_files", 0)),
         "stale": frac >= stale_threshold,
     }
+
+
+def _swap_dirs(spark: SparkSession, live: str, fresh: str) -> None:
+    """Atomically-ish replace directory ``live`` with ``fresh`` (local:
+    os.rename; other filesystems: Hadoop FileSystem.rename). The old layout
+    is moved aside first and deleted only after the new one is in place, so
+    a crash leaves either the old or the new complete layout on disk."""
+    import shutil
+
+    live = live.rstrip("/")
+    retired = live + ".retired"
+    if "://" not in live:
+        if os.path.exists(retired):
+            shutil.rmtree(retired)
+        os.rename(live, retired)
+        os.rename(fresh, live)
+        shutil.rmtree(retired)
+        return
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(live)
+    fs = p.getFileSystem(conf)
+    rp = jvm.org.apache.hadoop.fs.Path(retired)
+    if fs.exists(rp):
+        fs.delete(rp, True)
+    fs.rename(p, rp)
+    fs.rename(jvm.org.apache.hadoop.fs.Path(fresh), p)
+    fs.delete(rp, True)
+
+
+def auto_rebuild_if_stale(
+    spark: SparkSession,
+    indexed_path: str,
+    *,
+    stale_threshold: float = 0.2,
+    options: Optional[IndexBuildOptions] = None,
+) -> dict:
+    """Consume ``index_health``: when appended mass (rows the trained
+    quantizer never saw — ``append_to_index`` reuses the original
+    centroids) pushes staleness past ``stale_threshold``, retrain over the
+    FULL current table and swap in the fresh cluster-sorted layout +
+    sidecar. The reference accepts the same recall drift silently
+    (src/ivf/index.rs:189-206); this is the operator loop that closes it.
+
+    Mechanics: ``build_index`` reads the live layout itself (the stale
+    cluster column is simply re-assigned), writes the fresh layout to
+    ``<path>.rebuild``, then the directories swap — readers in flight keep
+    their already-opened files; new readers see the fresh layout. Default
+    ``n_clusters`` re-derives as ceil(sqrt(total rows)), so a table that
+    grew 10× also gets a proportionally deeper quantizer.
+
+    If a PQ codes sidecar is registered for this layout
+    (``plans/intercept.register_codes_sidecar``), it is re-encoded against
+    the fresh cluster assignment with its existing codebook — otherwise the
+    codes table's cluster ids would silently mismatch the new layout.
+
+    Returns ``{"rebuilt": bool, "health": <pre-check>, "meta": <new meta
+    or None>}``. Zero Spark jobs when healthy (the health probe is
+    sidecar-only).
+    """
+    health = index_health(spark, indexed_path, stale_threshold=stale_threshold)
+    if not health["stale"]:
+        return {"rebuilt": False, "health": health, "meta": None}
+    from pq_vector_spark.index.search import load_index
+
+    column = load_index(spark, indexed_path).meta["column"]
+    fresh = indexed_path.rstrip("/") + ".rebuild"
+    meta = build_index(spark, indexed_path, fresh, column=column, options=options)
+    _swap_dirs(spark, indexed_path, fresh)
+
+    from pq_vector_spark.plans import intercept as _icpt
+
+    sidecar = _icpt._CODES_SIDECARS.get(_icpt._normalize_path(indexed_path))
+    if sidecar is not None:
+        from pq_vector_spark.index.pq import encode_indexed
+
+        codes_path, codebook, id_col = sidecar
+        encode_indexed(spark, indexed_path, codes_path, column, id_col, codebook)
+    return {"rebuilt": True, "health": health, "meta": meta}

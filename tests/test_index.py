@@ -564,3 +564,103 @@ def test_index_health_probe(spark, tmp_path):
     assert h1["row_count"] == 130 and h1["appended_rows"] == 30
     assert h1["stale"]  # 30/130 ≈ 0.23 ≥ 0.2
     assert not index_health(spark, idx, stale_threshold=0.5)["stale"]
+
+
+def test_auto_rebuild_if_stale(spark, tmp_path):
+    """The staleness loop closes (r6 ask #7): heavy appends push
+    index_health past the threshold, auto_rebuild_if_stale retrains over
+    the FULL table + swaps the layout, the sidecar reads fresh
+    (appended_rows back to 0), and recall at nprobe = n_clusters is 1.0
+    over old AND appended rows."""
+    from pq_vector_spark.index.build import auto_rebuild_if_stale, index_health
+    from pq_vector_spark.index.build import append_to_index
+
+    src = str(tmp_path / "src.parquet")
+    out = str(tmp_path / "indexed")
+    rng = np.random.default_rng(7)
+    rows = [(int(i), [float(x) for x in rng.random(8, dtype=np.float32)]) for i in range(300)]
+    spark.createDataFrame(rows, "id INT, vec ARRAY<FLOAT>").write.parquet(src)
+    build_index(spark, src, out, column="vec", options=IndexBuildOptions(n_clusters=8))
+
+    # healthy table: zero-job no-op
+    res = auto_rebuild_if_stale(spark, out)
+    assert res["rebuilt"] is False and res["health"]["stale"] is False
+
+    appended = [
+        (int(300 + i), [float(x) for x in rng.random(8, dtype=np.float32)])
+        for i in range(200)
+    ]
+    append_to_index(
+        spark, spark.createDataFrame(appended, "id INT, vec ARRAY<FLOAT>"), out
+    )
+    assert index_health(spark, out)["stale"] is True  # 200/500 = 0.4 >= 0.2
+
+    res = auto_rebuild_if_stale(spark, out)
+    assert res["rebuilt"] is True
+    h = index_health(spark, out)
+    assert h["stale"] is False and h["appended_rows"] == 0
+    assert h["row_count"] == 500
+    # n_clusters re-derived for the grown table: ceil(sqrt(500)) = 23
+    assert h["n_clusters"] == 23
+
+    # recall over the merged table returns to exactly brute force
+    q = [float(x) for x in rng.random(8)]
+    nc = h["n_clusters"]
+    got = [
+        r["id"]
+        for r in indexed_topk(
+            spark, out, q, 20, options=VectorTopKOptions(nprobe=nc), tie_break="id"
+        ).collect()
+    ]
+    full = spark.read.parquet(out).drop(CLUSTER_COL)
+    want = [
+        r["id"]
+        for r in brute_force_topk(full, "vec", q, 20, tie_break="id").collect()
+    ]
+    assert got == want
+
+
+def test_auto_rebuild_refreshes_codes_sidecar(spark, tmp_path):
+    """A registered PQ codes sidecar is re-encoded against the fresh
+    cluster assignment — otherwise its cluster ids silently mismatch the
+    rebuilt layout and the interception route would prune wrongly."""
+    from pq_vector_spark.index.build import append_to_index, auto_rebuild_if_stale
+    from pq_vector_spark.index.pq import encode_indexed, train_pq
+    from pq_vector_spark.plans.intercept import (
+        register_codes_sidecar,
+        unregister_codes_sidecar,
+    )
+
+    src = str(tmp_path / "src.parquet")
+    out = str(tmp_path / "indexed")
+    codes = str(tmp_path / "codes")
+    rng = np.random.default_rng(8)
+    rows = [(int(i), [float(x) for x in rng.random(8, dtype=np.float32)]) for i in range(300)]
+    spark.createDataFrame(rows, "id INT, vec ARRAY<FLOAT>").write.parquet(src)
+    build_index(spark, src, out, column="vec", options=IndexBuildOptions(n_clusters=8))
+    cb = train_pq(spark.read.parquet(src), "vec", m=4, nbits=8, seed=42)
+    encode_indexed(spark, out, codes, "vec", "id", cb)
+    register_codes_sidecar(out, codes, cb, id_col="id")
+    try:
+        appended = [
+            (int(300 + i), [float(x) for x in rng.random(8, dtype=np.float32)])
+            for i in range(200)
+        ]
+        append_to_index(
+            spark, spark.createDataFrame(appended, "id INT, vec ARRAY<FLOAT>"), out
+        )
+        res = auto_rebuild_if_stale(spark, out)
+        assert res["rebuilt"] is True
+        codes_df = spark.read.parquet(codes)
+        assert codes_df.count() == 500  # appended rows now encoded too
+        # codes table cluster ids agree with the REBUILT layout row-by-row
+        fresh = spark.read.parquet(out).select("id", F.col(CLUSTER_COL).alias("c2"))
+        mism = (
+            codes_df.select("id", CLUSTER_COL)
+            .join(fresh, "id")
+            .filter(F.col(CLUSTER_COL) != F.col("c2"))
+            .count()
+        )
+        assert mism == 0
+    finally:
+        unregister_codes_sidecar(out)
