@@ -240,14 +240,31 @@ def main() -> None:
     }
     # Scale sections as their own lines (see module docstring: the driver
     # tail-parses the LAST line, which must stay bounded-size forever).
-    for name, section in (
-        ("scale", scale),
-        ("scale_dedup", scale_dedup),
-        ("scale_asof", scale_asof),
-        ("scale_maxsim", scale_maxsim),
-    ):
-        if section is not None:
-            print(json.dumps({"section": name, **section}), flush=True)
+    # The driver's tail buffer keeps only the END of stdout, so sections
+    # print in INCREASING importance: `scale` (the reference-mirroring
+    # indexed-vs-brute table BASELINE.md asks for) is the last section line
+    # before the headline. All sections are also dumped to
+    # BENCH_sections.json so none is ever lost to the buffer.
+    sections = {
+        name: section
+        for name, section in (
+            ("scale_dedup", scale_dedup),
+            ("scale_asof", scale_asof),
+            ("scale_maxsim", scale_maxsim),
+            ("scale", scale),
+        )
+        if section is not None
+    }
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_sections.json"),
+            "w",
+        ) as f:
+            json.dump({"headline": out, "sections": sections}, f, indent=1)
+    except OSError:
+        pass  # a read-only checkout still gets the stdout lines
+    for name, section in sections.items():
+        print(json.dumps({"section": name, **section}), flush=True)
     print(json.dumps(out), flush=True)
 
 
@@ -897,7 +914,7 @@ def _maxsim_scale_bench(spark) -> dict:
     _ivf()
     t0 = time.time(); got = _ivf(); ivf_sec = round(time.time() - t0, 3)
     bags.unpersist()
-    return {
+    out = {
         "rows": n_rows,
         "vectors_per_doc": m,
         "sub_dim": sub,
@@ -905,6 +922,127 @@ def _maxsim_scale_bench(spark) -> dict:
         "ivf_sec": ivf_sec,
         "speedup": round(brute_sec / ivf_sec, 2) if ivf_sec else None,
         "recall_at_100": round(len(set(got) & set(truth)) / k, 4),
+    }
+    out.update(_maxsim_deep_block(spark))
+    return out
+
+
+def _maxsim_deep_block(spark) -> dict:
+    """MaxSim at PRODUCTION bag shape — ColBERT reality is 32-128 token
+    vectors at dim 128, not the 8×32 shallow slice above. Pooled-vector
+    pruning risk grows with bag depth (a multi-topic document pools to a
+    centroid unlike any single token vector), so the recall claim must be
+    measured here, not extrapolated. 100k docs × 32 vectors × dim 128
+    (seeded 100k×4096 fixture sliced per token)."""
+    from pyspark.sql import functions as F
+
+    from pq_vector_spark.index.build import build_index
+    from pq_vector_spark.operators.similarity import ivf_maxsim_topk, maxsim_topk
+    from pq_vector_spark.session import IndexBuildOptions
+    from tools.gen_scale_embeddings import generate
+
+    n_rows, m, sub = 100_000, 32, 128
+    dim = m * sub
+    k, nprobe, candidates = 100, 16, 1000
+    # chunk = row-group size: 4000 rows × 4096 f32 ≈ 65 MB per row group —
+    # the default 100k chunk would write ONE 1.6 GB row group, which Spark
+    # cannot split, serializing every pass onto a single task
+    src = generate(n_rows, dim, chunk=4000)
+    cache_dir = os.path.dirname(src)
+
+    # 4096-float arrays at the default 4096-row columnar batch are ~67 MB
+    # per in-flight task batch — 32 concurrent tasks exhaust the local 8g
+    # heap. 512-row batches keep the same scan shape at 1/8 the footprint.
+    prev_batch = spark.conf.get("spark.sql.parquet.columnarReaderBatchSize", None)
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "512")
+
+    emb = spark.read.parquet(src)
+    # no .cache(): 100k x 4096 doubles (~3+ GB serialized) would pressure
+    # the 8g local heap; the parquet file sits in the OS page cache instead
+    bags = emb.select(
+        "vec_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda i: F.slice(F.col("embedding"), i * sub + 1, sub),
+        ).alias("bag"),
+    )
+
+    pooled_idx = os.path.join(cache_dir, f"maxsim_pooled_idx_{n_rows}x{dim}_m{m}")
+    if not os.path.exists(os.path.join(pooled_idx, "_pq_index")):
+        pooled_src = os.path.join(cache_dir, f"maxsim_pooled_{n_rows}x{dim}_m{m}.parquet")
+        if not os.path.exists(pooled_src):
+            emb.select(
+                "vec_id",
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(sub - 1)),
+                    lambda j: F.aggregate(
+                        F.sequence(F.lit(0), F.lit(m - 1)),
+                        F.lit(0.0),
+                        lambda acc, i: acc
+                        + F.col("embedding")[i * sub + j].cast("double"),
+                    )
+                    / F.lit(float(m)),
+                ).alias("pooled"),
+            ).write.mode("overwrite").parquet(pooled_src)
+        build_index(
+            spark, pooled_src, pooled_idx, column="pooled",
+            options=IndexBuildOptions(n_clusters=100),
+        )
+
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    qbag = [list(qrow[i * sub : (i + 1) * sub]) for i in range(m)]
+
+    # ONE timed brute pass (it IS the truth set; at this shape a warmup
+    # would double a ~100 s full-corpus late-interaction scan). The fixture
+    # and query are seeded, so the truth set is deterministic — cache it
+    # (with its measured latency) so subsequent bench runs pay only the
+    # pruned path; delete the cache file to re-measure brute.
+    truth_cache = os.path.join(
+        cache_dir, f"maxsim_deep_truth_{n_rows}x{dim}_m{m}_k{k}.json"
+    )
+    if os.path.exists(truth_cache):
+        with open(truth_cache) as f:
+            cached = json.load(f)
+        truth, brute_sec = cached["ids"], cached["brute_sec"]
+    else:
+        t0 = time.time()
+        truth = [
+            r["vec_id"]
+            for r in maxsim_topk(bags, "bag", qbag, k, id_col="vec_id")
+            .select("vec_id")
+            .collect()
+        ]
+        brute_sec = round(time.time() - t0, 3)
+        with open(truth_cache, "w") as f:
+            json.dump({"ids": truth, "brute_sec": brute_sec}, f)
+
+    def _ivf():
+        return [
+            r["vec_id"]
+            for r in ivf_maxsim_topk(
+                spark, pooled_idx, bags, "bag", "vec_id", qbag, k,
+                nprobe=nprobe, candidates=candidates,
+            )
+            .select("vec_id")
+            .collect()
+        ]
+
+    _ivf()
+    t0 = time.time(); got = _ivf(); ivf_sec = round(time.time() - t0, 3)
+    if prev_batch is not None:
+        spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", prev_batch)
+    else:
+        spark.conf.unset("spark.sql.parquet.columnarReaderBatchSize")
+    return {
+        "deep_rows": n_rows,
+        "deep_vectors_per_doc": m,
+        "deep_sub_dim": sub,
+        "deep_nprobe": nprobe,
+        "deep_candidates": candidates,
+        "deep_brute_sec": brute_sec,
+        "deep_ivf_sec": ivf_sec,
+        "deep_speedup": round(brute_sec / ivf_sec, 2) if ivf_sec else None,
+        "deep_recall_at_100": round(len(set(got) & set(truth)) / k, 4),
     }
 
 
