@@ -1316,6 +1316,48 @@ def _text_pii(spark, sf_dir):
     )
 
 
+def _sample_temperature(spark, sf_dir):
+    """Temperature-rebalanced language mixture (operators/sampling.py:
+    temperature_mix, the mBERT/T5/LLaMA data-mixing recipe): target
+    composition q_i ∝ n_i^0.5 flattens the 'en' head; the rarest language
+    keeps rate 1.0 (downsample-only). One bounded count aggregation, then
+    the same portable md5-bucket filter as hash_sample — the oracle
+    re-derives the per-language thresholds from its own counts."""
+    from pq_vector_spark.operators.sampling import temperature_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        temperature_mix(docs, "lang", "doc_id", alpha=0.5, salt="temp")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+# budget for select_token_budget at the oracle sf (sf0.01 total n_chars =
+# 149,174 — the cut lands mid-corpus so both the keep-whole-bucket path and
+# the exact crossing-bucket window are exercised)
+CHAR_BUDGET = 60_000
+
+
+def _sample_budget(spark, sf_dir):
+    """Token-budget curation (operators/sampling.py:select_token_budget):
+    fill a 60k-char budget with the highest-quality documents — greedy
+    prefix in (quality desc, doc_id) order, computed as a bucketed
+    histogram + driver prefix sum + exact window over ONLY the crossing
+    bucket (never a global single-partition cumulative sum)."""
+    from pq_vector_spark.functions import text as T
+    from pq_vector_spark.operators.sampling import select_token_budget
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.withColumn("quality", F.round(T.quality_score("text"), 4))
+    out = select_token_budget(
+        scored, "doc_id", "quality", "n_chars", CHAR_BUDGET, buckets=64
+    )
+    return out.select(
+        "doc_id", "quality", F.col("n_chars").cast("bigint").alias("chars")
+    ).orderBy("doc_id")
+
+
 def _sample_hash(spark, sf_dir):
     """Deterministic 10% corpus sample (operators/sampling.py:hash_sample):
     row fate = f(doc_id, salt) only — reproducible across runs, engines,
@@ -1868,6 +1910,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- sampling / PII / packing / merge (training-pipeline curation) --
         "sample_hash": _sample_hash,
         "sample_stratified": _sample_stratified,
+        "sample_temperature": _sample_temperature,
+        "sample_budget": _sample_budget,
         "text_pii": _text_pii,
         "text_decontaminate": _text_decontaminate,
         "pipeline_curate": _pipeline_curate,
@@ -1894,14 +1938,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- text family --
         "text_quality": _text_quality,
         "text_score_normalize": _text_score_normalize,
-        "text_chunks": _text_chunks,
         "quality_checks": _quality_checks,
         "quality_profile": _quality_profile,
         "text_lang_confusion": _text_lang_confusion,
-        "text_tokens_bpe": _text_tokens_bpe,
         # ---- 50-row budget cutoff: tail variants below were driver-green in
         # r5 (CORRECTNESS_r05.json) and their code is unchanged; rotate any
         # of them back above this line whenever their implementation changes.
+        "text_tokens_bpe": _text_tokens_bpe,
+        "text_chunks": _text_chunks,
         "knn_quantized": _knn_quantized,
         "knn_pq": _knn_pq,
         "dedup_simhash": _dedup_simhash,
@@ -2707,6 +2751,37 @@ def oracle_sql() -> dict[str, str]:
                       count(*) OVER (PARTITION BY doc_id) AS n
                     FROM h)
             SELECT DISTINCT doc_id, fp FROM win WHERE i <= n - 3""",
+        # temperature mixture: thresholds re-derived from the oracle's own
+        # counts (q_i ∝ sqrt(n_i), c = min n_i/q_i, rate = min(c*q_i/n_i, 1),
+        # floor(rate*1e6 + 0.5) — the integer threshold insulates the
+        # comparison from last-ulp float divergence between engines)
+        "sample_temperature": f"""
+            WITH c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n
+                       FROM documents GROUP BY lang),
+            q AS (SELECT lang, n,
+                         pow(n, 0.5) / sum(pow(n, 0.5)) OVER () AS qi FROM c),
+            s AS (SELECT min(n / qi) AS cc FROM q),
+            r AS (SELECT lang,
+                         CAST(floor(least(s.cc * qi / n, 1.0) * 1000000 + 0.5)
+                              AS BIGINT) AS thr
+                  FROM q, s)
+            SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+            WHERE {_TOKHASH.format(s="concat('temp', CAST(doc_id AS VARCHAR))")}
+                  % 1000000 < r.thr
+            ORDER BY d.doc_id""",
+        # token-budget curation ≡ the plain global greedy prefix (the Spark
+        # side's bucketed two-phase plan must reproduce it exactly)
+        "sample_budget": f"""
+            WITH toks AS (SELECT doc_id, text, n_chars, {_TOKS} AS toks
+                          FROM documents),
+            sc AS (SELECT doc_id, round({quality}, 4) AS quality, n_chars
+                   FROM toks),
+            r AS (SELECT doc_id, quality, n_chars,
+                         sum(n_chars) OVER (ORDER BY quality DESC, doc_id)
+                             AS cum
+                  FROM sc)
+            SELECT doc_id, quality, CAST(n_chars AS BIGINT) AS chars
+            FROM r WHERE cum <= {CHAR_BUDGET} ORDER BY doc_id""",
         # deterministic hash sampling ≡ the identical md5-bucket predicate
         "sample_hash": f"""
             SELECT doc_id, lang FROM documents

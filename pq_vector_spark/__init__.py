@@ -36,7 +36,7 @@ from pq_vector_spark.plans.intercept import (
     try_intercept_topk,
     unregister_codes_sidecar,
 )
-from pq_vector_spark.plans.explain import explain_vector
+from pq_vector_spark.plans.explain import explain_vector, vector_route
 from pq_vector_spark.operators.asof import asof_join
 from pq_vector_spark.operators.skew import salted_join
 from pq_vector_spark.operators.sampling import (
@@ -86,7 +86,13 @@ from pq_vector_spark.operators.normalize import quantile_normalize
 from pq_vector_spark.operators.retention import cohort_retention, event_transitions
 from pq_vector_spark.streaming.ingest import dedup_append_batch, streaming_ingest
 from pq_vector_spark.streaming.monitor import drift_metrics_batch, streaming_drift_monitor
-from pq_vector_spark.operators.sampling import importance_sample, stratified_sample
+from pq_vector_spark.operators.sampling import (
+    importance_sample,
+    select_token_budget,
+    stratified_sample,
+    temperature_mix,
+    temperature_rates,
+)
 from pq_vector_spark.functions.vector import (
     embedding_outliers,
     group_centroids,
@@ -124,6 +130,7 @@ __all__ = [
     "register_codes_sidecar",
     "unregister_codes_sidecar",
     "explain_vector",
+    "vector_route",
     "asof_join",
     "salted_join",
     "hash_sample",
@@ -175,6 +182,9 @@ __all__ = [
     "streaming_drift_monitor",
     "stratified_sample",
     "importance_sample",
+    "temperature_mix",
+    "temperature_rates",
+    "select_token_budget",
     "embedding_outliers",
     "group_centroids",
     "l2_normalize",

@@ -150,3 +150,155 @@ def importance_sample(
     # portability trade as SQ8's code rounding, functions/quantize.py)
     threshold = F.floor(clamped * F.lit(BUCKETS) + F.lit(0.5)).cast("bigint")
     return df.filter(hash_bucket(key_col, salt) < threshold)
+
+
+def temperature_rates(
+    counts: Mapping[str, int], alpha: float = 0.5
+) -> "dict[str, float]":
+    """Per-group keep rates for temperature-based mixture rebalancing.
+
+    The standard multilingual/multi-source recipe (mBERT/T5/LLaMA data
+    mixing): target composition q_i ∝ n_i^alpha, alpha < 1 flattening the
+    head so rare groups are relatively upweighted. Rates are
+    downsample-only (no upsampling — epoch repetition belongs in the data
+    loader, the ``weighted_mix`` stance): the scale c = min_i(n_i / q_i)
+    is the largest budget for which every group's target c·q_i fits inside
+    its actual n_i, which lands the SMALLEST group at rate 1.0 (rare data
+    is never thrown away) and downsamples the head toward the temperature
+    target.
+    """
+    if not counts:
+        raise ValueError("counts must name at least one group")
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    pw = {g: float(n) ** alpha for g, n in counts.items()}
+    tot = sum(pw[g] for g in sorted(pw))
+    q = {g: pw[g] / tot for g in pw}
+    c = min(counts[g] / q[g] for g in sorted(q))
+    return {g: min(c * q[g] / counts[g], 1.0) for g in counts}
+
+
+def temperature_mix(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    alpha: float = 0.5,
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-rebalanced corpus: downsample each group (language,
+    source, domain) toward the q_i ∝ n_i^alpha composition, keeping the
+    rarest group intact (``temperature_rates``). The per-row draw is the
+    same deterministic hash-bucket filter as ``hash_sample`` — fate =
+    f(key, salt, group's rate); never partitioning or run order, and the
+    DuckDB oracle replays it exactly (rates reduce to integer bucket
+    thresholds via floor(rate·BUCKETS + 0.5), insulating the comparison
+    from last-ulp float divergence between engines).
+
+    Scale shape: ONE bounded aggregation (group counts — groups ≪ rows:
+    languages, sources) collected to the driver, then a pure map-side
+    filter built as a CASE chain over the bounded group set. No shuffle of
+    the corpus, no sampling state; appends change counts (and hence rates)
+    only when the caller recomputes — pin rates by calling
+    ``temperature_rates`` once and filtering with them if append-stability
+    of the draw matters.
+    """
+    counts = {
+        r[group_col]: int(r["count"])
+        for r in df.groupBy(group_col).count().collect()
+    }
+    rates = temperature_rates(counts, alpha)
+    thresholds = {g: int((rates[g] * BUCKETS) + 0.5) for g in rates}
+    thr = None
+    for g in sorted(thresholds):
+        cond = F.col(group_col) == F.lit(g)
+        val = F.lit(thresholds[g])
+        thr = F.when(cond, val) if thr is None else thr.when(cond, val)
+    thr = thr.otherwise(F.lit(0))  # unseen group (late append): keep nothing
+    return df.filter(hash_bucket(key_col, salt) < thr)
+
+
+def select_token_budget(
+    df: DataFrame,
+    key_col: str,
+    score_col,
+    tokens_col,
+    budget: int,
+    *,
+    buckets: int = 1024,
+) -> DataFrame:
+    """Fill a token budget with the best documents: keep rows in
+    (score DESC, key ASC) order while the running total of ``tokens_col``
+    stays ≤ ``budget`` — the greedy prefix every "train on the best N
+    tokens" curation step needs.
+
+    Scale shape (two-phase exact selection): the naive form is a GLOBAL
+    ordered cumulative sum — a single-partition window over the corpus, a
+    scale-killer. Instead: phase one buckets rows by score (uniform
+    histogram over [min, max], one bounded aggregation) and prefix-sums
+    per-bucket token totals on the DRIVER (≤ ``buckets`` rows); every
+    bucket strictly above the budget-crossing bucket is kept wholesale by
+    a map-side filter. Only the CROSSING bucket's rows (≈ corpus/buckets)
+    pay the exact single-partition ordered window for the residual budget.
+    The result is IDENTICAL to the global greedy prefix: bucketing is
+    monotone in score, equal scores share a bucket, and token totals are
+    exact integer sums.
+
+    Degenerate guard: massive score ties collapse into one bucket and the
+    window widens accordingly (at the extreme — all scores equal — it
+    covers everything); score resolution, not ``buckets``, is the lever
+    there. ``tokens_col`` is cast to bigint — integer token counts keep
+    the driver prefix sums exact.
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    if buckets <= 0:
+        raise ValueError(f"buckets must be positive, got {buckets}")
+    from pyspark.sql import Window
+
+    score = F.col(score_col) if isinstance(score_col, str) else score_col
+    toks = (F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col).cast(
+        "bigint"
+    )
+    b = df.withColumn("_sb_score", score.cast("double")).withColumn("_sb_tok", toks)
+    mn, mx = b.agg(F.min("_sb_score"), F.max("_sb_score")).collect()[0]
+    if mn is None:
+        return df.filter(F.lit(False))
+    if mx == mn:
+        bucket = F.lit(0)
+        n_b = 1
+    else:
+        width = (mx - mn) / buckets
+        bucket = F.least(
+            F.floor((F.col("_sb_score") - F.lit(mn)) / F.lit(width)),
+            F.lit(buckets - 1),
+        ).cast("int")
+        n_b = buckets
+    b = b.withColumn("_sb_bucket", bucket)
+    hist = {
+        int(r["_sb_bucket"]): int(r["t"])
+        for r in b.groupBy("_sb_bucket").agg(F.sum("_sb_tok").alias("t")).collect()
+    }
+    cum = 0
+    crossing = None
+    for i in range(n_b - 1, -1, -1):
+        t = hist.get(i, 0)
+        if cum + t <= budget:
+            cum += t
+        else:
+            crossing = i
+            break
+    if crossing is None:
+        return df  # whole corpus fits the budget
+    remaining = budget - cum
+    kept_full = b.filter(F.col("_sb_bucket") > F.lit(crossing))
+    w = (
+        Window.orderBy(F.col("_sb_score").desc(), F.col(key_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    kept_edge = (
+        b.filter(F.col("_sb_bucket") == F.lit(crossing))
+        .withColumn("_sb_cum", F.sum("_sb_tok").over(w))
+        .filter(F.col("_sb_cum") <= F.lit(remaining))
+        .drop("_sb_cum")
+    )
+    return kept_full.unionByName(kept_edge).drop("_sb_score", "_sb_tok", "_sb_bucket")

@@ -227,3 +227,111 @@ def test_importance_sample_clamps_out_of_range(spark):
     df = spark.createDataFrame([(1, 7.5), (2, -3.0)], ["doc_id", "p"])
     got = {r["doc_id"] for r in importance_sample(df, "doc_id", "p").collect()}
     assert got == {1}  # >1 clamps to always-keep, <0 to never
+
+
+# ------------------------------------------------- temperature mixing ----
+
+
+def test_temperature_rates_hand_computed():
+    from pq_vector_spark.operators.sampling import temperature_rates
+
+    # counts 100/25, alpha=0.5: pw 10/5, q 2/3 / 1/3,
+    # c = min(100/(2/3)=150, 25/(1/3)=75) = 75 -> rates 0.5 / 1.0
+    r = temperature_rates({"a": 100, "b": 25}, alpha=0.5)
+    assert r["b"] == 1.0
+    assert abs(r["a"] - 0.5) < 1e-12
+    # alpha=1 is a no-op mixture (q_i = n_i/N -> every rate 1.0)
+    r1 = temperature_rates({"a": 100, "b": 25}, alpha=1.0)
+    assert r1 == {"a": 1.0, "b": 1.0}
+    with pytest.raises(ValueError):
+        temperature_rates({}, alpha=0.5)
+    with pytest.raises(ValueError):
+        temperature_rates({"a": 1}, alpha=0.0)
+
+
+def test_temperature_mix_keeps_rare_group_whole(spark):
+    from pq_vector_spark.operators.sampling import temperature_mix
+
+    rows = [(i, "head") for i in range(400)] + [
+        (1000 + i, "tail") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, ["id", "grp"])
+    out = temperature_mix(df, "grp", "id", alpha=0.5, salt="t")
+    got = out.groupBy("grp").count().collect()
+    by = {r["grp"]: r["count"] for r in got}
+    # rarest group is never downsampled
+    assert by["tail"] == 100
+    # head rate = c*q/n with pw 20/10, q 2/3|1/3, c = min(600, 300) = 300
+    # -> head keeps ~0.5 of 400 (hash draw is binomial around the rate)
+    assert 140 <= by["head"] <= 260
+    # deterministic: identical on rerun
+    again = temperature_mix(df, "grp", "id", alpha=0.5, salt="t")
+    assert sorted(r["id"] for r in out.collect()) == sorted(
+        r["id"] for r in again.collect()
+    )
+
+
+# ---------------------------------------------- token-budget selection ----
+
+
+def _naive_budget(rows, budget):
+    """Global greedy prefix in (score desc, key asc) order."""
+    kept, cum = [], 0
+    for key, score, tok in sorted(rows, key=lambda r: (-r[1], r[0])):
+        if cum + tok > budget:
+            break
+        cum += tok
+        kept.append(key)
+    return sorted(kept)
+
+
+def test_select_token_budget_matches_global_greedy(spark):
+    import random
+
+    from pq_vector_spark.operators.sampling import select_token_budget
+
+    rng = random.Random(99)
+    rows = [
+        (i, round(rng.uniform(0, 1), 3), rng.randrange(50, 500))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, ["id", "score", "tok"])
+    total = sum(r[2] for r in rows)
+    for budget in (0, total // 10, total // 2, total + 1):
+        got = sorted(
+            r["id"]
+            for r in select_token_budget(
+                df, "id", "score", "tok", budget, buckets=16
+            ).collect()
+        )
+        assert got == _naive_budget(rows, budget), f"budget={budget}"
+
+
+def test_select_token_budget_ties_break_by_key(spark):
+    from pq_vector_spark.operators.sampling import select_token_budget
+
+    rows = [(3, 1.0, 10), (1, 1.0, 10), (2, 1.0, 10), (4, 0.5, 10)]
+    df = spark.createDataFrame(rows, ["id", "score", "tok"])
+    got = sorted(
+        r["id"] for r in select_token_budget(df, "id", "score", "tok", 20).collect()
+    )
+    assert got == [1, 2]  # equal scores -> smallest keys first
+
+
+def test_select_token_budget_guards_and_empty(spark):
+    from pq_vector_spark.operators.sampling import select_token_budget
+
+    df = spark.createDataFrame([(1, 1.0, 5)], ["id", "score", "tok"])
+    with pytest.raises(ValueError):
+        select_token_budget(df, "id", "score", "tok", -1)
+    empty = df.filter(F.lit(False))
+    assert select_token_budget(empty, "id", "score", "tok", 100).count() == 0
+    # constant scores collapse to one bucket but stay exact
+    const = spark.createDataFrame(
+        [(i, 2.0, 10) for i in range(10)], ["id", "score", "tok"]
+    )
+    got = sorted(
+        r["id"]
+        for r in select_token_budget(const, "id", "score", "tok", 35).collect()
+    )
+    assert got == [0, 1, 2]
