@@ -42,6 +42,34 @@ def observed_metrics(observation, df: Optional[DataFrame] = None, execute: bool 
     return {}
 
 
+def vector_route(df: DataFrame) -> str:
+    """Which physical route a (possibly intercepted) top-k DataFrame took:
+
+    - ``"ivf-pq"`` — the codes-sidecar route (cluster prune × ADC scan ×
+      exact re-rank): the optimized plan scans a ``pq_codes`` relation;
+    - ``"ivf"`` — the raw IVF probe (CollectMetrics over the pruned scan);
+    - ``"brute-force"`` — no interception artifacts; the original plan.
+
+    Plan-text probe only — never executes anything. Pair with
+    ``pq_vector_spark.last_decline_reason()`` when the answer is
+    brute-force to learn WHICH guard declined (at 100 TB a silent
+    fall-through to brute force is a 20× cost surprise).
+    """
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    if "pq_codes" in plan:
+        return "ivf-pq"
+    # the probe's signature is the pushed cluster predicate (a Filter line
+    # naming the cluster column), not the column's mere presence — a plain
+    # scan of an indexed table lists it in the relation schema too
+    cluster_filtered = any(
+        "Filter" in line and "_pq_cluster_id" in line
+        for line in plan.splitlines()
+    )
+    if "CollectMetrics" in plan or cluster_filtered:
+        return "ivf"
+    return "brute-force"
+
+
 def explain_vector(
     df: DataFrame,
     observation,
@@ -52,18 +80,28 @@ def explain_vector(
     the ``CollectMetrics`` node (and summarized in a header), mirroring the
     reference's metric-annotated plan tree. Executes the plan (one
     ``count()``) only if the observation has not been collected yet and
-    ``execute`` is True.
+    ``execute`` is True. The header names the route taken (``vector_route``)
+    and, for brute-force plans, this thread's last interception decline
+    reason when one is recorded.
     """
     jqe = df._jdf.queryExecution()
     jvm = df.sparkSession._jvm
     plan = jqe.explainString(
         jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
     )
+    route = vector_route(df)
+    header = [f"== Vector Route ==\n{route}"]
+    if route == "brute-force":
+        from pq_vector_spark.plans.intercept import last_decline_reason
+
+        reason = last_decline_reason()
+        if reason:
+            header.append(f"last_decline_reason: {reason}")
     metrics = observed_metrics(observation, df, execute)
     if not metrics:
-        return plan + "\n== Vector Metrics ==\n(not executed)\n"
+        return "\n".join(header) + "\n" + plan + "\n== Vector Metrics ==\n(not executed)\n"
     inline = ", ".join(f"{k}={metrics[k]}" for k in sorted(metrics))
-    lines = []
+    lines = header + [""]
     for line in plan.splitlines():
         if "CollectMetrics" in line:
             line = f"{line}   [{inline}]"

@@ -91,3 +91,36 @@ def test_explain_vector_unexecuted_without_drive(spark, obs_table):
     )
     text = explain_vector(out, obs, execute=False)
     assert "(not executed)" in text
+
+
+def test_vector_route_probe(spark, obs_table, tmp_path):
+    """vector_route names the physical route from the plan text alone:
+    ivf for the probe, ivf-pq once a codes sidecar routes, brute-force
+    otherwise (paired with last_decline_reason for the why)."""
+    from pq_vector_spark.index.pq import encode_indexed, ivfpq_topk, train_pq
+    from pq_vector_spark.plans.explain import explain_vector, vector_route
+
+    ivf = indexed_topk(
+        spark, obs_table, [0.5] * 4, 5, options=VectorTopKOptions(nprobe=10)
+    )
+    assert vector_route(ivf) == "ivf"
+
+    raw = spark.read.parquet(obs_table).drop("_pq_cluster_id")
+    assert vector_route(raw.limit(5)) == "brute-force"
+
+    cb = train_pq(raw, "vec", m=4, nbits=8, seed=42)
+    codes = str(tmp_path / "codes")
+    encode_indexed(spark, obs_table, codes, "vec", "id", cb)
+    pq = ivfpq_topk(
+        spark, obs_table, codes, "vec", "id", cb, [0.5] * 4, 5, nprobe=10, rerank=200
+    )
+    assert vector_route(pq) == "ivf-pq"
+
+    # explain_vector leads with the route header
+    obs = Observation("route_hdr")
+    out = indexed_topk(
+        spark, obs_table, [0.5] * 4, 5,
+        options=VectorTopKOptions(nprobe=2), observation=obs,
+    )
+    text = explain_vector(out, obs)
+    assert text.startswith("== Vector Route ==\nivf")
