@@ -735,8 +735,56 @@ def _dedup_scale_bench(spark) -> dict:
     n_new = D.incremental_dedup(standing, delta, "text", "doc_id").count()
     incr_sec = round(time.time() - t0, 3)
 
+    # Token-budget curation at scale: greedy best-docs prefix over 1M rows,
+    # two-phase bucketed plan (operators/sampling.select_token_budget) vs
+    # the naive global cumulative window. Wall time is parity-ish at local
+    # scale (both are corpus-scan-bound); the structural metric is the
+    # SINGLE-TASK window size — the naive plan's one window task holds the
+    # entire sorted corpus (impossible past ~1e8 rows), the two-phase plan's
+    # holds only the budget-crossing bucket. Both selections must match.
+    from pyspark.sql import Window
+
+    from pq_vector_spark.operators.sampling import select_token_budget
+
+    scored = docs.withColumn("_len", F.length("text").cast("bigint")).withColumn(
+        "_score", (F.col("doc_id") % 997).cast("double")
+    )
+    total_len = scored.agg(F.sum("_len")).collect()[0][0]
+    budget = int(total_len) // 2
+    t0 = time.time()
+    n_budget = select_token_budget(
+        scored, "doc_id", "_score", "_len", budget, buckets=997
+    ).count()
+    budget_sec = round(time.time() - t0, 3)
+    w = Window.orderBy(F.col("_score").desc(), F.col("doc_id").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    t0 = time.time()
+    n_naive = (
+        scored.withColumn("_cum", F.sum("_len").over(w))
+        .filter(F.col("_cum") <= F.lit(budget))
+        .count()
+    )
+    naive_sec = round(time.time() - t0, 3)
+    # deterministic single-task window sizes (the scale-limiting quantity)
+    crossing_rows = (
+        scored.groupBy((F.col("_score")).cast("int").alias("b"))
+        .count()
+        .orderBy(F.col("b").desc())
+        .collect()
+    )
+    # the crossing bucket under a half-total budget sits mid-histogram;
+    # report the max per-bucket row count as the two-phase window bound
+    max_bucket_rows = max(int(r["count"]) for r in crossing_rows)
+
     return {
         "n_docs": n_docs,
+        "budget_select_sec": budget_sec,
+        "budget_naive_window_sec": naive_sec,
+        "budget_results_match": bool(n_budget == n_naive),
+        "budget_docs_kept": int(n_budget),
+        "budget_naive_window_task_rows": int(n_docs),
+        "budget_two_phase_window_task_rows": int(max_bucket_rows),
         "gen_sec": gen_sec,
         "exact_sec": exact_sec,
         "exact_groups": int(n_exact_groups),

@@ -232,22 +232,32 @@ def select_token_budget(
     tokens" curation step needs.
 
     Scale shape (two-phase exact selection): the naive form is a GLOBAL
-    ordered cumulative sum — a single-partition window over the corpus, a
-    scale-killer. Instead: phase one buckets rows by score (uniform
-    histogram over [min, max], one bounded aggregation) and prefix-sums
-    per-bucket token totals on the DRIVER (≤ ``buckets`` rows); every
-    bucket strictly above the budget-crossing bucket is kept wholesale by
-    a map-side filter. Only the CROSSING bucket's rows (≈ corpus/buckets)
-    pay the exact single-partition ordered window for the residual budget.
+    ordered cumulative sum — ONE task must hold and scan the entire sorted
+    corpus, which stops being slow and becomes impossible somewhere past
+    ~10⁸ rows. Instead, all planning phases run over a CACHED slim
+    (key, score, tokens) projection — the wide corpus is scanned exactly
+    once, at output time:
+
+    1. min/max + score-bucket histogram on the slim projection (bounded
+       aggregations), per-bucket token totals prefix-summed on the DRIVER
+       (≤ ``buckets`` rows);
+    2. every bucket strictly above the budget-crossing bucket is kept
+       wholesale; only the CROSSING bucket's slim rows (≈ corpus/buckets)
+       pay the exact ordered window for the residual budget, yielding a
+       bounded edge-key set (materialized via localCheckpoint so the
+       cached projection can be released);
+    3. the single output pass over ``df`` is a map-side bucket filter
+       OR-ed with a broadcast join against the edge keys.
+
     The result is IDENTICAL to the global greedy prefix: bucketing is
     monotone in score, equal scores share a bucket, and token totals are
     exact integer sums.
 
     Degenerate guard: massive score ties collapse into one bucket and the
-    window widens accordingly (at the extreme — all scores equal — it
-    covers everything); score resolution, not ``buckets``, is the lever
-    there. ``tokens_col`` is cast to bigint — integer token counts keep
-    the driver prefix sums exact.
+    edge window (and its broadcast key set) widen accordingly — at the
+    extreme (all scores equal) they cover everything; score resolution,
+    not ``buckets``, is the lever there. ``tokens_col`` is cast to bigint —
+    integer token counts keep the driver prefix sums exact.
     """
     if budget < 0:
         raise ValueError(f"budget must be >= 0, got {budget}")
@@ -259,46 +269,73 @@ def select_token_budget(
     toks = (F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col).cast(
         "bigint"
     )
-    b = df.withColumn("_sb_score", score.cast("double")).withColumn("_sb_tok", toks)
-    mn, mx = b.agg(F.min("_sb_score"), F.max("_sb_score")).collect()[0]
-    if mn is None:
-        return df.filter(F.lit(False))
-    if mx == mn:
-        bucket = F.lit(0)
-        n_b = 1
-    else:
-        width = (mx - mn) / buckets
-        bucket = F.least(
-            F.floor((F.col("_sb_score") - F.lit(mn)) / F.lit(width)),
-            F.lit(buckets - 1),
-        ).cast("int")
-        n_b = buckets
-    b = b.withColumn("_sb_bucket", bucket)
-    hist = {
-        int(r["_sb_bucket"]): int(r["t"])
-        for r in b.groupBy("_sb_bucket").agg(F.sum("_sb_tok").alias("t")).collect()
-    }
-    cum = 0
-    crossing = None
-    for i in range(n_b - 1, -1, -1):
-        t = hist.get(i, 0)
-        if cum + t <= budget:
-            cum += t
-        else:
-            crossing = i
-            break
-    if crossing is None:
-        return df  # whole corpus fits the budget
-    remaining = budget - cum
-    kept_full = b.filter(F.col("_sb_bucket") > F.lit(crossing))
-    w = (
-        Window.orderBy(F.col("_sb_score").desc(), F.col(key_col).asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    kept_edge = (
-        b.filter(F.col("_sb_bucket") == F.lit(crossing))
-        .withColumn("_sb_cum", F.sum("_sb_tok").over(w))
-        .filter(F.col("_sb_cum") <= F.lit(remaining))
-        .drop("_sb_cum")
-    )
-    return kept_full.unionByName(kept_edge).drop("_sb_score", "_sb_tok", "_sb_bucket")
+    slim = df.select(
+        (F.col(key_col) if isinstance(key_col, str) else key_col).alias("_sb_key"),
+        score.cast("double").alias("_sb_score"),
+        toks.alias("_sb_tok"),
+    ).persist()
+    try:
+        mn, mx = slim.agg(F.min("_sb_score"), F.max("_sb_score")).collect()[0]
+        if mn is None:
+            return df.filter(F.lit(False))
+
+        def bucket_of(score_expr):
+            if mx == mn:
+                return F.lit(0)
+            width = (mx - mn) / buckets
+            return F.least(
+                F.floor((score_expr - F.lit(mn)) / F.lit(width)),
+                F.lit(buckets - 1),
+            ).cast("int")
+
+        n_b = 1 if mx == mn else buckets
+        hist = {
+            int(r["_sb_bucket"]): int(r["t"])
+            for r in slim.groupBy(
+                bucket_of(F.col("_sb_score")).alias("_sb_bucket")
+            )
+            .agg(F.sum("_sb_tok").alias("t"))
+            .collect()
+        }
+        cum = 0
+        crossing = None
+        for i in range(n_b - 1, -1, -1):
+            t = hist.get(i, 0)
+            if cum + t <= budget:
+                cum += t
+            else:
+                crossing = i
+                break
+        if crossing is None:
+            return df  # whole corpus fits the budget
+        remaining = budget - cum
+        w = (
+            Window.orderBy(F.col("_sb_score").desc(), F.col("_sb_key").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        edge_keys = (
+            slim.filter(bucket_of(F.col("_sb_score")) == F.lit(crossing))
+            .withColumn("_sb_cum", F.sum("_sb_tok").over(w))
+            .filter(F.col("_sb_cum") <= F.lit(remaining))
+            .select("_sb_key")
+            # eager materialization (bounded: ≈ corpus/buckets keys) cuts
+            # the lineage back to the cached projection, so unpersisting it
+            # below can never force a recompute at output time
+            .localCheckpoint(eager=True)
+        )
+        out_key = F.col(key_col) if isinstance(key_col, str) else key_col
+        return (
+            df.withColumn("_sb_bucket", bucket_of(score.cast("double")))
+            .join(
+                F.broadcast(edge_keys.withColumn("_sb_hit", F.lit(True))),
+                out_key == F.col("_sb_key"),
+                "left",
+            )
+            .filter(
+                (F.col("_sb_bucket") > F.lit(crossing))
+                | F.col("_sb_hit").isNotNull()
+            )
+            .drop("_sb_bucket", "_sb_key", "_sb_hit")
+        )
+    finally:
+        slim.unpersist()
