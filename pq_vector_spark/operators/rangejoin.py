@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 _BUCKET = "_rj_bucket"
 _LT = "_rj_lt"
 _RT = "_rj_rt"
+_LID = "_rj_lid"
 
 
 def range_join(
@@ -94,22 +95,32 @@ def range_join(
 
     if how == "left":
         # left rows whose window matched nothing come back with NULL right
-        # columns — derived via a cheap anti-join on the (deduped) matched
-        # left rows, not by re-running the range probe. The anti-join is
-        # NULL-SAFE on every column (eqNullSafe): a plain column-list
-        # anti-join treats NULL <> NULL, so a *matched* left row carrying a
-        # NULL non-key value would fail the match and ALSO be emitted in
-        # the null-padded branch — a duplicate. Matched columns are renamed
-        # first so the self-lineage join resolves unambiguously.
+        # columns — derived via an anti-join on the matched rows' CONTENT
+        # ID, not by re-running the range probe. The id is
+        # md5(to_json(struct(all left columns))): computed map-side from
+        # row content it is (a) identical across the two plan branches
+        # (unlike monotonically_increasing_id, which shifts with partition
+        # layout), (b) NULL-safe by construction — a matched left row
+        # carrying a NULL payload hashes the same in both branches, so it
+        # can never be re-emitted as a duplicate null-padded row — and
+        # (c) 16 bytes, so the matched-distinct + anti-join shuffles ids,
+        # never full left rows. Content-identical left rows share an id;
+        # multiplicity is preserved (each copy either all-match or
+        # all-miss, and the anti-join keeps every missing copy).
         right_cols = [c for c in right.columns if c not in keys]
-        matched = joined.select(
-            *[F.col(c).alias(f"_rj_m_{c}") for c in left.columns]
-        ).distinct()
-        cond = None
-        for c in left.columns:
-            e = F.col(c).eqNullSafe(F.col(f"_rj_m_{c}"))
-            cond = e if cond is None else (cond & e)
-        missing = left.join(matched, cond, "left_anti")
+        lid = F.md5(F.to_json(F.struct(*[F.col(c) for c in left.columns])))
+        matched_ids = (
+            l.withColumn(_LID, lid)
+            .join(r, keys + [_BUCKET], "inner")
+            .filter(cond)
+            .select(_LID)
+            .distinct()
+        )
+        missing = (
+            left.withColumn(_LID, lid)
+            .join(matched_ids, _LID, "left_anti")
+            .drop(_LID)
+        )
         for c in right_cols:
             missing = missing.withColumn(
                 c, F.lit(None).cast(dict(right.dtypes)[c])
