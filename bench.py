@@ -598,6 +598,32 @@ def _scale_bench(spark) -> dict:
     ]
     append_recall = len(set(app_got) & set(app_truth)) / k
 
+    # Close the staleness loop (auto_rebuild_if_stale): the 5% append is
+    # below the default 0.2 threshold, so drop the threshold to force the
+    # lifecycle — retrain over the grown table, swap the layout, and the
+    # appended-data query's recall at the same nprobe must return to the
+    # fresh-index level. This is the operator loop the reference leaves to
+    # its users (it accepts append drift silently, src/ivf/index.rs:189-206).
+    from pq_vector_spark.index.build import auto_rebuild_if_stale
+
+    t0 = time.time()
+    reb = auto_rebuild_if_stale(spark, out_path, stale_threshold=0.01)
+    rebuild_sec = round(time.time() - t0, 3)
+    reb_got = [
+        r["vec_id"]
+        for r in indexed_topk(
+            spark,
+            out_path,
+            qvec_app,
+            k,
+            options=VectorTopKOptions(nprobe=nprobe),
+            tie_break="vec_id",
+        )
+        .select("vec_id")
+        .collect()
+    ]
+    rebuild_recall = len(set(reb_got) & set(app_truth)) / k
+    assert reb["rebuilt"], "scale bench: staleness rebuild did not fire"
 
     def _by_q(rows):
         d = {}
@@ -658,6 +684,9 @@ def _scale_bench(spark) -> dict:
         "append_rows": n_app,
         "append_sec": append_sec,
         "append_recall_at_100": round(append_recall, 4),
+        "rebuild_sec": rebuild_sec,
+        "rebuild_recall_at_100": round(rebuild_recall, 4),
+        "rebuild_n_clusters": int(reb["meta"]["n_clusters"]),
         "candidate_rows": int(obs.get["candidate_rows"]),
         "candidate_fraction": round(obs.get["candidate_rows"] / n_rows, 4),
         "files_scanned": int(obs.get["files_scanned"]),
