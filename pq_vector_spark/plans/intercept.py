@@ -239,11 +239,15 @@ def _match_l2_sort_expr(expr):
       [Sqrt] ArrayAggregate(ZipWith(col, lit, (x,y)->(x-y)*(x-y)),
                             0.0, (acc,x)->acc+x, id->id)
 
-    Returns (column_attr, [floats]) or None. The Sqrt is optional so
-    ``ORDER BY squared_l2(...)`` (same ordering) intercepts too.
+    Returns (column_attr, [floats], has_sqrt) or None. The Sqrt is
+    optional so ``ORDER BY squared_l2(...)`` (same ordering) intercepts
+    too; ``has_sqrt`` tells the caller whether the expression's VALUE is
+    the true distance (needed when the query also projects it).
     """
     e = _strip_cast(expr)
+    has_sqrt = False
     if _cls(e) == "Sqrt":
+        has_sqrt = True
         e = _strip_cast(e.children().apply(0))
     if _cls(e) != "ArrayAggregate":
         return None
@@ -268,7 +272,7 @@ def _match_l2_sort_expr(expr):
     if not (ok_xy or ok_yx):
         return None
     vec = [float(x) for x in lit.value().toDoubleArray()]
-    return attr, vec
+    return attr, vec, has_sqrt
 
 
 def _match_cosine_sort_expr(expr):
@@ -344,16 +348,37 @@ def _match_cosine_sort_expr(expr):
     return attr, vec
 
 
-def _attr_only_project(jnode) -> Optional[list]:
-    """Project list if every output is a bare AttributeReference, else None."""
+def _attr_only_project(jnode, allow_alias_eid: Optional[int] = None) -> Optional[list]:
+    """Project list if every output is a bare AttributeReference — or, when
+    ``allow_alias_eid`` is given, the single Alias with that exprId (the
+    projected distance column being intercepted) — else None."""
     pl = jnode.projectList()
     out = []
     for i in range(pl.size()):
         e = pl.apply(i)
-        if _cls(e) != "AttributeReference":
+        if _cls(e) == "Alias" and allow_alias_eid is not None:
+            if e.exprId().id() != allow_alias_eid:
+                return None
+        elif _cls(e) != "AttributeReference":
             return None
         out.append(e.name())
     return out
+
+
+def _projected_sort_target(sort_key, below):
+    """When the sort key is a bare attribute defined by the Project directly
+    under the Sort (``SELECT id, array_distance(v, q) AS d … ORDER BY d``),
+    return ``(defining_jexpr, alias_name, alias_eid)`` so the kernel
+    matchers can run on the alias's child; else (None, None, None)."""
+    key = _strip_cast(sort_key)
+    if _cls(key) != "AttributeReference" or _cls(below) != "Project":
+        return None, None, None
+    pl = below.projectList()
+    for i in range(pl.size()):
+        e = pl.apply(i)
+        if _cls(e) == "Alias" and e.exprId().id() == _eid(key):
+            return e.child(), e.name(), e.exprId().id()
+    return None, None, None
 
 
 def _normalize_path(p: str) -> str:
@@ -513,27 +538,51 @@ def _try_intercept(spark, df, options, observation, indexed_tables):
     if order.size() not in (1, 2):
         _decline(f"order-keys: {order.size()} sort keys (need 1-2)")
     so = order.apply(0)
+    # the sort key may be the kernel expression inline, or a bare attribute
+    # whose defining Alias lives in the Project directly under the Sort
+    # (``SELECT id, array_distance(v, q) AS d … ORDER BY d``) — in the
+    # latter case the replacement must also PRODUCE the distance column
+    proj_target, dist_alias, dist_eid = _projected_sort_target(
+        so.child(), node.children().apply(0)
+    )
     if so.direction().sql() == "ASC":
         # L2 distance, ascending — the reference's one shape
         # (ASC-only guard ≙ physical.rs:143-145)
-        matched = _match_l2_sort_expr(so.child())
         metric = "l2"
+        matched = _match_l2_sort_expr(so.child())
+        if matched is not None:
+            dist_alias = dist_eid = None  # inline expr; nothing projected
+        elif proj_target is not None:
+            matched = _match_l2_sort_expr(proj_target)
+            if matched is not None and not matched[2]:
+                # the projected VALUE is squared-l2; the probe outputs the
+                # true (sqrt) distance and sqrt(x)^2 re-squares with ulp
+                # error — never silently emit almost-equal values
+                _decline(
+                    "projected-squared-distance: squared_l2 is accepted as "
+                    "a sort key but not as a projected output column"
+                )
         if matched is None:
             _decline(
                 "sort-expr-not-l2: ASC sort key is not the canonical "
                 "l2/squared-l2(column, literal-vector) expression"
             )
+        attr, vec, _ = matched
     else:
         # cosine similarity, DESCENDING — our extension metric over the
         # same layout (probes L2 centroids like the batch kernel)
-        matched = _match_cosine_sort_expr(so.child())
         metric = "cosine"
+        matched = _match_cosine_sort_expr(so.child())
+        if matched is not None:
+            dist_alias = dist_eid = None
+        elif proj_target is not None:
+            matched = _match_cosine_sort_expr(proj_target)
         if matched is None:
             _decline(
                 "sort-expr-not-cosine: DESC sort key is not the canonical "
                 "cosine_similarity(column, literal-vector) expression"
             )
-    attr, vec = matched
+        attr, vec = matched
     tie_break = None
     if order.size() == 2:
         so2 = order.apply(1)
@@ -547,7 +596,7 @@ def _try_intercept(spark, df, options, observation, indexed_tables):
     n2 = node.children().apply(0)
     while _cls(n2) in ("Project", "Filter"):
         if _cls(n2) == "Project":
-            if _attr_only_project(n2) is None:
+            if _attr_only_project(n2, allow_alias_eid=dist_eid) is None:
                 _decline("pre-sort-project: projection below Sort computes expressions")
         else:
             conds.append(_unqualified_sql(spark, n2.condition()))
@@ -612,6 +661,15 @@ def _try_intercept(spark, df, options, observation, indexed_tables):
         tie_break=tie_break,
         observation=observation,
         metric=metric,
+        keep_distance=dist_alias is not None,
     )
+    if dist_alias is not None:
+        # the query projects the distance/similarity value itself; the
+        # probe's column carries the identical canonical fold (bit-equal),
+        # renamed to the query's alias
+        from pq_vector_spark.operators.topk import DISTANCE_COL
+
+        if dist_alias != DISTANCE_COL:
+            out = out.withColumnRenamed(DISTANCE_COL, dist_alias)
     # identical output schema (names + order) to the plan being replaced
     return out.select(*df.columns)

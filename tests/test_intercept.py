@@ -465,3 +465,87 @@ def test_sidecar_skipped_on_pre_filter(spark, icpt_table, icpt_sidecar):
     got = [r["id"] for r in hit.collect()]
     assert got == _brute(spark, q)
     assert all(i >= 100 for i in got)
+
+
+# -------------------------------------------- projected distance column ----
+
+
+def test_projected_distance_alias_intercepts_with_values(spark, icpt_table):
+    """``SELECT id, array_distance(...) AS d … ORDER BY d`` — the sort key
+    is a bare attribute defined by the Project under the Sort; the
+    interceptor must resolve it to the kernel AND produce the distance
+    column (bit-equal canonical fold) in the replacement."""
+    q = (
+        "WITH c AS (SELECT id, vec FROM icpt_vectors) "
+        f"SELECT id, array_distance(vec, {VEC}) AS d FROM c "
+        "ORDER BY d, id LIMIT 10"
+    )
+    raw = spark.sql(expand_vector_functions(q))
+    hit = try_intercept_topk(spark, raw, options=VectorTopKOptions(nprobe=N_CLUSTERS))
+    assert hit is not None
+    assert hit.columns == ["id", "d"]
+    want = [
+        (r["id"], r["d"])
+        for r in spark.sql(expand_vector_functions(q)).collect()
+    ]
+    got = [(r["id"], r["d"]) for r in hit.collect()]
+    assert got == want  # ids AND distance values, bit-equal
+
+
+def test_projected_distance_not_selected_still_intercepts(spark, icpt_table):
+    """ORDER BY a projected alias the outer SELECT then drops — the
+    replacement needn't emit it, but interception must still fire."""
+    q = (
+        "SELECT id FROM ("
+        "  WITH c AS (SELECT id, vec FROM icpt_vectors) "
+        f" SELECT id, array_distance(vec, {VEC}) AS d FROM c"
+        ") t ORDER BY d, id LIMIT 5"
+    )
+    raw = spark.sql(expand_vector_functions(q))
+    hit = try_intercept_topk(spark, raw, options=VectorTopKOptions(nprobe=N_CLUSTERS))
+    assert hit is not None
+    assert hit.columns == ["id"]
+    assert [r["id"] for r in hit.collect()] == _brute(spark, q)
+
+
+def test_projected_squared_distance_declines(spark, icpt_table):
+    """squared_l2 is fine as a SORT KEY (same ordering) but cannot be a
+    projected OUTPUT through the probe (sqrt(x)^2 re-squares with ulp
+    error — never emit almost-equal values). Guard has its own reason."""
+    from pq_vector_spark.plans.intercept import last_decline_reason
+
+    q = (
+        "WITH c AS (SELECT id, vec FROM icpt_vectors) "
+        f"SELECT id, squared_l2(vec, {VEC}) AS d FROM c "
+        "ORDER BY d, id LIMIT 5"
+    )
+    raw = spark.sql(expand_vector_functions(q))
+    assert try_intercept_topk(spark, raw) is None
+    assert last_decline_reason().startswith("projected-squared-distance")
+
+
+def test_projected_cosine_alias_intercepts(spark, icpt_table):
+    q = (
+        "WITH c AS (SELECT id, vec FROM icpt_vectors) "
+        f"SELECT id, cosine_similarity(vec, {VEC}) AS sim FROM c "
+        "ORDER BY sim DESC, id LIMIT 10"
+    )
+    raw = spark.sql(expand_vector_functions(q))
+    hit = try_intercept_topk(spark, raw, options=VectorTopKOptions(nprobe=N_CLUSTERS))
+    assert hit is not None
+    assert hit.columns == ["id", "sim"]
+    want = [
+        (r["id"], r["sim"])
+        for r in spark.sql(expand_vector_functions(q)).collect()
+    ]
+    assert [(r["id"], r["sim"]) for r in hit.collect()] == want
+
+
+def test_unrelated_computed_projection_still_declines(spark, icpt_table):
+    q = (
+        "WITH c AS (SELECT id, vec FROM icpt_vectors) "
+        f"SELECT id, id + 1 AS id2, array_distance(vec, {VEC}) AS d FROM c "
+        "ORDER BY d, id LIMIT 5"
+    )
+    raw = spark.sql(expand_vector_functions(q))
+    assert try_intercept_topk(spark, raw) is None
