@@ -792,6 +792,38 @@ def _knn_auto_pq(spark, sf_dir):
         unregister_codes_sidecar(path)
 
 
+def _knn_auto_distance(spark, sf_dir):
+    """Plan interception for the PROJECTED-DISTANCE shape (r8 extension):
+    ``SELECT vec_id, array_distance(...) AS d … ORDER BY d`` sorts by a
+    bare attribute whose defining Alias lives under the Sort — the
+    interceptor resolves it through the Project and the replacement emits
+    the bit-equal distance column. Rounding happens OUTSIDE the
+    intercepted query (a round() inside the projection is, correctly, a
+    decline shape), mirroring how knn_distance's API twin rounds."""
+    from pyspark.sql import Observation
+
+    from pq_vector_spark.plans.sql import pq_sql, register_indexed_table
+    from pq_vector_spark.session import VectorTopKOptions
+
+    path = _indexed_path(spark, sf_dir)
+    register_indexed_table(spark, "emb_auto_d", path)
+    q = _qvec(spark, sf_dir, 0)
+    vec = ", ".join(repr(float(x)) for x in q)
+    sql = (
+        "WITH c AS (SELECT vec_id, embedding FROM emb_auto_d) "
+        f"SELECT vec_id, array_distance(embedding, array({vec})) AS d "
+        f"FROM c ORDER BY d, vec_id LIMIT {K}"
+    )
+    obs = Observation()
+    out = pq_sql(
+        spark, sql, options=VectorTopKOptions(nprobe=IVF_CLUSTERS), observation=obs
+    )
+    assert "CollectMetrics" in out._jdf.queryExecution().optimizedPlan().toString(), (
+        "knn_auto_distance: plan interception did not fire"
+    )
+    return out.select("vec_id", F.round(F.col("d"), 4).alias("distance"))
+
+
 def _events_stream_windowed(spark, sf_dir):
     """True Structured Streaming run (readStream → watermark → window →
     memory sink, availableNow trigger) over the same events table; must
@@ -1887,6 +1919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivfpq": _knn_ivfpq,
         "knn_auto": _knn_auto,
         "knn_auto_pq": _knn_auto_pq,
+        "knn_auto_distance": _knn_auto_distance,
         # -- similarity family --
         "ann_cosine": _ann_cosine,
         "similarity_join": _similarity_join,
@@ -1915,7 +1948,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii": _text_pii,
         "text_decontaminate": _text_decontaminate,
         "pipeline_curate": _pipeline_curate,
-        "pack_sequences": _pack_sequences,
         "merge_upsert": _merge_upsert,
         # -- relational representatives --
         "rel_topk": _rel_topk,
@@ -1944,6 +1976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- 50-row budget cutoff: tail variants below were driver-green in
         # r5 (CORRECTNESS_r05.json) and their code is unchanged; rotate any
         # of them back above this line whenever their implementation changes.
+        "pack_sequences": _pack_sequences,
         "text_tokens_bpe": _text_tokens_bpe,
         "text_chunks": _text_chunks,
         "knn_quantized": _knn_quantized,
@@ -2256,6 +2289,12 @@ def oracle_sql() -> dict[str, str]:
         # the candidate set) ⇒ exactly the brute-force answer
         "knn_auto_pq": f"""
             SELECT vec_id FROM embeddings
+            ORDER BY {_dist("embedding", qlit)}, vec_id LIMIT {K}""",
+        # projected-distance interception shape — same values as the
+        # knn_distance API twin (nprobe = n_clusters => exact)
+        "knn_auto_distance": f"""
+            SELECT vec_id, round({_dist("embedding", qlit)}, 4) AS distance
+            FROM embeddings
             ORDER BY {_dist("embedding", qlit)}, vec_id LIMIT {K}""",
         # knn_auto_cosine probes all clusters ⇒ exactly the brute-force
         # cosine top-k (same row set as ann_cosine's oracle, ids only)
