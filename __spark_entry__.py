@@ -1931,7 +1931,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_drift": _corpus_drift,
         # -- dedup family --
         "dedup_exact": _dedup_exact,
-        "dedup_jaccard": _dedup_jaccard,
         "dedup_resolve": _dedup_resolve,
         "dedup_minhash": _dedup_minhash,
         "dedup_embedding": _dedup_embedding,
@@ -1948,6 +1947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii": _text_pii,
         "text_decontaminate": _text_decontaminate,
         "pipeline_curate": _pipeline_curate,
+        "pack_sequences": _pack_sequences,
         "merge_upsert": _merge_upsert,
         # -- relational representatives --
         "rel_topk": _rel_topk,
@@ -1976,7 +1976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- 50-row budget cutoff: tail variants below were driver-green in
         # r5 (CORRECTNESS_r05.json) and their code is unchanged; rotate any
         # of them back above this line whenever their implementation changes.
-        "pack_sequences": _pack_sequences,
+        "dedup_jaccard": _dedup_jaccard,
         "text_tokens_bpe": _text_tokens_bpe,
         "text_chunks": _text_chunks,
         "knn_quantized": _knn_quantized,

@@ -1011,11 +1011,6 @@ def _maxsim_deep_block(spark) -> dict:
     centroid unlike any single token vector), so the recall claim must be
     measured here, not extrapolated. 100k docs × 32 vectors × dim 128
     (seeded 100k×4096 fixture sliced per token)."""
-    from pyspark.sql import functions as F
-
-    from pq_vector_spark.index.build import build_index
-    from pq_vector_spark.operators.similarity import ivf_maxsim_topk, maxsim_topk
-    from pq_vector_spark.session import IndexBuildOptions
     from tools.gen_scale_embeddings import generate
 
     n_rows, m, sub = 100_000, 32, 128
@@ -1032,6 +1027,23 @@ def _maxsim_deep_block(spark) -> dict:
     # heap. 512-row batches keep the same scan shape at 1/8 the footprint.
     prev_batch = spark.conf.get("spark.sql.parquet.columnarReaderBatchSize", None)
     spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "512")
+    try:
+        return _maxsim_deep_inner(spark, src, cache_dir, n_rows, dim, m, sub, k, nprobe, candidates)
+    finally:
+        # restore even on failure — a leaked 512-row batch size silently
+        # skews every later scan-bound timing in the same bench process
+        if prev_batch is not None:
+            spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", prev_batch)
+        else:
+            spark.conf.unset("spark.sql.parquet.columnarReaderBatchSize")
+
+
+def _maxsim_deep_inner(spark, src, cache_dir, n_rows, dim, m, sub, k, nprobe, candidates):
+    from pyspark.sql import functions as F
+
+    from pq_vector_spark.index.build import build_index
+    from pq_vector_spark.operators.similarity import ivf_maxsim_topk, maxsim_topk
+    from pq_vector_spark.session import IndexBuildOptions
 
     emb = spark.read.parquet(src)
     # no .cache(): 100k x 4096 doubles (~3+ GB serialized) would pressure
@@ -1106,10 +1118,6 @@ def _maxsim_deep_block(spark) -> dict:
 
     _ivf()
     t0 = time.time(); got = _ivf(); ivf_sec = round(time.time() - t0, 3)
-    if prev_batch is not None:
-        spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", prev_batch)
-    else:
-        spark.conf.unset("spark.sql.parquet.columnarReaderBatchSize")
     return {
         "deep_rows": n_rows,
         "deep_vectors_per_doc": m,

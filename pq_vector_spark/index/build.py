@@ -697,8 +697,16 @@ def _swap_dirs(spark: SparkSession, live: str, fresh: str) -> None:
     rp = jvm.org.apache.hadoop.fs.Path(retired)
     if fs.exists(rp):
         fs.delete(rp, True)
-    fs.rename(p, rp)
-    fs.rename(jvm.org.apache.hadoop.fs.Path(fresh), p)
+    # FileSystem.rename reports failure by RETURNING FALSE (dest exists,
+    # parent missing, transient store error) — not by raising. Unchecked,
+    # a false first rename makes the swap a silent no-op, and a false
+    # second rename followed by the delete would destroy the only
+    # remaining copy of the layout. Check both; roll back on the second.
+    if not fs.rename(p, rp):
+        raise IOError(f"swap failed: could not retire {live} -> {retired}")
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(fresh), p):
+        fs.rename(rp, p)  # restore the retired layout before raising
+        raise IOError(f"swap failed: could not move {fresh} -> {live}")
     fs.delete(rp, True)
 
 

@@ -171,10 +171,13 @@ def temperature_rates(
         raise ValueError("counts must name at least one group")
     if not (0.0 < alpha <= 1.0):
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
-    pw = {g: float(n) ** alpha for g, n in counts.items()}
-    tot = sum(pw[g] for g in sorted(pw))
+    # deterministic fold order that tolerates a NULL group key (a corpus
+    # with lang NULL is a count group like any other)
+    order = sorted(counts, key=lambda g: (g is not None, str(g)))
+    pw = {g: float(counts[g]) ** alpha for g in counts}
+    tot = sum(pw[g] for g in order)
     q = {g: pw[g] / tot for g in pw}
-    c = min(counts[g] / q[g] for g in sorted(q))
+    c = min(counts[g] / q[g] for g in order)
     return {g: min(c * q[g] / counts[g], 1.0) for g in counts}
 
 
@@ -206,11 +209,19 @@ def temperature_mix(
         r[group_col]: int(r["count"])
         for r in df.groupBy(group_col).count().collect()
     }
+    if not counts:
+        return df  # empty corpus: nothing to rebalance
     rates = temperature_rates(counts, alpha)
     thresholds = {g: int((rates[g] * BUCKETS) + 0.5) for g in rates}
     thr = None
-    for g in sorted(thresholds):
-        cond = F.col(group_col) == F.lit(g)
+    for g in sorted(thresholds, key=lambda g: (g is not None, str(g))):
+        # NULL is a group like any other — a plain == would yield NULL
+        # (filter-false) and silently drop the whole group
+        cond = (
+            F.col(group_col).isNull()
+            if g is None
+            else F.col(group_col) == F.lit(g)
+        )
         val = F.lit(thresholds[g])
         thr = F.when(cond, val) if thr is None else thr.when(cond, val)
     thr = thr.otherwise(F.lit(0))  # unseen group (late append): keep nothing
@@ -258,6 +269,13 @@ def select_token_budget(
     extreme (all scores equal) they cover everything; score resolution,
     not ``buckets``, is the lever there. ``tokens_col`` is cast to bigint —
     integer token counts keep the driver prefix sums exact.
+
+    Score edge cases mirror the engines' DESC ordering exactly: NaN scores
+    rank ABOVE every finite value (selected first), NULL scores rank below
+    everything (selected last, only if budget remains). ``key_col`` MUST
+    uniquely identify rows — it is the greedy order's tie-breaker AND the
+    edge-set join identity; duplicate keys make the prefix ill-defined and
+    would fan the crossing-bucket join out.
     """
     if budget < 0:
         raise ValueError(f"budget must be >= 0, got {budget}")
@@ -275,20 +293,38 @@ def select_token_budget(
         toks.alias("_sb_tok"),
     ).persist()
     try:
-        mn, mx = slim.agg(F.min("_sb_score"), F.max("_sb_score")).collect()[0]
-        if mn is None:
-            return df.filter(F.lit(False))
+        # min/max over FINITE scores only — a single NaN would poison mx
+        # (Spark max treats NaN as greatest) and collapse every row into
+        # one bucket, forcing the full-corpus window this plan exists to
+        # avoid
+        finite = F.col("_sb_score").isNotNull() & ~F.isnan(F.col("_sb_score"))
+        mn, mx = (
+            slim.filter(finite)
+            .agg(F.min("_sb_score"), F.max("_sb_score"))
+            .collect()[0]
+        )
+        n_b = 1 if (mn is None or mx == mn) else buckets
 
         def bucket_of(score_expr):
-            if mx == mn:
-                return F.lit(0)
-            width = (mx - mn) / buckets
-            return F.least(
-                F.floor((score_expr - F.lit(mn)) / F.lit(width)),
-                F.lit(buckets - 1),
-            ).cast("int")
+            # class encoding mirrors Spark/DuckDB DESC ordering exactly:
+            # NaN (class n_b) sorts above every finite value, NULL
+            # (class -1) sorts below — so integer class comparisons keep
+            # the bucketed plan bit-equal to the naive global greedy
+            if mn is None or mx == mn:
+                fin = F.lit(0)
+            else:
+                width = (mx - mn) / buckets
+                fin = F.least(
+                    F.floor((score_expr - F.lit(mn)) / F.lit(width)),
+                    F.lit(buckets - 1),
+                ).cast("int")
+            return (
+                F.when(F.isnan(score_expr), F.lit(n_b))
+                .when(score_expr.isNull(), F.lit(-1))
+                .otherwise(fin)
+                .cast("int")
+            )
 
-        n_b = 1 if mx == mn else buckets
         hist = {
             int(r["_sb_bucket"]): int(r["t"])
             for r in slim.groupBy(
@@ -299,7 +335,7 @@ def select_token_budget(
         }
         cum = 0
         crossing = None
-        for i in range(n_b - 1, -1, -1):
+        for i in [n_b, *range(n_b - 1, -1, -1), -1]:
             t = hist.get(i, 0)
             if cum + t <= budget:
                 cum += t
@@ -318,6 +354,7 @@ def select_token_budget(
             .withColumn("_sb_cum", F.sum("_sb_tok").over(w))
             .filter(F.col("_sb_cum") <= F.lit(remaining))
             .select("_sb_key")
+            .distinct()
             # eager materialization (bounded: ≈ corpus/buckets keys) cuts
             # the lineage back to the cached projection, so unpersisting it
             # below can never force a recompute at output time

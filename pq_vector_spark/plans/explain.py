@@ -56,18 +56,18 @@ def vector_route(df: DataFrame) -> str:
     fall-through to brute force is a 20× cost surprise).
     """
     plan = df._jdf.queryExecution().optimizedPlan().toString()
-    if "pq_codes" in plan:
-        return "ivf-pq"
     # the probe's signature is the pushed cluster predicate (a Filter line
-    # naming the cluster column), not the column's mere presence — a plain
-    # scan of an indexed table lists it in the relation schema too
+    # naming the cluster column) — NOT the column's mere presence (a plain
+    # scan of an indexed table lists it in the relation schema) and NOT a
+    # CollectMetrics node (any user-attached Observation adds one to a
+    # brute-force plan the interceptor declined)
     cluster_filtered = any(
         "Filter" in line and "_pq_cluster_id" in line
         for line in plan.splitlines()
     )
-    if "CollectMetrics" in plan or cluster_filtered:
-        return "ivf"
-    return "brute-force"
+    if not cluster_filtered:
+        return "brute-force"
+    return "ivf-pq" if "pq_codes" in plan else "ivf"
 
 
 def explain_vector(

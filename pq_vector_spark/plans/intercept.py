@@ -448,6 +448,21 @@ def _try_pq_route(
                 "route drops (%s)", sorted(set(df.columns) - avail)
             )
             return None, False
+        # codes-table shape pre-check (schema-only): every post-attach
+        # failure path we can foresee is rejected BEFORE the single-use
+        # observation could bind to a plan that will never run (an
+        # abandoned observation makes a later observation.get block
+        # forever — there is no detach API)
+        from pq_vector_spark.index.pq import CODES_COL
+
+        codes_cols = set(spark.read.parquet(codes_path).columns)
+        need = {id_col, CLUSTER_COL, CODES_COL}
+        if not need <= codes_cols:
+            _LOG.info(
+                "ivfpq route skipped: codes table lacks columns %s",
+                sorted(need - codes_cols),
+            )
+            return None, False
         idx = load_index(spark, path)
         nprobe = options.nprobe if options else 5
         rerank = getattr(options, "rerank", 4) if options else 4

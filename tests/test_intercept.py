@@ -402,14 +402,16 @@ def test_sidecar_bad_codes_path_falls_back_to_ivf(spark, icpt_table, tmp_path):
         unregister_codes_sidecar(icpt_table["out"])
 
 
-def test_sidecar_post_attach_failure_falls_back_without_observation(
+def test_sidecar_wrong_id_column_pre_rejected_with_observation_intact(
     spark, icpt_table, icpt_sidecar, tmp_path
 ):
-    """A PQ route failing AFTER the single-use observation attached (codes
-    table whose id column doesn't match the registration) must fall back to
-    the raw IVF probe WITHOUT re-attaching the consumed observation —
-    re-attaching would raise REUSE_OBSERVATION and turn a route fallback
-    into a full decline to brute force (the ADVICE r7 hazard)."""
+    """A codes table whose id column doesn't match the registration is
+    rejected by the schema-only pre-check BEFORE the single-use observation
+    can bind to a doomed plan (an abandoned observation would make a later
+    observation.get block forever); the raw IVF probe serves the query with
+    the observation attached and readable. The post-attach consumed-
+    observation fallback in _try_pq_route remains as defense-in-depth for
+    failure shapes the pre-checks cannot foresee."""
     from pyspark.sql import functions as SF
 
     from pq_vector_spark.plans.intercept import (
@@ -438,6 +440,7 @@ def test_sidecar_post_attach_failure_falls_back_without_observation(
         plan = hit._jdf.queryExecution().optimizedPlan().toString()
         assert "pq_codes" not in plan
         assert [r["id"] for r in hit.collect()] == _brute(spark, q)
+        assert obs.get["candidate_rows"] > 0  # observation rode the IVF plan
     finally:
         unregister_codes_sidecar(icpt_table["out"])
         # re-register the good sidecar so the icpt_sidecar fixture teardown

@@ -335,3 +335,64 @@ def test_select_token_budget_guards_and_empty(spark):
         for r in select_token_budget(const, "id", "score", "tok", 35).collect()
     )
     assert got == [0, 1, 2]
+
+
+def test_temperature_mix_null_group_is_a_group(spark):
+    """A NULL group value is a count group like any other — the rarest
+    group contract applies to it, and the CASE chain must match it with
+    isNull (a plain == NULL would silently drop the whole group)."""
+    from pq_vector_spark.operators.sampling import temperature_mix, temperature_rates
+
+    rows = [(i, "big") for i in range(400)] + [(1000 + i, None) for i in range(50)]
+    df = spark.createDataFrame(rows, "id: bigint, grp: string")
+    r = temperature_rates({"big": 400, None: 50}, alpha=0.5)
+    assert r[None] == 1.0  # rarest group (NULL) kept whole
+    out = temperature_mix(df, "grp", "id", alpha=0.5, salt="n")
+    by = {r["grp"]: r["count"] for r in out.groupBy("grp").count().collect()}
+    assert by[None] == 50
+    assert 0 < by["big"] < 400
+
+
+def test_select_token_budget_null_and_nan_scores(spark):
+    """Engine-ordering parity for edge scores: NaN ranks above every
+    finite score (selected first, as Spark/DuckDB DESC order them), NULL
+    ranks below everything (selected only with leftover budget)."""
+    import math
+
+    from pq_vector_spark.operators.sampling import select_token_budget
+
+    rows = [
+        (1, float("nan"), 10),
+        (2, 5.0, 10),
+        (3, 1.0, 10),
+        (4, None, 10),
+        (5, 3.0, 10),
+    ]
+    df = spark.createDataFrame(rows, "id: bigint, score: double, tok: bigint")
+
+    def got(budget):
+        return sorted(
+            r["id"]
+            for r in select_token_budget(df, "id", "score", "tok", budget).collect()
+        )
+
+    assert got(10) == [1]           # NaN first
+    assert got(30) == [1, 2, 5]     # then finite desc
+    assert got(45) == [1, 2, 3, 5]  # null not yet affordable... budget 45 keeps 4 rows
+    assert got(50) == [1, 2, 3, 4, 5]  # null last, once budget allows
+
+    # matches the naive global window on the same data
+    from pyspark.sql import Window
+    from pyspark.sql import functions as SF
+
+    w = Window.orderBy(SF.col("score").desc(), SF.col("id").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    for budget in (10, 30, 45, 50):
+        naive = sorted(
+            r["id"]
+            for r in df.withColumn("c", SF.sum("tok").over(w))
+            .filter(SF.col("c") <= budget)
+            .collect()
+        )
+        assert got(budget) == naive, f"budget={budget}"
