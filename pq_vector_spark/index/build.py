@@ -756,6 +756,9 @@ def auto_rebuild_if_stale(
     if sidecar is not None:
         from pq_vector_spark.index.pq import encode_indexed
 
-        codes_path, codebook, id_col = sidecar
+        codes_path, codebook, id_col, _ = sidecar
         encode_indexed(spark, indexed_path, codes_path, column, id_col, codebook)
+        # re-register so the route's staleness guard records the REBUILT
+        # row count (the registration-time count is now outdated)
+        _icpt.register_codes_sidecar(indexed_path, codes_path, codebook, id_col)
     return {"rebuilt": True, "health": health, "meta": meta}

@@ -91,8 +91,31 @@ def register_codes_sidecar(
     the engine picks the cheapest plan rather than requiring the user to
     call ``ivfpq_topk`` by hand (≙ the reference's single physical rule
     being its SQL users' only entry point, src/df_vector/physical.rs:20-229).
+
+    The index's CURRENT row count is recorded with the registration:
+    ``append_to_index`` grows the raw layout but not the codes table, and
+    a partial codes scan would silently EXCLUDE appended rows from every
+    result — so the route declines (falls back to the raw IVF probe,
+    correct just less pruned) whenever the live row count no longer
+    matches. Re-encode (``encode_indexed``) and re-register after appends;
+    ``auto_rebuild_if_stale`` re-encodes automatically.
     """
-    _CODES_SIDECARS[_normalize_path(indexed_path)] = (codes_path, codebook, id_col)
+    from pq_vector_spark.index.search import load_index
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    rows = None
+    if spark is not None:
+        try:
+            rows = int(load_index(spark, indexed_path).meta["row_count"])
+        except Exception:
+            rows = None  # no sidecar yet / unreadable: guard disabled
+    _CODES_SIDECARS[_normalize_path(indexed_path)] = (
+        codes_path,
+        codebook,
+        id_col,
+        rows,
+    )
 
 
 def unregister_codes_sidecar(indexed_path: str) -> None:
@@ -430,7 +453,7 @@ def _try_pq_route(
     sidecar = _CODES_SIDECARS.get(_normalize_path(path))
     if sidecar is None:
         return None, False
-    codes_path, codebook, id_col = sidecar
+    codes_path, codebook, id_col, reg_rows = sidecar
     if tie_break is not None and tie_break != id_col:
         return None, False
     try:
@@ -464,6 +487,19 @@ def _try_pq_route(
             )
             return None, False
         idx = load_index(spark, path)
+        if reg_rows is not None and int(idx.meta["row_count"]) != reg_rows:
+            # the raw layout grew since the codes were registered
+            # (append_to_index); a partial codes scan would silently
+            # EXCLUDE the appended rows from results — never trade
+            # correctness for pruning. Re-encode + re-register to restore
+            # the route.
+            _LOG.info(
+                "ivfpq route skipped: index row_count %s != registered %s "
+                "(codes sidecar is stale — re-encode after appends)",
+                idx.meta["row_count"],
+                reg_rows,
+            )
+            return None, False
         nprobe = options.nprobe if options else 5
         rerank = getattr(options, "rerank", 4) if options else 4
         if nprobe >= int(idx.meta["n_clusters"]):

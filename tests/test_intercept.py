@@ -552,3 +552,76 @@ def test_unrelated_computed_projection_still_declines(spark, icpt_table):
     )
     raw = spark.sql(expand_vector_functions(q))
     assert try_intercept_topk(spark, raw) is None
+
+
+def test_sidecar_stale_after_append_declines_pq_route(spark, icpt_table, tmp_path):
+    """append_to_index grows the raw layout but not the codes table — a
+    partial codes scan would silently EXCLUDE the appended rows from
+    results. The route's registration-time row-count guard must push the
+    query to the raw IVF probe (correct, just less pruned) until the codes
+    are re-encoded and re-registered."""
+    import numpy as np
+
+    from pq_vector_spark.index.build import append_to_index, build_index as _bi
+    from pq_vector_spark.index.pq import encode_indexed, train_pq
+    from pq_vector_spark.plans.intercept import (
+        register_codes_sidecar,
+        unregister_codes_sidecar,
+    )
+    from pq_vector_spark.plans.sql import register_indexed_table
+
+    # private copy of the layout — this test mutates it
+    src = str(tmp_path / "src.parquet")
+    out = str(tmp_path / "indexed")
+    codes = str(tmp_path / "codes")
+    rng = np.random.default_rng(21)
+    rows = [
+        (int(i), [float(x) for x in rng.random(4, dtype=np.float32)])
+        for i in range(300)
+    ]
+    spark.createDataFrame(rows, "id INT, vec ARRAY<FLOAT>").write.parquet(src)
+    from pq_vector_spark.session import IndexBuildOptions
+
+    _bi(spark, src, out, column="vec", options=IndexBuildOptions(n_clusters=8))
+    cb = train_pq(spark.read.parquet(src), "vec", m=4, nbits=8, seed=42)
+    encode_indexed(spark, out, codes, "vec", "id", cb)
+    register_codes_sidecar(out, codes, cb, id_col="id")
+    register_indexed_table(spark, "icpt_stale", out)
+    try:
+        q = (
+            "WITH c AS (SELECT id, vec FROM icpt_stale) "
+            f"SELECT id FROM c ORDER BY array_distance(vec, {VEC}), id LIMIT 10"
+        )
+        raw = spark.sql(expand_vector_functions(q))
+        hit = try_intercept_topk(spark, raw, options=VectorTopKOptions(nprobe=8))
+        assert hit is not None
+        assert "pq_codes" in hit._jdf.queryExecution().optimizedPlan().toString()
+
+        appended = [
+            (int(300 + i), [float(x) for x in rng.random(4, dtype=np.float32)])
+            for i in range(100)
+        ]
+        append_to_index(
+            spark, spark.createDataFrame(appended, "id INT, vec ARRAY<FLOAT>"), out
+        )
+        # temp views snapshot the parquet file listing — refresh so the
+        # brute twin sees the appended files too (standard Spark semantics)
+        register_indexed_table(spark, "icpt_stale", out)
+        raw = spark.sql(expand_vector_functions(q))
+        hit = try_intercept_topk(spark, raw, options=VectorTopKOptions(nprobe=8))
+        assert hit is not None  # still intercepts — via the raw IVF probe
+        plan = hit._jdf.queryExecution().optimizedPlan().toString()
+        assert "pq_codes" not in plan  # stale codes never scanned
+        # the IVF result covers the appended rows exactly
+        assert [r["id"] for r in hit.collect()] == _brute(spark, q)
+
+        # re-encode + re-register restores the PQ route over all 400 rows
+        encode_indexed(spark, out, codes, "vec", "id", cb)
+        register_codes_sidecar(out, codes, cb, id_col="id")
+        raw = spark.sql(expand_vector_functions(q))
+        hit = try_intercept_topk(spark, raw, options=VectorTopKOptions(nprobe=8))
+        assert hit is not None
+        assert "pq_codes" in hit._jdf.queryExecution().optimizedPlan().toString()
+        assert [r["id"] for r in hit.collect()] == _brute(spark, q)
+    finally:
+        unregister_codes_sidecar(out)
