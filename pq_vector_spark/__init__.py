@@ -32,6 +32,7 @@ from pq_vector_spark.index.search import indexed_topk, load_index
 from pq_vector_spark.plans.sql import pq_sql, register_indexed_table
 from pq_vector_spark.plans.intercept import (
     last_decline_reason,
+    refresh_codes_sidecar,
     register_codes_sidecar,
     try_intercept_topk,
     unregister_codes_sidecar,
@@ -127,6 +128,7 @@ __all__ = [
     "register_indexed_table",
     "try_intercept_topk",
     "last_decline_reason",
+    "refresh_codes_sidecar",
     "register_codes_sidecar",
     "unregister_codes_sidecar",
     "explain_vector",

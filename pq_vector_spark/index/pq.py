@@ -310,6 +310,7 @@ def encode_indexed(
     codebook: PQCodebook,
     *,
     n_files: Optional[int] = None,
+    mode: str = "overwrite",
 ) -> None:
     """Write the codes sidecar table for an IVF-indexed layout:
     (id, cluster id, m-byte codes), cluster-sorted parquet — so an
@@ -317,17 +318,29 @@ def encode_indexed(
     row-group stats exactly like the raw layout's.
 
     One shuffle (the cluster repartition); encoding itself is the same
-    map-side Arrow pass as ``encode_pq``. Run once at ingest; refresh for
-    appended files the same way ``append_to_index`` adds raw files.
+    map-side Arrow pass as ``encode_pq``. ``mode``:
+
+    - ``"overwrite"`` — encode the whole layout (initial build, or after a
+      retrain: old codes are invalid against new clusters);
+    - ``"append_missing"`` — encode ONLY raw rows absent from the existing
+      codes table and append them. This is the nightly-append refresh: the
+      standing codes (∝ corpus) are never rewritten, the delta pays one
+      id anti-join (sort-merge, ids only on the wire) plus its own encode.
+      Appended code files carry their own contiguous cluster ranges, so
+      file-level pruning still holds per append generation.
     """
     from pq_vector_spark.index.build import CLUSTER_COL
 
+    if mode not in ("overwrite", "append_missing"):
+        raise ValueError(f"mode must be overwrite|append_missing, got {mode!r}")
     raw = spark.read.parquet(indexed_path)
     if CLUSTER_COL not in raw.columns:
         raise ValueError(f"{indexed_path} is not an indexed layout ({CLUSTER_COL} missing)")
-    codes = encode_pq(
-        raw.select(id_col, CLUSTER_COL, column), column, codebook, CODES_COL
-    ).drop(column)
+    todo = raw.select(id_col, CLUSTER_COL, column)
+    if mode == "append_missing":
+        existing = spark.read.parquet(out_path).select(id_col)
+        todo = todo.join(existing, id_col, "left_anti")
+    codes = encode_pq(todo, column, codebook, CODES_COL).drop(column)
     # RANGE partitioning, not hash: the codes table is small enough that
     # each output file holds a single parquet row group, so pruning must
     # happen at FILE granularity — contiguous cluster ranges give every
@@ -338,7 +351,7 @@ def encode_indexed(
     (
         codes.repartitionByRange(n_files, F.col(CLUSTER_COL), F.col(id_col))
         .sortWithinPartitions(CLUSTER_COL, id_col)
-        .write.mode("overwrite")
+        .write.mode("overwrite" if mode == "overwrite" else "append")
         .parquet(out_path)
     )
 

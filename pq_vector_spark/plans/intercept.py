@@ -118,6 +118,29 @@ def register_codes_sidecar(
     )
 
 
+def refresh_codes_sidecar(spark, indexed_path: str) -> None:
+    """Bring a registered codes sidecar back in sync after
+    ``append_to_index`` grew the raw layout: encodes ONLY the missing rows
+    (``encode_indexed(mode="append_missing")`` — the standing codes are
+    never rewritten) and re-registers so the route's staleness guard
+    records the new row count. The nightly-append companion to the guard
+    that declines stale codes."""
+    key = _normalize_path(indexed_path)
+    sidecar = _CODES_SIDECARS.get(key)
+    if sidecar is None:
+        raise ValueError(f"no codes sidecar registered for {indexed_path}")
+    codes_path, codebook, id_col, _ = sidecar
+    from pq_vector_spark.index.pq import encode_indexed
+    from pq_vector_spark.index.search import load_index
+
+    column = load_index(spark, indexed_path).meta["column"]
+    encode_indexed(
+        spark, indexed_path, codes_path, column, id_col, codebook,
+        mode="append_missing",
+    )
+    register_codes_sidecar(indexed_path, codes_path, codebook, id_col)
+
+
 def unregister_codes_sidecar(indexed_path: str) -> None:
     """Forget a registered codes sidecar (e.g. after the codes table is
     dropped or superseded by a rebuild); interception for the layout falls

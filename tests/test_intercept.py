@@ -615,9 +615,17 @@ def test_sidecar_stale_after_append_declines_pq_route(spark, icpt_table, tmp_pat
         # the IVF result covers the appended rows exactly
         assert [r["id"] for r in hit.collect()] == _brute(spark, q)
 
-        # re-encode + re-register restores the PQ route over all 400 rows
-        encode_indexed(spark, out, codes, "vec", "id", cb)
-        register_codes_sidecar(out, codes, cb, id_col="id")
+        # incremental refresh (encodes ONLY the 100 missing rows, appends,
+        # re-registers) restores the PQ route over all 400 rows
+        from pq_vector_spark.plans.intercept import refresh_codes_sidecar
+
+        n_code_files_before = len(
+            [f for f in __import__("os").listdir(codes) if f.startswith("part-")]
+        )
+        refresh_codes_sidecar(spark, out)
+        codes_df = spark.read.parquet(codes)
+        assert codes_df.count() == 400  # delta encoded, standing codes kept
+        assert codes_df.select("id").distinct().count() == 400
         raw = spark.sql(expand_vector_functions(q))
         hit = try_intercept_topk(spark, raw, options=VectorTopKOptions(nprobe=8))
         assert hit is not None
