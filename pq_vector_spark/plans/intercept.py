@@ -457,7 +457,8 @@ def _unqualified_sql(spark, jexpr) -> str:
 
 
 def _try_pq_route(
-    spark, df, path, column, vec, k, tie_break, options, observation
+    spark, df, path, column, vec, k, tie_break, options, observation,
+    dist_alias=None,
 ):
     """Attempt the IVF-PQ interception route for an L2, unfiltered top-k
     over ``path``. Returns ``(out_df, obs_consumed)``:
@@ -484,10 +485,14 @@ def _try_pq_route(
         from pq_vector_spark.index.pq import ivfpq_topk
         from pq_vector_spark.index.search import load_index
 
-        # ivfpq_topk's output is the raw layout minus the cluster column;
-        # a projection outside that set cannot take this route (schema-only
-        # probe — no job)
+        # ivfpq_topk's output is the raw layout minus the cluster column —
+        # plus, when the query projects the distance itself, the re-rank
+        # stage's exact distance column (renamed below); a projection
+        # outside that set cannot take this route (schema-only probe — no
+        # job)
         avail = set(spark.read.parquet(path).columns) - {CLUSTER_COL}
+        if dist_alias is not None:
+            avail = avail | {dist_alias}
         if not set(df.columns) <= avail:
             _LOG.info(
                 "ivfpq route skipped: projection needs columns the codes "
@@ -545,7 +550,13 @@ def _try_pq_route(
             nprobe=nprobe,
             rerank=rerank,
             observation=observation,
+            keep_distance=dist_alias is not None,
         )
+        if dist_alias is not None:
+            from pq_vector_spark.operators.topk import DISTANCE_COL
+
+            if dist_alias != DISTANCE_COL:
+                out = out.withColumnRenamed(DISTANCE_COL, dist_alias)
         return out.select(*df.columns), False
     except Exception as e:
         consumed = (
@@ -711,7 +722,8 @@ def _try_intercept(spark, df, options, observation, indexed_tables):
     # falls back to the raw IVF probe below, never to brute force.
     if metric == "l2" and pre is None:
         pq_out, obs_consumed = _try_pq_route(
-            spark, df, path, attr.name(), vec, k, tie_break, options, observation
+            spark, df, path, attr.name(), vec, k, tie_break, options, observation,
+            dist_alias=dist_alias,
         )
         if pq_out is not None:
             return pq_out

@@ -633,3 +633,22 @@ def test_sidecar_stale_after_append_declines_pq_route(spark, icpt_table, tmp_pat
         assert [r["id"] for r in hit.collect()] == _brute(spark, q)
     finally:
         unregister_codes_sidecar(out)
+
+
+def test_sidecar_pq_route_serves_projected_distance(spark, icpt_table, icpt_sidecar):
+    """Projected-distance queries take the PQ route too: the re-rank
+    stage's exact distance column is renamed to the query's alias, so the
+    values are the identical canonical fold — bit-equal to brute force in
+    the exactness envelope."""
+    q = (
+        "WITH c AS (SELECT id, vec FROM icpt_vectors) "
+        f"SELECT id, array_distance(vec, {VEC}) AS d FROM c "
+        "ORDER BY d, id LIMIT 10"
+    )
+    raw = spark.sql(expand_vector_functions(q))
+    hit = try_intercept_topk(spark, raw, options=VectorTopKOptions(nprobe=N_CLUSTERS))
+    assert hit is not None
+    assert hit.columns == ["id", "d"]
+    assert "pq_codes" in hit._jdf.queryExecution().optimizedPlan().toString()
+    want = [(r["id"], r["d"]) for r in spark.sql(expand_vector_functions(q)).collect()]
+    assert [(r["id"], r["d"]) for r in hit.collect()] == want
