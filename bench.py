@@ -725,6 +725,11 @@ def _dedup_scale_bench(spark) -> dict:
         docs, "text", "doc_id", num_hashes=32, bands=8, threshold=0.6,
         observation=drop_obs,
     )
+    # persist BEFORE the count so resolve_sec below times connected
+    # components alone — without it, CC's edge materialization re-derives
+    # the whole minhash pipeline and resolve_sec swings with shuffle-file
+    # reuse luck (r7 12.6s vs r8 26s on identical code)
+    pairs = pairs.persist()
     n_pairs = pairs.count()
     minhash_sec = round(time.time() - t0, 3)
     dropped = int(drop_obs.get["dropped_bucket_rows"] or 0)
@@ -734,6 +739,7 @@ def _dedup_scale_bench(spark) -> dict:
     n_dup_docs = comp.count()
     n_components = comp.select("component").distinct().count()
     resolve_sec = round(time.time() - t0, 3)
+    pairs.unpersist()
 
     t0 = time.time()
     n_sim = (

@@ -281,3 +281,78 @@ def test_maxsim_matches_numpy_property(spark, data):
     for i, m in enumerate(mats):
         want = float((qm @ m.T).max(axis=1).sum())
         assert got[i] == pytest.approx(want, rel=1e-9, abs=1e-9)
+
+
+@settings(max_examples=15, deadline=None)
+@given(data=st.data())
+def test_temperature_rates_properties(data):
+    """For arbitrary positive group counts and alpha in (0,1]: every rate
+    is in (0,1], the smallest group's rate is exactly 1.0 (rare data never
+    dropped), and expected kept counts n_i*r_i are proportional to n_i^α
+    (the temperature target), up to the clamp."""
+    from pq_vector_spark.operators.sampling import temperature_rates
+
+    counts = data.draw(
+        st.dictionaries(
+            st.text(alphabet="abcdefg", min_size=1, max_size=3),
+            st.integers(min_value=1, max_value=10**6),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    alpha = data.draw(
+        st.floats(min_value=0.05, max_value=1.0, allow_nan=False)
+    )
+    rates = temperature_rates(counts, alpha)
+    assert set(rates) == set(counts)
+    assert all(0.0 < r <= 1.0 for r in rates.values())
+    smallest = min(counts, key=lambda g: (counts[g], str(g)))
+    assert rates[smallest] == 1.0
+    # unclamped groups: kept_i / n_j^alpha ratio constant
+    kept = {g: counts[g] * rates[g] for g in counts}
+    ref = {g: counts[g] ** alpha for g in counts}
+    ratios = [
+        kept[g] / ref[g] for g in counts if rates[g] < 1.0 - 1e-12
+    ]
+    for a, b in zip(ratios, ratios[1:]):
+        assert abs(a - b) <= 1e-6 * max(abs(a), abs(b), 1.0)
+
+
+@settings(max_examples=10, deadline=None)
+@given(data=st.data())
+def test_select_token_budget_matches_greedy_property(spark, data):
+    """Arbitrary (score, tokens) tables and budgets: the bucketed two-phase
+    selection equals the naive global greedy prefix exactly — including
+    duplicate scores, tiny bucket counts, and budgets at the extremes."""
+    from pq_vector_spark.operators.sampling import select_token_budget
+
+    n = data.draw(st.integers(min_value=1, max_value=60))
+    rows = [
+        (
+            i,
+            data.draw(
+                st.floats(
+                    min_value=-100, max_value=100, allow_nan=False, width=32
+                )
+            ),
+            data.draw(st.integers(min_value=0, max_value=50)),
+        )
+        for i in range(n)
+    ]
+    total = sum(r[2] for r in rows)
+    budget = data.draw(st.integers(min_value=0, max_value=total + 5))
+    buckets = data.draw(st.integers(min_value=1, max_value=16))
+    df = spark.createDataFrame(rows, "id: bigint, score: double, tok: bigint")
+    got = sorted(
+        r["id"]
+        for r in select_token_budget(
+            df, "id", "score", "tok", budget, buckets=buckets
+        ).collect()
+    )
+    kept, cum = [], 0
+    for key, score, tok in sorted(rows, key=lambda r: (-r[1], r[0])):
+        if cum + tok > budget:
+            break
+        cum += tok
+        kept.append(key)
+    assert got == sorted(kept)
