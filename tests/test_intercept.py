@@ -652,3 +652,21 @@ def test_sidecar_pq_route_serves_projected_distance(spark, icpt_table, icpt_side
     assert "pq_codes" in hit._jdf.queryExecution().optimizedPlan().toString()
     want = [(r["id"], r["d"]) for r in spark.sql(expand_vector_functions(q)).collect()]
     assert [(r["id"], r["d"]) for r in hit.collect()] == want
+
+
+def test_projected_distance_with_filter(spark, icpt_table):
+    """Alias sort key + WHERE below it: the walk forwards the filter to
+    the pruned scan and the replacement still emits the distance column."""
+    q = (
+        "WITH c AS (SELECT id, vec FROM icpt_vectors WHERE id >= 100) "
+        f"SELECT id, array_distance(vec, {VEC}) AS d FROM c "
+        "ORDER BY d, id LIMIT 5"
+    )
+    raw = spark.sql(expand_vector_functions(q))
+    hit = try_intercept_topk(spark, raw, options=VectorTopKOptions(nprobe=N_CLUSTERS))
+    assert hit is not None
+    assert hit.columns == ["id", "d"]
+    want = [(r["id"], r["d"]) for r in spark.sql(expand_vector_functions(q)).collect()]
+    got = [(r["id"], r["d"]) for r in hit.collect()]
+    assert got == want
+    assert all(i >= 100 for i, _ in got)
