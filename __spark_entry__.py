@@ -1757,6 +1757,35 @@ def _events_trending(spark, sf_dir):
     return trending(load_table(spark, sf_dir, "events"), k=3)
 
 
+PROJECT_DIM = 8
+PROJECT_SEED = 7
+
+
+def _embedding_project(spark, sf_dir):
+    """Seeded Johnson-Lindenstrauss random projection (functions/vector.py:
+    project_vectors) — the dimensionality-reduction step ahead of
+    indexing/storage at scale (a 768-dim corpus indexed at 64 dims costs
+    12× less I/O per candidate). Native zip_with/aggregate fold per output
+    dim, zero shuffle; the oracle is handed the IDENTICAL matrix literals
+    (same seed through random_projection_matrix) and replays every output
+    bit. Long (vec_id, dim, val) form per the driver canonicalizer's
+    hashable-cell contract."""
+    from pq_vector_spark.functions.vector import (
+        project_vectors,
+        random_projection_matrix,
+    )
+
+    emb = _emb(spark, sf_dir)
+    src_dim = len(emb.select("embedding").first()["embedding"])
+    m = random_projection_matrix(src_dim, PROJECT_DIM, seed=PROJECT_SEED)
+    out = project_vectors(emb, "embedding", m)
+    return (
+        out.select("vec_id", F.posexplode("projected").alias("dim", "val"))
+        .select("vec_id", "dim", F.round("val", 4).alias("val"))
+        .orderBy("vec_id", "dim")
+    )
+
+
 def _embedding_norms(spark, sf_dir):
     """Per-label L2-norm vital signs (functions/vector.py:norm_stats):
     map-side bound-once norm fold, one group agg; exact percentiles over
@@ -1926,8 +1955,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maxsim": _maxsim,
         "hybrid_rrf": _hybrid_rrf,
         "embedding_centroids": _embedding_centroids,
-        "embedding_outliers": _embedding_outliers,
         "embedding_norms": _embedding_norms,
+        "embedding_project": _embedding_project,
         "corpus_drift": _corpus_drift,
         # -- dedup family --
         "dedup_exact": _dedup_exact,
@@ -1976,6 +2005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- 50-row budget cutoff: tail variants below were driver-green in
         # r5 (CORRECTNESS_r05.json) and their code is unchanged; rotate any
         # of them back above this line whenever their implementation changes.
+        "embedding_outliers": _embedding_outliers,
         "dedup_jaccard": _dedup_jaccard,
         "text_tokens_bpe": _text_tokens_bpe,
         "text_chunks": _text_chunks,
@@ -3272,6 +3302,28 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_frames": _frames_oracle_sql(),
     }
     # knn_batch_ivf probes ALL clusters ⇒ bit-identical to brute knn_batch
+    # seeded JL projection: the oracle gets the IDENTICAL matrix literals
+    # the Spark side derives from the same (dim, seed) — repr() round-trips
+    # doubles exactly, and both engines fold x*w left-to-right in element
+    # order, so every output matches to the bit before the shared round()
+    from pq_vector_spark.functions.vector import random_projection_matrix
+
+    _pm = random_projection_matrix(64, PROJECT_DIM, seed=PROJECT_SEED)
+
+    def _proj_term(row):
+        lits = ", ".join(repr(w) for w in row)
+        return (
+            f"list_reduce(list_transform(list_zip(embedding, [{lits}]), "
+            "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)"
+        )
+
+    _proj_list = ", ".join(_proj_term(r) for r in _pm)
+    oracles["embedding_project"] = f"""
+        WITH p AS (SELECT vec_id, [{_proj_list}] AS pr FROM embeddings),
+             u AS (SELECT unnest(range({PROJECT_DIM})) AS i)
+        SELECT vec_id, CAST(u.i AS INT) AS dim, round(pr[u.i + 1], 4) AS val
+        FROM p, u ORDER BY vec_id, dim"""
+
     oracles["knn_batch_ivf"] = oracles["knn_batch"]
     # streaming twin computes the same plan over readStream
     oracles["events_stream_enriched"] = oracles["events_enriched"]

@@ -99,6 +99,9 @@ from pq_vector_spark.functions.vector import (
     group_centroids,
     l2_normalize,
     norm_stats,
+    pca_components,
+    project_vectors,
+    random_projection_matrix,
 )
 from pq_vector_spark.sources.layout import zorder_key, zorder_write
 
@@ -191,6 +194,9 @@ __all__ = [
     "group_centroids",
     "l2_normalize",
     "norm_stats",
+    "pca_components",
+    "project_vectors",
+    "random_projection_matrix",
     "zorder_key",
     "zorder_write",
 ]

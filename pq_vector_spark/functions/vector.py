@@ -198,3 +198,91 @@ def norm_stats(
             "p95_norm",
         )
     )
+
+
+def random_projection_matrix(source_dim: int, target_dim: int, seed: int = 42):
+    """Seeded Gaussian Johnson-Lindenstrauss projection matrix
+    (target_dim × source_dim, entries N(0, 1/target_dim)) as plain Python
+    floats — deterministic given (dims, seed), so an external engine (the
+    DuckDB oracle) can be handed the IDENTICAL literals and replay the
+    projection bit-for-bit."""
+    import numpy as np
+
+    if not (0 < target_dim <= source_dim):
+        raise ValueError(
+            f"target_dim must be in (0, {source_dim}], got {target_dim}"
+        )
+    rng = np.random.default_rng(seed)
+    m = rng.standard_normal((target_dim, source_dim)) / float(target_dim) ** 0.5
+    return [[float(v) for v in row] for row in m]
+
+
+def project_vectors(
+    df: DataFrame, column: str, matrix, *, out_col: str = "projected"
+) -> Column | DataFrame:
+    """Dense linear projection of an embedding column: y_j = Σ_i x_i·M[j][i]
+    — dimensionality reduction ahead of indexing/storage (the classic JL /
+    PCA step: a 768-dim corpus indexed at 64 dims costs 12× less I/O per
+    candidate at modest recall loss; pair with ``random_projection_matrix``
+    or ``pca_components``).
+
+    Entirely native higher-order functions — one zip_with/aggregate fold
+    per output dimension, whole plan JVM-side, zero shuffle, column-pruned
+    like any projection. Doubles fold left-to-right in element order, so
+    the DuckDB oracle given the same matrix literals reproduces every
+    output bit. For very large target dims a matmul pandas-UDF would win;
+    at the 8-64 targets ANN reduction uses, expression codegen is faster
+    than Arrow round-trips.
+    """
+    rows = [[float(v) for v in row] for row in matrix]
+    if not rows:
+        raise ValueError("matrix must have at least one output row")
+    width = {len(r) for r in rows}
+    if len(width) != 1:
+        raise ValueError(f"matrix rows have inconsistent widths: {sorted(width)}")
+    c = F.col(column)
+    outs = [
+        F.aggregate(
+            F.zip_with(
+                c,
+                F.array(*[F.lit(v) for v in row]),
+                lambda x, w: x.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        for row in rows
+    ]
+    return df.withColumn(out_col, F.array(*outs))
+
+
+def pca_components(
+    df: DataFrame,
+    column: str,
+    k: int,
+    *,
+    sample_cap: int = 100_000,
+    seed: int = 42,
+):
+    """Top-k PCA components of an embedding column, driver-side SVD over a
+    seeded uniform sample (the same bounded-driver-state trade as the IVF
+    k-means trainer, index/build.py:sample_embeddings_to_driver — never the
+    corpus). Returns ``(components, mean)``: ``components`` is a k ×
+    source_dim list-of-lists ready for ``project_vectors`` (center with
+    ``mean`` first for true PCA, or skip centering for a cheap approximate
+    reduction), both plain floats so oracles/other engines can replay.
+    """
+    import numpy as np
+
+    from pq_vector_spark.index.build import sample_embeddings_to_driver
+    from pq_vector_spark.schema import validate_vector_column
+
+    stats = validate_vector_column(df, column)
+    if not (0 < k <= stats.dim):
+        raise ValueError(f"k must be in (0, {stats.dim}], got {k}")
+    target = min(max(stats.rows // 20, k, 1), sample_cap)
+    sample = sample_embeddings_to_driver(df, column, target, stats.rows, seed)
+    mu = sample.mean(axis=0)
+    _, _, vt = np.linalg.svd(sample - mu, full_matrices=False)
+    comps = [[float(v) for v in row] for row in vt[:k]]
+    return comps, [float(v) for v in mu]

