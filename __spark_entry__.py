@@ -1759,6 +1759,7 @@ def _events_trending(spark, sf_dir):
 
 PROJECT_DIM = 8
 PROJECT_SEED = 7
+PROJECT_SRC_DIM = 64  # embeddings dim; oracle bakes matrix literals at this width
 
 
 def _embedding_project(spark, sf_dir):
@@ -1777,6 +1778,10 @@ def _embedding_project(spark, sf_dir):
 
     emb = _emb(spark, sf_dir)
     src_dim = len(emb.select("embedding").first()["embedding"])
+    assert src_dim == PROJECT_SRC_DIM, (
+        f"embeddings dim {src_dim} != PROJECT_SRC_DIM {PROJECT_SRC_DIM}; "
+        "update the shared constant (the oracle bakes matrix literals at it)"
+    )
     m = random_projection_matrix(src_dim, PROJECT_DIM, seed=PROJECT_SEED)
     out = project_vectors(emb, "embedding", m)
     return (
@@ -3308,7 +3313,7 @@ def oracle_sql() -> dict[str, str]:
     # order, so every output matches to the bit before the shared round()
     from pq_vector_spark.functions.vector import random_projection_matrix
 
-    _pm = random_projection_matrix(64, PROJECT_DIM, seed=PROJECT_SEED)
+    _pm = random_projection_matrix(PROJECT_SRC_DIM, PROJECT_DIM, seed=PROJECT_SEED)
 
     def _proj_term(row):
         lits = ", ".join(repr(w) for w in row)

@@ -219,7 +219,7 @@ def random_projection_matrix(source_dim: int, target_dim: int, seed: int = 42):
 
 def project_vectors(
     df: DataFrame, column: str, matrix, *, out_col: str = "projected"
-) -> Column | DataFrame:
+) -> DataFrame:
     """Dense linear projection of an embedding column: y_j = Σ_i x_i·M[j][i]
     — dimensionality reduction ahead of indexing/storage (the classic JL /
     PCA step: a 768-dim corpus indexed at 64 dims costs 12× less I/O per
@@ -282,6 +282,13 @@ def pca_components(
         raise ValueError(f"k must be in (0, {stats.dim}], got {k}")
     target = min(max(stats.rows // 20, k, 1), sample_cap)
     sample = sample_embeddings_to_driver(df, column, target, stats.rows, seed)
+    if sample.shape[0] < k:
+        # svd would silently yield fewer than k components — a shape
+        # mismatch downstream; fail loudly instead
+        raise ValueError(
+            f"PCA sample has {sample.shape[0]} rows < k={k}; lower k or "
+            f"raise sample_cap"
+        )
     mu = sample.mean(axis=0)
     _, _, vt = np.linalg.svd(sample - mu, full_matrices=False)
     comps = [[float(v) for v in row] for row in vt[:k]]

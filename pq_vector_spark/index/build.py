@@ -760,5 +760,7 @@ def auto_rebuild_if_stale(
         encode_indexed(spark, indexed_path, codes_path, column, id_col, codebook)
         # re-register so the route's staleness guard records the REBUILT
         # row count (the registration-time count is now outdated)
-        _icpt.register_codes_sidecar(indexed_path, codes_path, codebook, id_col)
+        _icpt.register_codes_sidecar(
+            indexed_path, codes_path, codebook, id_col, spark=spark
+        )
     return {"rebuilt": True, "health": health, "meta": meta}

@@ -337,9 +337,18 @@ def encode_indexed(
     if CLUSTER_COL not in raw.columns:
         raise ValueError(f"{indexed_path} is not an indexed layout ({CLUSTER_COL} missing)")
     todo = raw.select(id_col, CLUSTER_COL, column)
+    n_delta = None
     if mode == "append_missing":
         existing = spark.read.parquet(out_path).select(id_col)
         todo = todo.join(existing, id_col, "left_anti")
+        # size the delta's file count by its own row count (one ids-only
+        # count job on a rare refresh path): the cluster-wide default
+        # would spray a tiny nightly delta across 4x-parallelism
+        # near-empty files whose overlapping cluster ranges erode the
+        # file-level pruning this layout exists for
+        n_delta = todo.count()
+        if n_delta == 0:
+            return
     codes = encode_pq(todo, column, codebook, CODES_COL).drop(column)
     # RANGE partitioning, not hash: the codes table is small enough that
     # each output file holds a single parquet row group, so pruning must
@@ -347,7 +356,11 @@ def encode_indexed(
     # file a tight [min,max] cluster span and the probe's IN filter skips
     # whole files. (The raw layout can rely on within-file row-group
     # stats instead because its files span many row groups.)
-    n_files = n_files or max(4 * spark.sparkContext.defaultParallelism, 1)
+    if n_files is None:
+        if n_delta is not None:
+            n_files = max(1, -(-n_delta // 2_000_000))  # ~100 MB code files
+        else:
+            n_files = max(4 * spark.sparkContext.defaultParallelism, 1)
     (
         codes.repartitionByRange(n_files, F.col(CLUSTER_COL), F.col(id_col))
         .sortWithinPartitions(CLUSTER_COL, id_col)

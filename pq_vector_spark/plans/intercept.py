@@ -84,7 +84,7 @@ _CODES_SIDECARS: Dict[str, tuple] = {}
 
 
 def register_codes_sidecar(
-    indexed_path: str, codes_path: str, codebook, id_col: str = "vec_id"
+    indexed_path: str, codes_path: str, codebook, id_col: str = "vec_id", spark=None
 ) -> None:
     """Register a PQ codes sidecar (``encode_indexed`` output) for an
     indexed layout so automatic interception prefers the IVF-PQ plan —
@@ -92,29 +92,31 @@ def register_codes_sidecar(
     call ``ivfpq_topk`` by hand (≙ the reference's single physical rule
     being its SQL users' only entry point, src/df_vector/physical.rs:20-229).
 
-    The index's CURRENT row count is recorded with the registration:
-    ``append_to_index`` grows the raw layout but not the codes table, and
-    a partial codes scan would silently EXCLUDE appended rows from every
-    result — so the route declines (falls back to the raw IVF probe,
-    correct just less pruned) whenever the live row count no longer
-    matches. Re-encode (``encode_indexed``) and re-register after appends;
-    ``auto_rebuild_if_stale`` re-encodes automatically.
+    The CODES TABLE's row count is measured and recorded (one ids-only
+    count job — registration is rare): ``append_to_index`` grows the raw
+    layout but not the codes, and a partial codes scan would silently
+    EXCLUDE rows from every result — so the route declines (raw IVF probe,
+    correct just less pruned) whenever the codes no longer cover the live
+    index row count. Measuring the CODES side (not an index snapshot)
+    also catches registering codes that are ALREADY stale, and an append
+    racing a ``refresh_codes_sidecar``. Registration fails loudly on an
+    unreadable codes table — a broken registration must never silently
+    disable the guard.
     """
-    from pq_vector_spark.index.search import load_index
     from pyspark.sql import SparkSession
 
-    spark = SparkSession.getActiveSession()
-    rows = None
-    if spark is not None:
-        try:
-            rows = int(load_index(spark, indexed_path).meta["row_count"])
-        except Exception:
-            rows = None  # no sidecar yet / unreadable: guard disabled
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        raise ValueError(
+            "register_codes_sidecar requires an active SparkSession "
+            "(or pass spark=) to measure the codes table's coverage"
+        )
+    codes_rows = spark.read.parquet(codes_path).count()
     _CODES_SIDECARS[_normalize_path(indexed_path)] = (
         codes_path,
         codebook,
         id_col,
-        rows,
+        int(codes_rows),
     )
 
 
@@ -138,7 +140,7 @@ def refresh_codes_sidecar(spark, indexed_path: str) -> None:
         spark, indexed_path, codes_path, column, id_col, codebook,
         mode="append_missing",
     )
-    register_codes_sidecar(indexed_path, codes_path, codebook, id_col)
+    register_codes_sidecar(indexed_path, codes_path, codebook, id_col, spark=spark)
 
 
 def unregister_codes_sidecar(indexed_path: str) -> None:
@@ -477,7 +479,7 @@ def _try_pq_route(
     sidecar = _CODES_SIDECARS.get(_normalize_path(path))
     if sidecar is None:
         return None, False
-    codes_path, codebook, id_col, reg_rows = sidecar
+    codes_path, codebook, id_col, codes_rows = sidecar
     if tie_break is not None and tie_break != id_col:
         return None, False
     try:
@@ -515,17 +517,17 @@ def _try_pq_route(
             )
             return None, False
         idx = load_index(spark, path)
-        if reg_rows is not None and int(idx.meta["row_count"]) != reg_rows:
-            # the raw layout grew since the codes were registered
-            # (append_to_index); a partial codes scan would silently
-            # EXCLUDE the appended rows from results — never trade
-            # correctness for pruning. Re-encode + re-register to restore
-            # the route.
+        if int(idx.meta["row_count"]) != codes_rows:
+            # the codes table does not cover the live layout (an append
+            # since encoding, or codes that were stale at registration);
+            # a partial codes scan would silently EXCLUDE rows from
+            # results — never trade correctness for pruning. Re-encode +
+            # re-register (refresh_codes_sidecar) to restore the route.
             _LOG.info(
-                "ivfpq route skipped: index row_count %s != registered %s "
-                "(codes sidecar is stale — re-encode after appends)",
+                "ivfpq route skipped: index row_count %s != codes rows %s "
+                "(codes sidecar is stale — refresh_codes_sidecar after appends)",
                 idx.meta["row_count"],
-                reg_rows,
+                codes_rows,
             )
             return None, False
         nprobe = options.nprobe if options else 5

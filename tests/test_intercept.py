@@ -370,19 +370,32 @@ def test_sidecar_cluster_projection_declines_cleanly(
 
 
 def test_sidecar_bad_codes_path_falls_back_to_ivf(spark, icpt_table, tmp_path):
-    """A sidecar whose codes table has vanished fails BEFORE the
-    observation attaches; the fallback raw IVF probe serves the query with
-    the observation intact."""
+    """A sidecar whose codes table has vanished AFTER registration fails
+    BEFORE the observation attaches; the fallback raw IVF probe serves the
+    query with the observation intact. (An unreadable table at
+    registration time raises immediately.)"""
     from pq_vector_spark.plans.intercept import (
         register_codes_sidecar,
         unregister_codes_sidecar,
     )
     from pq_vector_spark.index.pq import train_pq
 
+    import shutil
+
+    from pq_vector_spark.index.pq import encode_indexed
+
     cb = train_pq(spark.read.parquet(icpt_table["src"]), "vec", m=4, nbits=8, seed=42)
-    register_codes_sidecar(
-        icpt_table["out"], str(tmp_path / "nope"), cb, id_col="id"
-    )
+    # an unreadable codes table cannot even register (the guard must never
+    # be silently disabled by a broken registration)
+    with pytest.raises(Exception):
+        register_codes_sidecar(
+            icpt_table["out"], str(tmp_path / "nope"), cb, id_col="id"
+        )
+    # valid registration, then the codes table vanishes out from under it
+    gone = str(tmp_path / "gone_codes")
+    encode_indexed(spark, icpt_table["out"], gone, "vec", "id", cb)
+    register_codes_sidecar(icpt_table["out"], gone, cb, id_col="id")
+    shutil.rmtree(gone)
     try:
         q = (
             "WITH c AS (SELECT id, vec FROM icpt_vectors) "
@@ -619,10 +632,18 @@ def test_sidecar_stale_after_append_declines_pq_route(spark, icpt_table, tmp_pat
         # re-registers) restores the PQ route over all 400 rows
         from pq_vector_spark.plans.intercept import refresh_codes_sidecar
 
-        n_code_files_before = len(
-            [f for f in __import__("os").listdir(codes) if f.startswith("part-")]
-        )
+        import os as _os
+
+        files_before = {
+            f for f in _os.listdir(codes) if f.startswith("part-")
+        }
         refresh_codes_sidecar(spark, out)
+        files_after = {f for f in _os.listdir(codes) if f.startswith("part-")}
+        # incremental: every standing code file survives untouched and the
+        # delta arrived as NEW files (a silent full re-encode would replace
+        # the original file set)
+        assert files_before <= files_after
+        assert len(files_after) > len(files_before)
         codes_df = spark.read.parquet(codes)
         assert codes_df.count() == 400  # delta encoded, standing codes kept
         assert codes_df.select("id").distinct().count() == 400
