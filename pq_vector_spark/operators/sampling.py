@@ -178,7 +178,13 @@ def temperature_rates(
     tot = sum(pw[g] for g in order)
     q = {g: pw[g] / tot for g in pw}
     c = min(counts[g] / q[g] for g in order)
-    return {g: min(c * q[g] / counts[g], 1.0) for g in counts}
+    rates = {g: min(c * q[g] / counts[g], 1.0) for g in counts}
+    # the group achieving the min is rate 1.0 BY CONSTRUCTION; the float
+    # round-trip c*q/n can land one ulp under it — snap so the documented
+    # "rarest group kept whole" contract holds exactly (the integer bucket
+    # threshold floor(r*1e6 + 0.5) is identical either way, so engine
+    # oracle parity is unaffected)
+    return {g: 1.0 if r > 1.0 - 1e-12 else r for g, r in rates.items()}
 
 
 def temperature_mix(
