@@ -14,6 +14,8 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -217,8 +219,16 @@ def random_projection_matrix(source_dim: int, target_dim: int, seed: int = 42):
     return [[float(v) for v in row] for row in m]
 
 
+_PANDAS_TARGET_THRESHOLD = 128
+
+
 def project_vectors(
-    df: DataFrame, column: str, matrix, *, out_col: str = "projected"
+    df: DataFrame,
+    column: str,
+    matrix,
+    *,
+    out_col: str = "projected",
+    method: str = "auto",
 ) -> DataFrame:
     """Dense linear projection of an embedding column: y_j = Σ_i x_i·M[j][i]
     — dimensionality reduction ahead of indexing/storage (the classic JL /
@@ -226,20 +236,43 @@ def project_vectors(
     candidate at modest recall loss; pair with ``random_projection_matrix``
     or ``pca_components``).
 
-    Entirely native higher-order functions — one zip_with/aggregate fold
-    per output dimension, whole plan JVM-side, zero shuffle, column-pruned
-    like any projection. Doubles fold left-to-right in element order, so
-    the DuckDB oracle given the same matrix literals reproduces every
-    output bit. For very large target dims a matmul pandas-UDF would win;
-    at the 8-64 targets ANN reduction uses, expression codegen is faster
-    than Arrow round-trips.
+    Two execution paths, both shuffle-free map-side projections:
+
+    - ``"expression"`` — one native zip_with/aggregate fold per output
+      dimension, whole plan JVM-side, column-pruned like any projection.
+      Doubles fold left-to-right in element order, so the DuckDB oracle
+      given the same matrix literals reproduces every output bit. Right for
+      the 8-64 targets ANN reduction uses; toward 256+ output dims the
+      per-dim expressions outgrow whole-stage codegen limits.
+    - ``"pandas"`` — one Arrow-batched pandas-UDF matmul: the matrix rides
+      the closure (target×source doubles — KBs to a few MB), each batch is
+      a single BLAS ``gemm``. Constant plan size at any target width, but
+      summation order is BLAS-internal — results match the expression path
+      to ~1 ulp per element, NOT bit-for-bit (use ``"expression"`` when an
+      external engine must replay exactly).
+
+    ``method="auto"`` picks ``"pandas"`` above ``128`` output dims, else
+    ``"expression"``.
+
+    NULL contract (both paths): a NULL vector, or one whose length differs
+    from the matrix width, yields a NULL ``out_col`` — explicit, instead of
+    zip_with's silent NULL-padding arithmetic.
     """
+    if method not in ("auto", "expression", "pandas"):
+        raise ValueError(f"method must be auto|expression|pandas, got {method!r}")
     rows = [[float(v) for v in row] for row in matrix]
     if not rows:
         raise ValueError("matrix must have at least one output row")
     width = {len(r) for r in rows}
     if len(width) != 1:
         raise ValueError(f"matrix rows have inconsistent widths: {sorted(width)}")
+    w = width.pop()
+    if method == "auto":
+        method = "pandas" if len(rows) > _PANDAS_TARGET_THRESHOLD else "expression"
+
+    if method == "pandas":
+        return df.withColumn(out_col, _project_pandas(column, rows, w))
+
     c = F.col(column)
     outs = [
         F.aggregate(
@@ -253,7 +286,34 @@ def project_vectors(
         )
         for row in rows
     ]
-    return df.withColumn(out_col, F.array(*outs))
+    return df.withColumn(
+        out_col,
+        F.when(F.size(c) == F.lit(w), F.array(*outs)),
+    )
+
+
+def _project_pandas(column: str, rows, width: int):
+    """Arrow-batched matmul projection column (see ``project_vectors``)."""
+    mt = np.asarray(rows, dtype=np.float64).T  # (source, target)
+
+    @F.pandas_udf("array<double>")
+    def _mm(v: pd.Series) -> pd.Series:
+        arrs = v.to_numpy()
+        lens = np.fromiter(
+            (len(a) if a is not None else -1 for a in arrs), dtype=np.int64
+        )
+        ok = lens == width
+        out = np.empty(len(arrs), dtype=object)
+        out[~ok] = None
+        if ok.any():
+            mat = np.stack(arrs[ok]).astype(np.float64)  # (n, source)
+            proj = mat @ mt  # (n, target)
+            idx = np.nonzero(ok)[0]
+            for i, row in zip(idx, proj):
+                out[i] = row
+        return pd.Series(out)
+
+    return _mm(F.col(column).cast("array<double>"))
 
 
 def pca_components(

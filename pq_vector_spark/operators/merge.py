@@ -79,9 +79,12 @@ def merge_upsert(
     turns out tiny.
 
     ``broadcast=None`` (auto) sizes the changeset with a bounded probe —
-    ``changes.limit(broadcast_max_rows + 1).count()`` stops scanning at the
-    cap and upper-bounds the distinct key count without running the
-    winner window twice. Pass True/False to force either join strategy.
+    ``changes.select(keys).distinct().limit(broadcast_max_rows + 1).count()``
+    measures what is actually broadcast (the DISTINCT touched-key set, not
+    raw change rows — a repetitive feed with many updates per key stays on
+    the broadcast path) and the ``limit`` caps the probe's output without
+    running the winner window twice. Pass True/False to force either join
+    strategy.
     HOT-LOOP callers (a foreachBatch applying delta-sized micro-batches)
     should pin ``broadcast=True`` — the probe is an extra job per call,
     and a micro-batch is broadcastable by construction
@@ -97,7 +100,12 @@ def merge_upsert(
         raise ValueError(f"changes lacks base payload columns: {payload_missing}")
 
     if broadcast is None:
-        probe = changes.select(*key_cols).limit(broadcast_max_rows + 1).count()
+        probe = (
+            changes.select(*key_cols)
+            .distinct()
+            .limit(broadcast_max_rows + 1)
+            .count()
+        )
         broadcast = probe <= broadcast_max_rows
 
     winners = latest_changes(

@@ -97,8 +97,15 @@ def range_join(
         # left rows whose window matched nothing come back with NULL right
         # columns — derived via an anti-join on the matched rows' CONTENT
         # ID, not by re-running the range probe. The id is
-        # md5(to_json(struct(all left columns))): computed map-side from
-        # row content it is (a) identical across the two plan branches
+        # md5(to_json(struct(all left columns), ignoreNullFields=false)):
+        # null fields are SERIALIZED (to_json's default drops them, under
+        # which a map column's {"k": null} and {} would collide — two
+        # distinct left rows sharing an id could suppress a genuinely
+        # unmatched row from the null-padded branch). Type constraint:
+        # to_json must support every left column's type (it covers all
+        # standard Spark SQL types; exotic UDTs would fail at analysis —
+        # rename/drop them before a left range join). Computed map-side
+        # from row content it is (a) identical across the two plan branches
         # (unlike monotonically_increasing_id, which shifts with partition
         # layout), (b) NULL-safe by construction — a matched left row
         # carrying a NULL payload hashes the same in both branches, so it
@@ -108,7 +115,12 @@ def range_join(
         # multiplicity is preserved (each copy either all-match or
         # all-miss, and the anti-join keeps every missing copy).
         right_cols = [c for c in right.columns if c not in keys]
-        lid = F.md5(F.to_json(F.struct(*[F.col(c) for c in left.columns])))
+        lid = F.md5(
+            F.to_json(
+                F.struct(*[F.col(c) for c in left.columns]),
+                {"ignoreNullFields": "false"},
+            )
+        )
         matched_ids = (
             l.withColumn(_LID, lid)
             .join(r, keys + [_BUCKET], "inner")

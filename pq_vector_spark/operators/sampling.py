@@ -17,6 +17,7 @@ an md5-derived hash of a stable id instead:
 
 from __future__ import annotations
 
+import logging
 from functools import reduce
 from typing import Mapping, Tuple
 
@@ -24,6 +25,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from pq_vector_spark.functions.text import token_hash
+
+_LOG = logging.getLogger("pq_vector_spark.sampling")
 
 # bucket space: fine enough that rate granularity is 1e-6, small enough
 # that the 60-bit hash is uniform over it
@@ -193,6 +196,8 @@ def temperature_mix(
     key_col: str,
     alpha: float = 0.5,
     salt: str = "",
+    unseen: str = "drop",
+    rates: "Mapping | None" = None,
 ) -> DataFrame:
     """Temperature-rebalanced corpus: downsample each group (language,
     source, domain) toward the q_i ∝ n_i^alpha composition, keeping the
@@ -210,14 +215,37 @@ def temperature_mix(
     only when the caller recomputes — pin rates by calling
     ``temperature_rates`` once and filtering with them if append-stability
     of the draw matters.
+
+    ``unseen`` names the fate of a group that appears between the count
+    aggregation and the filter (a late append racing the plan):
+
+    - ``"drop"`` (default) — keep nothing from it (the conservative read:
+      an unrated group has no place in the computed mixture); a warning is
+      logged at plan time so the silent-data-drop hazard is visible;
+    - ``"keep"`` — keep it whole (rate 1.0) until the caller re-derives
+      rates;
+    - ``"error"`` — fail the JOB loudly on the first unseen row
+      (``raise_error`` inside the CASE chain) — the strict mode for
+      pipelines where a racing append is a bug, not an expected event.
+
+    ``rates`` pins the per-group keep rates explicitly (the output of an
+    earlier ``temperature_rates`` call) instead of re-deriving them from
+    ``df``'s current counts — the append-stable form: the draw then never
+    moves as the corpus grows, and the ``unseen`` policy governs exactly
+    the groups absent from the pinned mapping.
     """
-    counts = {
-        r[group_col]: int(r["count"])
-        for r in df.groupBy(group_col).count().collect()
-    }
-    if not counts:
-        return df  # empty corpus: nothing to rebalance
-    rates = temperature_rates(counts, alpha)
+    if unseen not in ("drop", "keep", "error"):
+        raise ValueError(f"unseen must be drop|keep|error, got {unseen!r}")
+    if rates is None:
+        counts = {
+            r[group_col]: int(r["count"])
+            for r in df.groupBy(group_col).count().collect()
+        }
+        if not counts:
+            return df  # empty corpus: nothing to rebalance
+        rates = temperature_rates(counts, alpha)
+    elif not rates:
+        raise ValueError("pinned rates must name at least one group")
     thresholds = {g: int((rates[g] * BUCKETS) + 0.5) for g in rates}
     thr = None
     for g in sorted(thresholds, key=lambda g: (g is not None, str(g))):
@@ -230,7 +258,28 @@ def temperature_mix(
         )
         val = F.lit(thresholds[g])
         thr = F.when(cond, val) if thr is None else thr.when(cond, val)
-    thr = thr.otherwise(F.lit(0))  # unseen group (late append): keep nothing
+    if unseen == "drop":
+        _LOG.warning(
+            "temperature_mix: groups of %r not present at plan time will be "
+            "dropped entirely (unseen='drop'); pass unseen='keep'|'error' to "
+            "change the late-append policy",
+            group_col,
+        )
+        thr = thr.otherwise(F.lit(0))
+    elif unseen == "keep":
+        thr = thr.otherwise(F.lit(BUCKETS))
+    else:  # error: fail the job on the first row of an unrated group
+        thr = thr.otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "temperature_mix: group appeared after rates were "
+                        f"derived (unseen='error'): {group_col}="
+                    ),
+                    F.coalesce(F.col(group_col).cast("string"), F.lit("NULL")),
+                )
+            ).cast("int")
+        )
     return df.filter(hash_bucket(key_col, salt) < thr)
 
 

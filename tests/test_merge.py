@@ -146,3 +146,31 @@ def test_forced_broadcast_skips_probe_job(spark, base):
     after = len(tracker.getJobIdsForGroup(None) or [])
     assert after == before  # plan construction launched zero jobs
     assert df.count() == 4
+
+
+def test_auto_probe_counts_distinct_keys_not_rows(spark, base):
+    """r8 verdict #4: a changeset with more ROWS than the broadcast cap but
+    few DISTINCT keys must still take the broadcast path — the probe sizes
+    what is actually broadcast (the touched-key set)."""
+    # 6 rows, only 2 distinct keys; cap of 3 would reject a raw row count
+    ch = _changes(
+        spark,
+        [
+            (2, "b1", 21.0, "U", 1),
+            (2, "b2", 22.0, "U", 2),
+            (2, "b3", 23.0, "U", 3),
+            (3, "c1", 31.0, "U", 1),
+            (3, "c2", 32.0, "U", 2),
+            (3, "c3", 33.0, "U", 3),
+        ],
+    )
+    out = merge_upsert(base, ch, ["id"], "version", broadcast_max_rows=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    got = {r["id"]: (r["name"], r["bal"]) for r in out.collect()}
+    assert got == {
+        1: ("a", 10.0),
+        2: ("b3", 23.0),
+        3: ("c3", 33.0),
+        4: ("d", 40.0),
+    }

@@ -138,3 +138,46 @@ def test_left_null_payload_matched_row_emitted_once(spark):
         by_lid.setdefault(r["lid"], []).append(r["rid"])
     assert by_lid == {10: [20], 11: [20], 12: [None]}
     assert len(out) == 3  # no duplicate for the NULL-payload matched row
+
+
+def test_left_join_map_column_null_values_stay_distinct(spark):
+    """ADVICE r8: the left-branch content id serializes null fields —
+    a map column with a NULL value must not collide with one lacking the
+    key (to_json's default ignoreNullFields would merge them and suppress
+    an unmatched row from the null-padded branch)."""
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame(
+        [("k", "2024-01-01 00:00:10"), ("k", "2024-01-01 00:00:10")],
+        ["key", "lts"],
+    ).withColumn(
+        "props",
+        F.when(
+            F.col("lts") == "x", F.create_map(F.lit("a"), F.lit("v"))
+        ).otherwise(F.lit(None).cast("map<string,string>")),
+    )
+    # two content-identical rows, both unmatched: multiplicity preserved
+    right = spark.createDataFrame(
+        [("k", "2024-01-01 09:00:00", 1)], ["key", "rts", "rv"]
+    )
+    out = range_join(left, right, "key", "lts", "rts", 0.0, 5.0, how="left")
+    rows = out.collect()
+    assert len(rows) == 2 and all(r["rv"] is None for r in rows)
+    # distinct rows differing ONLY by map-null vs absent-key must keep
+    # distinct ids: one matches, the other must still surface null-padded
+    left2 = spark.createDataFrame(
+        [
+            ("k", "2024-01-01 00:00:10", {"a": None}),
+            ("k", "2024-01-01 00:00:10", {}),
+        ],
+        "key string, lts string, props map<string,string>",
+    )
+    right2 = spark.createDataFrame(
+        [("k", "2024-01-01 00:00:12", 7)], ["key", "rts", "rv"]
+    )
+    out2 = range_join(left2, right2, "key", "lts", "rts", 0.0, 5.0, how="left")
+    got = sorted(
+        [(dict(r["props"] or {}), r["rv"]) for r in out2.collect()], key=str
+    )
+    # BOTH left rows match the window ⇒ both appear with rv=7, none padded
+    assert [g[1] for g in got] == [7, 7]

@@ -396,3 +396,70 @@ def test_select_token_budget_null_and_nan_scores(spark):
             .collect()
         )
         assert got(budget) == naive, f"budget={budget}"
+
+
+# ----------------------------------------------- unseen-group policy ----
+
+
+def _unseen_fixture(spark):
+    """df with groups a,b; rates pinned for a only — b is 'unseen'."""
+    df = spark.createDataFrame(
+        [(f"a{i}", "a") for i in range(50)] + [(f"b{i}", "b") for i in range(20)],
+        ["id", "grp"],
+    )
+    return df, {"a": 1.0}
+
+
+def test_temperature_mix_unseen_drop_default(spark):
+    from pq_vector_spark.operators.sampling import temperature_mix
+
+    df, rates = _unseen_fixture(spark)
+    out = temperature_mix(df, "grp", "id", salt="u", rates=rates)
+    groups = {r["grp"] for r in out.select("grp").distinct().collect()}
+    assert groups == {"a"}  # unseen group dropped entirely
+    assert out.count() == 50
+
+
+def test_temperature_mix_unseen_keep(spark):
+    from pq_vector_spark.operators.sampling import temperature_mix
+
+    df, rates = _unseen_fixture(spark)
+    out = temperature_mix(df, "grp", "id", salt="u", rates=rates, unseen="keep")
+    assert out.count() == 70  # unseen group kept whole
+
+
+def test_temperature_mix_unseen_error_fails_loudly(spark):
+    from pq_vector_spark.operators.sampling import temperature_mix
+
+    df, rates = _unseen_fixture(spark)
+    out = temperature_mix(df, "grp", "id", salt="u", rates=rates, unseen="error")
+    with pytest.raises(Exception, match="temperature_mix"):
+        out.collect()
+
+
+def test_temperature_mix_unseen_mode_validated(spark):
+    from pq_vector_spark.operators.sampling import temperature_mix
+
+    df, rates = _unseen_fixture(spark)
+    with pytest.raises(ValueError, match="unseen"):
+        temperature_mix(df, "grp", "id", rates=rates, unseen="explode")
+    with pytest.raises(ValueError, match="at least one group"):
+        temperature_mix(df, "grp", "id", rates={})
+
+
+def test_temperature_mix_pinned_rates_match_derived(spark):
+    """rates=temperature_rates(counts) must reproduce the derived draw
+    exactly (the documented append-stability recipe)."""
+    from pq_vector_spark.operators.sampling import temperature_mix, temperature_rates
+
+    df = spark.createDataFrame(
+        [(f"x{i}", "big") for i in range(400)] + [(f"y{i}", "small") for i in range(50)],
+        ["id", "grp"],
+    )
+    derived = {r["id"] for r in temperature_mix(df, "grp", "id", salt="p").collect()}
+    rates = temperature_rates({"big": 400, "small": 50}, alpha=0.5)
+    pinned = {
+        r["id"]
+        for r in temperature_mix(df, "grp", "id", salt="p", rates=rates).collect()
+    }
+    assert derived == pinned

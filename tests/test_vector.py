@@ -206,3 +206,97 @@ def test_projection_shrinks_bytes_keeps_neighbors_roughly(spark):
     ranked = sorted((np.sum((v - q) ** 2), i) for i, v in proj.items() if i != 0)
     top = [i for _, i in ranked[: max(1, len(ranked) // 5)]]
     assert 7 in top
+
+
+def test_project_vectors_pandas_path_parity(spark):
+    """The pandas matmul path must match the expression path to ~1 ulp
+    (summation order differs: left-to-right fold vs BLAS gemm)."""
+    import numpy as np
+
+    from pq_vector_spark.functions.vector import (
+        project_vectors,
+        random_projection_matrix,
+    )
+
+    rng = np.random.default_rng(3)
+    data = [(i, [float(v) for v in rng.standard_normal(32)]) for i in range(40)]
+    df = spark.createDataFrame(data, ["id", "v"])
+    m = random_projection_matrix(32, 16, seed=5)
+    expr = {
+        r["id"]: r["projected"]
+        for r in project_vectors(df, "v", m, method="expression").collect()
+    }
+    pnd = {
+        r["id"]: r["projected"]
+        for r in project_vectors(df, "v", m, method="pandas").collect()
+    }
+    for i in expr:
+        assert np.allclose(expr[i], pnd[i], rtol=1e-12, atol=1e-12)
+
+
+def test_project_vectors_auto_selects_pandas_above_threshold(spark):
+    """auto: >128 output dims takes the Arrow matmul (no per-dim fold
+    expressions in the plan); <=128 stays on native expressions."""
+    import numpy as np
+
+    from pq_vector_spark.functions.vector import (
+        project_vectors,
+        random_projection_matrix,
+    )
+
+    rng = np.random.default_rng(4)
+    df = spark.createDataFrame(
+        [(0, [float(v) for v in rng.standard_normal(256)])], ["id", "v"]
+    )
+    wide = random_projection_matrix(256, 200, seed=6)
+    plan_wide = (
+        project_vectors(df, "v", wide)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" in plan_wide or "pythonUDF" in plan_wide.lower()
+    narrow = random_projection_matrix(256, 8, seed=6)
+    plan_narrow = (
+        project_vectors(df, "v", narrow)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "aggregate(" in plan_narrow and "pythonUDF" not in plan_narrow.lower()
+    # and the wide result is numerically sane end-to-end
+    out = project_vectors(df, "v", wide).select("projected").first()["projected"]
+    want = np.asarray(wide, dtype=np.float64) @ np.asarray(
+        [float(v) for v in df.first()["v"]], dtype=np.float64
+    )
+    assert np.allclose(out, want, rtol=1e-12, atol=1e-12)
+
+
+def test_project_vectors_dim_mismatch_yields_null(spark):
+    """ADVICE r8: a vector whose length differs from the matrix width (or a
+    NULL vector) yields a NULL projection on BOTH paths — never silently
+    NULL-padded arithmetic."""
+    from pq_vector_spark.functions.vector import project_vectors
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0, 4.0]), (1, [1.0, 2.0]), (2, None)],
+        "id int, v array<double>",
+    )
+    m = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    for method in ("expression", "pandas"):
+        got = {
+            r["id"]: r["projected"]
+            for r in project_vectors(df, "v", m, method=method).collect()
+        }
+        assert got[0] == [1.0, 2.0]
+        assert got[1] is None and got[2] is None
+
+
+def test_project_vectors_method_validated(spark):
+    from pq_vector_spark.functions.vector import project_vectors
+
+    df = spark.createDataFrame([(0, [1.0])], ["id", "v"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="method"):
+        project_vectors(df, "v", [[1.0]], method="gpu")
