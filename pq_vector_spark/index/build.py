@@ -746,13 +746,18 @@ def auto_rebuild_if_stale(
     from pq_vector_spark.index.search import load_index
 
     column = load_index(spark, indexed_path).meta["column"]
+
+    # resolve any codes-sidecar registration BEFORE the swap: the persisted
+    # copy (_pq_index/codes.json) lives inside the OLD layout, which the
+    # swap deletes — a fresh session's rebuild must still find it
+    from pq_vector_spark.plans import intercept as _icpt
+
+    sidecar = _icpt._lookup_codes_sidecar(spark, indexed_path)
+
     fresh = indexed_path.rstrip("/") + ".rebuild"
     meta = build_index(spark, indexed_path, fresh, column=column, options=options)
     _swap_dirs(spark, indexed_path, fresh)
 
-    from pq_vector_spark.plans import intercept as _icpt
-
-    sidecar = _icpt._CODES_SIDECARS.get(_icpt._normalize_path(indexed_path))
     if sidecar is not None:
         from pq_vector_spark.index.pq import encode_indexed
 

@@ -42,32 +42,118 @@ def observed_metrics(observation, df: Optional[DataFrame] = None, execute: bool 
     return {}
 
 
+def _cls(jnode) -> str:
+    return jnode.getClass().getSimpleName()
+
+
+def _expr_has_cluster_probe(jexpr, cluster_col: str) -> bool:
+    """Does this expression tree contain the interceptor's pushed cluster
+    predicate — ``cluster_col IN (int literals)`` (Catalyst may rewrite it
+    to ``InSet``, or to ``=``/OR-of-``=`` for tiny probe sets)? Matching
+    the PREDICATE SHAPE, not any filter that merely names the column,
+    keeps a user's own unrelated filter over the cluster column (e.g. a
+    range scan) from being misreported as an interception (ADVICE r8)."""
+
+    def attr_named(e) -> bool:
+        while _cls(e) in ("Cast", "AnsiCast", "TryCast"):
+            e = e.children().apply(0)
+        return _cls(e) == "AttributeReference" and e.name() == cluster_col
+
+    def is_probe(e) -> bool:
+        c = _cls(e)
+        if c == "In":
+            ch = e.children()
+            if ch.size() < 2 or not attr_named(ch.apply(0)):
+                return False
+            return all(_cls(ch.apply(i)) == "Literal" for i in range(1, ch.size()))
+        if c == "InSet":
+            return attr_named(e.child())
+        if c == "EqualTo":
+            l, r = e.children().apply(0), e.children().apply(1)
+            return (attr_named(l) and _cls(r) == "Literal") or (
+                attr_named(r) and _cls(l) == "Literal"
+            )
+        if c == "Or":
+            return is_probe(e.children().apply(0)) and is_probe(e.children().apply(1))
+        return False
+
+    # the probe may ride a conjunction (Catalyst adds isnotnull etc.)
+    def walk(e) -> bool:
+        if is_probe(e):
+            return True
+        if _cls(e) == "And":
+            return walk(e.children().apply(0)) or walk(e.children().apply(1))
+        return False
+
+    return walk(jexpr)
+
+
+def _leaf_columns_below(jnode) -> set:
+    """Union of output attribute names of every leaf relation in the
+    subtree — tells a cluster-probe Filter's scan apart (codes table
+    carries ``pq_codes``; the raw layout does not)."""
+    out = set()
+    stack = [jnode]
+    while stack:
+        n = stack.pop()
+        ch = n.children()
+        if ch.size() == 0:
+            try:
+                attrs = n.output()
+                for i in range(attrs.size()):
+                    out.add(attrs.apply(i).name())
+            except Exception:
+                pass
+        else:
+            stack.extend(ch.apply(i) for i in range(ch.size()))
+    return out
+
+
 def vector_route(df: DataFrame) -> str:
     """Which physical route a (possibly intercepted) top-k DataFrame took:
 
     - ``"ivf-pq"`` — the codes-sidecar route (cluster prune × ADC scan ×
-      exact re-rank): the optimized plan scans a ``pq_codes`` relation;
-    - ``"ivf"`` — the raw IVF probe (CollectMetrics over the pruned scan);
+      exact re-rank): a cluster-probe Filter over a relation carrying the
+      ``pq_codes`` column;
+    - ``"ivf"`` — the raw IVF probe (cluster-probe Filter over the raw
+      indexed layout);
     - ``"brute-force"`` — no interception artifacts; the original plan.
 
-    Plan-text probe only — never executes anything. Pair with
+    Implemented as a py4j TREE WALK over the optimized logical plan (the
+    same transport the interceptor itself uses) — matching the probe's
+    ``IN``/``InSet``/OR-of-equals predicate shape on the cluster column,
+    never plan-text strings (a rendered-format change across Spark
+    versions, or a column NAME appearing inside an unrelated string
+    literal, cannot flip the answer). Never executes anything. Pair with
     ``pq_vector_spark.last_decline_reason()`` when the answer is
     brute-force to learn WHICH guard declined (at 100 TB a silent
     fall-through to brute force is a 20× cost surprise).
     """
-    plan = df._jdf.queryExecution().optimizedPlan().toString()
-    # the probe's signature is the pushed cluster predicate (a Filter line
-    # naming the cluster column) — NOT the column's mere presence (a plain
-    # scan of an indexed table lists it in the relation schema) and NOT a
-    # CollectMetrics node (any user-attached Observation adds one to a
-    # brute-force plan the interceptor declined)
-    cluster_filtered = any(
-        "Filter" in line and "_pq_cluster_id" in line
-        for line in plan.splitlines()
-    )
-    if not cluster_filtered:
+    from pq_vector_spark.index.build import CLUSTER_COL
+    from pq_vector_spark.index.pq import CODES_COL
+
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan()
+    except Exception:
         return "brute-force"
-    return "ivf-pq" if "pq_codes" in plan else "ivf"
+    saw_ivf = False
+    stack = [plan]
+    while stack:
+        node = stack.pop()
+        try:
+            if _cls(node) == "Filter" and _expr_has_cluster_probe(
+                node.condition(), CLUSTER_COL
+            ):
+                if CODES_COL in _leaf_columns_below(node):
+                    return "ivf-pq"
+                saw_ivf = True
+            ch = node.children()
+            stack.extend(ch.apply(i) for i in range(ch.size()))
+            # subquery-holding nodes (joins with broadcast subtrees) are
+            # covered by children(); CTE/Subquery wrappers too
+        except Exception:
+            continue
+    return "ivf" if saw_ivf else "brute-force"
 
 
 def explain_vector(

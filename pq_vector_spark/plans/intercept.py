@@ -79,12 +79,28 @@ def _decline(reason: str):
 
 # PQ codes sidecars keyed by normalized indexed path: when registered, the
 # interceptor can route a matching top-k to the doubly-pruned IVF-PQ plan
-# (cluster prune × m-byte ADC scan) instead of the raw IVF probe.
+# (cluster prune × m-byte ADC scan) instead of the raw IVF probe. The dict
+# is a session CACHE only — the durable registration lives on disk next to
+# the IVF sidecar (``_pq_index/codes.json`` + the saved codebook), matching
+# the reference's discovery-from-storage contract (its index is found from
+# the Parquet footer KV by ANY later process, src/ivf/parquet.rs:108-148):
+# a fresh Spark session pointed at the same layout auto-loads the
+# registration on first interception and takes the IVF-PQ route without
+# anyone re-calling ``register_codes_sidecar``.
 _CODES_SIDECARS: Dict[str, tuple] = {}
+
+# filenames under <indexed_path>/_pq_index/
+CODES_REG_FILE = "codes.json"
+CODES_CODEBOOK_FILE = "pq_codebook.npz"
 
 
 def register_codes_sidecar(
-    indexed_path: str, codes_path: str, codebook, id_col: str = "vec_id", spark=None
+    indexed_path: str,
+    codes_path: str,
+    codebook,
+    id_col: str = "vec_id",
+    spark=None,
+    persist: bool = True,
 ) -> None:
     """Register a PQ codes sidecar (``encode_indexed`` output) for an
     indexed layout so automatic interception prefers the IVF-PQ plan —
@@ -102,6 +118,14 @@ def register_codes_sidecar(
     racing a ``refresh_codes_sidecar``. Registration fails loudly on an
     unreadable codes table — a broken registration must never silently
     disable the guard.
+
+    ``persist=True`` (default) also writes the registration into the
+    layout's own ``_pq_index/`` (``codes.json`` + the serialized codebook)
+    so it survives process restarts — the reference's
+    discovery-from-storage contract (src/ivf/parquet.rs:108-148): a brand
+    new session given only the on-disk layout finds the route. A
+    persistence failure raises AFTER the in-memory registration succeeded
+    (the current session keeps the route either way).
     """
     from pyspark.sql import SparkSession
 
@@ -118,6 +142,134 @@ def register_codes_sidecar(
         id_col,
         int(codes_rows),
     )
+    if persist:
+        _persist_codes_registration(
+            spark, indexed_path, codes_path, codebook, id_col, int(codes_rows)
+        )
+
+
+def _persist_codes_registration(
+    spark, indexed_path: str, codes_path: str, codebook, id_col: str, codes_rows: int
+) -> None:
+    """Write the codes registration into ``<indexed>/_pq_index/``: the
+    codebook as npz bytes plus a ``codes.json`` naming the codes table,
+    id column, and the coverage row count the staleness guard compares.
+    Driver-side, zero Spark jobs — local paths write directly, any other
+    Hadoop-compatible URL goes through the JVM FileSystem (same split as
+    the IVF sidecar writer, index/build.py:_write_sidecar)."""
+    import io
+    import json
+
+    import numpy as np
+
+    from pq_vector_spark.index.build import (
+        INDEX_DIR,
+        _hadoop_write_bytes,
+        _local_root,
+    )
+
+    buf = io.BytesIO()
+    np.savez(buf, codebooks=codebook.codebooks, dim=np.int64(codebook.dim))
+    reg = {
+        "format": "pq_vector_spark/pq-codes-v1",
+        "codes_path": (
+            os.path.abspath(codes_path) if "://" not in codes_path else codes_path
+        ),
+        "id_col": id_col,
+        "codes_rows": int(codes_rows),
+        "codebook_file": CODES_CODEBOOK_FILE,
+    }
+    root = _local_root(indexed_path)
+    if root is not None and os.path.isdir(root):
+        d = os.path.join(root, INDEX_DIR)
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, CODES_CODEBOOK_FILE), "wb") as f:
+            f.write(buf.getvalue())
+        with open(os.path.join(d, CODES_REG_FILE), "w") as f:
+            f.write(json.dumps(reg) + "\n")
+        return
+    base = indexed_path.rstrip("/")
+    _hadoop_write_bytes(
+        spark, f"{base}/{INDEX_DIR}/{CODES_CODEBOOK_FILE}", buf.getvalue()
+    )
+    _hadoop_write_bytes(
+        spark,
+        f"{base}/{INDEX_DIR}/{CODES_REG_FILE}",
+        (json.dumps(reg) + "\n").encode("utf-8"),
+    )
+
+
+def _load_codes_registration(spark, indexed_path: str):
+    """Recover a persisted codes registration from the layout's
+    ``_pq_index/`` — the restart half of the discovery-from-storage
+    contract. Returns the ``(codes_path, codebook, id_col, codes_rows)``
+    tuple, or None when no (or an unreadable) registration exists — an
+    unreadable one is LOGGED and treated as absent so interception
+    degrades to the raw IVF probe, never to an error (the registration is
+    an optimization hint, not data)."""
+    import io
+    import json
+
+    import numpy as np
+
+    from pq_vector_spark.index.build import (
+        INDEX_DIR,
+        _hadoop_glob,
+        _hadoop_read_bytes,
+        _local_root,
+    )
+    from pq_vector_spark.index.pq import PQCodebook
+
+    try:
+        root = _local_root(indexed_path)
+        base = indexed_path.rstrip("/")
+        if root is not None:
+            reg_p = os.path.join(root, INDEX_DIR, CODES_REG_FILE)
+            if not os.path.isfile(reg_p):
+                return None
+            with open(reg_p) as f:
+                reg = json.loads(f.read().strip())
+            with open(
+                os.path.join(root, INDEX_DIR, reg.get("codebook_file", CODES_CODEBOOK_FILE)),
+                "rb",
+            ) as f:
+                raw = f.read()
+        else:
+            reg_url = f"{base}/{INDEX_DIR}/{CODES_REG_FILE}"
+            if not _hadoop_glob(spark, reg_url):
+                return None
+            reg = json.loads(_hadoop_read_bytes(spark, reg_url).decode("utf-8").strip())
+            raw = _hadoop_read_bytes(
+                spark,
+                f"{base}/{INDEX_DIR}/{reg.get('codebook_file', CODES_CODEBOOK_FILE)}",
+            )
+        z = np.load(io.BytesIO(raw))
+        codebook = PQCodebook(codebooks=z["codebooks"], dim=int(z["dim"]))
+        return (reg["codes_path"], codebook, reg["id_col"], int(reg["codes_rows"]))
+    except Exception as e:
+        _LOG.warning(
+            "unreadable persisted codes registration under %s/%s (%s: %s) — "
+            "interception falls back to the raw IVF probe; re-run "
+            "register_codes_sidecar to repair",
+            indexed_path,
+            "_pq_index",
+            type(e).__name__,
+            e,
+        )
+        return None
+
+
+def _lookup_codes_sidecar(spark, indexed_path: str):
+    """Session-cache lookup with disk fallback: the in-memory dict first,
+    else the persisted ``_pq_index/codes.json`` (cached on hit, so the
+    disk read happens once per layout per session)."""
+    key = _normalize_path(indexed_path)
+    sidecar = _CODES_SIDECARS.get(key)
+    if sidecar is None:
+        sidecar = _load_codes_registration(spark, indexed_path)
+        if sidecar is not None:
+            _CODES_SIDECARS[key] = sidecar
+    return sidecar
 
 
 def refresh_codes_sidecar(spark, indexed_path: str) -> None:
@@ -127,8 +279,7 @@ def refresh_codes_sidecar(spark, indexed_path: str) -> None:
     never rewritten) and re-registers so the route's staleness guard
     records the new row count. The nightly-append companion to the guard
     that declines stale codes."""
-    key = _normalize_path(indexed_path)
-    sidecar = _CODES_SIDECARS.get(key)
+    sidecar = _lookup_codes_sidecar(spark, indexed_path)
     if sidecar is None:
         raise ValueError(f"no codes sidecar registered for {indexed_path}")
     codes_path, codebook, id_col, _ = sidecar
@@ -143,11 +294,44 @@ def refresh_codes_sidecar(spark, indexed_path: str) -> None:
     register_codes_sidecar(indexed_path, codes_path, codebook, id_col, spark=spark)
 
 
-def unregister_codes_sidecar(indexed_path: str) -> None:
+def unregister_codes_sidecar(indexed_path: str, spark=None) -> None:
     """Forget a registered codes sidecar (e.g. after the codes table is
     dropped or superseded by a rebuild); interception for the layout falls
-    back to the raw IVF probe."""
+    back to the raw IVF probe. Removes BOTH the session cache entry and
+    the persisted ``_pq_index/codes.json`` registration — otherwise the
+    disk copy would silently resurrect the route on the next interception.
+    Deleting a non-local registration needs a session (pass ``spark=`` or
+    have one active); without one, only the in-memory entry is dropped and
+    a warning is logged."""
     _CODES_SIDECARS.pop(_normalize_path(indexed_path), None)
+    from pq_vector_spark.index.build import INDEX_DIR, _local_root
+
+    root = _local_root(indexed_path)
+    if root is not None:
+        for fname in (CODES_REG_FILE, CODES_CODEBOOK_FILE):
+            p = os.path.join(root, INDEX_DIR, fname)
+            if os.path.isfile(p):
+                os.remove(p)
+        return
+    from pyspark.sql import SparkSession
+
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        _LOG.warning(
+            "unregister_codes_sidecar(%s): no active SparkSession — the "
+            "persisted registration was NOT deleted and will be auto-loaded "
+            "by a later session; re-run with spark= to remove it",
+            indexed_path,
+        )
+        return
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    base = indexed_path.rstrip("/")
+    for fname in (CODES_REG_FILE, CODES_CODEBOOK_FILE):
+        p = jvm.org.apache.hadoop.fs.Path(f"{base}/{INDEX_DIR}/{fname}")
+        fs = p.getFileSystem(conf)
+        if fs.exists(p):
+            fs.delete(p, False)
 
 
 def _cls(jnode) -> str:
@@ -476,7 +660,7 @@ def _try_pq_route(
     output-column pre-check rejects queries projecting columns the PQ plan
     drops (e.g. the cluster column) instead of failing post-attach.
     """
-    sidecar = _CODES_SIDECARS.get(_normalize_path(path))
+    sidecar = _lookup_codes_sidecar(spark, path)
     if sidecar is None:
         return None, False
     codes_path, codebook, id_col, codes_rows = sidecar

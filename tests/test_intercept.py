@@ -691,3 +691,116 @@ def test_projected_distance_with_filter(spark, icpt_table):
     got = [(r["id"], r["d"]) for r in hit.collect()]
     assert got == want
     assert all(i >= 100 for i, _ in got)
+
+
+# ----------------------------------- codes registration persistence (r9)
+
+
+def test_codes_registration_survives_session_restart(spark, icpt_table, tmp_path):
+    """The reference discovers its index from STORAGE (footer KV,
+    src/ivf/parquet.rs:108-148) — any later process finds it. Our codes
+    route must match: after register_codes_sidecar persists to
+    _pq_index/codes.json, a FRESH session (simulated by clearing the
+    in-memory cache) given only the on-disk layout must take the ivf-pq
+    route with exact results."""
+    from pq_vector_spark.index.pq import encode_indexed, train_pq
+    from pq_vector_spark.plans.explain import vector_route
+    from pq_vector_spark.plans.intercept import (
+        _CODES_SIDECARS,
+        register_codes_sidecar,
+        unregister_codes_sidecar,
+    )
+
+    codes = str(tmp_path / "codes_persist")
+    emb = spark.read.parquet(icpt_table["src"])
+    cb = train_pq(emb, "vec", m=4, nbits=8, seed=42)
+    encode_indexed(spark, icpt_table["out"], codes, "vec", "id", cb)
+    register_codes_sidecar(icpt_table["out"], codes, cb, id_col="id")
+    try:
+        saved = dict(_CODES_SIDECARS)
+        _CODES_SIDECARS.clear()  # ≙ process restart: only disk remains
+        q = (
+            "WITH c AS (SELECT id, vec FROM icpt_vectors) "
+            f"SELECT id FROM c ORDER BY array_distance(vec, {VEC}), id LIMIT 10"
+        )
+        raw = spark.sql(expand_vector_functions(q))
+        hit = try_intercept_topk(
+            spark, raw, options=VectorTopKOptions(nprobe=N_CLUSTERS)
+        )
+        assert hit is not None
+        assert vector_route(hit) == "ivf-pq"
+        assert [r["id"] for r in hit.collect()] == _brute(spark, q)
+        # the auto-loaded registration round-trips the codebook exactly
+        _, loaded_cb, loaded_id, loaded_rows = _CODES_SIDECARS[
+            list(_CODES_SIDECARS)[0]
+        ]
+        assert np.array_equal(loaded_cb.codebooks, cb.codebooks)
+        assert loaded_cb.dim == cb.dim and loaded_id == "id"
+        assert loaded_rows == N_ROWS
+        _CODES_SIDECARS.update(saved)
+    finally:
+        unregister_codes_sidecar(icpt_table["out"])
+
+
+def test_unregister_removes_persisted_registration(spark, icpt_table, tmp_path):
+    """unregister must delete the on-disk registration too — otherwise the
+    disk copy silently resurrects the route in the next session."""
+    import os as _os
+
+    from pq_vector_spark.index.build import INDEX_DIR
+    from pq_vector_spark.index.pq import encode_indexed, train_pq
+    from pq_vector_spark.plans.explain import vector_route
+    from pq_vector_spark.plans.intercept import (
+        _CODES_SIDECARS,
+        CODES_REG_FILE,
+        register_codes_sidecar,
+        unregister_codes_sidecar,
+    )
+
+    codes = str(tmp_path / "codes_unreg")
+    emb = spark.read.parquet(icpt_table["src"])
+    cb = train_pq(emb, "vec", m=4, nbits=8, seed=42)
+    encode_indexed(spark, icpt_table["out"], codes, "vec", "id", cb)
+    register_codes_sidecar(icpt_table["out"], codes, cb, id_col="id")
+    reg_file = _os.path.join(icpt_table["out"], INDEX_DIR, CODES_REG_FILE)
+    assert _os.path.isfile(reg_file)
+    unregister_codes_sidecar(icpt_table["out"])
+    assert not _os.path.isfile(reg_file)
+    _CODES_SIDECARS.clear()
+    q = (
+        "WITH c AS (SELECT id, vec FROM icpt_vectors) "
+        f"SELECT id FROM c ORDER BY array_distance(vec, {VEC}), id LIMIT 10"
+    )
+    raw = spark.sql(expand_vector_functions(q))
+    hit = try_intercept_topk(spark, raw, options=VectorTopKOptions(nprobe=N_CLUSTERS))
+    assert hit is not None
+    assert vector_route(hit) == "ivf"  # no resurrection from disk
+
+
+def test_corrupt_persisted_registration_degrades_to_ivf(spark, icpt_table, tmp_path):
+    """A torn/corrupt codes.json is an optimization hint gone bad, not
+    data: interception logs and falls back to the raw IVF probe."""
+    import os as _os
+
+    from pq_vector_spark.index.build import INDEX_DIR
+    from pq_vector_spark.plans.explain import vector_route
+    from pq_vector_spark.plans.intercept import _CODES_SIDECARS, CODES_REG_FILE
+
+    reg_file = _os.path.join(icpt_table["out"], INDEX_DIR, CODES_REG_FILE)
+    with open(reg_file, "w") as f:
+        f.write("{not json")
+    try:
+        _CODES_SIDECARS.clear()
+        q = (
+            "WITH c AS (SELECT id, vec FROM icpt_vectors) "
+            f"SELECT id FROM c ORDER BY array_distance(vec, {VEC}), id LIMIT 10"
+        )
+        raw = spark.sql(expand_vector_functions(q))
+        hit = try_intercept_topk(
+            spark, raw, options=VectorTopKOptions(nprobe=N_CLUSTERS)
+        )
+        assert hit is not None
+        assert vector_route(hit) == "ivf"
+        assert [r["id"] for r in hit.collect()] == _brute(spark, q)
+    finally:
+        _os.remove(reg_file)

@@ -124,3 +124,39 @@ def test_vector_route_probe(spark, obs_table, tmp_path):
     )
     text = explain_vector(out, obs)
     assert text.startswith("== Vector Route ==\nivf")
+
+
+def test_vector_route_user_filter_on_cluster_col_not_misreported(spark, obs_table):
+    """ADVICE r8: a user's own RANGE filter over the cluster column on a
+    brute-force plan must not be misreported as an intercepted IVF route —
+    the tree walk matches the probe's IN/InSet/=-shape, not any filter
+    naming the column."""
+    from pyspark.sql import functions as F
+
+    from pq_vector_spark.plans.explain import vector_route
+
+    df = (
+        spark.read.parquet(obs_table)
+        .filter(F.col("_pq_cluster_id") >= 3)
+        .limit(5)
+    )
+    assert vector_route(df) == "brute-force"
+    # a string literal containing the column name cannot flip the probe
+    df2 = (
+        spark.read.parquet(obs_table)
+        .withColumn("note", F.lit("Filter _pq_cluster_id IN (1,2)"))
+        .filter(F.col("note").contains("_pq_cluster_id"))
+        .limit(5)
+    )
+    assert vector_route(df2) == "brute-force"
+
+
+def test_vector_route_single_cluster_equality_probe(spark, obs_table):
+    """nprobe=1 probes one cluster; Catalyst folds IN (x) to `=` — the
+    walk must still classify it as ivf."""
+    from pq_vector_spark.plans.explain import vector_route
+
+    out = indexed_topk(
+        spark, obs_table, [0.5] * 4, 5, options=VectorTopKOptions(nprobe=1)
+    )
+    assert vector_route(out) == "ivf"
