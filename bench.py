@@ -786,9 +786,10 @@ def _dedup_scale_bench(spark) -> dict:
     )
     total_len = scored.agg(F.sum("_len")).collect()[0][0]
     budget = int(total_len) // 2
+    bstats: dict = {}
     t0 = time.time()
     n_budget = select_token_budget(
-        scored, "doc_id", "_score", "_len", budget, buckets=997
+        scored, "doc_id", "_score", "_len", budget, buckets=997, _stats=bstats
     ).count()
     budget_sec = round(time.time() - t0, 3)
     w = Window.orderBy(F.col("_score").desc(), F.col("doc_id").asc()).rowsBetween(
@@ -801,16 +802,26 @@ def _dedup_scale_bench(spark) -> dict:
         .count()
     )
     naive_sec = round(time.time() - t0, 3)
-    # deterministic single-task window sizes (the scale-limiting quantity)
-    crossing_rows = (
-        scored.groupBy((F.col("_score")).cast("int").alias("b"))
-        .count()
-        .orderBy(F.col("b").desc())
-        .collect()
+
+    # Adversarial all-ties corpus: every score equal, so score bucketing
+    # cannot split anything — the recursive walk must switch to KEY-RANGE
+    # refinement and keep the exact window bounded (the pre-r10 plan
+    # degraded to a full-corpus single-task window here).
+    tied = scored.withColumn("_score", F.lit(1.0))
+    tstats: dict = {}
+    t0 = time.time()
+    n_tied = select_token_budget(
+        tied, "doc_id", "_score", "_len", budget, buckets=997, _stats=tstats
+    ).count()
+    ties_sec = round(time.time() - t0, 3)
+    wk = Window.orderBy(F.col("doc_id").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
-    # the crossing bucket under a half-total budget sits mid-histogram;
-    # report the max per-bucket row count as the two-phase window bound
-    max_bucket_rows = max(int(r["count"]) for r in crossing_rows)
+    n_tied_naive = (
+        tied.withColumn("_cum", F.sum("_len").over(wk))
+        .filter(F.col("_cum") <= F.lit(budget))
+        .count()
+    )
 
     return {
         "n_docs": n_docs,
@@ -819,7 +830,12 @@ def _dedup_scale_bench(spark) -> dict:
         "budget_results_match": bool(n_budget == n_naive),
         "budget_docs_kept": int(n_budget),
         "budget_naive_window_task_rows": int(n_docs),
-        "budget_two_phase_window_task_rows": int(max_bucket_rows),
+        "budget_two_phase_window_task_rows": int(bstats.get("window_rows", -1)),
+        "budget_refine_levels": int(bstats.get("levels", -1)),
+        "budget_ties_select_sec": ties_sec,
+        "budget_ties_results_match": bool(n_tied == n_tied_naive),
+        "budget_ties_window_task_rows": int(tstats.get("window_rows", -1)),
+        "budget_ties_refine_mode": str(tstats.get("mode", "")),
         "gen_sec": gen_sec,
         "exact_sec": exact_sec,
         "exact_groups": int(n_exact_groups),

@@ -291,143 +291,271 @@ def select_token_budget(
     budget: int,
     *,
     buckets: int = 1024,
+    window_cap: int = 65536,
+    max_depth: int = 8,
+    _stats: dict | None = None,
 ) -> DataFrame:
     """Fill a token budget with the best documents: keep rows in
     (score DESC, key ASC) order while the running total of ``tokens_col``
     stays ≤ ``budget`` — the greedy prefix every "train on the best N
     tokens" curation step needs.
 
-    Scale shape (two-phase exact selection): the naive form is a GLOBAL
-    ordered cumulative sum — ONE task must hold and scan the entire sorted
-    corpus, which stops being slow and becomes impossible somewhere past
-    ~10⁸ rows. Instead, all planning phases run over a CACHED slim
+    Scale shape (recursive two-phase exact selection): the naive form is a
+    GLOBAL ordered cumulative sum — ONE task must hold and scan the entire
+    sorted corpus, which stops being slow and becomes impossible somewhere
+    past ~10⁸ rows. Instead, all planning runs over a CACHED slim
     (key, score, tokens) projection — the wide corpus is scanned exactly
     once, at output time:
 
-    1. min/max + score-bucket histogram on the slim projection (bounded
-       aggregations), per-bucket token totals prefix-summed on the DRIVER
-       (≤ ``buckets`` rows);
-    2. every bucket strictly above the budget-crossing bucket is kept
-       wholesale; only the CROSSING bucket's slim rows (≈ corpus/buckets)
-       pay the exact ordered window for the residual budget, yielding a
-       bounded edge-key set (materialized via localCheckpoint so the
-       cached projection can be released);
-    3. the single output pass over ``df`` is a map-side bucket filter
-       OR-ed with a broadcast join against the edge keys.
+    1. score-bucket histogram on the slim projection (one bounded
+       map-side-combined aggregation: per-bucket token totals, row counts,
+       and score min/max), prefix-summed on the DRIVER (≤ ``buckets``
+       rows) to locate the budget-CROSSING bucket;
+    2. buckets strictly above the crossing bucket are kept wholesale; the
+       crossing bucket is RE-BUCKETED against its own min/max and the walk
+       recurses, so each level shrinks the frontier ~``buckets``× until it
+       holds ≤ ``window_cap`` rows — only those pay the exact ordered
+       window for the residual budget. Score TIES (and the NaN/±inf/NULL
+       classes) cannot be split by score, so a tied frontier switches to
+       KEY-RANGE refinement: one ``repartitionByRange`` pass over the tied
+       rows yields per-range token totals and split keys (the per-range
+       MAX key), and the walk recurses on key intervals — the adversarial
+       all-scores-equal corpus is therefore just as bounded as the
+       well-spread one. ``max_depth`` caps both recursions (falling back
+       to the exact window on whatever frontier remains);
+    3. the kept set is emitted as a PURE MAP-SIDE predicate over
+       (score, key) — a per-level "strictly above the crossing bucket"
+       chain plus the exact boundary row — so the single output pass over
+       ``df`` is a filter: no join, no broadcast, nothing collected but
+       per-level histograms.
 
     The result is IDENTICAL to the global greedy prefix: bucketing is
-    monotone in score, equal scores share a bucket, and token totals are
-    exact integer sums.
+    monotone in score (and, within ties, in key), equal scores share a
+    bucket until key refinement splits them, and token totals are exact
+    integer sums (``tokens_col`` is cast to bigint).
 
-    Degenerate guard: massive score ties collapse into one bucket and the
-    edge window (and its broadcast key set) widen accordingly — at the
-    extreme (all scores equal) they cover everything; score resolution,
-    not ``buckets``, is the lever there. ``tokens_col`` is cast to bigint —
-    integer token counts keep the driver prefix sums exact.
-
-    Score edge cases mirror the engines' DESC ordering exactly: NaN scores
-    rank ABOVE every finite value (selected first), NULL scores rank below
-    everything (selected last, only if budget remains). ``key_col`` MUST
-    uniquely identify rows — it is the greedy order's tie-breaker AND the
-    edge-set join identity; duplicate keys make the prefix ill-defined and
-    would fan the crossing-bucket join out.
+    Score edge cases mirror the engines' DESC ordering exactly — the class
+    chain NaN > +Infinity > finite > -Infinity > NULL (Spark and DuckDB
+    both order NaN above +inf and sort NULLs last under DESC): NaN scores
+    are selected first, NULLs last, ±inf in between. Finite bucket
+    boundaries are computed over finite scores only, so a single special
+    value can never poison the histogram's min/max. ``key_col`` MUST
+    uniquely identify rows — it is the greedy order's tie-breaker and the
+    boundary-row identity; duplicate keys make the prefix ill-defined.
     """
     if budget < 0:
         raise ValueError(f"budget must be >= 0, got {budget}")
     if buckets <= 0:
         raise ValueError(f"buckets must be positive, got {buckets}")
+    if window_cap <= 0:
+        raise ValueError(f"window_cap must be positive, got {window_cap}")
+    import math
+
     from pyspark.sql import Window
 
     score = F.col(score_col) if isinstance(score_col, str) else score_col
     toks = (F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col).cast(
         "bigint"
     )
+    keyc = F.col(key_col) if isinstance(key_col, str) else key_col
     slim = df.select(
-        (F.col(key_col) if isinstance(key_col, str) else key_col).alias("_sb_key"),
+        keyc.alias("_sb_key"),
         score.cast("double").alias("_sb_score"),
         toks.alias("_sb_tok"),
     ).persist()
-    try:
-        # min/max over FINITE scores only — a single NaN would poison mx
-        # (Spark max treats NaN as greatest) and collapse every row into
-        # one bucket, forcing the full-corpus window this plan exists to
-        # avoid
-        finite = F.col("_sb_score").isNotNull() & ~F.isnan(F.col("_sb_score"))
-        mn, mx = (
-            slim.filter(finite)
-            .agg(F.min("_sb_score"), F.max("_sb_score"))
-            .collect()[0]
-        )
-        n_b = 1 if (mn is None or mx == mn) else buckets
+    SCORE, KEY, TOK = F.col("_sb_score"), F.col("_sb_key"), F.col("_sb_tok")
+    INF = float("inf")
 
-        def bucket_of(score_expr):
-            # class encoding mirrors Spark/DuckDB DESC ordering exactly:
-            # NaN (class n_b) sorts above every finite value, NULL
-            # (class -1) sorts below — so integer class comparisons keep
-            # the bucketed plan bit-equal to the naive global greedy
-            if mn is None or mx == mn:
-                fin = F.lit(0)
-            else:
-                width = (mx - mn) / buckets
+    def bucketer(lo, hi, n_b):
+        """Closure mapping a score expression to an ordered integer class:
+        NULL=-2 < -inf=-1 < finite 0..n_b-1 < +inf=n_b < NaN=n_b+1 —
+        integer comparisons on the class reproduce Spark/DuckDB DESC
+        ordering bit-for-bit, so "bucket > crossing" IS the greedy order."""
+        width = (hi - lo) / n_b if (lo is not None and hi > lo) else 0.0
+
+        def bucket_of(e):
+            if width > 0.0:
                 fin = F.least(
-                    F.floor((score_expr - F.lit(mn)) / F.lit(width)),
-                    F.lit(buckets - 1),
+                    F.floor((e - F.lit(lo)) / F.lit(width)), F.lit(n_b - 1)
                 ).cast("int")
+            else:
+                fin = F.lit(0)
             return (
-                F.when(F.isnan(score_expr), F.lit(n_b))
-                .when(score_expr.isNull(), F.lit(-1))
+                F.when(F.isnan(e), F.lit(n_b + 1))
+                .when(e == F.lit(INF), F.lit(n_b))
+                .when(e == F.lit(-INF), F.lit(-1))
+                .when(e.isNull(), F.lit(-2))
                 .otherwise(fin)
                 .cast("int")
             )
 
-        hist = {
-            int(r["_sb_bucket"]): int(r["t"])
-            for r in slim.groupBy(
-                bucket_of(F.col("_sb_score")).alias("_sb_bucket")
+        return bucket_of, width
+
+    def conj(preds):
+        out = None
+        for p in preds:
+            out = p if out is None else (out & p)
+        return F.lit(True) if out is None else out
+
+    try:
+        anc: list = []  # in-crossing-bucket predicates, one per level
+        keep_terms: list = []  # disjuncts of the final map-side keep filter
+        remaining = budget
+        # frontier state: (mode, lo, hi, count) — count None means unknown
+        mode, lo, hi, cnt = "score", None, None, None
+        first = True
+        for depth in range(max_depth + 1):
+            sub = slim.filter(conj(anc)) if anc else slim
+            at_cap = depth >= max_depth or (
+                cnt is not None and cnt <= window_cap
             )
-            .agg(F.sum("_sb_tok").alias("t"))
-            .collect()
-        }
-        cum = 0
-        crossing = None
-        for i in [n_b, *range(n_b - 1, -1, -1), -1]:
-            t = hist.get(i, 0)
-            if cum + t <= budget:
-                cum += t
-            else:
-                crossing = i
+            if at_cap:
+                if _stats is not None:
+                    # diagnostics for tests/bench: how deep the walk went
+                    # and how many rows the exact window actually held
+                    # (cnt is already exact when a refinement level set it)
+                    _stats.update(
+                        levels=depth,
+                        mode=mode,
+                        window_rows=int(cnt) if cnt is not None else sub.count(),
+                    )
+                # exact ordered window over the bounded frontier: find the
+                # greedy BOUNDARY row (last row whose running total fits)
+                w = Window.orderBy(
+                    SCORE.desc_nulls_last(), KEY.asc()
+                ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                bd = (
+                    sub.withColumn("_sb_cum", F.sum(TOK).over(w))
+                    .filter(F.col("_sb_cum") <= F.lit(remaining))
+                    # last kept row in (score DESC, key ASC) = first in the
+                    # reversed order; Spark ASC places NaN above +inf, so
+                    # asc_nulls_first reverses the class chain exactly
+                    .orderBy(SCORE.asc_nulls_first(), KEY.desc())
+                    .limit(1)
+                    .collect()
+                )
+                if bd:
+                    s_star, k_star = bd[0]["_sb_score"], bd[0]["_sb_key"]
+                    key_le = KEY <= F.lit(k_star)
+                    if s_star is None:
+                        # NULL boundary = the very bottom of the class
+                        # chain: everything scored is above it
+                        pred = SCORE.isNotNull() | key_le
+                    elif math.isnan(s_star):
+                        # NaN boundary = the very top: nothing is above it
+                        pred = F.isnan(SCORE) & key_le
+                    else:
+                        # Spark comparisons use the same total order as its
+                        # sorts (NaN > +inf > finite), so `> s_lit` keeps
+                        # every higher class too — valid even when the
+                        # frontier is the whole mixed-class corpus
+                        s_lit = F.lit(s_star)
+                        pred = (SCORE > s_lit) | ((SCORE == s_lit) & key_le)
+                    keep_terms.append(conj(anc + [pred]))
                 break
-        if crossing is None:
-            return df  # whole corpus fits the budget
-        remaining = budget - cum
-        w = (
-            Window.orderBy(F.col("_sb_score").desc(), F.col("_sb_key").asc())
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            if mode == "score":
+                if first:
+                    # finite min/max only — NaN/±inf would poison the
+                    # bucket width (Spark max treats NaN as greatest and
+                    # an inf makes every width infinite)
+                    finite = (
+                        SCORE.isNotNull()
+                        & ~F.isnan(SCORE)
+                        & (SCORE != F.lit(INF))
+                        & (SCORE != F.lit(-INF))
+                    )
+                    lo, hi = (
+                        sub.filter(finite)
+                        .agg(F.min(SCORE), F.max(SCORE))
+                        .collect()[0]
+                    )
+                    first = False
+                n_b = buckets if (lo is not None and hi > lo) else 1
+                bucket_of, width = bucketer(lo, hi, n_b)
+                hist = {
+                    int(r["b"]): (
+                        int(r["t"] or 0),
+                        int(r["c"]),
+                        r["mn"],
+                        r["mx"],
+                    )
+                    for r in sub.groupBy(bucket_of(SCORE).alias("b"))
+                    .agg(
+                        F.sum(TOK).alias("t"),
+                        F.count("*").alias("c"),
+                        F.min(SCORE).alias("mn"),
+                        F.max(SCORE).alias("mx"),
+                    )
+                    .collect()
+                }
+                cum, crossing = 0, None
+                for i in [n_b + 1, n_b, *range(n_b - 1, -1, -1), -1, -2]:
+                    t = hist.get(i, (0, 0, None, None))[0]
+                    if cum + t <= remaining:
+                        cum += t
+                    else:
+                        crossing = i
+                        break
+                if crossing is None:
+                    if _stats is not None:
+                        _stats.update(levels=depth, mode=mode, window_rows=0)
+                    keep_terms.append(conj(anc))  # whole frontier fits
+                    break
+                remaining -= cum
+                _, c_cnt, c_mn, c_mx = hist[crossing]
+                keep_terms.append(conj(anc + [bucket_of(SCORE) > F.lit(crossing)]))
+                anc.append(bucket_of(SCORE) == F.lit(crossing))
+                cnt = c_cnt
+                if 0 <= crossing < n_b and c_mn is not None and c_mx > c_mn:
+                    lo, hi = c_mn, c_mx  # refinable finite bucket
+                    if (hi - lo) / buckets <= 0.0:
+                        mode = "key"  # width underflow: treat as tied
+                else:
+                    mode = "key"  # special class or exact tie: key refine
+            else:  # mode == "key": frontier is score-tied, order = KEY ASC
+                n_p = max(2, min(4096, -(-int(cnt) // window_cap)))
+                parts = sorted(
+                    (
+                        slim.filter(conj(anc))
+                        .repartitionByRange(n_p, KEY.asc())
+                        .groupBy(F.spark_partition_id().alias("p"))
+                        .agg(
+                            F.sum(TOK).alias("t"),
+                            F.count("*").alias("c"),
+                            F.max(KEY).alias("mk"),
+                        )
+                        .collect()
+                    ),
+                    key=lambda r: r["p"],
+                )
+                cum, cross_i = 0, None
+                for i, r in enumerate(parts):
+                    t = int(r["t"] or 0)
+                    if cum + t <= remaining:
+                        cum += t
+                    else:
+                        cross_i = i
+                        break
+                if cross_i is None:
+                    if _stats is not None:
+                        _stats.update(levels=depth, mode=mode, window_rows=0)
+                    keep_terms.append(conj(anc))  # whole frontier fits
+                    break
+                remaining -= cum
+                if cross_i > 0:
+                    prev_mk = parts[cross_i - 1]["mk"]
+                    keep_terms.append(conj(anc + [KEY <= F.lit(prev_mk)]))
+                    anc.append(KEY > F.lit(prev_mk))
+                anc.append(KEY <= F.lit(parts[cross_i]["mk"]))
+                cnt = int(parts[cross_i]["c"])
+        out = df.withColumn("_sb_score", score.cast("double")).withColumn(
+            "_sb_key", keyc
         )
-        edge_keys = (
-            slim.filter(bucket_of(F.col("_sb_score")) == F.lit(crossing))
-            .withColumn("_sb_cum", F.sum("_sb_tok").over(w))
-            .filter(F.col("_sb_cum") <= F.lit(remaining))
-            .select("_sb_key")
-            .distinct()
-            # eager materialization (bounded: ≈ corpus/buckets keys) cuts
-            # the lineage back to the cached projection, so unpersisting it
-            # below can never force a recompute at output time
-            .localCheckpoint(eager=True)
-        )
-        out_key = F.col(key_col) if isinstance(key_col, str) else key_col
-        return (
-            df.withColumn("_sb_bucket", bucket_of(score.cast("double")))
-            .join(
-                F.broadcast(edge_keys.withColumn("_sb_hit", F.lit(True))),
-                out_key == F.col("_sb_key"),
-                "left",
-            )
-            .filter(
-                (F.col("_sb_bucket") > F.lit(crossing))
-                | F.col("_sb_hit").isNotNull()
-            )
-            .drop("_sb_bucket", "_sb_key", "_sb_hit")
-        )
+        if not keep_terms:
+            return out.filter(F.lit(False)).drop("_sb_score", "_sb_key")
+        keep = None
+        for term in keep_terms:
+            keep = term if keep is None else (keep | term)
+        return out.filter(keep).drop("_sb_score", "_sb_key")
     finally:
         slim.unpersist()

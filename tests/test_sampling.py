@@ -463,3 +463,139 @@ def test_temperature_mix_pinned_rates_match_derived(spark):
         for r in temperature_mix(df, "grp", "id", salt="p", rates=rates).collect()
     }
     assert derived == pinned
+
+
+# ------------------------------- token budget: recursive refinement ----
+
+
+def _class_greedy(rows, budget):
+    """Global greedy prefix under the full engine class chain
+    NaN > +inf > finite > -inf > NULL, ties broken by key asc."""
+    import math
+
+    def rank(s):
+        if s is None:
+            return (-2, 0.0)
+        if math.isnan(s):
+            return (2, 0.0)
+        if s == float("inf"):
+            return (1, 0.0)
+        if s == float("-inf"):
+            return (-1, 0.0)
+        return (0, s)
+
+    ordered = sorted(
+        rows, key=lambda r: (-rank(r[1])[0], -rank(r[1])[1], r[0])
+    )
+    kept, cum = [], 0
+    for key, _score, tok in ordered:
+        if cum + tok > budget:
+            break
+        cum += tok
+        kept.append(key)
+    return sorted(kept)
+
+
+def test_select_token_budget_inf_scores(spark):
+    """±Infinity scores get their own ordered classes (the full chain is
+    NaN > +inf > finite > -inf > NULL) and can no longer poison the
+    histogram's min/max (an inf width would NULL every bucket id)."""
+    from pq_vector_spark.operators.sampling import select_token_budget
+
+    rows = [
+        (1, float("inf"), 10),
+        (2, float("nan"), 10),
+        (3, 7.0, 10),
+        (4, float("-inf"), 10),
+        (5, None, 10),
+        (6, 2.0, 10),
+        (7, float("inf"), 10),
+    ]
+    df = spark.createDataFrame(rows, "id: bigint, score: double, tok: bigint")
+    for budget in (0, 10, 20, 25, 30, 40, 50, 60, 70, 100):
+        got = sorted(
+            r["id"]
+            for r in select_token_budget(
+                df, "id", "score", "tok", budget, buckets=4
+            ).collect()
+        )
+        assert got == _class_greedy(rows, budget), f"budget={budget}"
+
+
+def test_select_token_budget_recursive_refinement_bounds_window(spark):
+    """With a tiny window_cap the walk must recurse (score re-bucketing)
+    until the exact window's input is <= window_cap — and still match the
+    global greedy prefix bit-for-bit."""
+    import random
+
+    from pq_vector_spark.operators.sampling import select_token_budget
+
+    rng = random.Random(7)
+    rows = [(i, float(i) + rng.random() * 0.5, rng.randrange(5, 50)) for i in range(2000)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "id: bigint, score: double, tok: bigint")
+    total = sum(r[2] for r in rows)
+    stats: dict = {}
+    got = sorted(
+        r["id"]
+        for r in select_token_budget(
+            df, "id", "score", "tok", total // 2,
+            buckets=8, window_cap=64, _stats=stats,
+        ).collect()
+    )
+    assert got == _class_greedy(rows, total // 2)
+    assert stats["levels"] >= 1  # it actually recursed
+    assert stats["window_rows"] <= 64
+
+
+def test_select_token_budget_all_ties_key_refinement(spark):
+    """The adversarial all-scores-equal corpus collapses every row into
+    one bucket — the walk must switch to key-range refinement and keep
+    the exact window bounded instead of widening to the full corpus."""
+    from pq_vector_spark.operators.sampling import select_token_budget
+
+    rows = [(i, 1.0, 7) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id: bigint, score: double, tok: bigint")
+    stats: dict = {}
+    budget = 7 * 1000 + 3  # crosses mid-corpus
+    got = sorted(
+        r["id"]
+        for r in select_token_budget(
+            df, "id", "score", "tok", budget,
+            buckets=8, window_cap=64, _stats=stats,
+        ).collect()
+    )
+    assert got == list(range(1000))  # key-asc prefix
+    assert stats["mode"] == "key"
+    # range partitioning is sample-approximate: allow 4x slack, but the
+    # window must be nowhere near the 2000-row corpus
+    assert stats["window_rows"] <= 256
+
+
+def test_select_token_budget_depth0_mixed_class_boundary(spark):
+    """max_depth=0 falls straight back to the exact window over the whole
+    mixed-class corpus; NaN and NULL boundary rows must still yield a
+    class-correct keep predicate."""
+    from pq_vector_spark.operators.sampling import select_token_budget
+
+    rows = [
+        (1, float("nan"), 10),
+        (2, float("nan"), 10),
+        (9, 5.0, 10),
+        (3, None, 10),
+        (4, None, 10),
+    ]
+    df = spark.createDataFrame(rows, "id: bigint, score: double, tok: bigint")
+
+    def got(budget):
+        return sorted(
+            r["id"]
+            for r in select_token_budget(
+                df, "id", "score", "tok", budget, max_depth=0
+            ).collect()
+        )
+
+    assert got(10) == [1]            # boundary inside the NaN class
+    assert got(20) == [1, 2]
+    assert got(40) == [1, 2, 3, 9]   # boundary inside the NULL class
+    assert got(50) == [1, 2, 3, 4, 9]
