@@ -194,10 +194,25 @@ def append_to_index(
     gracefully — assignment still routes every new row to its nearest
     existing centroid.
 
+    Concurrency contract: appends must be QUIESCED while
+    ``auto_rebuild_if_stale`` runs — the rebuild reads the live layout,
+    retrains, and swaps directories, so rows appended after its read would
+    be deleted with the retired layout. The rebuild holds a
+    ``_pq_index/REBUILDING`` sentinel for its duration; this function
+    raises while the sentinel exists instead of silently losing the rows.
+
     Returns the refreshed meta dict.
     """
     from pq_vector_spark.index.search import IndexError_, load_index
 
+    if _rebuild_sentinel_exists(spark, indexed_path):
+        raise IOError(
+            f"append refused: a rebuild is in progress for {indexed_path} "
+            f"({INDEX_DIR}/{REBUILD_SENTINEL} exists) and its directory "
+            "swap would DELETE rows appended now. Retry after the rebuild; "
+            "if a crashed rebuild left the sentinel behind, delete the "
+            "file to clear it."
+        )
     idx = load_index(spark, indexed_path)
     meta = dict(idx.meta)
     meta.pop("counts_sec", None)
@@ -710,6 +725,68 @@ def _swap_dirs(spark: SparkSession, live: str, fresh: str) -> None:
     fs.delete(rp, True)
 
 
+REBUILD_SENTINEL = "REBUILDING"
+
+
+def _rebuild_sentinel_exists(spark: SparkSession, indexed_path: str) -> bool:
+    root = _local_root(indexed_path)
+    if root is not None:
+        return os.path.isfile(os.path.join(root, INDEX_DIR, REBUILD_SENTINEL))
+    return bool(
+        _hadoop_glob(
+            spark, f"{indexed_path.rstrip('/')}/{INDEX_DIR}/{REBUILD_SENTINEL}"
+        )
+    )
+
+
+def _acquire_rebuild_sentinel(spark: SparkSession, indexed_path: str) -> None:
+    """Create ``_pq_index/REBUILDING`` inside the live layout; raise if one
+    is already there (two rebuilds racing, or a crashed rebuild left it
+    behind — the sentinel body records when/who for the operator deciding
+    whether to delete it). Check-then-create is NOT atomic on object
+    stores; the sentinel makes the append/rebuild race LOUD, it is not a
+    distributed lock."""
+    if _rebuild_sentinel_exists(spark, indexed_path):
+        raise IOError(
+            f"rebuild already in progress for {indexed_path} "
+            f"({INDEX_DIR}/{REBUILD_SENTINEL} exists). If no rebuild is "
+            "actually running, a crashed rebuild left the sentinel behind — "
+            "delete the file to clear it."
+        )
+    import time as _time
+
+    body = json.dumps({"started_unix": _time.time(), "pid": os.getpid()})
+    root = _local_root(indexed_path)
+    if root is not None:
+        os.makedirs(os.path.join(root, INDEX_DIR), exist_ok=True)
+        with open(os.path.join(root, INDEX_DIR, REBUILD_SENTINEL), "w") as f:
+            f.write(body + "\n")
+        return
+    _hadoop_write_bytes(
+        spark,
+        f"{indexed_path.rstrip('/')}/{INDEX_DIR}/{REBUILD_SENTINEL}",
+        (body + "\n").encode("utf-8"),
+    )
+
+
+def _release_rebuild_sentinel(spark: SparkSession, indexed_path: str) -> None:
+    """Best-effort delete; tolerates a missing sentinel (after a successful
+    swap it vanished with the retired directory)."""
+    root = _local_root(indexed_path)
+    if root is not None:
+        p = os.path.join(root, INDEX_DIR, REBUILD_SENTINEL)
+        if os.path.isfile(p):
+            os.remove(p)
+        return
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(
+        f"{indexed_path.rstrip('/')}/{INDEX_DIR}/{REBUILD_SENTINEL}"
+    )
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jpath):
+        fs.delete(jpath, False)
+
+
 def auto_rebuild_if_stale(
     spark: SparkSession,
     indexed_path: str,
@@ -736,6 +813,18 @@ def auto_rebuild_if_stale(
     the fresh cluster assignment with its existing codebook — otherwise the
     codes table's cluster ids would silently mismatch the new layout.
 
+    Concurrency contract: ``append_to_index`` calls must be QUIESCED for
+    the duration — the rebuild reads the live layout, retrains, and swaps
+    directories, so rows appended after its read would vanish with the
+    retired layout. Three guards make the race loud instead of lossy: a
+    ``_pq_index/REBUILDING`` sentinel held for the rebuild's duration
+    (``append_to_index`` raises while it exists; NOT an atomic lock — an
+    append that passed its check before the sentinel landed can still slip
+    through), a pre-swap re-read of the live sidecar's row count that
+    aborts the swap if such an append slipped in mid-build, and this
+    docstring. A crashed rebuild can leave the sentinel behind; the error
+    message tells the operator to delete it.
+
     Returns ``{"rebuilt": bool, "health": <pre-check>, "meta": <new meta
     or None>}``. Zero Spark jobs when healthy (the health probe is
     sidecar-only).
@@ -755,8 +844,45 @@ def auto_rebuild_if_stale(
     sidecar = _icpt._lookup_codes_sidecar(spark, indexed_path)
 
     fresh = indexed_path.rstrip("/") + ".rebuild"
-    meta = build_index(spark, indexed_path, fresh, column=column, options=options)
-    _swap_dirs(spark, indexed_path, fresh)
+    _acquire_rebuild_sentinel(spark, indexed_path)
+    try:
+        meta = build_index(
+            spark, indexed_path, fresh, column=column, options=options
+        )
+        # pre-swap verification: if an in-flight append finished after the
+        # rebuild's read (it started before the sentinel landed), the live
+        # sidecar's row count moved — swapping now would DELETE those rows
+        # with the retired layout, so abort loudly instead
+        live_rows = int(load_index(spark, indexed_path).meta["row_count"])
+        if live_rows != int(meta["row_count"]):
+            raise IOError(
+                f"concurrent append detected during rebuild of "
+                f"{indexed_path}: live layout now has {live_rows} rows but "
+                f"the rebuilt layout captured {meta['row_count']}. Swap "
+                "aborted — quiesce appends and rerun the rebuild."
+            )
+        _swap_dirs(spark, indexed_path, fresh)
+    except BaseException:
+        # drop the partial fresh layout; never leave .rebuild debris
+        root = _local_root(fresh)
+        if root is not None and os.path.isdir(root):
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+        else:
+            try:
+                jvm = spark._jvm
+                jp = jvm.org.apache.hadoop.fs.Path(fresh)
+                fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
+                if fs.exists(jp):
+                    fs.delete(jp, True)
+            except Exception:
+                pass
+        raise
+    finally:
+        # after a successful swap the sentinel vanished with the retired
+        # directory; on failure this clears it so appends resume
+        _release_rebuild_sentinel(spark, indexed_path)
 
     if sidecar is not None:
         from pq_vector_spark.index.pq import encode_indexed

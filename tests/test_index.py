@@ -664,3 +664,109 @@ def test_auto_rebuild_refreshes_codes_sidecar(spark, tmp_path):
         assert mism == 0
     finally:
         unregister_codes_sidecar(out)
+
+
+def _small_stale_index(spark, tmp_path):
+    """A 100+30-row indexed layout already past the staleness threshold."""
+    from pq_vector_spark.index.build import append_to_index, build_index
+    from pq_vector_spark.session import IndexBuildOptions
+
+    src = str(tmp_path / "race_src.parquet")
+    out = str(tmp_path / "race_indexed")
+    df = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(100)],
+        "vec_id: bigint, embedding: array<float>",
+    )
+    df.write.parquet(src)
+    build_index(
+        spark, src, out, column="embedding", options=IndexBuildOptions(n_clusters=4)
+    )
+    extra = spark.createDataFrame(
+        [(100 + i, [float(i), 1.0]) for i in range(30)],
+        "vec_id: bigint, embedding: array<float>",
+    )
+    append_to_index(spark, extra, out)
+    return out
+
+
+def test_append_refused_while_rebuild_sentinel_held(spark, tmp_path):
+    """The rebuild/append race is LOUD: while _pq_index/REBUILDING exists,
+    append_to_index raises instead of writing rows the imminent directory
+    swap would delete; clearing the sentinel lets appends resume."""
+    import pq_vector_spark.index.build as B
+
+    out = _small_stale_index(spark, tmp_path)
+    B._acquire_rebuild_sentinel(spark, out)
+    extra = spark.createDataFrame(
+        [(500, [9.0, 9.0])], "vec_id: bigint, embedding: array<float>"
+    )
+    with pytest.raises(IOError, match="rebuild is in progress"):
+        B.append_to_index(spark, extra, out)
+    # two rebuilds can't race each other either
+    with pytest.raises(IOError, match="already in progress"):
+        B._acquire_rebuild_sentinel(spark, out)
+    B._release_rebuild_sentinel(spark, out)
+    meta = B.append_to_index(spark, extra, out)
+    assert meta["row_count"] == 131
+
+
+def test_rebuild_aborts_swap_on_concurrent_append(spark, tmp_path):
+    """An append that slipped past the sentinel (started before it landed)
+    moves the live sidecar's row count mid-build — the pre-swap
+    verification must abort LOUDLY, leave the live layout untouched, drop
+    the partial .rebuild directory, and clear the sentinel."""
+    import os
+
+    import pq_vector_spark.index.build as B
+    from pq_vector_spark.index.build import INDEX_DIR, REBUILD_SENTINEL
+
+    out = _small_stale_index(spark, tmp_path)
+    real_build = B.build_index
+
+    def racing_build(spark_, src, dst, **kw):
+        meta = real_build(spark_, src, dst, **kw)
+        # simulate the slipped-through append completing mid-rebuild:
+        # its sidecar refresh bumps the LIVE layout's row count
+        from pq_vector_spark.index.search import load_index
+
+        idx = load_index(spark_, out)
+        live = dict(idx.meta)
+        live["row_count"] = int(live["row_count"]) + 1
+        B._write_sidecar(spark_, out, idx.centroids, live)
+        return meta
+
+    orig = B.build_index
+    B.build_index = racing_build
+    try:
+        with pytest.raises(IOError, match="concurrent append detected"):
+            B.auto_rebuild_if_stale(spark, out)
+    finally:
+        B.build_index = orig
+    # live layout intact (131 = the bumped count), no .rebuild debris,
+    # sentinel cleared so appends resume
+    assert not os.path.exists(out + ".rebuild")
+    assert not os.path.isfile(os.path.join(out, INDEX_DIR, REBUILD_SENTINEL))
+    assert spark.read.parquet(out).count() == 130
+    extra = spark.createDataFrame(
+        [(600, [8.0, 8.0])], "vec_id: bigint, embedding: array<float>"
+    )
+    B.append_to_index(spark, extra, out)
+
+
+def test_rebuild_clears_sentinel_and_appends_resume(spark, tmp_path):
+    """A successful rebuild leaves no sentinel behind (it vanishes with
+    the retired directory) and appends work immediately after."""
+    import os
+
+    import pq_vector_spark.index.build as B
+    from pq_vector_spark.index.build import INDEX_DIR, REBUILD_SENTINEL
+
+    out = _small_stale_index(spark, tmp_path)
+    res = B.auto_rebuild_if_stale(spark, out)
+    assert res["rebuilt"] is True
+    assert not os.path.isfile(os.path.join(out, INDEX_DIR, REBUILD_SENTINEL))
+    extra = spark.createDataFrame(
+        [(700, [7.0, 7.0])], "vec_id: bigint, embedding: array<float>"
+    )
+    meta = B.append_to_index(spark, extra, out)
+    assert meta["row_count"] == 131
