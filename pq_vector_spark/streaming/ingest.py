@@ -79,3 +79,113 @@ def streaming_ingest(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer
+
+
+def append_index_batch(
+    batch_df: DataFrame,
+    indexed_path: str,
+    *,
+    maintain_index: bool = False,
+    maintain_codes: bool = False,
+    stale_threshold: float = 0.2,
+    rebuild_options=None,
+) -> dict:
+    """Apply one micro-batch to an INDEXED vector layout: assign the new
+    rows to the existing centroids and append them
+    (``index/build.append_to_index``), then optionally run the maintenance
+    loop — ``refresh_codes_sidecar`` keeps a registered PQ codes table in
+    sync (encodes only the missing rows), ``auto_rebuild_if_stale``
+    retrains + swaps once appended mass crosses ``stale_threshold`` (and
+    re-encodes the codes itself when it fires).
+
+    Returns ``{"appended": n, "codes_refreshed": bool, "rebuilt": bool}``.
+    Usable directly for batch backfills; ``streaming_index_ingest`` wires
+    it into foreachBatch.
+    """
+    from pq_vector_spark.index.build import append_to_index, auto_rebuild_if_stale
+    from pq_vector_spark.plans.intercept import (
+        _lookup_codes_sidecar,
+        refresh_codes_sidecar,
+    )
+
+    from pq_vector_spark.index.search import load_index
+
+    spark = batch_df.sparkSession
+    result = {"appended": 0, "codes_refreshed": False, "rebuilt": False}
+    if not batch_df.isEmpty():
+        before = int(load_index(spark, indexed_path).meta["row_count"])
+        meta = append_to_index(spark, batch_df, indexed_path)
+        result["appended"] = int(meta["row_count"]) - before
+    if maintain_codes and _lookup_codes_sidecar(spark, indexed_path) is not None:
+        refresh_codes_sidecar(spark, indexed_path)
+        result["codes_refreshed"] = True
+    if maintain_index:
+        res = auto_rebuild_if_stale(
+            spark,
+            indexed_path,
+            stale_threshold=stale_threshold,
+            options=rebuild_options,
+        )
+        result["rebuilt"] = bool(res["rebuilt"])
+    return result
+
+
+def streaming_index_ingest(
+    stream: DataFrame,
+    indexed_path: str,
+    *,
+    checkpoint: Optional[str] = None,
+    maintain_index: bool = True,
+    maintain_codes: bool = True,
+    maintain_every: int = 1,
+    stale_threshold: float = 0.2,
+    rebuild_options=None,
+    on_maintenance=None,
+):
+    """Return a ``DataStreamWriter`` that continuously appends a vector
+    stream into an indexed layout AND keeps the index healthy — the
+    streaming closure of the append lifecycle the reference only offers as
+    manual batch steps (in-place append src/ivf/parquet.rs:88-103 with no
+    staleness gauge or retrain loop).
+
+    Without maintenance, ``append_to_index`` forever reuses the original
+    centroids and recall decays silently as appended mass grows. With it,
+    every ``maintain_every``-th batch (1) incrementally re-encodes a
+    registered PQ codes sidecar so the IVF-PQ route never declines fresh
+    rows as stale, and (2) consults ``index_health`` and retrains + swaps
+    once staleness crosses ``stale_threshold``.
+
+    Concurrency: Structured Streaming runs micro-batches SERIALLY, so the
+    rebuild inside a batch can never race this stream's own appends — the
+    composition satisfies ``auto_rebuild_if_stale``'s quiesce contract by
+    construction. Other writers must still respect the REBUILDING
+    sentinel. ``on_maintenance(batch_id, result_dict)``, if given, is
+    called after each batch (observability hook; exceptions propagate and
+    fail the batch, so keep it cheap).
+
+    Caller picks the trigger/start, e.g.::
+
+        q = streaming_index_ingest(src, "/indexed", checkpoint="/chk") \\
+            .trigger(availableNow=True).start()
+        q.awaitTermination()
+    """
+    if maintain_every <= 0:
+        raise ValueError(f"maintain_every must be positive, got {maintain_every}")
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        due = (batch_id % maintain_every) == (maintain_every - 1)
+        result = append_index_batch(
+            batch_df,
+            indexed_path,
+            maintain_index=maintain_index and due,
+            maintain_codes=maintain_codes and due,
+            stale_threshold=stale_threshold,
+            rebuild_options=rebuild_options,
+        )
+        if on_maintenance is not None:
+            on_maintenance(batch_id, result)
+
+    writer = stream.writeStream.foreachBatch(_apply).outputMode("append")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer

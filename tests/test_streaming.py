@@ -704,3 +704,129 @@ def test_trending_streaming_twin(spark, tmp_path):
         for r in trending(ev, k=2).collect()
     }
     assert got == want and len(got) == 2
+
+
+def test_streaming_index_ingest_maintains_health(spark, tmp_path):
+    """The streaming closure of the append lifecycle (r9 order #3):
+    micro-batches of vectors append into an indexed layout via
+    append_to_index; appended mass pushes index_health past the staleness
+    threshold mid-stream; a later batch's maintenance pass triggers
+    auto_rebuild_if_stale; post-stream recall at nprobe=n_clusters is
+    exactly brute force over old AND streamed rows."""
+    import numpy as np
+
+    from pq_vector_spark.index.build import CLUSTER_COL, build_index, index_health
+    from pq_vector_spark.index.search import indexed_topk
+    from pq_vector_spark.operators.topk import brute_force_topk
+    from pq_vector_spark.session import IndexBuildOptions, VectorTopKOptions
+    from pq_vector_spark.streaming.ingest import streaming_index_ingest
+
+    rng = np.random.default_rng(42)
+    src = str(tmp_path / "vec_src.parquet")
+    out = str(tmp_path / "vec_indexed")
+    in_dir = str(tmp_path / "vec_incoming")
+    chk = str(tmp_path / "vec_chk")
+
+    def rows(start, n):
+        return [
+            (int(start + i), [float(x) for x in rng.random(8, dtype=np.float32)])
+            for i in range(n)
+        ]
+
+    base = spark.createDataFrame(rows(0, 100), "vec_id: bigint, embedding: array<float>")
+    base.write.parquet(src)
+    build_index(
+        spark, src, out, column="embedding", options=IndexBuildOptions(n_clusters=4)
+    )
+
+    # three micro-batch files of 50 rows each (flat part-files — the file
+    # stream source does not recurse into subdirectories): after batch 1
+    # staleness is 50/150 = 0.33 >= 0.2 -> its maintenance pass rebuilds
+    for b in range(3):
+        spark.createDataFrame(
+            rows(1000 + 50 * b, 50), "vec_id: bigint, embedding: array<float>"
+        ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    events = []
+    stream = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        streaming_index_ingest(
+            stream, out, checkpoint=chk, on_maintenance=lambda b, r: events.append(r)
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    assert sum(e["appended"] for e in events) == 150
+    assert any(e["rebuilt"] for e in events)  # maintenance fired mid-stream
+    h = post = index_health(spark, out)
+    assert post["row_count"] == 250
+    # the last rebuild retrained over the grown table: every batch that
+    # crossed the threshold rebuilt, so post-stream staleness is low
+    assert post["appended_fraction"] < 0.2 and not post["stale"]
+
+    q_vec = [float(x) for x in rng.random(8)]
+    nc = h["n_clusters"]
+    got = [
+        r["vec_id"]
+        for r in indexed_topk(
+            spark, out, q_vec, 20,
+            options=VectorTopKOptions(nprobe=nc), tie_break="vec_id",
+        ).collect()
+    ]
+    full = spark.read.parquet(out).drop(CLUSTER_COL)
+    want = [
+        r["vec_id"]
+        for r in brute_force_topk(full, "embedding", q_vec, 20, tie_break="vec_id").collect()
+    ]
+    assert got == want
+
+
+def test_append_index_batch_refreshes_codes(spark, tmp_path):
+    """maintain_codes: a registered PQ codes sidecar is incrementally
+    re-encoded after the batch's append, so the IVF-PQ route never
+    declines fresh rows as stale."""
+    import numpy as np
+
+    from pq_vector_spark.index.build import build_index
+    from pq_vector_spark.index.pq import encode_indexed, train_pq
+    from pq_vector_spark.plans.intercept import (
+        register_codes_sidecar,
+        unregister_codes_sidecar,
+    )
+    from pq_vector_spark.session import IndexBuildOptions
+    from pq_vector_spark.streaming.ingest import append_index_batch
+
+    rng = np.random.default_rng(3)
+    src = str(tmp_path / "pq_src.parquet")
+    out = str(tmp_path / "pq_indexed")
+    codes = str(tmp_path / "pq_codes")
+
+    base = spark.createDataFrame(
+        [(int(i), [float(x) for x in rng.random(8, dtype=np.float32)]) for i in range(120)],
+        "vec_id: bigint, embedding: array<float>",
+    )
+    base.write.parquet(src)
+    build_index(
+        spark, src, out, column="embedding", options=IndexBuildOptions(n_clusters=4)
+    )
+    cb = train_pq(spark.read.parquet(out), "embedding", m=4, nbits=4)
+    encode_indexed(spark, out, codes, "embedding", "vec_id", cb)
+    register_codes_sidecar(out, codes, cb, "vec_id", spark=spark)
+    try:
+        batch = spark.createDataFrame(
+            [(int(500 + i), [float(x) for x in rng.random(8, dtype=np.float32)]) for i in range(10)],
+            "vec_id: bigint, embedding: array<float>",
+        )
+        res = append_index_batch(
+            batch, out, maintain_codes=True, maintain_index=False
+        )
+        assert res["appended"] == 10 and res["codes_refreshed"]
+        assert spark.read.parquet(codes).count() == 130
+    finally:
+        unregister_codes_sidecar(out, spark=spark)
