@@ -89,6 +89,12 @@ def _decline(reason: str):
 # anyone re-calling ``register_codes_sidecar``.
 _CODES_SIDECARS: Dict[str, tuple] = {}
 
+# layouts known to have NO persisted registration: without this, every
+# interception attempt against an unregistered layout re-pays the disk
+# probe — os.path.isfile locally (free), but one FileSystem.globStatus RPC
+# PER QUERY against S3/HDFS. Invalidated by register/unregister.
+_CODES_SIDECAR_MISSES: set = set()
+
 # filenames under <indexed_path>/_pq_index/
 CODES_REG_FILE = "codes.json"
 CODES_CODEBOOK_FILE = "pq_codebook.npz"
@@ -136,6 +142,7 @@ def register_codes_sidecar(
             "(or pass spark=) to measure the codes table's coverage"
         )
     codes_rows = spark.read.parquet(codes_path).count()
+    _CODES_SIDECAR_MISSES.discard(_normalize_path(indexed_path))
     _CODES_SIDECARS[_normalize_path(indexed_path)] = (
         codes_path,
         codebook,
@@ -202,11 +209,12 @@ def _persist_codes_registration(
 def _load_codes_registration(spark, indexed_path: str):
     """Recover a persisted codes registration from the layout's
     ``_pq_index/`` — the restart half of the discovery-from-storage
-    contract. Returns the ``(codes_path, codebook, id_col, codes_rows)``
-    tuple, or None when no (or an unreadable) registration exists — an
-    unreadable one is LOGGED and treated as absent so interception
-    degrades to the raw IVF probe, never to an error (the registration is
-    an optimization hint, not data)."""
+    contract. Returns ``(found, sidecar)``: ``found`` is whether a
+    registration FILE exists on disk (so the caller can cache a definitive
+    miss), ``sidecar`` the ``(codes_path, codebook, id_col, codes_rows)``
+    tuple or None. An unreadable registration is LOGGED and returned as
+    ``(True, None)`` so interception degrades to the raw IVF probe, never
+    to an error (the registration is an optimization hint, not data)."""
     import io
     import json
 
@@ -226,7 +234,7 @@ def _load_codes_registration(spark, indexed_path: str):
         if root is not None:
             reg_p = os.path.join(root, INDEX_DIR, CODES_REG_FILE)
             if not os.path.isfile(reg_p):
-                return None
+                return False, None
             with open(reg_p) as f:
                 reg = json.loads(f.read().strip())
             with open(
@@ -237,7 +245,7 @@ def _load_codes_registration(spark, indexed_path: str):
         else:
             reg_url = f"{base}/{INDEX_DIR}/{CODES_REG_FILE}"
             if not _hadoop_glob(spark, reg_url):
-                return None
+                return False, None
             reg = json.loads(_hadoop_read_bytes(spark, reg_url).decode("utf-8").strip())
             raw = _hadoop_read_bytes(
                 spark,
@@ -245,7 +253,9 @@ def _load_codes_registration(spark, indexed_path: str):
             )
         z = np.load(io.BytesIO(raw))
         codebook = PQCodebook(codebooks=z["codebooks"], dim=int(z["dim"]))
-        return (reg["codes_path"], codebook, reg["id_col"], int(reg["codes_rows"]))
+        return True, (
+            reg["codes_path"], codebook, reg["id_col"], int(reg["codes_rows"])
+        )
     except Exception as e:
         _LOG.warning(
             "unreadable persisted codes registration under %s/%s (%s: %s) — "
@@ -256,19 +266,25 @@ def _load_codes_registration(spark, indexed_path: str):
             type(e).__name__,
             e,
         )
-        return None
+        return True, None
 
 
 def _lookup_codes_sidecar(spark, indexed_path: str):
     """Session-cache lookup with disk fallback: the in-memory dict first,
-    else the persisted ``_pq_index/codes.json`` (cached on hit, so the
-    disk read happens once per layout per session)."""
+    else the persisted ``_pq_index/codes.json``. BOTH outcomes are cached
+    — a hit so the disk read happens once per layout per session, and a
+    MISS so a layout with no registration doesn't pay one FileSystem RPC
+    per query forever (register/unregister invalidate the miss cache; an
+    UNREADABLE registration is deliberately NOT miss-cached, so a repair
+    by an outside writer is picked up on the next query)."""
     key = _normalize_path(indexed_path)
     sidecar = _CODES_SIDECARS.get(key)
-    if sidecar is None:
-        sidecar = _load_codes_registration(spark, indexed_path)
+    if sidecar is None and key not in _CODES_SIDECAR_MISSES:
+        found, sidecar = _load_codes_registration(spark, indexed_path)
         if sidecar is not None:
             _CODES_SIDECARS[key] = sidecar
+        elif not found:
+            _CODES_SIDECAR_MISSES.add(key)
     return sidecar
 
 
@@ -304,6 +320,7 @@ def unregister_codes_sidecar(indexed_path: str, spark=None) -> None:
     have one active); without one, only the in-memory entry is dropped and
     a warning is logged."""
     _CODES_SIDECARS.pop(_normalize_path(indexed_path), None)
+    _CODES_SIDECAR_MISSES.add(_normalize_path(indexed_path))
     from pq_vector_spark.index.build import INDEX_DIR, _local_root
 
     root = _local_root(indexed_path)

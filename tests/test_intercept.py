@@ -706,6 +706,7 @@ def test_codes_registration_survives_session_restart(spark, icpt_table, tmp_path
     from pq_vector_spark.index.pq import encode_indexed, train_pq
     from pq_vector_spark.plans.explain import vector_route
     from pq_vector_spark.plans.intercept import (
+        _CODES_SIDECAR_MISSES,
         _CODES_SIDECARS,
         register_codes_sidecar,
         unregister_codes_sidecar,
@@ -719,6 +720,7 @@ def test_codes_registration_survives_session_restart(spark, icpt_table, tmp_path
     try:
         saved = dict(_CODES_SIDECARS)
         _CODES_SIDECARS.clear()  # ≙ process restart: only disk remains
+        _CODES_SIDECAR_MISSES.clear()
         q = (
             "WITH c AS (SELECT id, vec FROM icpt_vectors) "
             f"SELECT id FROM c ORDER BY array_distance(vec, {VEC}), id LIMIT 10"
@@ -804,3 +806,63 @@ def test_corrupt_persisted_registration_degrades_to_ivf(spark, icpt_table, tmp_p
         assert [r["id"] for r in hit.collect()] == _brute(spark, q)
     finally:
         _os.remove(reg_file)
+
+
+def test_negative_codes_lookup_probed_once_per_session(spark, icpt_table):
+    """A layout with NO persisted codes registration must pay the disk
+    probe ONCE per session, not one FileSystem RPC per query (r9 order
+    #4); register invalidates the cached miss so the route appears
+    immediately."""
+    import pq_vector_spark.plans.intercept as I
+
+    key = I._normalize_path(icpt_table["out"])
+    saved_hit = I._CODES_SIDECARS.pop(key, None)
+    I._CODES_SIDECAR_MISSES.discard(key)
+    calls = []
+    real = I._load_codes_registration
+
+    def counting(spark_, path):
+        calls.append(path)
+        return real(spark_, path)
+
+    I._load_codes_registration = counting
+    try:
+        q = (
+            "WITH c AS (SELECT id, vec FROM icpt_vectors) "
+            f"SELECT id FROM c ORDER BY array_distance(vec, {VEC}), id LIMIT 10"
+        )
+        for _ in range(3):
+            raw = spark.sql(expand_vector_functions(q))
+            hit = try_intercept_topk(
+                spark, raw, options=VectorTopKOptions(nprobe=N_CLUSTERS)
+            )
+            assert hit is not None
+        assert len(calls) == 1  # miss cached after the first probe
+        assert key in I._CODES_SIDECAR_MISSES
+
+        # register clears the miss: the route must appear without any
+        # further disk probe (the registration is now in-memory)
+        from pq_vector_spark.index.pq import encode_indexed, train_pq
+        from pq_vector_spark.plans.explain import vector_route
+
+        import tempfile
+
+        codes = tempfile.mkdtemp(prefix="pq_codes_miss_") + "/codes"
+        emb = spark.read.parquet(icpt_table["src"])
+        cb = train_pq(emb, "vec", m=4, nbits=8, seed=42)
+        encode_indexed(spark, icpt_table["out"], codes, "vec", "id", cb)
+        I.register_codes_sidecar(icpt_table["out"], codes, cb, id_col="id")
+        assert key not in I._CODES_SIDECAR_MISSES
+        raw = spark.sql(expand_vector_functions(q))
+        hit = try_intercept_topk(
+            spark, raw, options=VectorTopKOptions(nprobe=N_CLUSTERS)
+        )
+        assert vector_route(hit) == "ivf-pq"
+        assert len(calls) == 1  # still no second disk probe
+    finally:
+        I._load_codes_registration = real
+        I.unregister_codes_sidecar(icpt_table["out"])
+        I._CODES_SIDECARS.pop(key, None)
+        I._CODES_SIDECAR_MISSES.discard(key)
+        if saved_hit is not None:
+            I._CODES_SIDECARS[key] = saved_hit
