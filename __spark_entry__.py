@@ -792,6 +792,56 @@ def _knn_auto_pq(spark, sf_dir):
         unregister_codes_sidecar(path)
 
 
+def _knn_auto_pq_fresh(spark, sf_dir):
+    """Discovery-from-storage, driver-attested end-to-end (r9 order #6):
+    the reference finds its index in the FILE itself (footer KV,
+    /root/reference/src/ivf/parquet.rs:108-148) — any later process,
+    handed only the on-disk layout, gets the indexed plan. Our parity:
+    ``register_codes_sidecar`` persists the registration into
+    ``_pq_index/`` (codes.json + codebook npz); here the in-memory caches
+    are then CLEARED (≙ process restart — the querying "session" never
+    registers anything) and the SAME CTE query must still route through
+    the doubly-pruned IVF-PQ plan, auto-loaded from disk, with exactly the
+    brute-force answer (nprobe = n_clusters exactness envelope)."""
+    from pyspark.sql import Observation
+
+    from pq_vector_spark.index.pq import train_pq
+    from pq_vector_spark.plans import intercept as _icpt
+    from pq_vector_spark.plans.sql import pq_sql, register_indexed_table
+    from pq_vector_spark.session import VectorTopKOptions
+
+    path = _indexed_path(spark, sf_dir)
+    cb = train_pq(_emb(spark, sf_dir), "embedding", m=8, nbits=8, seed=42)
+    codes = _codes_path(spark, sf_dir, cb)
+    register_indexed_table(spark, "emb_auto_pq_fresh", path)
+    _icpt.register_codes_sidecar(path, codes, cb, id_col="vec_id")
+    try:
+        # ≙ restart: only the on-disk _pq_index/ registration remains
+        _icpt._CODES_SIDECARS.clear()
+        _icpt._CODES_SIDECAR_MISSES.clear()
+        q = _qvec(spark, sf_dir, 0)
+        vec = ", ".join(repr(float(x)) for x in q)
+        sql = (
+            "WITH c AS (SELECT vec_id, embedding FROM emb_auto_pq_fresh) "
+            f"SELECT vec_id FROM c "
+            f"ORDER BY array_distance(embedding, array({vec})), vec_id LIMIT {K}"
+        )
+        obs = Observation()
+        out = pq_sql(
+            spark, sql, options=VectorTopKOptions(nprobe=IVF_CLUSTERS), observation=obs
+        )
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "CollectMetrics" in plan, (
+            "knn_auto_pq_fresh: plan interception did not fire"
+        )
+        assert "pq_codes" in plan, (
+            "knn_auto_pq_fresh: codes route was not discovered from storage"
+        )
+        return out
+    finally:
+        _icpt.unregister_codes_sidecar(path)
+
+
 def _knn_auto_distance(spark, sf_dir):
     """Plan interception for the PROJECTED-DISTANCE shape (r8 extension):
     ``SELECT vec_id, array_distance(...) AS d … ORDER BY d`` sorts by a
@@ -1960,7 +2010,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivfpq": _knn_ivfpq,
         "knn_auto": _knn_auto,
         "knn_auto_pq": _knn_auto_pq,
+        # r10: driver attestation of discovery-from-storage — the querying
+        # "session" (in-memory caches cleared) never registers the codes
+        "knn_auto_pq_fresh": _knn_auto_pq_fresh,
         "knn_auto_distance": _knn_auto_distance,
+        # r10 rotation (r9 verdict #8): the two interceptor-backed rows not
+        # re-attested since r5 while intercept.py grew around them; three
+        # stable non-interceptor rows demoted to the tail in exchange
+        "knn_sql": _knn_sql,
+        "knn_auto_cosine": _knn_auto_cosine,
         # -- similarity family --
         "ann_cosine": _ann_cosine,
         "similarity_join": _similarity_join,
@@ -1977,7 +2035,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": _dedup_embedding,
         "dedup_embedding_bucketed": _dedup_embedding_bucketed,
         "dedup_incremental": _dedup_incremental,
-        "dedup_rates": _dedup_rates,
         # -- multimodal family --
         "multimodal_features": _multimodal_features,
         # -- sampling / PII / packing / merge (training-pipeline curation) --
@@ -2006,8 +2063,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_join": _events_stream_join,
         "events_stream_stats": _events_stream_stats,
         "events_abtest": _events_abtest,
-        "events_transitions": _events_transitions,
-        "events_trending": _events_trending,
         # -- text family --
         "text_quality": _text_quality,
         "text_score_normalize": _text_score_normalize,
@@ -2016,6 +2071,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- 50-row budget cutoff: tail variants below were driver-green in
         # r5 (CORRECTNESS_r05.json) and their code is unchanged; rotate any
         # of them back above this line whenever their implementation changes.
+        "dedup_rates": _dedup_rates,  # demoted r10 (stable since r7)
+        "events_transitions": _events_transitions,  # demoted r10 (stable since r7)
+        "events_trending": _events_trending,  # demoted r10 (stable since r7)
         "text_lang_confusion": _text_lang_confusion,  # demoted r9 (stable since r8)
         "embedding_outliers": _embedding_outliers,
         "dedup_jaccard": _dedup_jaccard,
@@ -2030,10 +2088,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_logprob": _text_logprob,
         "text_repetition": _text_repetition,
         "text_winnow": _text_winnow,
-        "knn_sql": _knn_sql,
         "knn_batch": _knn_batch,
         "knn_distance": _knn_distance,
-        "knn_auto_cosine": _knn_auto_cosine,
         "rel_agg": _rel_agg,
         "rel_window": _rel_window,
         "rel_skew_join": _rel_skew_join,
@@ -2329,6 +2385,12 @@ def oracle_sql() -> dict[str, str]:
         # exactness envelope (nprobe = n_clusters ⇒ rerank bumped to cover
         # the candidate set) ⇒ exactly the brute-force answer
         "knn_auto_pq": f"""
+            SELECT vec_id FROM embeddings
+            ORDER BY {_dist("embedding", qlit)}, vec_id LIMIT {K}""",
+        # knn_auto_pq_fresh: same exactness envelope, but the route is
+        # DISCOVERED from the persisted _pq_index/ registration by a
+        # simulated-restart session that never registered it
+        "knn_auto_pq_fresh": f"""
             SELECT vec_id FROM embeddings
             ORDER BY {_dist("embedding", qlit)}, vec_id LIMIT {K}""",
         # projected-distance interception shape — same values as the

@@ -176,6 +176,20 @@ def main() -> None:
             .collect()
         ]
         timings["knn_indexed_k100_nprobe16"] = round(time.time() - t0, 3)
+        # warm rerun: the first probe pays sidecar load + plan compile for
+        # this novel plan shape; the split separates that constant from
+        # actual probe cost, so sf0.1 jitter can't masquerade as a
+        # regression (r9 saw 1.16 -> 1.40 s on untouched code)
+        t0 = time.time()
+        indexed_topk(
+            spark,
+            out_path,
+            qvec,
+            K,
+            options=VectorTopKOptions(nprobe=NPROBE),
+            tie_break="vec_id",
+        ).select("vec_id").collect()
+        indexed_warm_sec = round(time.time() - t0, 3)
         recall = len(set(got) & set(truth)) / K
         counts_sec = meta.get("counts_sec")
     finally:
@@ -236,6 +250,8 @@ def main() -> None:
         "n_clusters": meta["n_clusters"],
         "nprobe": NPROBE,
         "index_build_counts_sec": counts_sec,
+        # outside `queries` so headline_total stays round-comparable
+        "knn_indexed_k100_nprobe16_warm": indexed_warm_sec,
         "approx_recall_at_10": approx_recall,
     }
     # Scale sections as their own lines (see module docstring: the driver
@@ -556,6 +572,54 @@ def _scale_bench(spark) -> dict:
     ivfpq_sec, ivfpq_got = best_of(_ivfpq_topk)
     ivfpq_recall = len(set(ivfpq_got) & set(truth)) / k
 
+    # --- wide projection at scale (r9 order #7): the Arrow-batched BLAS
+    # path that auto-selects above 128 output dims. One shuffle-free pass
+    # of 1M × 256 -> 256; parity vs the expression path is checked on a
+    # 1k-row sample (the expression plan at 256 outputs is a 256-fold
+    # expression tree — building it over the full corpus is exactly what
+    # the pandas path exists to avoid).
+    from pq_vector_spark.functions.vector import (
+        project_vectors,
+        random_projection_matrix,
+    )
+
+    proj_target = 256
+    proj_m = random_projection_matrix(dim, proj_target, seed=7)
+
+    def _project_wide():
+        return (
+            project_vectors(emb, "embedding", proj_m, out_col="p")
+            .select(F.sum(F.element_at("p", 1)))
+            .collect()[0][0]
+        )
+
+    _project_wide()
+    project_wide_sec, _ = best_of(_project_wide)
+
+    sample = emb.filter(F.col("vec_id") < 1000)
+    pw = {
+        r["vec_id"]: r["p"]
+        for r in project_vectors(
+            sample, "embedding", proj_m, out_col="p", method="pandas"
+        ).select("vec_id", "p").collect()
+    }
+    pe = {
+        r["vec_id"]: r["p"]
+        for r in project_vectors(
+            sample, "embedding", proj_m, out_col="p", method="expression"
+        ).select("vec_id", "p").collect()
+    }
+    import numpy as _np
+
+    project_wide_allclose = bool(
+        _np.allclose(
+            _np.array([pw[i] for i in sorted(pw)]),
+            _np.array([pe[i] for i in sorted(pe)]),
+            rtol=1e-9,
+            atol=1e-9,
+        )
+    )
+
     # --- appended-index recall at nprobe < n_clusters ----------------------
     # knn_appended (correctness gate) proves exactness only at
     # nprobe = n_clusters; the drift the reference accepts on append
@@ -681,6 +745,9 @@ def _scale_bench(spark) -> dict:
         "ivfpq_scan_sec": ivfpq_sec,
         "ivfpq_speedup": round(brute_sec / ivfpq_sec, 2) if ivfpq_sec else None,
         "ivfpq_recall_at_100": round(ivfpq_recall, 4),
+        "project_wide_target": proj_target,
+        "project_wide_sec": project_wide_sec,
+        "project_wide_allclose": project_wide_allclose,
         "append_rows": n_app,
         "append_sec": append_sec,
         "append_recall_at_100": round(append_recall, 4),
