@@ -271,12 +271,22 @@ def main() -> None:
         )
         if section is not None
     }
+    sections_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_sections.json"
+    )
     try:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_sections.json"),
-            "w",
-        ) as f:
-            json.dump({"headline": out, "sections": sections}, f, indent=1)
+        # MERGE with the persisted file: a PQ_BENCH_SCALE=0 (headline-only)
+        # run must not wipe the scale sections a full run recorded
+        merged = dict(sections)
+        try:
+            with open(sections_path) as f:
+                prior = json.load(f).get("sections", {})
+            for name, section in prior.items():
+                merged.setdefault(name, section)
+        except (OSError, ValueError):
+            pass
+        with open(sections_path, "w") as f:
+            json.dump({"headline": out, "sections": merged}, f, indent=1)
     except OSError:
         pass  # a read-only checkout still gets the stdout lines
     for name, section in sections.items():

@@ -599,3 +599,20 @@ def test_select_token_budget_depth0_mixed_class_boundary(spark):
     assert got(20) == [1, 2]
     assert got(40) == [1, 2, 3, 9]   # boundary inside the NULL class
     assert got(50) == [1, 2, 3, 4, 9]
+
+
+def test_select_token_budget_output_is_map_side_filter(spark):
+    """The kept set must emit as a pure (score, key) filter over the wide
+    corpus — no join, no broadcast, no extra shuffle in the output plan
+    (the pre-r10 plan paid a broadcast edge-key join here)."""
+    from pq_vector_spark.operators.sampling import select_token_budget
+
+    rows = [(i, float(i % 97), 10) for i in range(500)]
+    df = spark.createDataFrame(rows, "id: bigint, score: double, tok: bigint")
+    out = select_token_budget(df, "id", "score", "tok", 2000, buckets=16)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+    # still the exact greedy prefix
+    got = sorted(r["id"] for r in out.collect())
+    assert got == _class_greedy(rows, 2000)
