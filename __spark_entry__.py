@@ -1319,6 +1319,20 @@ def _dedup_resolve(spark, sf_dir):
     return out.select("doc_id", "canonical_id", "is_canonical")
 
 
+def _dedup_resolve_best(spark, sf_dir):
+    """Quality-keyed dedup resolution (r10 extension of
+    operators/dedup.resolve_duplicates): same near-dup components, but the
+    survivor is the LONGEST member (max n_chars, ties to smallest id) —
+    "keep the best copy" instead of keep-smallest-id. The oracle replays
+    the election with a window over the recursive-CTE components."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.6)
+    out = D.resolve_duplicates(
+        docs, pairs, "doc_id", prefer_col="n_chars", prefer="max"
+    )
+    return out.select("doc_id", "canonical_id", "is_canonical")
+
+
 def _dedup_minhash(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     out = D.minhash_lsh_pairs(
@@ -2072,6 +2086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5 (CORRECTNESS_r05.json) and their code is unchanged; rotate any
         # of them back above this line whenever their implementation changes.
         "dedup_rates": _dedup_rates,  # demoted r10 (stable since r7)
+        "dedup_resolve_best": _dedup_resolve_best,  # r10 extension (tail; full oracle)
         "events_transitions": _events_transitions,  # demoted r10 (stable since r7)
         "events_trending": _events_trending,  # demoted r10 (stable since r7)
         "text_lang_confusion": _text_lang_confusion,  # demoted r9 (stable since r8)
@@ -3354,6 +3369,35 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(cc.component, d.doc_id) AS canonical_id,
                    coalesce(cc.component, d.doc_id) = d.doc_id AS is_canonical
             FROM documents d LEFT JOIN cc ON d.doc_id = cc.node""",
+        # quality-keyed survivor: same components, canonical = max n_chars
+        # (ties -> min id) elected by a window over the component members
+        "dedup_resolve_best": f"""
+            WITH RECURSIVE {_jaccard_cte()},
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM jac WHERE jaccard >= 0.6
+              UNION
+              SELECT id_b AS src, id_a AS dst FROM jac WHERE jaccard >= 0.6),
+            reach(node, lbl) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node),
+            cc AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
+            members AS (
+              SELECT cc.node, cc.component, d.n_chars
+              FROM cc JOIN documents d ON d.doc_id = cc.node),
+            surv AS (
+              SELECT component, node AS canonical FROM (
+                SELECT component, node,
+                       row_number() OVER (
+                         PARTITION BY component
+                         ORDER BY n_chars DESC NULLS LAST, node ASC) AS rn
+                FROM members) WHERE rn = 1)
+            SELECT d.doc_id,
+                   coalesce(s.canonical, d.doc_id) AS canonical_id,
+                   coalesce(s.canonical, d.doc_id) = d.doc_id AS is_canonical
+            FROM documents d
+            LEFT JOIN cc ON d.doc_id = cc.node
+            LEFT JOIN surv s ON cc.component = s.component""",
         "dedup_minhash": _minhash_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_embedding": f"""

@@ -562,25 +562,63 @@ def resolve_duplicates(
     right: str = "id_b",
     *,
     max_iters: int = 20,
+    prefer_col=None,
+    prefer: str = "max",
 ) -> DataFrame:
     """End-to-end dedup resolution: annotate every doc with the canonical
-    id of its duplicate cluster (min id in the connected component of the
-    near-dup pair graph; docs in no pair are their own canonical).
+    id of its duplicate cluster (docs in no pair are their own canonical).
+
+    Survivor policy: by default the min id in the connected component of
+    the near-dup pair graph (matches ``exact_dedup``'s keep-smallest-id).
+    With ``prefer_col`` the canonical is instead the cluster member with
+    the ``prefer`` ("max" or "min") value of that column — "keep the
+    longest/highest-quality copy, drop the rest", the policy real curation
+    runs want (NULL preference values rank last either way; exact ties
+    break to the smallest id, so the draw stays deterministic).
 
     ``docs.filter(F.col(id_col) == F.col("canonical_id"))`` is the
-    deduplicated corpus — the survivor policy matches ``exact_dedup``'s
-    keep-smallest-id. The component table is tiny relative to the corpus
-    (only docs that matched some pair), so the final join broadcasts under
-    AQE when it fits.
+    deduplicated corpus. Scale shape: the component table holds only docs
+    that matched some pair, so the survivor election is one window over
+    that (component-keyed, bounded) table and both corpus-side joins
+    broadcast under AQE when the cluster set fits.
     """
+    if prefer not in ("max", "min"):
+        raise ValueError(f"prefer must be 'max' or 'min', got {prefer!r}")
     comp = connected_components(pairs, left, right, max_iters=max_iters)
     joined = docs.join(comp, docs[id_col] == comp["node"], "left")
-    return (
-        joined.withColumn(
-            "canonical_id", F.coalesce(F.col("component"), F.col(id_col))
+    if prefer_col is None:
+        return (
+            joined.withColumn(
+                "canonical_id", F.coalesce(F.col("component"), F.col(id_col))
+            )
+            .withColumn("is_canonical", F.col(id_col) == F.col("canonical_id"))
+            .drop("node", "component")
         )
+    from pyspark.sql import Window
+
+    score = F.col(prefer_col) if isinstance(prefer_col, str) else prefer_col
+    members = docs.select(
+        F.col(id_col).alias("_rd_id"), score.alias("_rd_score")
+    ).join(comp, F.col("_rd_id") == comp["node"], "inner")
+    order = (
+        F.col("_rd_score").desc_nulls_last()
+        if prefer == "max"
+        else F.col("_rd_score").asc_nulls_last(),
+        F.col("_rd_id").asc(),
+    )
+    surv = (
+        members.withColumn(
+            "_rd_rn",
+            F.row_number().over(Window.partitionBy("component").orderBy(*order)),
+        )
+        .filter(F.col("_rd_rn") == 1)
+        .select(F.col("component").alias("_rd_comp"), F.col("_rd_id").alias("_rd_canon"))
+    )
+    return (
+        joined.join(surv, F.col("component") == F.col("_rd_comp"), "left")
+        .withColumn("canonical_id", F.coalesce(F.col("_rd_canon"), F.col(id_col)))
         .withColumn("is_canonical", F.col(id_col) == F.col("canonical_id"))
-        .drop("node", "component")
+        .drop("node", "component", "_rd_comp", "_rd_canon")
     )
 
 

@@ -262,3 +262,63 @@ def test_local_fast_path_matches_distributed(spark):
     assert fast == dist
     comp = dict(fast)
     assert comp[3] == 1 and comp[13] == 10 and comp[22] == 20 and comp[31] == 30
+
+
+def test_resolve_duplicates_prefer_col_elects_best(spark):
+    """Quality-keyed survivor policy: canonical = the cluster member with
+    the max prefer_col value (ties -> smallest id; NULL scores last);
+    unmatched docs stay their own canonical."""
+    from pq_vector_spark.operators.dedup import resolve_duplicates
+
+    docs = spark.createDataFrame(
+        [
+            (1, 10.0),
+            (2, 30.0),   # best of cluster {1,2,3} -> canonical
+            (3, 30.0),   # tie with 2 -> 2 wins (smaller id)
+            (4, None),   # cluster {4,5}: NULL ranks last
+            (5, 1.0),
+            (9, 0.5),    # unmatched
+        ],
+        "doc_id: bigint, q: double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "id_a: bigint, id_b: bigint"
+    )
+    out = {
+        r["doc_id"]: (r["canonical_id"], r["is_canonical"])
+        for r in resolve_duplicates(
+            docs, pairs, "doc_id", prefer_col="q"
+        ).collect()
+    }
+    assert out[1] == (2, False)
+    assert out[2] == (2, True)
+    assert out[3] == (2, False)
+    assert out[4] == (5, False)
+    assert out[5] == (5, True)
+    assert out[9] == (9, True)
+
+    low = {
+        r["doc_id"]: r["canonical_id"]
+        for r in resolve_duplicates(
+            docs, pairs, "doc_id", prefer_col="q", prefer="min"
+        ).collect()
+    }
+    assert low[2] == 1  # min preference elects the lowest score
+    assert low[4] == 5  # NULL still last under min
+
+    with pytest.raises(ValueError, match="prefer"):
+        resolve_duplicates(docs, pairs, "doc_id", prefer_col="q", prefer="best")
+
+
+def test_resolve_duplicates_prefer_none_unchanged(spark):
+    """Default policy stays min-id (exact_dedup parity) — the new knob
+    must not disturb the attested dedup_resolve row."""
+    from pq_vector_spark.operators.dedup import resolve_duplicates
+
+    docs = spark.createDataFrame([(1,), (2,), (3,)], "doc_id: bigint")
+    pairs = spark.createDataFrame([(2, 3)], "id_a: bigint, id_b: bigint")
+    out = {
+        r["doc_id"]: r["canonical_id"]
+        for r in resolve_duplicates(docs, pairs, "doc_id").collect()
+    }
+    assert out == {1: 1, 2: 2, 3: 2}
