@@ -1454,6 +1454,33 @@ def _sample_budget(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+GROUP_CHAR_BUDGETS = {"en": 30_000}  # other langs fall to the default
+GROUP_DEFAULT_BUDGET = 12_000
+
+
+def _sample_budget_grouped(spark, sf_dir):
+    """Per-group token-budget curation (r10 extension,
+    operators/sampling.py:select_token_budget_grouped): each language
+    fills its OWN char budget with its highest-quality documents — the
+    "2B tokens of code, 500M of math" mixture spec. One bounded
+    per-(group, bucket) histogram, a per-group driver prefix walk, one
+    group-partitioned window over only the crossing buckets, and a
+    broadcast plan-table filter on the single wide-corpus pass."""
+    from pq_vector_spark.functions import text as T
+    from pq_vector_spark.operators.sampling import select_token_budget_grouped
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.withColumn("quality", F.round(T.quality_score("text"), 4))
+    out = select_token_budget_grouped(
+        scored, "lang", "doc_id", "quality", "n_chars",
+        GROUP_CHAR_BUDGETS, buckets=32, default_budget=GROUP_DEFAULT_BUDGET,
+    )
+    return out.select(
+        "doc_id", "lang", "quality",
+        F.col("n_chars").cast("bigint").alias("chars"),
+    ).orderBy("doc_id")
+
+
 def _sample_hash(spark, sf_dir):
     """Deterministic 10% corpus sample (operators/sampling.py:hash_sample):
     row fate = f(doc_id, salt) only — reproducible across runs, engines,
@@ -2087,6 +2114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # of them back above this line whenever their implementation changes.
         "dedup_rates": _dedup_rates,  # demoted r10 (stable since r7)
         "dedup_resolve_best": _dedup_resolve_best,  # r10 extension (tail; full oracle)
+        "sample_budget_grouped": _sample_budget_grouped,  # r10 extension (tail; full oracle)
         "events_transitions": _events_transitions,  # demoted r10 (stable since r7)
         "events_trending": _events_trending,  # demoted r10 (stable since r7)
         "text_lang_confusion": _text_lang_confusion,  # demoted r9 (stable since r8)
@@ -2939,6 +2967,22 @@ def oracle_sql() -> dict[str, str]:
                   FROM sc)
             SELECT doc_id, quality, CAST(n_chars AS BIGINT) AS chars
             FROM r WHERE cum <= {CHAR_BUDGET} ORDER BY doc_id""",
+        # per-group greedy prefix: the window PARTITIONs BY lang and each
+        # lang compares against its own budget (en 30k, default 12k)
+        "sample_budget_grouped": f"""
+            WITH toks AS (SELECT doc_id, lang, text, n_chars, {_TOKS} AS toks
+                          FROM documents),
+            sc AS (SELECT doc_id, lang, round({quality}, 4) AS quality, n_chars
+                   FROM toks),
+            r AS (SELECT doc_id, lang, quality, n_chars,
+                         sum(n_chars) OVER (PARTITION BY lang
+                             ORDER BY quality DESC, doc_id) AS cum
+                  FROM sc)
+            SELECT doc_id, lang, quality, CAST(n_chars AS BIGINT) AS chars
+            FROM r
+            WHERE cum <= CASE WHEN lang = 'en' THEN {GROUP_CHAR_BUDGETS["en"]}
+                              ELSE {GROUP_DEFAULT_BUDGET} END
+            ORDER BY doc_id""",
         # deterministic hash sampling ≡ the identical md5-bucket predicate
         "sample_hash": f"""
             SELECT doc_id, lang FROM documents

@@ -559,3 +559,265 @@ def select_token_budget(
         return out.filter(keep).drop("_sb_score", "_sb_key")
     finally:
         slim.unpersist()
+
+
+def select_token_budget_grouped(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    score_col,
+    tokens_col,
+    budgets,
+    *,
+    buckets: int = 1024,
+    default_budget=None,
+) -> DataFrame:
+    """Per-group token-budget curation: within EVERY group (language,
+    source, domain ...), keep rows in (score DESC, key ASC) order while
+    the group's running token total stays <= its budget — the "2B tokens
+    of code, 500M of math" mixture spec every pretraining run writes down.
+
+    ``budgets`` is a dict {group_value: budget} (missing groups get
+    ``default_budget``; a None budget keeps the whole group) or a single
+    int applied to every group. NULL group values are a group like any
+    other (key the dict with None).
+
+    Scale shape (one-level grouped two-phase selection — all planning over
+    a cached slim (group, key, score, tokens) projection):
+
+    1. per-group FINITE score min/max: one bounded agg (<= groups rows);
+    2. per-(group, bucket) histogram: one bounded agg (<= groups x
+       (buckets+4) rows; bucket ids computed against each group's own
+       width via a broadcast plan join), prefix-walked per group on the
+       driver to find each group's budget-CROSSING bucket + residual;
+    3. only the crossing buckets pay ONE exact ordered window PARTITIONED
+       BY group (parallel across groups, per-task input ~ group/buckets
+       rows) electing each group's boundary row (<= groups rows back);
+    4. the single wide-corpus pass joins a <= groups-row BROADCAST plan
+       table and filters map-side on (bucket, score, key) — the corpus
+       never shuffles.
+
+    Degenerate guard: heavy score TIES within one group collapse its
+    crossing bucket toward the whole group and that group's window task
+    widens accordingly — for a single dominant tied group, the recursive
+    single-group ``select_token_budget`` is the right tool. Ordering
+    matches it exactly (class chain NaN > +inf > finite > -inf > NULL,
+    key ASC tie-break); token sums are exact bigint math, so the result
+    is bit-equal to the per-group naive greedy prefix. ``key_col`` must
+    uniquely identify rows within its group.
+    """
+    import math
+
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    if buckets <= 0:
+        raise ValueError(f"buckets must be positive, got {buckets}")
+
+    def _check(b, where):
+        if b is not None and b < 0:
+            raise ValueError(f"budget must be >= 0, got {b} ({where})")
+
+    if isinstance(budgets, dict):
+        for g, b in budgets.items():
+            _check(b, f"group {g!r}")
+    else:
+        _check(budgets, "scalar")
+    _check(default_budget, "default_budget")
+
+    spark = df.sparkSession
+    score = F.col(score_col) if isinstance(score_col, str) else score_col
+    toks = (
+        F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    ).cast("bigint")
+    keyc = F.col(key_col)
+    grpc = F.col(group_col)
+    slim = df.select(
+        grpc.alias("_sb_grp"),
+        keyc.alias("_sb_key"),
+        score.cast("double").alias("_sb_score"),
+        toks.alias("_sb_tok"),
+    ).persist()
+    GRP, KEY, SCORE, TOK = (
+        F.col("_sb_grp"), F.col("_sb_key"), F.col("_sb_score"), F.col("_sb_tok")
+    )
+    INF = float("inf")
+    grp_type = df.schema[group_col].dataType
+    key_type = df.schema[key_col].dataType
+
+    def budget_of(g):
+        if isinstance(budgets, dict):
+            return budgets.get(g, default_budget)
+        return budgets
+
+    try:
+        # 1. per-group finite min/max (NaN/±inf would poison the width)
+        finite = (
+            SCORE.isNotNull()
+            & ~F.isnan(SCORE)
+            & (SCORE != F.lit(INF))
+            & (SCORE != F.lit(-INF))
+        )
+        mm = {
+            r["_sb_grp"]: (r["mn"], r["mx"])
+            for r in slim.filter(finite)
+            .groupBy(GRP)
+            .agg(F.min(SCORE).alias("mn"), F.max(SCORE).alias("mx"))
+            .collect()
+        }
+
+        # broadcast width plan: (group, lo, width, n_b)
+        def plan1_row(g):
+            lo, hi = mm.get(g, (None, None))
+            n_b = buckets if (lo is not None and hi > lo) else 1
+            width = (hi - lo) / n_b if n_b > 1 else 0.0
+            return (g, lo, width, n_b)
+
+        # all groups (incl. ones with zero finite scores) come from one
+        # cheap distinct over the cached slim — <= groups rows
+        all_groups = [r["_sb_grp"] for r in slim.select(GRP).distinct().collect()]
+        p1_schema = T.StructType([
+            T.StructField("_p_grp", grp_type),
+            T.StructField("_p_lo", T.DoubleType()),
+            T.StructField("_p_w", T.DoubleType()),
+            T.StructField("_p_nb", T.IntegerType()),
+        ])
+        plan1 = spark.createDataFrame([plan1_row(g) for g in all_groups], p1_schema)
+
+        NB, LO, W = F.col("_p_nb"), F.col("_p_lo"), F.col("_p_w")
+        fin = F.when(
+            W > 0.0,
+            F.least(F.floor((SCORE - LO) / W), NB - 1).cast("int"),
+        ).otherwise(F.lit(0))
+        bucket = (
+            F.when(F.isnan(SCORE), NB + 1)
+            .when(SCORE == F.lit(INF), NB)
+            .when(SCORE == F.lit(-INF), F.lit(-1))
+            .when(SCORE.isNull(), F.lit(-2))
+            .otherwise(fin)
+            .cast("int")
+        )
+
+        def with_plan(d, plan):
+            return d.join(
+                F.broadcast(plan), GRP.eqNullSafe(F.col("_p_grp")), "left"
+            ).drop("_p_grp")
+
+        # 2. per-(group, bucket) histogram — bounded agg
+        hist: dict = {}
+        for r in (
+            with_plan(slim, plan1)
+            .groupBy(GRP, bucket.alias("_sb_b"))
+            .agg(F.sum(TOK).alias("t"))
+            .collect()
+        ):
+            hist.setdefault(r["_sb_grp"], {})[int(r["_sb_b"])] = int(r["t"] or 0)
+
+        crossing: dict = {}  # g -> (crossing_bucket, remaining)
+        keep_whole: set = set()
+        for g in all_groups:
+            b = budget_of(g)
+            if b is None:
+                keep_whole.add(g)
+                continue
+            n_b = plan1_row(g)[3]
+            cum, cross = 0, None
+            for i in [n_b + 1, n_b, *range(n_b - 1, -1, -1), -1, -2]:
+                t = hist.get(g, {}).get(i, 0)
+                if cum + t <= b:
+                    cum += t
+                else:
+                    cross = i
+                    break
+            if cross is None:
+                keep_whole.add(g)
+            else:
+                crossing[g] = (cross, b - cum)
+
+        # 3. boundary election: one window over ONLY the crossing buckets,
+        # partitioned by group
+        boundary: dict = {}  # g -> (bclass, s_star, k_star)
+        if crossing:
+            p2_schema = T.StructType([
+                T.StructField("_p_grp", grp_type),
+                T.StructField("_p_cross", T.IntegerType()),
+                T.StructField("_p_rem", T.LongType()),
+            ])
+            plan2 = spark.createDataFrame(
+                [(g, c, r) for g, (c, r) in crossing.items()], p2_schema
+            )
+            edge = (
+                with_plan(with_plan(slim, plan1), plan2)
+                .filter(bucket == F.col("_p_cross"))
+            )
+            wcum = Window.partitionBy(GRP).orderBy(
+                SCORE.desc_nulls_last(), KEY.asc()
+            ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            wrev = Window.partitionBy(GRP).orderBy(
+                SCORE.asc_nulls_first(), KEY.desc()
+            )
+            bd = (
+                edge.withColumn("_sb_cum", F.sum(TOK).over(wcum))
+                .filter(F.col("_sb_cum") <= F.col("_p_rem"))
+                .withColumn("_sb_rn", F.row_number().over(wrev))
+                .filter(F.col("_sb_rn") == 1)
+                .select(GRP, SCORE, KEY)
+                .collect()
+            )
+            for r in bd:
+                s = r["_sb_score"]
+                if s is None:
+                    boundary[r["_sb_grp"]] = ("null", None, r["_sb_key"])
+                elif math.isnan(s):
+                    boundary[r["_sb_grp"]] = ("nan", None, r["_sb_key"])
+                else:
+                    boundary[r["_sb_grp"]] = ("val", float(s), r["_sb_key"])
+
+        # 4. single output pass: broadcast the full per-group plan and
+        # filter map-side
+        pf_schema = T.StructType([
+            T.StructField("_p_grp", grp_type),
+            T.StructField("_p_lo", T.DoubleType()),
+            T.StructField("_p_w", T.DoubleType()),
+            T.StructField("_p_nb", T.IntegerType()),
+            T.StructField("_p_whole", T.BooleanType()),
+            T.StructField("_p_cross", T.IntegerType()),
+            T.StructField("_p_bclass", T.StringType()),
+            T.StructField("_p_s", T.DoubleType()),
+            T.StructField("_p_k", key_type),
+        ])
+        rows = []
+        for g in all_groups:
+            _, lo, w, n_b = plan1_row(g)
+            if g in keep_whole:
+                rows.append((g, lo, w, n_b, True, None, None, None, None))
+            else:
+                c, _rem = crossing[g]
+                bc, s_star, k_star = boundary.get(g, ("none", None, None))
+                rows.append((g, lo, w, n_b, False, c, bc, s_star, k_star))
+        planf = spark.createDataFrame(rows, pf_schema)
+
+        out = df.withColumn("_sb_grp", grpc).withColumn(
+            "_sb_score", score.cast("double")
+        ).withColumn("_sb_key", keyc)
+        out = out.join(
+            F.broadcast(planf), F.col("_sb_grp").eqNullSafe(F.col("_p_grp")), "left"
+        ).drop("_p_grp")
+        in_cross_pred = (
+            F.when(F.col("_p_bclass") == "none", F.lit(False))
+            .when(F.col("_p_bclass").isin("nan", "null"), KEY <= F.col("_p_k"))
+            .otherwise(
+                (SCORE > F.col("_p_s"))
+                | ((SCORE == F.col("_p_s")) & (KEY <= F.col("_p_k")))
+            )
+        )
+        keep = F.col("_p_whole") | (bucket > F.col("_p_cross")) | (
+            (bucket == F.col("_p_cross")) & in_cross_pred
+        )
+        return out.filter(keep).drop(
+            "_sb_grp", "_sb_score", "_sb_key",
+            "_p_lo", "_p_w", "_p_nb", "_p_whole", "_p_cross",
+            "_p_bclass", "_p_s", "_p_k",
+        )
+    finally:
+        slim.unpersist()

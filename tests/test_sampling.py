@@ -616,3 +616,123 @@ def test_select_token_budget_output_is_map_side_filter(spark):
     # still the exact greedy prefix
     got = sorted(r["id"] for r in out.collect())
     assert got == _class_greedy(rows, 2000)
+
+
+def _grouped_greedy(rows, budget_of):
+    """Per-group greedy prefix under the full class chain; rows are
+    (group, key, score, tok)."""
+    import math
+
+    def rank(s):
+        if s is None:
+            return (-2, 0.0)
+        if math.isnan(s):
+            return (2, 0.0)
+        if s == float("inf"):
+            return (1, 0.0)
+        if s == float("-inf"):
+            return (-1, 0.0)
+        return (0, s)
+
+    by_g = {}
+    for g, k, s, t in rows:
+        by_g.setdefault(g, []).append((k, s, t))
+    kept = []
+    for g, members in by_g.items():
+        b = budget_of(g)
+        ordered = sorted(members, key=lambda r: (-rank(r[1])[0], -rank(r[1])[1], r[0]))
+        cum = 0
+        for k, _s, t in ordered:
+            if b is not None and cum + t > b:
+                break
+            cum += t
+            kept.append(k)
+    return sorted(kept)
+
+
+def test_select_token_budget_grouped_matches_per_group_greedy(spark):
+    """Per-group budgets: dict + default, scalar, None (keep whole group),
+    NULL group value — every group's keep set is bit-equal to its own
+    greedy prefix."""
+    import random
+
+    from pq_vector_spark.operators.sampling import select_token_budget_grouped
+
+    rng = random.Random(11)
+    groups = ["en", "de", None, "code"]
+    rows = [
+        (groups[i % 4], i, round(rng.uniform(0, 1), 3), rng.randrange(5, 60))
+        for i in range(800)
+    ]
+    df = spark.createDataFrame(rows, "lang: string, id: bigint, score: double, tok: bigint")
+    budgets = {"en": 2000, "de": 500, None: 0, "code": None}
+
+    got = sorted(
+        r["id"]
+        for r in select_token_budget_grouped(
+            df, "lang", "id", "score", "tok", budgets, buckets=16
+        ).collect()
+    )
+    assert got == _grouped_greedy(rows, lambda g: budgets[g])
+
+    # scalar budget applies to every group
+    got2 = sorted(
+        r["id"]
+        for r in select_token_budget_grouped(
+            df, "lang", "id", "score", "tok", 1000, buckets=16
+        ).collect()
+    )
+    assert got2 == _grouped_greedy(rows, lambda g: 1000)
+
+    # missing group falls back to default_budget
+    got3 = sorted(
+        r["id"]
+        for r in select_token_budget_grouped(
+            df, "lang", "id", "score", "tok", {"en": 2000},
+            buckets=16, default_budget=300,
+        ).collect()
+    )
+    assert got3 == _grouped_greedy(rows, lambda g: 2000 if g == "en" else 300)
+
+
+def test_select_token_budget_grouped_edge_scores_and_guards(spark):
+    """NaN/±inf/NULL scores follow the engine class chain inside each
+    group; invalid budgets raise."""
+    from pq_vector_spark.operators.sampling import select_token_budget_grouped
+
+    rows = [
+        ("a", 1, float("nan"), 10),
+        ("a", 2, float("inf"), 10),
+        ("a", 3, 5.0, 10),
+        ("a", 4, float("-inf"), 10),
+        ("a", 5, None, 10),
+        ("b", 6, 1.0, 10),
+        ("b", 7, 2.0, 10),
+    ]
+    df = spark.createDataFrame(rows, "g: string, id: bigint, score: double, tok: bigint")
+    got = sorted(
+        r["id"]
+        for r in select_token_budget_grouped(
+            df, "g", "id", "score", "tok", {"a": 30, "b": 10}, buckets=4
+        ).collect()
+    )
+    assert got == [1, 2, 3, 7]  # a: NaN > inf > finite; b: best-first
+
+    with pytest.raises(ValueError, match="budget"):
+        select_token_budget_grouped(df, "g", "id", "score", "tok", {"a": -1})
+    with pytest.raises(ValueError, match="buckets"):
+        select_token_budget_grouped(df, "g", "id", "score", "tok", 10, buckets=0)
+
+
+def test_select_token_budget_grouped_is_broadcast_filter(spark):
+    """The wide-corpus pass must be a broadcast plan-table join + filter:
+    no shuffle of the corpus (no Exchange hashpartitioning on the data
+    path, no sort-merge join)."""
+    from pq_vector_spark.operators.sampling import select_token_budget_grouped
+
+    rows = [("g%d" % (i % 3), i, float(i % 50), 10) for i in range(300)]
+    df = spark.createDataFrame(rows, "g: string, id: bigint, score: double, tok: bigint")
+    out = select_token_budget_grouped(df, "g", "id", "score", "tok", 500, buckets=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
