@@ -282,7 +282,9 @@ def append_to_index(
     else:
         meta.pop("file_stats", None)
     _write_sidecar(spark, indexed_path, idx.centroids, meta)
-    return meta
+    # how many rows THIS call appended — returned (not persisted) so hot
+    # callers (streaming ingest) don't pay a second sidecar read for it
+    return {**meta, "last_append_rows": int(stats.rows)}
 
 
 def _build_index_inner(

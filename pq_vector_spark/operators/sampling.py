@@ -283,6 +283,25 @@ def temperature_mix(
     return df.filter(hash_bucket(key_col, salt) < thr)
 
 
+def _class_walk(n_b: int):
+    """Greedy iteration order over the ordered score classes: NaN (n_b+1),
+    +inf (n_b), finite buckets high→low, -inf (-1), NULL (-2). Shared by
+    the single and grouped token-budget drivers so the class chain can
+    never drift between them."""
+    return [n_b + 1, n_b, *range(n_b - 1, -1, -1), -1, -2]
+
+
+def _finite_scores(c: Column) -> Column:
+    """Finite-score predicate (excludes NULL/NaN/±inf) — min/max for the
+    bucket width must never see a special value (Spark max treats NaN as
+    greatest; an inf makes every width infinite)."""
+    inf = float("inf")
+    return (
+        c.isNotNull() & ~F.isnan(c) & (c != F.lit(inf)) & (c != F.lit(-inf))
+    )
+
+
+
 def select_token_budget(
     df: DataFrame,
     key_col: str,
@@ -404,10 +423,13 @@ def select_token_budget(
         # frontier state: (mode, lo, hi, count) — count None means unknown
         mode, lo, hi, cnt = "score", None, None, None
         first = True
+        force_exact = False
         for depth in range(max_depth + 1):
             sub = slim.filter(conj(anc)) if anc else slim
-            at_cap = depth >= max_depth or (
-                cnt is not None and cnt <= window_cap
+            at_cap = (
+                depth >= max_depth
+                or force_exact
+                or (cnt is not None and cnt <= window_cap)
             )
             if at_cap:
                 if _stats is not None:
@@ -455,17 +477,8 @@ def select_token_budget(
                 break
             if mode == "score":
                 if first:
-                    # finite min/max only — NaN/±inf would poison the
-                    # bucket width (Spark max treats NaN as greatest and
-                    # an inf makes every width infinite)
-                    finite = (
-                        SCORE.isNotNull()
-                        & ~F.isnan(SCORE)
-                        & (SCORE != F.lit(INF))
-                        & (SCORE != F.lit(-INF))
-                    )
                     lo, hi = (
-                        sub.filter(finite)
+                        sub.filter(_finite_scores(SCORE))
                         .agg(F.min(SCORE), F.max(SCORE))
                         .collect()[0]
                     )
@@ -489,7 +502,7 @@ def select_token_budget(
                     .collect()
                 }
                 cum, crossing = 0, None
-                for i in [n_b + 1, n_b, *range(n_b - 1, -1, -1), -1, -2]:
+                for i in _class_walk(n_b):
                     t = hist.get(i, (0, 0, None, None))[0]
                     if cum + t <= remaining:
                         cum += t
@@ -509,15 +522,20 @@ def select_token_budget(
                 if 0 <= crossing < n_b and c_mn is not None and c_mx > c_mn:
                     lo, hi = c_mn, c_mx  # refinable finite bucket
                     if (hi - lo) / buckets <= 0.0:
-                        mode = "key"  # width underflow: treat as tied
+                        # width underflow with scores NOT all equal
+                        # (subnormal spread): key-range refinement would
+                        # select in KEY order over a frontier whose true
+                        # greedy order is (score DESC, key) — fall back to
+                        # the exact window instead; exactness beats the
+                        # bound in this pathological corner
+                        force_exact = True
                 else:
                     mode = "key"  # special class or exact tie: key refine
             else:  # mode == "key": frontier is score-tied, order = KEY ASC
                 n_p = max(2, min(4096, -(-int(cnt) // window_cap)))
                 parts = sorted(
                     (
-                        slim.filter(conj(anc))
-                        .repartitionByRange(n_p, KEY.asc())
+                        sub.repartitionByRange(n_p, KEY.asc())
                         .groupBy(F.spark_partition_id().alias("p"))
                         .agg(
                             F.sum(TOK).alias("t"),
@@ -615,7 +633,11 @@ def select_token_budget_grouped(
         raise ValueError(f"buckets must be positive, got {buckets}")
 
     def _check(b, where):
-        if b is not None and b < 0:
+        if b is None:
+            return
+        if isinstance(b, float) and not math.isfinite(b):
+            raise ValueError(f"budget must be finite, got {b} ({where})")
+        if b < 0:
             raise ValueError(f"budget must be >= 0, got {b} ({where})")
 
     if isinstance(budgets, dict):
@@ -646,21 +668,17 @@ def select_token_budget_grouped(
     key_type = df.schema[key_col].dataType
 
     def budget_of(g):
-        if isinstance(budgets, dict):
-            return budgets.get(g, default_budget)
-        return budgets
+        b = budgets.get(g, default_budget) if isinstance(budgets, dict) else budgets
+        # floor float budgets: token cums are exact bigints, so
+        # cum <= b  <=>  cum <= floor(b) — and plan2's remaining stays a
+        # LongType the driver can hand to createDataFrame
+        return None if b is None else int(math.floor(b))
 
     try:
         # 1. per-group finite min/max (NaN/±inf would poison the width)
-        finite = (
-            SCORE.isNotNull()
-            & ~F.isnan(SCORE)
-            & (SCORE != F.lit(INF))
-            & (SCORE != F.lit(-INF))
-        )
         mm = {
             r["_sb_grp"]: (r["mn"], r["mx"])
-            for r in slim.filter(finite)
+            for r in slim.filter(_finite_scores(SCORE))
             .groupBy(GRP)
             .agg(F.min(SCORE).alias("mn"), F.max(SCORE).alias("mx"))
             .collect()
@@ -722,7 +740,7 @@ def select_token_budget_grouped(
                 continue
             n_b = plan1_row(g)[3]
             cum, cross = 0, None
-            for i in [n_b + 1, n_b, *range(n_b - 1, -1, -1), -1, -2]:
+            for i in _class_walk(n_b):
                 t = hist.get(g, {}).get(i, 0)
                 if cum + t <= b:
                     cum += t

@@ -89,11 +89,16 @@ def _decline(reason: str):
 # anyone re-calling ``register_codes_sidecar``.
 _CODES_SIDECARS: Dict[str, tuple] = {}
 
-# layouts known to have NO persisted registration: without this, every
-# interception attempt against an unregistered layout re-pays the disk
-# probe — os.path.isfile locally (free), but one FileSystem.globStatus RPC
-# PER QUERY against S3/HDFS. Invalidated by register/unregister.
-_CODES_SIDECAR_MISSES: set = set()
+# layouts known to have NO persisted registration (path -> monotonic
+# probe time): without this, every interception attempt against an
+# unregistered layout re-pays the disk probe — os.path.isfile locally
+# (free), but one FileSystem.globStatus RPC PER QUERY against S3/HDFS.
+# Invalidated by register/unregister; entries also EXPIRE after
+# _MISS_REPROBE_SEC so a registration persisted by ANOTHER process
+# (discovery-from-storage is a cross-process contract) becomes visible to
+# a long-lived session within minutes instead of never.
+_CODES_SIDECAR_MISSES: dict = {}
+_MISS_REPROBE_SEC = 300.0
 
 # filenames under <indexed_path>/_pq_index/
 CODES_REG_FILE = "codes.json"
@@ -142,7 +147,7 @@ def register_codes_sidecar(
             "(or pass spark=) to measure the codes table's coverage"
         )
     codes_rows = spark.read.parquet(codes_path).count()
-    _CODES_SIDECAR_MISSES.discard(_normalize_path(indexed_path))
+    _CODES_SIDECAR_MISSES.pop(_normalize_path(indexed_path), None)
     _CODES_SIDECARS[_normalize_path(indexed_path)] = (
         codes_path,
         codebook,
@@ -274,17 +279,24 @@ def _lookup_codes_sidecar(spark, indexed_path: str):
     else the persisted ``_pq_index/codes.json``. BOTH outcomes are cached
     — a hit so the disk read happens once per layout per session, and a
     MISS so a layout with no registration doesn't pay one FileSystem RPC
-    per query forever (register/unregister invalidate the miss cache; an
-    UNREADABLE registration is deliberately NOT miss-cached, so a repair
-    by an outside writer is picked up on the next query)."""
+    per query forever. register/unregister invalidate the miss cache, and
+    misses expire after ``_MISS_REPROBE_SEC`` so a registration persisted
+    by another process is eventually discovered; an UNREADABLE
+    registration is deliberately NOT miss-cached, so a repair by an
+    outside writer is picked up on the next query."""
+    import time as _time
+
     key = _normalize_path(indexed_path)
     sidecar = _CODES_SIDECARS.get(key)
-    if sidecar is None and key not in _CODES_SIDECAR_MISSES:
-        found, sidecar = _load_codes_registration(spark, indexed_path)
-        if sidecar is not None:
-            _CODES_SIDECARS[key] = sidecar
-        elif not found:
-            _CODES_SIDECAR_MISSES.add(key)
+    if sidecar is None:
+        miss_at = _CODES_SIDECAR_MISSES.get(key)
+        if miss_at is None or _time.monotonic() - miss_at >= _MISS_REPROBE_SEC:
+            found, sidecar = _load_codes_registration(spark, indexed_path)
+            if sidecar is not None:
+                _CODES_SIDECARS[key] = sidecar
+                _CODES_SIDECAR_MISSES.pop(key, None)
+            elif not found:
+                _CODES_SIDECAR_MISSES[key] = _time.monotonic()
     return sidecar
 
 
@@ -319,8 +331,10 @@ def unregister_codes_sidecar(indexed_path: str, spark=None) -> None:
     Deleting a non-local registration needs a session (pass ``spark=`` or
     have one active); without one, only the in-memory entry is dropped and
     a warning is logged."""
+    import time as _time
+
     _CODES_SIDECARS.pop(_normalize_path(indexed_path), None)
-    _CODES_SIDECAR_MISSES.add(_normalize_path(indexed_path))
+    _CODES_SIDECAR_MISSES[_normalize_path(indexed_path)] = _time.monotonic()
     from pq_vector_spark.index.build import INDEX_DIR, _local_root
 
     root = _local_root(indexed_path)

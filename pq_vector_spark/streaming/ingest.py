@@ -26,11 +26,14 @@ Scale design:
 
 from __future__ import annotations
 
+import logging
 from typing import Optional
 
 from pyspark.sql import DataFrame
 
 from pq_vector_spark.operators.dedup import incremental_dedup
+
+_LOG = logging.getLogger("pq_vector_spark.streaming.ingest")
 
 
 def dedup_append_batch(
@@ -98,27 +101,30 @@ def append_index_batch(
     retrains + swaps once appended mass crosses ``stale_threshold`` (and
     re-encodes the codes itself when it fires).
 
+    Maintenance order: the rebuild check runs FIRST — when it fires it
+    re-encodes a registered codes sidecar against the fresh clustering
+    itself, so the incremental refresh would be wasted work; the refresh
+    runs only when no rebuild fired AND the registered codes actually
+    trail the index (both counts are already in hand — no extra jobs).
+
     Returns ``{"appended": n, "codes_refreshed": bool, "rebuilt": bool}``.
     Usable directly for batch backfills; ``streaming_index_ingest`` wires
     it into foreachBatch.
     """
     from pq_vector_spark.index.build import append_to_index, auto_rebuild_if_stale
+    from pq_vector_spark.index.search import load_index
     from pq_vector_spark.plans.intercept import (
         _lookup_codes_sidecar,
         refresh_codes_sidecar,
     )
 
-    from pq_vector_spark.index.search import load_index
-
     spark = batch_df.sparkSession
     result = {"appended": 0, "codes_refreshed": False, "rebuilt": False}
+    live_rows = None
     if not batch_df.isEmpty():
-        before = int(load_index(spark, indexed_path).meta["row_count"])
         meta = append_to_index(spark, batch_df, indexed_path)
-        result["appended"] = int(meta["row_count"]) - before
-    if maintain_codes and _lookup_codes_sidecar(spark, indexed_path) is not None:
-        refresh_codes_sidecar(spark, indexed_path)
-        result["codes_refreshed"] = True
+        result["appended"] = int(meta.get("last_append_rows", 0))
+        live_rows = int(meta["row_count"])
     if maintain_index:
         res = auto_rebuild_if_stale(
             spark,
@@ -127,6 +133,14 @@ def append_index_batch(
             options=rebuild_options,
         )
         result["rebuilt"] = bool(res["rebuilt"])
+    if maintain_codes and not result["rebuilt"]:
+        sidecar = _lookup_codes_sidecar(spark, indexed_path)
+        if sidecar is not None:
+            if live_rows is None:
+                live_rows = int(load_index(spark, indexed_path).meta["row_count"])
+            if int(sidecar[3]) < live_rows:
+                refresh_codes_sidecar(spark, indexed_path)
+                result["codes_refreshed"] = True
     return result
 
 
@@ -163,6 +177,17 @@ def streaming_index_ingest(
     called after each batch (observability hook; exceptions propagate and
     fail the batch, so keep it cheap).
 
+    Replay idempotence: foreachBatch is at-least-once — a batch whose
+    append succeeded but whose checkpoint commit didn't (crash, or the
+    same batch's maintenance step raising) is REPLAYED on restart, and a
+    parquet append is not idempotent. A per-batch marker file (written
+    right after the append, before maintenance) makes the replay skip the
+    append and retry only the maintenance. Markers live under
+    ``<checkpoint>/pq_ingest_markers/`` (surviving index rebuilds, scoped
+    to this query) when a checkpoint is given, else inside the layout's
+    ``_pq_index/ingest/``. The crash window between append and marker
+    write can still duplicate — exactly-once needs a transactional sink.
+
     Caller picks the trigger/start, e.g.::
 
         q = streaming_index_ingest(src, "/indexed", checkpoint="/chk") \\
@@ -171,17 +196,62 @@ def streaming_index_ingest(
     """
     if maintain_every <= 0:
         raise ValueError(f"maintain_every must be positive, got {maintain_every}")
+    marker_base = (
+        f"{checkpoint.rstrip('/')}/pq_ingest_markers"
+        if checkpoint
+        else f"{indexed_path.rstrip('/')}/_pq_index/ingest"
+    )
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        due = (batch_id % maintain_every) == (maintain_every - 1)
-        result = append_index_batch(
-            batch_df,
-            indexed_path,
-            maintain_index=maintain_index and due,
-            maintain_codes=maintain_codes and due,
-            stale_threshold=stale_threshold,
-            rebuild_options=rebuild_options,
+        from pq_vector_spark.index.build import (
+            _hadoop_glob,
+            _hadoop_write_bytes,
+            _local_root,
         )
+
+        spark = batch_df.sparkSession
+        marker = f"{marker_base}/batch-{int(batch_id)}"
+        root = _local_root(marker)
+        if root is not None:
+            import os as _os
+
+            replayed = _os.path.isfile(root)
+        else:
+            replayed = bool(_hadoop_glob(spark, marker))
+        due = (batch_id % maintain_every) == (maintain_every - 1)
+        result = {"appended": 0, "codes_refreshed": False, "rebuilt": False}
+        if replayed:
+            _LOG.warning(
+                "streaming_index_ingest: batch %d already applied "
+                "(marker %s) — skipping append, retrying maintenance",
+                batch_id,
+                marker,
+            )
+        else:
+            # append FIRST and mark it immediately — if the maintenance
+            # below raises, the replay must retry maintenance only, never
+            # re-append
+            result = append_index_batch(batch_df, indexed_path)
+            body = f'{{"appended": {result["appended"]}}}\n'
+            if root is not None:
+                import os as _os
+
+                _os.makedirs(_os.path.dirname(root), exist_ok=True)
+                with open(root, "w") as f:
+                    f.write(body)
+            else:
+                _hadoop_write_bytes(spark, marker, body.encode())
+        if due and (maintain_index or maintain_codes):
+            maint = append_index_batch(
+                batch_df.limit(0),
+                indexed_path,
+                maintain_index=maintain_index,
+                maintain_codes=maintain_codes,
+                stale_threshold=stale_threshold,
+                rebuild_options=rebuild_options,
+            )
+            result["codes_refreshed"] = maint["codes_refreshed"]
+            result["rebuilt"] = maint["rebuilt"]
         if on_maintenance is not None:
             on_maintenance(batch_id, result)
 

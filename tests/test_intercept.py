@@ -817,7 +817,7 @@ def test_negative_codes_lookup_probed_once_per_session(spark, icpt_table):
 
     key = I._normalize_path(icpt_table["out"])
     saved_hit = I._CODES_SIDECARS.pop(key, None)
-    I._CODES_SIDECAR_MISSES.discard(key)
+    I._CODES_SIDECAR_MISSES.pop(key, None)
     calls = []
     real = I._load_codes_registration
 
@@ -863,6 +863,40 @@ def test_negative_codes_lookup_probed_once_per_session(spark, icpt_table):
         I._load_codes_registration = real
         I.unregister_codes_sidecar(icpt_table["out"])
         I._CODES_SIDECARS.pop(key, None)
-        I._CODES_SIDECAR_MISSES.discard(key)
+        I._CODES_SIDECAR_MISSES.pop(key, None)
+        if saved_hit is not None:
+            I._CODES_SIDECARS[key] = saved_hit
+
+
+def test_negative_codes_miss_expires_for_outside_writers(spark, icpt_table, monkeypatch):
+    """A cached miss must EXPIRE (default 5 min): a registration persisted
+    by another process — discovery-from-storage is a cross-process
+    contract — becomes visible to a long-lived session instead of never."""
+    import pq_vector_spark.plans.intercept as I
+
+    key = I._normalize_path(icpt_table["out"])
+    saved_hit = I._CODES_SIDECARS.pop(key, None)
+    calls = []
+    real = I._load_codes_registration
+
+    def counting(spark_, path):
+        calls.append(path)
+        return real(spark_, path)
+
+    monkeypatch.setattr(I, "_load_codes_registration", counting)
+    try:
+        # fresh miss: cached, no second probe
+        I._CODES_SIDECAR_MISSES.pop(key, None)
+        assert I._lookup_codes_sidecar(spark, icpt_table["out"]) is None
+        assert I._lookup_codes_sidecar(spark, icpt_table["out"]) is None
+        assert len(calls) == 1
+        # age the miss past the TTL: the next lookup probes disk again
+        import time as _time
+
+        I._CODES_SIDECAR_MISSES[key] = _time.monotonic() - I._MISS_REPROBE_SEC - 1
+        assert I._lookup_codes_sidecar(spark, icpt_table["out"]) is None
+        assert len(calls) == 2
+    finally:
+        I._CODES_SIDECAR_MISSES.pop(key, None)
         if saved_hit is not None:
             I._CODES_SIDECARS[key] = saved_hit

@@ -736,3 +736,42 @@ def test_select_token_budget_grouped_is_broadcast_filter(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_select_token_budget_subnormal_spread_stays_exact(spark):
+    """Width underflow (score spread too small to split into buckets)
+    with scores NOT all equal must fall back to the exact window — key
+    refinement would select in key order over a score-ordered frontier."""
+    from pq_vector_spark.operators.sampling import select_token_budget
+
+    base = 1.0
+    eps = 5e-324  # one ulp of the subnormal range — spread/buckets == 0.0
+    rows = [(1, base, 10), (2, base + eps, 10), (3, base, 10), (4, base + eps, 10)]
+    df = spark.createDataFrame(rows, "id: bigint, score: double, tok: bigint")
+    # NOTE: spread here is representable but (hi-lo)/buckets underflows
+    got = sorted(
+        r["id"]
+        for r in select_token_budget(
+            df, "id", "score", "tok", 20, buckets=4, window_cap=1
+        ).collect()
+    )
+    assert got == _class_greedy(rows, 20)
+
+
+def test_select_token_budget_grouped_accepts_float_budgets(spark):
+    """Float budgets floor to ints (token cums are exact bigints) instead
+    of crashing plan construction."""
+    from pq_vector_spark.operators.sampling import select_token_budget_grouped
+
+    rows = [("a", i, float(i), 10) for i in range(10)]
+    df = spark.createDataFrame(rows, "g: string, id: bigint, score: double, tok: bigint")
+    got = sorted(
+        r["id"]
+        for r in select_token_budget_grouped(
+            df, "g", "id", "score", "tok", {"a": 35.9}, buckets=4
+        ).collect()
+    )
+    assert got == [7, 8, 9]  # floor(35.9)=35 -> 3 rows of 10
+
+    with pytest.raises(ValueError, match="finite"):
+        select_token_budget_grouped(df, "g", "id", "score", "tok", float("nan"))

@@ -830,3 +830,108 @@ def test_append_index_batch_refreshes_codes(spark, tmp_path):
         assert spark.read.parquet(codes).count() == 130
     finally:
         unregister_codes_sidecar(out, spark=spark)
+
+
+def test_streaming_index_ingest_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a replayed micro-batch (checkpoint
+    lost after the append committed) must SKIP the parquet append — the
+    per-batch marker makes the restart converge to the same row count
+    instead of duplicating vectors."""
+    import shutil
+
+    import numpy as np
+
+    from pq_vector_spark.index.build import build_index, index_health
+    from pq_vector_spark.session import IndexBuildOptions
+    from pq_vector_spark.streaming.ingest import streaming_index_ingest
+
+    rng = np.random.default_rng(5)
+    src = str(tmp_path / "rp_src.parquet")
+    out = str(tmp_path / "rp_indexed")
+    in_dir = str(tmp_path / "rp_incoming")
+    chk = str(tmp_path / "rp_chk")
+
+    def rows(start, n):
+        return [
+            (int(start + i), [float(x) for x in rng.random(8, dtype=np.float32)])
+            for i in range(n)
+        ]
+
+    base = spark.createDataFrame(rows(0, 100), "vec_id: bigint, embedding: array<float>")
+    base.write.parquet(src)
+    build_index(
+        spark, src, out, column="embedding", options=IndexBuildOptions(n_clusters=4)
+    )
+    for b in range(2):
+        spark.createDataFrame(
+            rows(1000 + 50 * b, 50), "vec_id: bigint, embedding: array<float>"
+        ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    def run(events):
+        stream = (
+            spark.readStream.schema(base.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = (
+            streaming_index_ingest(
+                stream, out, checkpoint=chk, maintain_index=False,
+                maintain_codes=False,
+                on_maintenance=lambda b, r: events.append(r),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    first = []
+    run(first)
+    assert sum(e["appended"] for e in first) == 100
+    assert index_health(spark, out)["row_count"] == 200
+
+    # simulate a lost checkpoint AFTER the appends committed: Spark will
+    # replay every batch, but the markers (kept) must suppress re-appends
+    for sub in ("offsets", "commits", "metadata"):
+        shutil.rmtree(f"{chk}/{sub}", ignore_errors=True)
+    second = []
+    run(second)
+    assert sum(e["appended"] for e in second) == 0  # all batches skipped
+    assert index_health(spark, out)["row_count"] == 200  # no duplicates
+
+
+def test_append_index_batch_skips_covering_codes(spark, tmp_path):
+    """maintain_codes must be a no-op when the registered codes already
+    cover the index (no appends since the last refresh) — no per-batch
+    encode job on an idle stream."""
+    import numpy as np
+
+    from pq_vector_spark.index.build import build_index
+    from pq_vector_spark.index.pq import encode_indexed, train_pq
+    from pq_vector_spark.plans.intercept import (
+        register_codes_sidecar,
+        unregister_codes_sidecar,
+    )
+    from pq_vector_spark.session import IndexBuildOptions
+    from pq_vector_spark.streaming.ingest import append_index_batch
+
+    rng = np.random.default_rng(9)
+    src = str(tmp_path / "cv_src.parquet")
+    out = str(tmp_path / "cv_indexed")
+    codes = str(tmp_path / "cv_codes")
+    base = spark.createDataFrame(
+        [(int(i), [float(x) for x in rng.random(8, dtype=np.float32)]) for i in range(100)],
+        "vec_id: bigint, embedding: array<float>",
+    )
+    base.write.parquet(src)
+    build_index(
+        spark, src, out, column="embedding", options=IndexBuildOptions(n_clusters=4)
+    )
+    cb = train_pq(spark.read.parquet(out), "embedding", m=4, nbits=4)
+    encode_indexed(spark, out, codes, "embedding", "vec_id", cb)
+    register_codes_sidecar(out, codes, cb, id_col="vec_id")
+    try:
+        empty = base.limit(0)
+        res = append_index_batch(empty, out, maintain_codes=True)
+        assert res == {"appended": 0, "codes_refreshed": False, "rebuilt": False}
+    finally:
+        unregister_codes_sidecar(out, spark=spark)
