@@ -900,6 +900,31 @@ def _dedup_scale_bench(spark) -> dict:
         .count()
     )
 
+    # Per-group budgets at scale (r10): 7 synthetic groups over the same
+    # 1M docs, each filling its own budget — one bounded per-(group,
+    # bucket) histogram + one group-partitioned crossing-bucket window +
+    # a broadcast plan-table filter, vs the naive per-group cumulative
+    # window (whose single-task-per-group shape is the thing avoided).
+    from pq_vector_spark.operators.sampling import select_token_budget_grouped
+
+    grouped = scored.withColumn("_grp", (F.col("doc_id") % 7).cast("int"))
+    gbudget = int(total_len) // 14  # each group keeps ~half its tokens
+    t0 = time.time()
+    n_grp = select_token_budget_grouped(
+        grouped, "_grp", "doc_id", "_score", "_len", gbudget, buckets=997
+    ).count()
+    grouped_sec = round(time.time() - t0, 3)
+    wg = Window.partitionBy("_grp").orderBy(
+        F.col("_score").desc(), F.col("doc_id").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t0 = time.time()
+    n_grp_naive = (
+        grouped.withColumn("_cum", F.sum("_len").over(wg))
+        .filter(F.col("_cum") <= F.lit(gbudget))
+        .count()
+    )
+    grouped_naive_sec = round(time.time() - t0, 3)
+
     return {
         "n_docs": n_docs,
         "budget_select_sec": budget_sec,
@@ -913,6 +938,10 @@ def _dedup_scale_bench(spark) -> dict:
         "budget_ties_results_match": bool(n_tied == n_tied_naive),
         "budget_ties_window_task_rows": int(tstats.get("window_rows", -1)),
         "budget_ties_refine_mode": str(tstats.get("mode", "")),
+        "budget_grouped_select_sec": grouped_sec,
+        "budget_grouped_naive_sec": grouped_naive_sec,
+        "budget_grouped_results_match": bool(n_grp == n_grp_naive),
+        "budget_grouped_docs_kept": int(n_grp),
         "gen_sec": gen_sec,
         "exact_sec": exact_sec,
         "exact_groups": int(n_exact_groups),

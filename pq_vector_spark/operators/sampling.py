@@ -675,14 +675,21 @@ def select_token_budget_grouped(
         return None if b is None else int(math.floor(b))
 
     try:
-        # 1. per-group finite min/max (NaN/±inf would poison the width)
-        mm = {
-            r["_sb_grp"]: (r["mn"], r["mx"])
-            for r in slim.filter(_finite_scores(SCORE))
-            .groupBy(GRP)
-            .agg(F.min(SCORE).alias("mn"), F.max(SCORE).alias("mx"))
+        # 1. per-group finite min/max (NaN/±inf would poison the width) —
+        # conditional aggregates so ONE pass also yields the full group
+        # list (a group with zero finite scores still appears, mn/mx NULL)
+        mm = {}
+        all_groups = []
+        for r in (
+            slim.groupBy(GRP)
+            .agg(
+                F.min(F.when(_finite_scores(SCORE), SCORE)).alias("mn"),
+                F.max(F.when(_finite_scores(SCORE), SCORE)).alias("mx"),
+            )
             .collect()
-        }
+        ):
+            all_groups.append(r["_sb_grp"])
+            mm[r["_sb_grp"]] = (r["mn"], r["mx"])
 
         # broadcast width plan: (group, lo, width, n_b)
         def plan1_row(g):
@@ -691,9 +698,6 @@ def select_token_budget_grouped(
             width = (hi - lo) / n_b if n_b > 1 else 0.0
             return (g, lo, width, n_b)
 
-        # all groups (incl. ones with zero finite scores) come from one
-        # cheap distinct over the cached slim — <= groups rows
-        all_groups = [r["_sb_grp"] for r in slim.select(GRP).distinct().collect()]
         p1_schema = T.StructType([
             T.StructField("_p_grp", grp_type),
             T.StructField("_p_lo", T.DoubleType()),
