@@ -356,3 +356,62 @@ def test_select_token_budget_matches_greedy_property(spark, data):
         cum += tok
         kept.append(key)
     assert got == sorted(kept)
+
+
+@settings(max_examples=10, deadline=None)
+@given(data=st.data())
+def test_select_token_budget_grouped_matches_greedy_property(spark, data):
+    """Arbitrary grouped tables, budgets (incl. missing groups, defaults,
+    and small bucket counts): the grouped bucketed selection equals the
+    per-group naive greedy prefix exactly."""
+    from pq_vector_spark.operators.sampling import select_token_budget_grouped
+
+    groups = ["a", "b", None]
+    n = data.draw(st.integers(min_value=1, max_value=60))
+    rows = [
+        (
+            groups[data.draw(st.integers(min_value=0, max_value=2))],
+            i,
+            data.draw(
+                st.floats(
+                    min_value=-100, max_value=100, allow_nan=False, width=32
+                )
+            ),
+            data.draw(st.integers(min_value=0, max_value=50)),
+        )
+        for i in range(n)
+    ]
+    total = sum(r[3] for r in rows)
+    budgets = {
+        g: data.draw(
+            st.one_of(st.none(), st.integers(min_value=0, max_value=total + 5))
+        )
+        for g in data.draw(st.sets(st.sampled_from(["a", "b"]), max_size=2))
+    }
+    default = data.draw(
+        st.one_of(st.none(), st.integers(min_value=0, max_value=total + 5))
+    )
+    buckets = data.draw(st.integers(min_value=1, max_value=16))
+    df = spark.createDataFrame(
+        rows, "g: string, id: bigint, score: double, tok: bigint"
+    )
+    got = sorted(
+        r["id"]
+        for r in select_token_budget_grouped(
+            df, "g", "id", "score", "tok", budgets,
+            buckets=buckets, default_budget=default,
+        ).collect()
+    )
+    kept = []
+    by_g = {}
+    for g, k, s, t in rows:
+        by_g.setdefault(g, []).append((k, s, t))
+    for g, members in by_g.items():
+        b = budgets.get(g, default)
+        cum = 0
+        for k, _s, t in sorted(members, key=lambda r: (-r[1], r[0])):
+            if b is not None and cum + t > b:
+                break
+            cum += t
+            kept.append(k)
+    assert got == sorted(kept)
