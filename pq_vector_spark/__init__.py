@@ -78,18 +78,24 @@ from pq_vector_spark.operators.constraints import (
 )
 from pq_vector_spark.operators.curate import curate_corpus
 from pq_vector_spark.operators.decontaminate import contamination_report, decontaminate
-from pq_vector_spark.operators.dedup import incremental_dedup
+from pq_vector_spark.operators.dedup import incremental_dedup, resolve_duplicates
 from pq_vector_spark.operators.drift import distribution_drift, psi
 from pq_vector_spark.operators.merge import latest_changes, merge_upsert
 from pq_vector_spark.operators.packing import pack_sequences, packing_stats
 from pq_vector_spark.operators.abtest import ab_test
 from pq_vector_spark.operators.normalize import quantile_normalize
 from pq_vector_spark.operators.retention import cohort_retention, event_transitions
-from pq_vector_spark.streaming.ingest import dedup_append_batch, streaming_ingest
+from pq_vector_spark.streaming.ingest import (
+    append_index_batch,
+    dedup_append_batch,
+    streaming_index_ingest,
+    streaming_ingest,
+)
 from pq_vector_spark.streaming.monitor import drift_metrics_batch, streaming_drift_monitor
 from pq_vector_spark.operators.sampling import (
     importance_sample,
     select_token_budget,
+    select_token_budget_grouped,
     stratified_sample,
     temperature_mix,
     temperature_rates,
@@ -169,6 +175,7 @@ __all__ = [
     "check_unique",
     "profile_columns",
     "incremental_dedup",
+    "resolve_duplicates",
     "distribution_drift",
     "psi",
     "contamination_report",
@@ -183,6 +190,8 @@ __all__ = [
     "ab_test",
     "dedup_append_batch",
     "streaming_ingest",
+    "streaming_index_ingest",
+    "append_index_batch",
     "drift_metrics_batch",
     "streaming_drift_monitor",
     "stratified_sample",
@@ -190,6 +199,7 @@ __all__ = [
     "temperature_mix",
     "temperature_rates",
     "select_token_budget",
+    "select_token_budget_grouped",
     "embedding_outliers",
     "group_centroids",
     "l2_normalize",
