@@ -589,6 +589,7 @@ def select_token_budget_grouped(
     *,
     buckets: int = 1024,
     default_budget=None,
+    window_warn_rows: int = 4_000_000,
 ) -> DataFrame:
     """Per-group token-budget curation: within EVERY group (language,
     source, domain ...), keep rows in (score DESC, key ASC) order while
@@ -617,8 +618,10 @@ def select_token_budget_grouped(
 
     Degenerate guard: heavy score TIES within one group collapse its
     crossing bucket toward the whole group and that group's window task
-    widens accordingly — for a single dominant tied group, the recursive
-    single-group ``select_token_budget`` is the right tool. Ordering
+    widens accordingly — a crossing bucket above ``window_warn_rows`` logs
+    a WARNING naming the group; for a single dominant tied group, the
+    recursive single-group ``select_token_budget`` on that group's slice
+    is the right tool. Ordering
     matches it exactly (class chain NaN > +inf > finite > -inf > NULL,
     key ASC tie-break); token sums are exact bigint math, so the result
     is bit-equal to the per-group naive greedy prefix. ``key_col`` must
@@ -730,10 +733,13 @@ def select_token_budget_grouped(
         for r in (
             with_plan(slim, plan1)
             .groupBy(GRP, bucket.alias("_sb_b"))
-            .agg(F.sum(TOK).alias("t"))
+            .agg(F.sum(TOK).alias("t"), F.count("*").alias("c"))
             .collect()
         ):
-            hist.setdefault(r["_sb_grp"], {})[int(r["_sb_b"])] = int(r["t"] or 0)
+            hist.setdefault(r["_sb_grp"], {})[int(r["_sb_b"])] = (
+                int(r["t"] or 0),
+                int(r["c"]),
+            )
 
         crossing: dict = {}  # g -> (crossing_bucket, remaining)
         keep_whole: set = set()
@@ -745,7 +751,7 @@ def select_token_budget_grouped(
             n_b = plan1_row(g)[3]
             cum, cross = 0, None
             for i in _class_walk(n_b):
-                t = hist.get(g, {}).get(i, 0)
+                t = hist.get(g, {}).get(i, (0, 0))[0]
                 if cum + t <= b:
                     cum += t
                 else:
@@ -755,6 +761,21 @@ def select_token_budget_grouped(
                 keep_whole.add(g)
             else:
                 crossing[g] = (cross, b - cum)
+                c_rows = hist.get(g, {}).get(cross, (0, 0))[1]
+                if c_rows > window_warn_rows:
+                    # observability, not a behavior change: a heavily-tied
+                    # group collapses its crossing bucket toward the whole
+                    # group and that ONE window task pays for it
+                    _LOG.warning(
+                        "select_token_budget_grouped: group %r's crossing "
+                        "bucket holds %d rows (> window_warn_rows=%d) — "
+                        "its exact window runs as one task; for a "
+                        "dominant tied group, run the recursive "
+                        "select_token_budget on that group's slice instead",
+                        g,
+                        c_rows,
+                        window_warn_rows,
+                    )
 
         # 3. boundary election: one window over ONLY the crossing buckets,
         # partitioned by group
