@@ -27,6 +27,7 @@ Scale design:
 from __future__ import annotations
 
 import logging
+import os
 from typing import Optional
 
 from pyspark.sql import DataFrame
@@ -183,10 +184,16 @@ def streaming_index_ingest(
     parquet append is not idempotent. A per-batch marker file (written
     right after the append, before maintenance) makes the replay skip the
     append and retry only the maintenance. Markers live under
-    ``<checkpoint>/pq_ingest_markers/`` (surviving index rebuilds, scoped
-    to this query) when a checkpoint is given, else inside the layout's
-    ``_pq_index/ingest/``. The crash window between append and marker
-    write can still duplicate — exactly-once needs a transactional sink.
+    ``<checkpoint>/pq_ingest_markers/`` — scoped to the query (a fresh
+    checkpoint restarts batch ids at 0, so layout-scoped markers would
+    wrongly suppress a NEW run's appends) and surviving index rebuilds
+    (a marker inside the layout would vanish with the retired directory).
+    They are pruned as the stream advances (only the in-flight batch can
+    ever replay), so the set stays a handful of files. Without a
+    checkpoint there is nothing durable for Spark to replay FROM, so no
+    markers are kept and the run is plain at-least-once. The crash window
+    between append and marker write can still duplicate — exactly-once
+    needs a transactional sink.
 
     Caller picks the trigger/start, e.g.::
 
@@ -197,27 +204,70 @@ def streaming_index_ingest(
     if maintain_every <= 0:
         raise ValueError(f"maintain_every must be positive, got {maintain_every}")
     marker_base = (
-        f"{checkpoint.rstrip('/')}/pq_ingest_markers"
-        if checkpoint
-        else f"{indexed_path.rstrip('/')}/_pq_index/ingest"
+        f"{checkpoint.rstrip('/')}/pq_ingest_markers" if checkpoint else None
     )
 
-    def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        from pq_vector_spark.index.build import (
-            _hadoop_glob,
-            _hadoop_write_bytes,
-            _local_root,
-        )
+    def _marker_exists(spark, marker: str) -> bool:
+        from pq_vector_spark.index.build import _hadoop_glob, _local_root
 
-        spark = batch_df.sparkSession
-        marker = f"{marker_base}/batch-{int(batch_id)}"
         root = _local_root(marker)
         if root is not None:
-            import os as _os
+            return os.path.isfile(root)
+        return bool(_hadoop_glob(spark, marker))
 
-            replayed = _os.path.isfile(root)
+    def _write_marker(spark, marker: str, body: str) -> None:
+        from pq_vector_spark.index.build import _hadoop_write_bytes, _local_root
+
+        root = _local_root(marker)
+        if root is not None:
+            os.makedirs(os.path.dirname(root), exist_ok=True)
+            with open(root, "w") as f:
+                f.write(body)
         else:
-            replayed = bool(_hadoop_glob(spark, marker))
+            _hadoop_write_bytes(spark, marker, body.encode())
+
+    def _prune_markers(spark, batch_id: int) -> None:
+        """Markers for batches the checkpoint has committed past are dead
+        weight (only the in-flight batch can replay); keep the current and
+        previous batch, delete the rest — bounds both the file count and
+        the per-batch existence probe's directory size."""
+        from pq_vector_spark.index.build import _hadoop_glob, _local_root
+
+        def batch_of(name: str):
+            try:
+                return int(name.rsplit("batch-", 1)[1])
+            except (IndexError, ValueError):
+                return None
+
+        root = _local_root(marker_base)
+        if root is not None:
+            if not os.path.isdir(root):
+                return
+            for name in os.listdir(root):
+                b = batch_of(name)
+                if b is not None and b < batch_id - 1:
+                    try:
+                        os.remove(os.path.join(root, name))
+                    except OSError:
+                        pass
+            return
+        try:
+            jvm = spark._jvm
+            conf = spark._jsc.hadoopConfiguration()
+            for p in _hadoop_glob(spark, f"{marker_base}/batch-*"):
+                b = batch_of(p)
+                if b is not None and b < batch_id - 1:
+                    jp = jvm.org.apache.hadoop.fs.Path(p)
+                    jp.getFileSystem(conf).delete(jp, False)
+        except Exception:
+            pass  # pruning is best-effort housekeeping
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        marker = (
+            f"{marker_base}/batch-{int(batch_id)}" if marker_base else None
+        )
+        replayed = bool(marker) and _marker_exists(spark, marker)
         due = (batch_id % maintain_every) == (maintain_every - 1)
         result = {"appended": 0, "codes_refreshed": False, "rebuilt": False}
         if replayed:
@@ -232,15 +282,12 @@ def streaming_index_ingest(
             # below raises, the replay must retry maintenance only, never
             # re-append
             result = append_index_batch(batch_df, indexed_path)
-            body = f'{{"appended": {result["appended"]}}}\n'
-            if root is not None:
-                import os as _os
-
-                _os.makedirs(_os.path.dirname(root), exist_ok=True)
-                with open(root, "w") as f:
-                    f.write(body)
-            else:
-                _hadoop_write_bytes(spark, marker, body.encode())
+            if marker:
+                _write_marker(
+                    spark, marker, f'{{"appended": {result["appended"]}}}\n'
+                )
+        if marker:
+            _prune_markers(spark, batch_id)
         if due and (maintain_index or maintain_codes):
             maint = append_index_batch(
                 batch_df.limit(0),

@@ -744,18 +744,21 @@ def test_select_token_budget_subnormal_spread_stays_exact(spark):
     refinement would select in key order over a score-ordered frontier."""
     from pq_vector_spark.operators.sampling import select_token_budget
 
-    base = 1.0
-    eps = 5e-324  # one ulp of the subnormal range — spread/buckets == 0.0
-    rows = [(1, base, 10), (2, base + eps, 10), (3, base, 10), (4, base + eps, 10)]
+    eps = 5e-324  # min subnormal: spread (eps-0) representable, /buckets -> 0.0
+    rows = [(1, 0.0, 10), (2, eps, 10), (3, 0.0, 10), (4, eps, 10)]
     df = spark.createDataFrame(rows, "id: bigint, score: double, tok: bigint")
-    # NOTE: spread here is representable but (hi-lo)/buckets underflows
+    stats: dict = {}
     got = sorted(
         r["id"]
         for r in select_token_budget(
-            df, "id", "score", "tok", 20, buckets=4, window_cap=1
+            df, "id", "score", "tok", 20, buckets=4, window_cap=1, _stats=stats
         ).collect()
     )
     assert got == _class_greedy(rows, 20)
+    assert got == [2, 4]  # the two eps-scored rows outrank the zeros
+    # the walk must have taken the force_exact path, NOT key refinement
+    # (key order would have kept [1, 2])
+    assert stats["mode"] == "score"
 
 
 def test_select_token_budget_grouped_accepts_float_budgets(spark):

@@ -935,3 +935,78 @@ def test_append_index_batch_skips_covering_codes(spark, tmp_path):
         assert res == {"appended": 0, "codes_refreshed": False, "rebuilt": False}
     finally:
         unregister_codes_sidecar(out, spark=spark)
+
+
+def test_streaming_index_ingest_prunes_markers_and_skips_without_checkpoint(
+    spark, tmp_path
+):
+    """Markers are pruned as the stream advances (only the in-flight batch
+    can replay) and are NOT kept at all without a checkpoint — a fresh
+    run's batch ids restart at 0, so layout-scoped markers would wrongly
+    suppress new appends."""
+    import os
+
+    import numpy as np
+
+    from pq_vector_spark.index.build import build_index, index_health
+    from pq_vector_spark.session import IndexBuildOptions
+    from pq_vector_spark.streaming.ingest import streaming_index_ingest
+
+    rng = np.random.default_rng(12)
+    src = str(tmp_path / "pm_src.parquet")
+    out = str(tmp_path / "pm_indexed")
+    in_dir = str(tmp_path / "pm_incoming")
+    chk = str(tmp_path / "pm_chk")
+
+    def rows(start, n):
+        return [
+            (int(start + i), [float(x) for x in rng.random(4, dtype=np.float32)])
+            for i in range(n)
+        ]
+
+    base = spark.createDataFrame(rows(0, 50), "vec_id: bigint, embedding: array<float>")
+    base.write.parquet(src)
+    build_index(
+        spark, src, out, column="embedding", options=IndexBuildOptions(n_clusters=2)
+    )
+    for b in range(4):
+        spark.createDataFrame(
+            rows(1000 + 10 * b, 10), "vec_id: bigint, embedding: array<float>"
+        ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        streaming_index_ingest(
+            stream, out, checkpoint=chk, maintain_index=False, maintain_codes=False
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert index_health(spark, out)["row_count"] == 90
+    kept = sorted(os.listdir(f"{chk}/pq_ingest_markers"))
+    assert kept == ["batch-2", "batch-3"]  # older markers pruned
+
+    # no checkpoint -> no markers anywhere (plain at-least-once), and the
+    # layout's _pq_index never grows an ingest/ directory
+    stream2 = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(in_dir)
+    )
+    q2 = (
+        streaming_index_ingest(
+            stream2, out, maintain_index=False, maintain_codes=False
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(300)
+    # fresh temp checkpoint reprocesses all 4 files: appends happen (no
+    # stale-marker suppression) and no marker dir appears in the layout
+    assert index_health(spark, out)["row_count"] == 130
+    assert not os.path.isdir(os.path.join(out, "_pq_index", "ingest"))
