@@ -909,9 +909,11 @@ def _dedup_scale_bench(spark) -> dict:
 
     grouped = scored.withColumn("_grp", (F.col("doc_id") % 7).cast("int"))
     gbudget = int(total_len) // 14  # each group keeps ~half its tokens
+    gstats: dict = {}
     t0 = time.time()
     n_grp = select_token_budget_grouped(
-        grouped, "_grp", "doc_id", "_score", "_len", gbudget, buckets=997
+        grouped, "_grp", "doc_id", "_score", "_len", gbudget, buckets=997,
+        _stats=gstats,
     ).count()
     grouped_sec = round(time.time() - t0, 3)
     wg = Window.partitionBy("_grp").orderBy(
@@ -942,6 +944,8 @@ def _dedup_scale_bench(spark) -> dict:
         "budget_grouped_naive_sec": grouped_naive_sec,
         "budget_grouped_results_match": bool(n_grp == n_grp_naive),
         "budget_grouped_docs_kept": int(n_grp),
+        "budget_grouped_max_window_rows": int(gstats.get("max_window_rows", -1)),
+        "budget_grouped_naive_window_rows_per_group": int(n_docs // 7),
         "gen_sec": gen_sec,
         "exact_sec": exact_sec,
         "exact_groups": int(n_exact_groups),

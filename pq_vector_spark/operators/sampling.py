@@ -590,6 +590,7 @@ def select_token_budget_grouped(
     buckets: int = 1024,
     default_budget=None,
     window_warn_rows: int = 4_000_000,
+    _stats: dict | None = None,
 ) -> DataFrame:
     """Per-group token-budget curation: within EVERY group (language,
     source, domain ...), keep rows in (score DESC, key ASC) order while
@@ -777,6 +778,20 @@ def select_token_budget_grouped(
                         window_warn_rows,
                     )
 
+        if _stats is not None:
+            # per-group exact-window input = that group's crossing-bucket
+            # count (already in the histogram — zero extra jobs)
+            _stats.update(
+                groups=len(all_groups),
+                crossing_groups=len(crossing),
+                max_window_rows=max(
+                    (
+                        hist.get(g, {}).get(c, (0, 0))[1]
+                        for g, (c, _r) in crossing.items()
+                    ),
+                    default=0,
+                ),
+            )
         # 3. boundary election: one window over ONLY the crossing buckets,
         # partitioned by group
         boundary: dict = {}  # g -> (bclass, s_star, k_star)

@@ -778,3 +778,20 @@ def test_select_token_budget_grouped_accepts_float_budgets(spark):
 
     with pytest.raises(ValueError, match="finite"):
         select_token_budget_grouped(df, "g", "id", "score", "tok", float("nan"))
+
+
+def test_select_token_budget_grouped_stats_bound(spark):
+    """_stats reports the max per-group exact-window input (the crossing
+    bucket's count) — the quantity the scale contract bounds."""
+    from pq_vector_spark.operators.sampling import select_token_budget_grouped
+
+    rows = [("g%d" % (i % 3), i, float(i), 1) for i in range(300)]
+    df = spark.createDataFrame(rows, "g: string, id: bigint, score: double, tok: bigint")
+    stats: dict = {}
+    select_token_budget_grouped(
+        df, "g", "id", "score", "tok", 40, buckets=10, _stats=stats
+    ).count()
+    assert stats["groups"] == 3
+    assert stats["crossing_groups"] == 3
+    # 100 rows per group / 10 buckets = ~10-row crossing buckets
+    assert 0 < stats["max_window_rows"] <= 20
