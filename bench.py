@@ -593,7 +593,9 @@ def _scale_bench(spark) -> dict:
         random_projection_matrix,
     )
 
-    proj_target = 256
+    # clamp to the (possibly PQ_BENCH_SCALE_DIM-downscaled) source dim —
+    # random_projection_matrix requires target <= source
+    proj_target = min(256, dim)
     proj_m = random_projection_matrix(dim, proj_target, seed=7)
 
     def _project_wide():

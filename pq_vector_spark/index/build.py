@@ -840,10 +840,13 @@ def auto_rebuild_if_stale(
 
     # resolve any codes-sidecar registration BEFORE the swap: the persisted
     # copy (_pq_index/codes.json) lives inside the OLD layout, which the
-    # swap deletes — a fresh session's rebuild must still find it
+    # swap deletes — a fresh session's rebuild must still find it.
+    # force_probe: a cached "no registration" miss (<TTL old) must not be
+    # trusted on this DESTRUCTIVE path — another process may have persisted
+    # a registration since, and swapping on the stale miss would delete it
     from pq_vector_spark.plans import intercept as _icpt
 
-    sidecar = _icpt._lookup_codes_sidecar(spark, indexed_path)
+    sidecar = _icpt._lookup_codes_sidecar(spark, indexed_path, force_probe=True)
 
     fresh = indexed_path.rstrip("/") + ".rebuild"
     _acquire_rebuild_sentinel(spark, indexed_path)

@@ -301,6 +301,26 @@ def _finite_scores(c: Column) -> Column:
     )
 
 
+def _key_le(key_expr: Column, k) -> Column:
+    """``key <= k`` under Spark's ASC NULLS FIRST key order — the order
+    every window/sort in this module uses. A NULL key sorts below every
+    value (so it satisfies <= anything); nothing non-NULL is <= a NULL
+    bound. A bare ``key <= lit(k)`` is NULL (dropped by filter) for NULL
+    keys, silently excluding a row whose tokens the planner already
+    charged against the budget."""
+    if k is None:
+        return key_expr.isNull()
+    return key_expr.isNull() | (key_expr <= F.lit(k))
+
+
+def _key_gt(key_expr: Column, k) -> Column:
+    """``key > k`` under the same NULLS-FIRST order (complement of
+    ``_key_le`` over the frontier)."""
+    if k is None:
+        return key_expr.isNotNull()
+    return key_expr.isNotNull() & (key_expr > F.lit(k))
+
+
 
 def select_token_budget(
     df: DataFrame,
@@ -360,7 +380,11 @@ def select_token_budget(
     boundaries are computed over finite scores only, so a single special
     value can never poison the histogram's min/max. ``key_col`` MUST
     uniquely identify rows — it is the greedy order's tie-breaker and the
-    boundary-row identity; duplicate keys make the prefix ill-defined.
+    boundary-row identity; duplicate keys make the prefix ill-defined. A
+    NULL key is legal and ordered the way Spark's ASC sorts it (NULLS
+    FIRST — before every non-NULL key); every boundary/interval predicate
+    is built null-safe so the row is kept or cut exactly where the naive
+    window would put it.
     """
     if budget < 0:
         raise ValueError(f"budget must be >= 0, got {budget}")
@@ -458,7 +482,7 @@ def select_token_budget(
                 )
                 if bd:
                     s_star, k_star = bd[0]["_sb_score"], bd[0]["_sb_key"]
-                    key_le = KEY <= F.lit(k_star)
+                    key_le = _key_le(KEY, k_star)
                     if s_star is None:
                         # NULL boundary = the very bottom of the class
                         # chain: everything scored is above it
@@ -562,9 +586,9 @@ def select_token_budget(
                 remaining -= cum
                 if cross_i > 0:
                     prev_mk = parts[cross_i - 1]["mk"]
-                    keep_terms.append(conj(anc + [KEY <= F.lit(prev_mk)]))
-                    anc.append(KEY > F.lit(prev_mk))
-                anc.append(KEY <= F.lit(parts[cross_i]["mk"]))
+                    keep_terms.append(conj(anc + [_key_le(KEY, prev_mk)]))
+                    anc.append(_key_gt(KEY, prev_mk))
+                anc.append(_key_le(KEY, parts[cross_i]["mk"]))
                 cnt = int(parts[cross_i]["c"])
         out = df.withColumn("_sb_score", score.cast("double")).withColumn(
             "_sb_key", keyc
@@ -626,7 +650,9 @@ def select_token_budget_grouped(
     matches it exactly (class chain NaN > +inf > finite > -inf > NULL,
     key ASC tie-break); token sums are exact bigint math, so the result
     is bit-equal to the per-group naive greedy prefix. ``key_col`` must
-    uniquely identify rows within its group.
+    uniquely identify rows within its group; a NULL key is legal and
+    ordered as Spark's ASC sorts it (NULLS FIRST), with the boundary
+    predicate built null-safe to match.
     """
     import math
 
@@ -861,12 +887,20 @@ def select_token_budget_grouped(
         out = out.join(
             F.broadcast(planf), F.col("_sb_grp").eqNullSafe(F.col("_p_grp")), "left"
         ).drop("_p_grp")
+        # null-safe "key <= boundary key" under ASC NULLS FIRST: a NULL key
+        # sorts before every value (kept whenever anything in the tie is),
+        # and a NULL boundary key admits only the NULL-key row — a bare
+        # `KEY <= _p_k` is NULL for either, silently cutting a row whose
+        # tokens the planner already charged against the group's budget
+        key_le_b = KEY.isNull() | (
+            F.col("_p_k").isNotNull() & (KEY <= F.col("_p_k"))
+        )
         in_cross_pred = (
             F.when(F.col("_p_bclass") == "none", F.lit(False))
-            .when(F.col("_p_bclass").isin("nan", "null"), KEY <= F.col("_p_k"))
+            .when(F.col("_p_bclass").isin("nan", "null"), key_le_b)
             .otherwise(
                 (SCORE > F.col("_p_s"))
-                | ((SCORE == F.col("_p_s")) & (KEY <= F.col("_p_k")))
+                | ((SCORE == F.col("_p_s")) & key_le_b)
             )
         )
         keep = F.col("_p_whole") | (bucket > F.col("_p_cross")) | (

@@ -274,7 +274,7 @@ def _load_codes_registration(spark, indexed_path: str):
         return True, None
 
 
-def _lookup_codes_sidecar(spark, indexed_path: str):
+def _lookup_codes_sidecar(spark, indexed_path: str, *, force_probe: bool = False):
     """Session-cache lookup with disk fallback: the in-memory dict first,
     else the persisted ``_pq_index/codes.json``. BOTH outcomes are cached
     — a hit so the disk read happens once per layout per session, and a
@@ -283,13 +283,22 @@ def _lookup_codes_sidecar(spark, indexed_path: str):
     misses expire after ``_MISS_REPROBE_SEC`` so a registration persisted
     by another process is eventually discovered; an UNREADABLE
     registration is deliberately NOT miss-cached, so a repair by an
-    outside writer is picked up on the next query."""
+    outside writer is picked up on the next query.
+
+    ``force_probe=True`` bypasses the miss cache (never the hit cache) and
+    goes to disk: required by any DESTRUCTIVE consumer — the rebuild in
+    ``index/build.auto_rebuild_if_stale`` resolves the registration before
+    its directory swap deletes the old layout, and a <TTL-old cached miss
+    there would silently destroy a registration another process persisted
+    in the meantime. Query-path interception keeps the cached miss (losing
+    at most ``_MISS_REPROBE_SEC`` of a foreign registration's speedup,
+    never data)."""
     import time as _time
 
     key = _normalize_path(indexed_path)
     sidecar = _CODES_SIDECARS.get(key)
     if sidecar is None:
-        miss_at = _CODES_SIDECAR_MISSES.get(key)
+        miss_at = None if force_probe else _CODES_SIDECAR_MISSES.get(key)
         if miss_at is None or _time.monotonic() - miss_at >= _MISS_REPROBE_SEC:
             found, sidecar = _load_codes_registration(spark, indexed_path)
             if sidecar is not None:

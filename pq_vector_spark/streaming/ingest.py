@@ -134,6 +134,12 @@ def append_index_batch(
             options=rebuild_options,
         )
         result["rebuilt"] = bool(res["rebuilt"])
+        if live_rows is None and not res["rebuilt"]:
+            # the health probe already read the sidecar's row count —
+            # reuse it so the codes-staleness check below stays
+            # metadata-free (streaming calls this with an empty batch
+            # every maintain_every batches)
+            live_rows = int(res["health"]["row_count"])
     if maintain_codes and not result["rebuilt"]:
         sidecar = _lookup_codes_sidecar(spark, indexed_path)
         if sidecar is not None:

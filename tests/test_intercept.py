@@ -900,3 +900,43 @@ def test_negative_codes_miss_expires_for_outside_writers(spark, icpt_table, monk
         I._CODES_SIDECAR_MISSES.pop(key, None)
         if saved_hit is not None:
             I._CODES_SIDECARS[key] = saved_hit
+
+
+def test_force_probe_bypasses_cached_miss(spark, icpt_table, monkeypatch):
+    """DESTRUCTIVE consumers (auto_rebuild_if_stale resolves the persisted
+    registration BEFORE its swap deletes the old layout) must not trust a
+    cached miss: a <TTL-old miss + a registration persisted by another
+    process in the meantime would otherwise be silently destroyed with
+    the retired directory (r10 review finding). force_probe=True goes to
+    disk; the query path (default) keeps the cached miss."""
+    import time as _time
+
+    import pq_vector_spark.plans.intercept as I
+
+    key = I._normalize_path(icpt_table["out"])
+    saved_hit = I._CODES_SIDECARS.pop(key, None)
+    calls = []
+    sentinel = ("codes", None, "id", 7)
+
+    def fake_load(spark_, path):
+        calls.append(path)
+        return True, sentinel
+
+    monkeypatch.setattr(I, "_load_codes_registration", fake_load)
+    try:
+        # fresh cached miss (as if probed moments ago, before an outside
+        # writer persisted the registration fake_load now reports)
+        I._CODES_SIDECAR_MISSES[key] = _time.monotonic()
+        assert I._lookup_codes_sidecar(spark, icpt_table["out"]) is None
+        assert calls == []  # default path trusts the miss
+        got = I._lookup_codes_sidecar(
+            spark, icpt_table["out"], force_probe=True
+        )
+        assert got == sentinel  # destructive path went to disk
+        assert len(calls) == 1
+        assert key not in I._CODES_SIDECAR_MISSES  # hit replaced the miss
+    finally:
+        I._CODES_SIDECARS.pop(key, None)
+        I._CODES_SIDECAR_MISSES.pop(key, None)
+        if saved_hit is not None:
+            I._CODES_SIDECARS[key] = saved_hit

@@ -795,3 +795,80 @@ def test_select_token_budget_grouped_stats_bound(spark):
     assert stats["crossing_groups"] == 3
     # 100 rows per group / 10 buckets = ~10-row crossing buckets
     assert 0 < stats["max_window_rows"] <= 20
+
+
+def test_select_token_budget_null_key_kept(spark):
+    """A NULL key sorts FIRST in the greedy tie-break (Spark ASC = NULLS
+    FIRST), and the boundary predicate is null-safe — the row must be
+    KEPT when its tokens fit, not silently dropped after the planner
+    already charged them against the budget (r10 review finding)."""
+    from pq_vector_spark.operators.sampling import select_token_budget
+
+    rows = [("a", 5.0, 10), (None, 5.0, 10), ("b", 5.0, 10), ("c", 1.0, 10)]
+    df = spark.createDataFrame(rows, "id: string, score: double, tok: bigint")
+    got = {
+        r["id"]
+        for r in select_token_budget(df, "id", "score", "tok", 20).collect()
+    }
+    # greedy order: (NULL, 5.0), ("a", 5.0), ("b", 5.0), ("c", 1.0)
+    assert got == {None, "a"}
+    # boundary row IS the NULL-key row: only it fits
+    got1 = {
+        r["id"]
+        for r in select_token_budget(df, "id", "score", "tok", 10).collect()
+    }
+    assert got1 == {None}
+
+
+def test_select_token_budget_null_key_key_refinement(spark):
+    """The null-safe interval predicates hold through KEY-RANGE refinement
+    too: an all-ties corpus with a NULL-key row must keep it in the range
+    that covers the front of the key order."""
+    from pq_vector_spark.operators.sampling import select_token_budget
+
+    rows = [(None, 1.0, 7)] + [(f"k{i:04d}", 1.0, 7) for i in range(200)]
+    df = spark.createDataFrame(rows, "id: string, score: double, tok: bigint")
+    stats: dict = {}
+    got = {
+        r["id"]
+        for r in select_token_budget(
+            df, "id", "score", "tok", 7 * 100,
+            buckets=4, window_cap=16, _stats=stats,
+        ).collect()
+    }
+    # first 100 rows of the key order: NULL, k0000..k0098
+    assert got == {None} | {f"k{i:04d}" for i in range(99)}
+    assert stats["mode"] == "key"  # refinement actually engaged
+    assert stats["window_rows"] <= 16
+
+
+def test_select_token_budget_grouped_null_key_kept(spark):
+    """Grouped variant of the null-safe boundary: a NULL-key row inside
+    the crossing bucket is kept exactly where the per-group window puts
+    it (first among its score ties)."""
+    from pq_vector_spark.operators.sampling import select_token_budget_grouped
+
+    rows = [
+        ("g", "a", 5.0, 10),
+        ("g", None, 5.0, 10),
+        ("g", "b", 5.0, 10),
+        ("h", "x", 9.0, 10),
+    ]
+    df = spark.createDataFrame(
+        rows, "grp: string, id: string, score: double, tok: bigint"
+    )
+    got = {
+        r["id"]
+        for r in select_token_budget_grouped(
+            df, "grp", "id", "score", "tok", {"g": 20, "h": 10}
+        ).collect()
+    }
+    assert got == {None, "a", "x"}
+    # NULL boundary key: only the NULL-key row fits g's budget
+    got1 = {
+        r["id"]
+        for r in select_token_budget_grouped(
+            df, "grp", "id", "score", "tok", {"g": 10, "h": 0}
+        ).collect()
+    }
+    assert got1 == {None}
