@@ -929,6 +929,21 @@ def _dedup_scale_bench(spark) -> dict:
     )
     grouped_naive_sec = round(time.time() - t0, 3)
 
+    # Heavy-group auto-refinement (r10): ONE dominant all-ties group —
+    # score bucketing cannot split it, so without refinement its crossing
+    # bucket IS the whole group and the grouped window runs as one
+    # n_docs-row task. window_cap hands such groups to the recursive walk
+    # (key-range splitting); its greedy prefix equals the single-budget
+    # all-ties case above, so n_tied_naive is the oracle.
+    gtied = scored.withColumn("_score", F.lit(1.0)).withColumn("_grp", F.lit(0))
+    rstats: dict = {}
+    t0 = time.time()
+    n_ref = select_token_budget_grouped(
+        gtied, "_grp", "doc_id", "_score", "_len", budget, buckets=997,
+        window_cap=65536, _stats=rstats,
+    ).count()
+    grouped_refined_sec = round(time.time() - t0, 3)
+
     return {
         "n_docs": n_docs,
         "budget_select_sec": budget_sec,
@@ -948,6 +963,12 @@ def _dedup_scale_bench(spark) -> dict:
         "budget_grouped_docs_kept": int(n_grp),
         "budget_grouped_max_window_rows": int(gstats.get("max_window_rows", -1)),
         "budget_grouped_naive_window_rows_per_group": int(n_docs // 7),
+        "budget_grouped_refined_sec": grouped_refined_sec,
+        "budget_grouped_refined_match": bool(n_ref == n_tied_naive),
+        "budget_grouped_refined_groups": int(rstats.get("refined_groups", -1)),
+        "budget_grouped_refined_window_rows": int(
+            rstats.get("max_window_rows", -1)
+        ),
         "gen_sec": gen_sec,
         "exact_sec": exact_sec,
         "exact_groups": int(n_exact_groups),

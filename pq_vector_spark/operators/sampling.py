@@ -321,6 +321,219 @@ def _key_gt(key_expr: Column, k) -> Column:
     return key_expr.isNotNull() & (key_expr > F.lit(k))
 
 
+def _budget_walk(
+    slim: DataFrame,
+    budget: int,
+    buckets: int,
+    window_cap: int,
+    max_depth: int,
+    _stats: dict | None = None,
+):
+    """Recursive two-phase greedy-prefix planner over a (cached) slim
+    projection carrying ``_sb_key`` / ``_sb_score`` / ``_sb_tok`` columns
+    (extra columns are ignored). Every job it runs is bounded — per-level
+    histograms / range summaries of ≤ max(buckets, ranges) rows back to
+    the driver, one exact ordered window over ≤ ``window_cap`` rows — and
+    the kept set comes back as a pure map-side predicate over
+    (_sb_score, _sb_key), or None when nothing is kept. Shared by
+    ``select_token_budget`` (whole corpus) and
+    ``select_token_budget_grouped`` (auto-refined heavy groups); the walk
+    semantics are documented on the former."""
+    import math
+
+    from pyspark.sql import Window
+
+    SCORE, KEY, TOK = F.col("_sb_score"), F.col("_sb_key"), F.col("_sb_tok")
+    INF = float("inf")
+
+    def bucketer(lo, hi, n_b):
+        """Closure mapping a score expression to an ordered integer class:
+        NULL=-2 < -inf=-1 < finite 0..n_b-1 < +inf=n_b < NaN=n_b+1 —
+        integer comparisons on the class reproduce Spark/DuckDB DESC
+        ordering bit-for-bit, so "bucket > crossing" IS the greedy order."""
+        width = (hi - lo) / n_b if (lo is not None and hi > lo) else 0.0
+
+        def bucket_of(e):
+            if width > 0.0:
+                fin = F.least(
+                    F.floor((e - F.lit(lo)) / F.lit(width)), F.lit(n_b - 1)
+                ).cast("int")
+            else:
+                fin = F.lit(0)
+            return (
+                F.when(F.isnan(e), F.lit(n_b + 1))
+                .when(e == F.lit(INF), F.lit(n_b))
+                .when(e == F.lit(-INF), F.lit(-1))
+                .when(e.isNull(), F.lit(-2))
+                .otherwise(fin)
+                .cast("int")
+            )
+
+        return bucket_of, width
+
+    def conj(preds):
+        out = None
+        for p in preds:
+            out = p if out is None else (out & p)
+        return F.lit(True) if out is None else out
+
+    anc: list = []  # in-crossing-bucket predicates, one per level
+    keep_terms: list = []  # disjuncts of the final map-side keep filter
+    remaining = budget
+    # frontier state: (mode, lo, hi, count) — count None means unknown
+    mode, lo, hi, cnt = "score", None, None, None
+    first = True
+    force_exact = False
+    for depth in range(max_depth + 1):
+        sub = slim.filter(conj(anc)) if anc else slim
+        at_cap = (
+            depth >= max_depth
+            or force_exact
+            or (cnt is not None and cnt <= window_cap)
+        )
+        if at_cap:
+            if _stats is not None:
+                # diagnostics for tests/bench: how deep the walk went
+                # and how many rows the exact window actually held
+                # (cnt is already exact when a refinement level set it)
+                _stats.update(
+                    levels=depth,
+                    mode=mode,
+                    window_rows=int(cnt) if cnt is not None else sub.count(),
+                )
+            # exact ordered window over the bounded frontier: find the
+            # greedy BOUNDARY row (last row whose running total fits)
+            w = Window.orderBy(
+                SCORE.desc_nulls_last(), KEY.asc()
+            ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            bd = (
+                sub.withColumn("_sb_cum", F.sum(TOK).over(w))
+                .filter(F.col("_sb_cum") <= F.lit(remaining))
+                # last kept row in (score DESC, key ASC) = first in the
+                # reversed order; Spark ASC places NaN above +inf, so
+                # asc_nulls_first reverses the class chain exactly
+                .orderBy(SCORE.asc_nulls_first(), KEY.desc())
+                .limit(1)
+                .collect()
+            )
+            if bd:
+                s_star, k_star = bd[0]["_sb_score"], bd[0]["_sb_key"]
+                key_le = _key_le(KEY, k_star)
+                if s_star is None:
+                    # NULL boundary = the very bottom of the class
+                    # chain: everything scored is above it
+                    pred = SCORE.isNotNull() | key_le
+                elif math.isnan(s_star):
+                    # NaN boundary = the very top: nothing is above it
+                    pred = F.isnan(SCORE) & key_le
+                else:
+                    # Spark comparisons use the same total order as its
+                    # sorts (NaN > +inf > finite), so `> s_lit` keeps
+                    # every higher class too — valid even when the
+                    # frontier is the whole mixed-class corpus
+                    s_lit = F.lit(s_star)
+                    pred = (SCORE > s_lit) | ((SCORE == s_lit) & key_le)
+                keep_terms.append(conj(anc + [pred]))
+            break
+        if mode == "score":
+            if first:
+                lo, hi = (
+                    sub.filter(_finite_scores(SCORE))
+                    .agg(F.min(SCORE), F.max(SCORE))
+                    .collect()[0]
+                )
+                first = False
+            n_b = buckets if (lo is not None and hi > lo) else 1
+            bucket_of, width = bucketer(lo, hi, n_b)
+            hist = {
+                int(r["b"]): (
+                    int(r["t"] or 0),
+                    int(r["c"]),
+                    r["mn"],
+                    r["mx"],
+                )
+                for r in sub.groupBy(bucket_of(SCORE).alias("b"))
+                .agg(
+                    F.sum(TOK).alias("t"),
+                    F.count("*").alias("c"),
+                    F.min(SCORE).alias("mn"),
+                    F.max(SCORE).alias("mx"),
+                )
+                .collect()
+            }
+            cum, crossing = 0, None
+            for i in _class_walk(n_b):
+                t = hist.get(i, (0, 0, None, None))[0]
+                if cum + t <= remaining:
+                    cum += t
+                else:
+                    crossing = i
+                    break
+            if crossing is None:
+                if _stats is not None:
+                    _stats.update(levels=depth, mode=mode, window_rows=0)
+                keep_terms.append(conj(anc))  # whole frontier fits
+                break
+            remaining -= cum
+            _, c_cnt, c_mn, c_mx = hist[crossing]
+            keep_terms.append(conj(anc + [bucket_of(SCORE) > F.lit(crossing)]))
+            anc.append(bucket_of(SCORE) == F.lit(crossing))
+            cnt = c_cnt
+            if 0 <= crossing < n_b and c_mn is not None and c_mx > c_mn:
+                lo, hi = c_mn, c_mx  # refinable finite bucket
+                if (hi - lo) / buckets <= 0.0:
+                    # width underflow with scores NOT all equal
+                    # (subnormal spread): key-range refinement would
+                    # select in KEY order over a frontier whose true
+                    # greedy order is (score DESC, key) — fall back to
+                    # the exact window instead; exactness beats the
+                    # bound in this pathological corner
+                    force_exact = True
+            else:
+                mode = "key"  # special class or exact tie: key refine
+        else:  # mode == "key": frontier is score-tied, order = KEY ASC
+            n_p = max(2, min(4096, -(-int(cnt) // window_cap)))
+            parts = sorted(
+                (
+                    sub.repartitionByRange(n_p, KEY.asc())
+                    .groupBy(F.spark_partition_id().alias("p"))
+                    .agg(
+                        F.sum(TOK).alias("t"),
+                        F.count("*").alias("c"),
+                        F.max(KEY).alias("mk"),
+                    )
+                    .collect()
+                ),
+                key=lambda r: r["p"],
+            )
+            cum, cross_i = 0, None
+            for i, r in enumerate(parts):
+                t = int(r["t"] or 0)
+                if cum + t <= remaining:
+                    cum += t
+                else:
+                    cross_i = i
+                    break
+            if cross_i is None:
+                if _stats is not None:
+                    _stats.update(levels=depth, mode=mode, window_rows=0)
+                keep_terms.append(conj(anc))  # whole frontier fits
+                break
+            remaining -= cum
+            if cross_i > 0:
+                prev_mk = parts[cross_i - 1]["mk"]
+                keep_terms.append(conj(anc + [_key_le(KEY, prev_mk)]))
+                anc.append(_key_gt(KEY, prev_mk))
+            anc.append(_key_le(KEY, parts[cross_i]["mk"]))
+            cnt = int(parts[cross_i]["c"])
+    if not keep_terms:
+        return None
+    keep = None
+    for term in keep_terms:
+        keep = term if keep is None else (keep | term)
+    return keep
+
+
 
 def select_token_budget(
     df: DataFrame,
@@ -392,9 +605,6 @@ def select_token_budget(
         raise ValueError(f"buckets must be positive, got {buckets}")
     if window_cap <= 0:
         raise ValueError(f"window_cap must be positive, got {window_cap}")
-    import math
-
-    from pyspark.sql import Window
 
     score = F.col(score_col) if isinstance(score_col, str) else score_col
     toks = (F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col).cast(
@@ -406,198 +616,13 @@ def select_token_budget(
         score.cast("double").alias("_sb_score"),
         toks.alias("_sb_tok"),
     ).persist()
-    SCORE, KEY, TOK = F.col("_sb_score"), F.col("_sb_key"), F.col("_sb_tok")
-    INF = float("inf")
-
-    def bucketer(lo, hi, n_b):
-        """Closure mapping a score expression to an ordered integer class:
-        NULL=-2 < -inf=-1 < finite 0..n_b-1 < +inf=n_b < NaN=n_b+1 —
-        integer comparisons on the class reproduce Spark/DuckDB DESC
-        ordering bit-for-bit, so "bucket > crossing" IS the greedy order."""
-        width = (hi - lo) / n_b if (lo is not None and hi > lo) else 0.0
-
-        def bucket_of(e):
-            if width > 0.0:
-                fin = F.least(
-                    F.floor((e - F.lit(lo)) / F.lit(width)), F.lit(n_b - 1)
-                ).cast("int")
-            else:
-                fin = F.lit(0)
-            return (
-                F.when(F.isnan(e), F.lit(n_b + 1))
-                .when(e == F.lit(INF), F.lit(n_b))
-                .when(e == F.lit(-INF), F.lit(-1))
-                .when(e.isNull(), F.lit(-2))
-                .otherwise(fin)
-                .cast("int")
-            )
-
-        return bucket_of, width
-
-    def conj(preds):
-        out = None
-        for p in preds:
-            out = p if out is None else (out & p)
-        return F.lit(True) if out is None else out
-
     try:
-        anc: list = []  # in-crossing-bucket predicates, one per level
-        keep_terms: list = []  # disjuncts of the final map-side keep filter
-        remaining = budget
-        # frontier state: (mode, lo, hi, count) — count None means unknown
-        mode, lo, hi, cnt = "score", None, None, None
-        first = True
-        force_exact = False
-        for depth in range(max_depth + 1):
-            sub = slim.filter(conj(anc)) if anc else slim
-            at_cap = (
-                depth >= max_depth
-                or force_exact
-                or (cnt is not None and cnt <= window_cap)
-            )
-            if at_cap:
-                if _stats is not None:
-                    # diagnostics for tests/bench: how deep the walk went
-                    # and how many rows the exact window actually held
-                    # (cnt is already exact when a refinement level set it)
-                    _stats.update(
-                        levels=depth,
-                        mode=mode,
-                        window_rows=int(cnt) if cnt is not None else sub.count(),
-                    )
-                # exact ordered window over the bounded frontier: find the
-                # greedy BOUNDARY row (last row whose running total fits)
-                w = Window.orderBy(
-                    SCORE.desc_nulls_last(), KEY.asc()
-                ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-                bd = (
-                    sub.withColumn("_sb_cum", F.sum(TOK).over(w))
-                    .filter(F.col("_sb_cum") <= F.lit(remaining))
-                    # last kept row in (score DESC, key ASC) = first in the
-                    # reversed order; Spark ASC places NaN above +inf, so
-                    # asc_nulls_first reverses the class chain exactly
-                    .orderBy(SCORE.asc_nulls_first(), KEY.desc())
-                    .limit(1)
-                    .collect()
-                )
-                if bd:
-                    s_star, k_star = bd[0]["_sb_score"], bd[0]["_sb_key"]
-                    key_le = _key_le(KEY, k_star)
-                    if s_star is None:
-                        # NULL boundary = the very bottom of the class
-                        # chain: everything scored is above it
-                        pred = SCORE.isNotNull() | key_le
-                    elif math.isnan(s_star):
-                        # NaN boundary = the very top: nothing is above it
-                        pred = F.isnan(SCORE) & key_le
-                    else:
-                        # Spark comparisons use the same total order as its
-                        # sorts (NaN > +inf > finite), so `> s_lit` keeps
-                        # every higher class too — valid even when the
-                        # frontier is the whole mixed-class corpus
-                        s_lit = F.lit(s_star)
-                        pred = (SCORE > s_lit) | ((SCORE == s_lit) & key_le)
-                    keep_terms.append(conj(anc + [pred]))
-                break
-            if mode == "score":
-                if first:
-                    lo, hi = (
-                        sub.filter(_finite_scores(SCORE))
-                        .agg(F.min(SCORE), F.max(SCORE))
-                        .collect()[0]
-                    )
-                    first = False
-                n_b = buckets if (lo is not None and hi > lo) else 1
-                bucket_of, width = bucketer(lo, hi, n_b)
-                hist = {
-                    int(r["b"]): (
-                        int(r["t"] or 0),
-                        int(r["c"]),
-                        r["mn"],
-                        r["mx"],
-                    )
-                    for r in sub.groupBy(bucket_of(SCORE).alias("b"))
-                    .agg(
-                        F.sum(TOK).alias("t"),
-                        F.count("*").alias("c"),
-                        F.min(SCORE).alias("mn"),
-                        F.max(SCORE).alias("mx"),
-                    )
-                    .collect()
-                }
-                cum, crossing = 0, None
-                for i in _class_walk(n_b):
-                    t = hist.get(i, (0, 0, None, None))[0]
-                    if cum + t <= remaining:
-                        cum += t
-                    else:
-                        crossing = i
-                        break
-                if crossing is None:
-                    if _stats is not None:
-                        _stats.update(levels=depth, mode=mode, window_rows=0)
-                    keep_terms.append(conj(anc))  # whole frontier fits
-                    break
-                remaining -= cum
-                _, c_cnt, c_mn, c_mx = hist[crossing]
-                keep_terms.append(conj(anc + [bucket_of(SCORE) > F.lit(crossing)]))
-                anc.append(bucket_of(SCORE) == F.lit(crossing))
-                cnt = c_cnt
-                if 0 <= crossing < n_b and c_mn is not None and c_mx > c_mn:
-                    lo, hi = c_mn, c_mx  # refinable finite bucket
-                    if (hi - lo) / buckets <= 0.0:
-                        # width underflow with scores NOT all equal
-                        # (subnormal spread): key-range refinement would
-                        # select in KEY order over a frontier whose true
-                        # greedy order is (score DESC, key) — fall back to
-                        # the exact window instead; exactness beats the
-                        # bound in this pathological corner
-                        force_exact = True
-                else:
-                    mode = "key"  # special class or exact tie: key refine
-            else:  # mode == "key": frontier is score-tied, order = KEY ASC
-                n_p = max(2, min(4096, -(-int(cnt) // window_cap)))
-                parts = sorted(
-                    (
-                        sub.repartitionByRange(n_p, KEY.asc())
-                        .groupBy(F.spark_partition_id().alias("p"))
-                        .agg(
-                            F.sum(TOK).alias("t"),
-                            F.count("*").alias("c"),
-                            F.max(KEY).alias("mk"),
-                        )
-                        .collect()
-                    ),
-                    key=lambda r: r["p"],
-                )
-                cum, cross_i = 0, None
-                for i, r in enumerate(parts):
-                    t = int(r["t"] or 0)
-                    if cum + t <= remaining:
-                        cum += t
-                    else:
-                        cross_i = i
-                        break
-                if cross_i is None:
-                    if _stats is not None:
-                        _stats.update(levels=depth, mode=mode, window_rows=0)
-                    keep_terms.append(conj(anc))  # whole frontier fits
-                    break
-                remaining -= cum
-                if cross_i > 0:
-                    prev_mk = parts[cross_i - 1]["mk"]
-                    keep_terms.append(conj(anc + [_key_le(KEY, prev_mk)]))
-                    anc.append(_key_gt(KEY, prev_mk))
-                anc.append(_key_le(KEY, parts[cross_i]["mk"]))
-                cnt = int(parts[cross_i]["c"])
+        keep = _budget_walk(slim, budget, buckets, window_cap, max_depth, _stats)
         out = df.withColumn("_sb_score", score.cast("double")).withColumn(
             "_sb_key", keyc
         )
-        if not keep_terms:
+        if keep is None:
             return out.filter(F.lit(False)).drop("_sb_score", "_sb_key")
-        keep = None
-        for term in keep_terms:
-            keep = term if keep is None else (keep | term)
         return out.filter(keep).drop("_sb_score", "_sb_key")
     finally:
         slim.unpersist()
@@ -614,6 +639,8 @@ def select_token_budget_grouped(
     buckets: int = 1024,
     default_budget=None,
     window_warn_rows: int = 4_000_000,
+    window_cap: int | None = None,
+    max_depth: int = 8,
     _stats: dict | None = None,
 ) -> DataFrame:
     """Per-group token-budget curation: within EVERY group (language,
@@ -643,16 +670,23 @@ def select_token_budget_grouped(
 
     Degenerate guard: heavy score TIES within one group collapse its
     crossing bucket toward the whole group and that group's window task
-    widens accordingly — a crossing bucket above ``window_warn_rows`` logs
-    a WARNING naming the group; for a single dominant tied group, the
-    recursive single-group ``select_token_budget`` on that group's slice
-    is the right tool. Ordering
-    matches it exactly (class chain NaN > +inf > finite > -inf > NULL,
-    key ASC tie-break); token sums are exact bigint math, so the result
-    is bit-equal to the per-group naive greedy prefix. ``key_col`` must
-    uniquely identify rows within its group; a NULL key is legal and
-    ordered as Spark's ASC sorts it (NULLS FIRST), with the boundary
-    predicate built null-safe to match.
+    widens accordingly. With ``window_cap`` set, any group whose crossing
+    bucket exceeds it is AUTO-REFINED: the same recursive walk that bounds
+    ``select_token_budget`` (score re-bucketing, then key-range splitting
+    once tied) runs on that group's slice of the cached slim projection,
+    so even an all-ties dominant group pays only ≤ ``window_cap``-row
+    windows; the refined groups' keep predicates OR into the same single
+    output-pass filter. Refinement is planned per heavy group on the
+    driver (a few bounded jobs each) — the right shape for the handful of
+    groups a mixture spec names; with ``window_cap=None`` (default), a
+    crossing bucket above ``window_warn_rows`` instead logs a WARNING
+    naming the group. Ordering
+    matches ``select_token_budget`` exactly (class chain NaN > +inf >
+    finite > -inf > NULL, key ASC tie-break); token sums are exact bigint
+    math, so the result is bit-equal to the per-group naive greedy prefix.
+    ``key_col`` must uniquely identify rows within its group; a NULL key
+    is legal and ordered as Spark's ASC sorts it (NULLS FIRST), with the
+    boundary predicate built null-safe to match.
     """
     import math
 
@@ -661,6 +695,8 @@ def select_token_budget_grouped(
 
     if buckets <= 0:
         raise ValueError(f"buckets must be positive, got {buckets}")
+    if window_cap is not None and window_cap <= 0:
+        raise ValueError(f"window_cap must be positive, got {window_cap}")
 
     def _check(b, where):
         if b is None:
@@ -789,32 +825,64 @@ def select_token_budget_grouped(
             else:
                 crossing[g] = (cross, b - cum)
                 c_rows = hist.get(g, {}).get(cross, (0, 0))[1]
-                if c_rows > window_warn_rows:
+                if c_rows > window_warn_rows and window_cap is None:
                     # observability, not a behavior change: a heavily-tied
                     # group collapses its crossing bucket toward the whole
                     # group and that ONE window task pays for it
                     _LOG.warning(
                         "select_token_budget_grouped: group %r's crossing "
                         "bucket holds %d rows (> window_warn_rows=%d) — "
-                        "its exact window runs as one task; for a "
-                        "dominant tied group, run the recursive "
-                        "select_token_budget on that group's slice instead",
+                        "its exact window runs as one task; pass "
+                        "window_cap= to auto-refine heavy groups with the "
+                        "recursive walk",
                         g,
                         c_rows,
                         window_warn_rows,
                     )
 
+        # auto-refinement: groups whose crossing bucket would exceed
+        # window_cap leave the shared-window plan entirely — the recursive
+        # walk (score re-bucketing, key-range splitting once tied) plans
+        # them against their OWN slice of the cached slim projection, and
+        # their keep predicates OR into the same single output pass
+        heavy: dict = {}  # g -> walk diagnostics
+        heavy_terms: list = []
+        if window_cap is not None:
+            for g in list(crossing):
+                c, _rem = crossing[g]
+                if hist.get(g, {}).get(c, (0, 0))[1] <= window_cap:
+                    continue
+                del crossing[g]
+                grp_match = (
+                    GRP.isNull() if g is None else GRP == F.lit(g)
+                )
+                gs: dict = {}
+                gpred = _budget_walk(
+                    slim.filter(grp_match),
+                    budget_of(g),
+                    buckets,
+                    window_cap,
+                    max_depth,
+                    gs,
+                )
+                heavy[g] = gs
+                if gpred is not None:
+                    heavy_terms.append(grp_match & gpred)
+
         if _stats is not None:
             # per-group exact-window input = that group's crossing-bucket
-            # count (already in the histogram — zero extra jobs)
+            # count (already in the histogram — zero extra jobs); refined
+            # groups report their walk's actual window size instead
             _stats.update(
                 groups=len(all_groups),
                 crossing_groups=len(crossing),
+                refined_groups=len(heavy),
                 max_window_rows=max(
-                    (
+                    [
                         hist.get(g, {}).get(c, (0, 0))[1]
                         for g, (c, _r) in crossing.items()
-                    ),
+                    ]
+                    + [int(gs.get("window_rows", 0)) for gs in heavy.values()],
                     default=0,
                 ),
             )
@@ -872,6 +940,8 @@ def select_token_budget_grouped(
         ])
         rows = []
         for g in all_groups:
+            if g in heavy:
+                continue  # refined groups keep via their own walk predicate
             _, lo, w, n_b = plan1_row(g)
             if g in keep_whole:
                 rows.append((g, lo, w, n_b, True, None, None, None, None))
@@ -906,6 +976,11 @@ def select_token_budget_grouped(
         keep = F.col("_p_whole") | (bucket > F.col("_p_cross")) | (
             (bucket == F.col("_p_cross")) & in_cross_pred
         )
+        # refined heavy groups: their rows miss the broadcast plan (NULL
+        # plan columns make the bucket keep NULL → dropped), so their walk
+        # predicates OR in — still one map-side filter, no extra pass
+        for term in heavy_terms:
+            keep = keep | term
         return out.filter(keep).drop(
             "_sb_grp", "_sb_score", "_sb_key",
             "_p_lo", "_p_w", "_p_nb", "_p_whole", "_p_cross",

@@ -368,11 +368,16 @@ def test_select_token_budget_grouped_matches_greedy_property(spark, data):
 
     groups = ["a", "b", None]
     n = data.draw(st.integers(min_value=1, max_value=60))
+    # quantize scores to a few distinct values half the time so heavy TIES
+    # (the shape that forces key-range refinement) are actually drawn
+    quantize = data.draw(st.booleans())
     rows = [
         (
             groups[data.draw(st.integers(min_value=0, max_value=2))],
             i,
-            data.draw(
+            float(data.draw(st.integers(min_value=-2, max_value=2)))
+            if quantize
+            else data.draw(
                 st.floats(
                     min_value=-100, max_value=100, allow_nan=False, width=32
                 )
@@ -392,6 +397,11 @@ def test_select_token_budget_grouped_matches_greedy_property(spark, data):
         st.one_of(st.none(), st.integers(min_value=0, max_value=total + 5))
     )
     buckets = data.draw(st.integers(min_value=1, max_value=16))
+    # None = shared-window plan only; a tiny cap forces the recursive
+    # auto-refinement path on most crossing groups
+    window_cap = data.draw(
+        st.one_of(st.none(), st.integers(min_value=1, max_value=8))
+    )
     df = spark.createDataFrame(
         rows, "g: string, id: bigint, score: double, tok: bigint"
     )
@@ -399,7 +409,7 @@ def test_select_token_budget_grouped_matches_greedy_property(spark, data):
         r["id"]
         for r in select_token_budget_grouped(
             df, "g", "id", "score", "tok", budgets,
-            buckets=buckets, default_budget=default,
+            buckets=buckets, default_budget=default, window_cap=window_cap,
         ).collect()
     )
     kept = []

@@ -872,3 +872,35 @@ def test_select_token_budget_grouped_null_key_kept(spark):
         ).collect()
     }
     assert got1 == {None}
+
+
+def test_select_token_budget_grouped_auto_refines_heavy_groups(spark):
+    """window_cap: a group whose crossing bucket exceeds the cap (here an
+    all-ties dominant group — the shape the warning used to punt on) is
+    AUTO-REFINED by the recursive walk on its own slice; the result stays
+    bit-equal to the per-group greedy and the reported max window input is
+    bounded by the cap."""
+    from pq_vector_spark.operators.sampling import select_token_budget_grouped
+
+    rows = [("big", i, 1.0, 7) for i in range(2000)] + [
+        ("small", i, float(i), 5) for i in range(50)
+    ]
+    df = spark.createDataFrame(
+        rows, "g: string, id: bigint, score: double, tok: bigint"
+    )
+    budgets = {"big": 7 * 1000 + 3, "small": 5 * 10}
+    stats: dict = {}
+    got = sorted(
+        (r["g"], r["id"])
+        for r in select_token_budget_grouped(
+            df, "g", "id", "score", "tok", budgets,
+            buckets=8, window_cap=64, _stats=stats,
+        ).collect()
+    )
+    expect = sorted(
+        [("big", i) for i in range(1000)] + [("small", i) for i in range(40, 50)]
+    )
+    assert got == expect
+    assert stats["refined_groups"] == 1  # only the tied group left the plan
+    assert stats["crossing_groups"] == 1  # small stayed on the shared window
+    assert stats["max_window_rows"] <= 64
