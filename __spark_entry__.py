@@ -1471,9 +1471,16 @@ def _sample_budget_grouped(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     scored = docs.withColumn("quality", F.round(T.quality_score("text"), 4))
+    # window_cap=12 drives the heavy-group AUTO-REFINEMENT path (r10): at
+    # the driver's sf0.01 gate the largest crossing buckets hold ~15 rows,
+    # so this cap makes real groups leave the shared-window plan for the
+    # recursive walk — the oracle's per-group window proves the refined
+    # plan stays bit-equal to the naive greedy (at 100 TB the cap would be
+    # ~64k; it is a latency/plan-size knob, never a correctness one)
     out = select_token_budget_grouped(
         scored, "lang", "doc_id", "quality", "n_chars",
         GROUP_CHAR_BUDGETS, buckets=32, default_budget=GROUP_DEFAULT_BUDGET,
+        window_cap=12,
     )
     return out.select(
         "doc_id", "lang", "quality",
