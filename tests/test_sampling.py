@@ -904,3 +904,28 @@ def test_select_token_budget_grouped_auto_refines_heavy_groups(spark):
     assert stats["refined_groups"] == 1  # only the tied group left the plan
     assert stats["crossing_groups"] == 1  # small stayed on the shared window
     assert stats["max_window_rows"] <= 64
+
+
+def test_select_token_budget_grouped_refined_output_stays_map_side(spark):
+    """With window_cap forcing a group through auto-refinement, the
+    wide-corpus output pass must STILL be a broadcast plan join + filter —
+    the refined group's keep predicate is pure (score, key) map-side
+    logic, never another join or corpus shuffle."""
+    from pq_vector_spark.operators.sampling import select_token_budget_grouped
+
+    rows = [("big", i, 1.0, 7) for i in range(400)] + [
+        ("small", i, float(i), 5) for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows, "g: string, id: bigint, score: double, tok: bigint"
+    )
+    out = select_token_budget_grouped(
+        df, "g", "id", "score", "tok", 700, buckets=8, window_cap=32
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # exactly one join on the output path: the broadcast plan table
+    assert plan.count("Join") == plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin"
+    )
