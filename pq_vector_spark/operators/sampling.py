@@ -321,6 +321,20 @@ def _key_gt(key_expr: Column, k) -> Column:
     return key_expr.isNotNull() & (key_expr > F.lit(k))
 
 
+# canonical dict key for a NaN-valued GROUP: float('nan') != float('nan'),
+# so a NaN group collected in one Spark job would never match the same
+# group collected in another job (or a NaN key in the user's budgets dict).
+# Spark itself treats NaN groups as equal (groupBy/join/= semantics); only
+# the driver-side dicts need the normalization.
+_NAN_GROUP = object()
+
+
+def _gkey(g):
+    import math
+
+    return _NAN_GROUP if isinstance(g, float) and math.isnan(g) else g
+
+
 def _budget_walk(
     slim: DataFrame,
     budget: int,
@@ -328,6 +342,7 @@ def _budget_walk(
     window_cap: int,
     max_depth: int,
     _stats: dict | None = None,
+    bounds=None,
 ):
     """Recursive two-phase greedy-prefix planner over a (cached) slim
     projection carrying ``_sb_key`` / ``_sb_score`` / ``_sb_tok`` columns
@@ -338,7 +353,9 @@ def _budget_walk(
     (_sb_score, _sb_key), or None when nothing is kept. Shared by
     ``select_token_budget`` (whole corpus) and
     ``select_token_budget_grouped`` (auto-refined heavy groups); the walk
-    semantics are documented on the former."""
+    semantics are documented on the former. ``bounds=(lo, hi)`` — the
+    frontier's FINITE score min/max, when the caller already computed it —
+    skips the walk's own level-0 min/max job."""
     import math
 
     from pyspark.sql import Window
@@ -381,8 +398,9 @@ def _budget_walk(
     keep_terms: list = []  # disjuncts of the final map-side keep filter
     remaining = budget
     # frontier state: (mode, lo, hi, count) — count None means unknown
-    mode, lo, hi, cnt = "score", None, None, None
-    first = True
+    mode, cnt = "score", None
+    lo, hi = bounds if bounds is not None else (None, None)
+    first = bounds is None
     force_exact = False
     for depth in range(max_depth + 1):
         sub = slim.filter(conj(anc)) if anc else slim
@@ -605,6 +623,8 @@ def select_token_budget(
         raise ValueError(f"buckets must be positive, got {buckets}")
     if window_cap <= 0:
         raise ValueError(f"window_cap must be positive, got {window_cap}")
+    if max_depth < 0:
+        raise ValueError(f"max_depth must be >= 0, got {max_depth}")
 
     score = F.col(score_col) if isinstance(score_col, str) else score_col
     toks = (F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col).cast(
@@ -651,7 +671,10 @@ def select_token_budget_grouped(
     ``budgets`` is a dict {group_value: budget} (missing groups get
     ``default_budget``; a None budget keeps the whole group) or a single
     int applied to every group. NULL group values are a group like any
-    other (key the dict with None).
+    other (key the dict with None); so is a NaN group value in a float
+    group column — Spark's groupBy treats NaN as equal to NaN, and the
+    driver normalizes NaN dict keys so ``{float("nan"): b}`` matches it
+    (raw ``float("nan") != float("nan")`` would otherwise never hit).
 
     Scale shape (one-level grouped two-phase selection — all planning over
     a cached slim (group, key, score, tokens) projection):
@@ -697,6 +720,8 @@ def select_token_budget_grouped(
         raise ValueError(f"buckets must be positive, got {buckets}")
     if window_cap is not None and window_cap <= 0:
         raise ValueError(f"window_cap must be positive, got {window_cap}")
+    if max_depth < 0:
+        raise ValueError(f"max_depth must be >= 0, got {max_depth}")
 
     def _check(b, where):
         if b is None:
@@ -734,7 +759,17 @@ def select_token_budget_grouped(
     key_type = df.schema[key_col].dataType
 
     def budget_of(g):
-        b = budgets.get(g, default_budget) if isinstance(budgets, dict) else budgets
+        if isinstance(budgets, dict):
+            if _gkey(g) is _NAN_GROUP:
+                # a NaN dict key would never match the collected NaN group
+                b = next(
+                    (v for k, v in budgets.items() if _gkey(k) is _NAN_GROUP),
+                    default_budget,
+                )
+            else:
+                b = budgets.get(g, default_budget)
+        else:
+            b = budgets
         # floor float budgets: token cums are exact bigints, so
         # cum <= b  <=>  cum <= floor(b) — and plan2's remaining stays a
         # LongType the driver can hand to createDataFrame
@@ -755,11 +790,11 @@ def select_token_budget_grouped(
             .collect()
         ):
             all_groups.append(r["_sb_grp"])
-            mm[r["_sb_grp"]] = (r["mn"], r["mx"])
+            mm[_gkey(r["_sb_grp"])] = (r["mn"], r["mx"])
 
         # broadcast width plan: (group, lo, width, n_b)
         def plan1_row(g):
-            lo, hi = mm.get(g, (None, None))
+            lo, hi = mm.get(_gkey(g), (None, None))
             n_b = buckets if (lo is not None and hi > lo) else 1
             width = (hi - lo) / n_b if n_b > 1 else 0.0
             return (g, lo, width, n_b)
@@ -799,7 +834,7 @@ def select_token_budget_grouped(
             .agg(F.sum(TOK).alias("t"), F.count("*").alias("c"))
             .collect()
         ):
-            hist.setdefault(r["_sb_grp"], {})[int(r["_sb_b"])] = (
+            hist.setdefault(_gkey(r["_sb_grp"]), {})[int(r["_sb_b"])] = (
                 int(r["t"] or 0),
                 int(r["c"]),
             )
@@ -814,7 +849,7 @@ def select_token_budget_grouped(
             n_b = plan1_row(g)[3]
             cum, cross = 0, None
             for i in _class_walk(n_b):
-                t = hist.get(g, {}).get(i, (0, 0))[0]
+                t = hist.get(_gkey(g), {}).get(i, (0, 0))[0]
                 if cum + t <= b:
                     cum += t
                 else:
@@ -824,20 +859,26 @@ def select_token_budget_grouped(
                 keep_whole.add(g)
             else:
                 crossing[g] = (cross, b - cum)
-                c_rows = hist.get(g, {}).get(cross, (0, 0))[1]
-                if c_rows > window_warn_rows and window_cap is None:
+                c_rows = hist.get(_gkey(g), {}).get(cross, (0, 0))[1]
+                if c_rows > window_warn_rows and (
+                    window_cap is None or c_rows <= window_cap
+                ):
                     # observability, not a behavior change: a heavily-tied
                     # group collapses its crossing bucket toward the whole
-                    # group and that ONE window task pays for it
+                    # group and that ONE window task pays for it — warn
+                    # whenever refinement will NOT take it (no cap, or the
+                    # bucket sits between the warn line and the cap)
                     _LOG.warning(
                         "select_token_budget_grouped: group %r's crossing "
                         "bucket holds %d rows (> window_warn_rows=%d) — "
-                        "its exact window runs as one task; pass "
-                        "window_cap= to auto-refine heavy groups with the "
-                        "recursive walk",
+                        "its exact window runs as one task; %s to "
+                        "auto-refine it with the recursive walk",
                         g,
                         c_rows,
                         window_warn_rows,
+                        "pass window_cap="
+                        if window_cap is None
+                        else f"lower window_cap (currently {window_cap})",
                     )
 
         # auto-refinement: groups whose crossing bucket would exceed
@@ -845,17 +886,38 @@ def select_token_budget_grouped(
         # walk (score re-bucketing, key-range splitting once tied) plans
         # them against their OWN slice of the cached slim projection, and
         # their keep predicates OR into the same single output pass
-        heavy: dict = {}  # g -> walk diagnostics
+        heavy: dict = {}  # _gkey(g) -> walk diagnostics
         heavy_terms: list = []
         if window_cap is not None:
             for g in list(crossing):
                 c, _rem = crossing[g]
-                if hist.get(g, {}).get(c, (0, 0))[1] <= window_cap:
+                if hist.get(_gkey(g), {}).get(c, (0, 0))[1] <= window_cap:
+                    continue
+                try:
+                    if g is None:
+                        grp_match = GRP.isNull()
+                    elif isinstance(g, float) and math.isnan(g):
+                        # NOT `GRP == lit(NaN)`: Spark's = does treat NaN
+                        # as equal to NaN, but the cached slim's batch
+                        # min/max stats prune that comparison to ZERO
+                        # batches (NaN sorts above every max) — isnan is
+                        # the pruning-safe NaN-group predicate
+                        grp_match = F.isnan(GRP)
+                    else:
+                        grp_match = GRP == F.lit(g)
+                except Exception as e:
+                    # a group type F.lit can't express (e.g. struct) stays
+                    # on the shared-window plan — slower, never wrong
+                    _LOG.warning(
+                        "select_token_budget_grouped: cannot build a "
+                        "literal for heavy group %r (%s: %s) — leaving it "
+                        "on the shared-window plan",
+                        g,
+                        type(e).__name__,
+                        e,
+                    )
                     continue
                 del crossing[g]
-                grp_match = (
-                    GRP.isNull() if g is None else GRP == F.lit(g)
-                )
                 gs: dict = {}
                 gpred = _budget_walk(
                     slim.filter(grp_match),
@@ -864,8 +926,11 @@ def select_token_budget_grouped(
                     window_cap,
                     max_depth,
                     gs,
+                    # the walk's level-0 min/max is this group's finite
+                    # min/max, already aggregated in step 1 — skip the job
+                    bounds=mm.get(_gkey(g), (None, None)),
                 )
-                heavy[g] = gs
+                heavy[_gkey(g)] = gs
                 if gpred is not None:
                     heavy_terms.append(grp_match & gpred)
 
@@ -879,7 +944,7 @@ def select_token_budget_grouped(
                 refined_groups=len(heavy),
                 max_window_rows=max(
                     [
-                        hist.get(g, {}).get(c, (0, 0))[1]
+                        hist.get(_gkey(g), {}).get(c, (0, 0))[1]
                         for g, (c, _r) in crossing.items()
                     ]
                     + [int(gs.get("window_rows", 0)) for gs in heavy.values()],
@@ -919,11 +984,11 @@ def select_token_budget_grouped(
             for r in bd:
                 s = r["_sb_score"]
                 if s is None:
-                    boundary[r["_sb_grp"]] = ("null", None, r["_sb_key"])
+                    boundary[_gkey(r["_sb_grp"])] = ("null", None, r["_sb_key"])
                 elif math.isnan(s):
-                    boundary[r["_sb_grp"]] = ("nan", None, r["_sb_key"])
+                    boundary[_gkey(r["_sb_grp"])] = ("nan", None, r["_sb_key"])
                 else:
-                    boundary[r["_sb_grp"]] = ("val", float(s), r["_sb_key"])
+                    boundary[_gkey(r["_sb_grp"])] = ("val", float(s), r["_sb_key"])
 
         # 4. single output pass: broadcast the full per-group plan and
         # filter map-side
@@ -940,14 +1005,14 @@ def select_token_budget_grouped(
         ])
         rows = []
         for g in all_groups:
-            if g in heavy:
+            if _gkey(g) in heavy:
                 continue  # refined groups keep via their own walk predicate
             _, lo, w, n_b = plan1_row(g)
             if g in keep_whole:
                 rows.append((g, lo, w, n_b, True, None, None, None, None))
             else:
                 c, _rem = crossing[g]
-                bc, s_star, k_star = boundary.get(g, ("none", None, None))
+                bc, s_star, k_star = boundary.get(_gkey(g), ("none", None, None))
                 rows.append((g, lo, w, n_b, False, c, bc, s_star, k_star))
         planf = spark.createDataFrame(rows, pf_schema)
 

@@ -929,3 +929,63 @@ def test_select_token_budget_grouped_refined_output_stays_map_side(spark):
     assert plan.count("Join") == plan.count("BroadcastHashJoin") + plan.count(
         "BroadcastNestedLoopJoin"
     )
+
+
+def test_select_token_budget_grouped_nan_group_respects_budget(spark):
+    """A NaN-valued GROUP (float group column) must fill its budget like
+    any other group: Spark's groupBy treats NaN = NaN, but the driver
+    dicts are keyed by collected float('nan') objects that never compare
+    equal across jobs — without key normalization the NaN group silently
+    bypassed its budget entirely (r10 review finding)."""
+    import math
+
+    from pq_vector_spark.operators.sampling import select_token_budget_grouped
+
+    nan = float("nan")
+    rows = [(nan, i, 1.0, 2) for i in range(300)] + [
+        (1.0, i, float(i), 2) for i in range(300, 320)
+    ]
+    df = spark.createDataFrame(
+        rows, "g: double, id: bigint, score: double, tok: bigint"
+    )
+    for cap in (None, 16):  # shared-window plan AND the refined path
+        got = sorted(
+            r["id"]
+            for r in select_token_budget_grouped(
+                df, "g", "id", "score", "tok", 50,
+                buckets=8, window_cap=cap,
+            ).collect()
+        )
+        # NaN group: all-ties, key order -> ids 0..24 (25 rows * 2 = 50);
+        # group 1.0: 20 rows * 2 = 40 tokens <= 50 -> kept whole
+        assert got == list(range(25)) + list(range(300, 320)), f"cap={cap}"
+    # a NaN KEY in the budgets dict must reach the NaN group
+    got2 = sorted(
+        r["id"]
+        for r in select_token_budget_grouped(
+            df, "g", "id", "score", "tok", {nan: 10, 1.0: 4}, buckets=8
+        ).collect()
+    )
+    assert got2 == [0, 1, 2, 3, 4, 318, 319]
+
+
+def test_select_token_budget_grouped_validates_max_depth(spark):
+    """A negative max_depth must raise instead of silently emptying every
+    refined group (range(max_depth+1) would never iterate)."""
+    import pytest as _pytest
+
+    from pq_vector_spark.operators.sampling import (
+        select_token_budget,
+        select_token_budget_grouped,
+    )
+
+    rows = [("a", 1, 1.0, 1)]
+    df = spark.createDataFrame(
+        rows, "g: string, id: bigint, score: double, tok: bigint"
+    )
+    with _pytest.raises(ValueError, match="max_depth"):
+        select_token_budget_grouped(
+            df, "g", "id", "score", "tok", 1, window_cap=4, max_depth=-1
+        )
+    with _pytest.raises(ValueError, match="max_depth"):
+        select_token_budget(df, "id", "score", "tok", 1, max_depth=-1)
