@@ -1498,6 +1498,23 @@ def _sample_hash(spark, sf_dir):
     return hash_sample(docs, "doc_id", 0.1, salt="bench").select("doc_id", "lang")
 
 
+def _sample_weighted(spark, sf_dir):
+    """EXACT-k weighted sampling without replacement per language
+    (operators/sampling.py:priority_sample_k — Duffield/Lund/Thorup
+    priority sampling, top-k by weight/hash-uniform): "take exactly 10
+    docs per language, weighted by length". Every arithmetic step is an
+    IEEE correctly-rounded cast/divide, so the DuckDB oracle replays the
+    draw bit-for-bit; Spark plans the rank filter as WindowGroupLimit
+    (map-side per-partition top-k before the one shuffle)."""
+    from pq_vector_spark.operators.sampling import priority_sample_k
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = priority_sample_k(
+        docs, "doc_id", "n_chars", 10, group_col="lang", salt="ps"
+    )
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
 def _sample_mix(spark, sf_dir):
     """Weighted deterministic dataset mix (100% src0 + 50% src1 + 25% src2)
     — the training-mixture primitive (operators/sampling.py:weighted_mix);
@@ -2096,6 +2113,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r10 extension: per-group budgets — new code, so it spends a
         # budget row this round (events_abtest demoted)
         "sample_budget_grouped": _sample_budget_grouped,
+        # r10 extension: exact-k weighted sampling — new code, so it
+        # spends a budget row this round (events_retention demoted)
+        "sample_weighted": _sample_weighted,
         "text_pii": _text_pii,
         "text_decontaminate": _text_decontaminate,
         "pipeline_curate": _pipeline_curate,
@@ -2112,7 +2132,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_join": _events_range_join,
         "events_range_join_left": _events_range_join_left,
         "events_funnel": _events_funnel,
-        "events_retention": _events_retention,
         "events_scd_enriched": _events_scd_enriched,
         "events_stream_join": _events_stream_join,
         "events_stream_stats": _events_stream_stats,
@@ -2124,6 +2143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5 (CORRECTNESS_r05.json) and their code is unchanged; rotate any
         # of them back above this line whenever their implementation changes.
         "quality_profile": _quality_profile,  # demoted r10 (stable since r7)
+        "events_retention": _events_retention,  # demoted r10 (stable since r7)
         "events_abtest": _events_abtest,  # demoted r10 (stable since r7)
         "dedup_rates": _dedup_rates,  # demoted r10 (stable since r7)
         "events_transitions": _events_transitions,  # demoted r10 (stable since r7)
@@ -2999,6 +3019,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang FROM documents
             WHERE {_TOKHASH.format(s="concat('bench', CAST(doc_id AS VARCHAR))")}
                   % 1000000 < 100000""",
+        # priority sampling: pri = w / u with u = (hash+1)/2^60 — every
+        # step an IEEE correctly-rounded cast/divide, so the draw replays
+        # bit-for-bit (same CAST-then-divide order as the Spark side)
+        "sample_weighted": f"""
+            WITH pr AS (
+              SELECT doc_id, lang,
+                     CAST(n_chars AS DOUBLE) /
+                     (CAST({_TOKHASH.format(s="concat('ps', CAST(doc_id AS VARCHAR))")}
+                           + 1 AS DOUBLE) / 1152921504606846976.0) AS pri
+              FROM documents
+              WHERE n_chars IS NOT NULL AND CAST(n_chars AS DOUBLE) > 0),
+            r AS (SELECT doc_id, lang,
+                         row_number() OVER (PARTITION BY lang
+                             ORDER BY pri DESC, doc_id) AS rn
+                  FROM pr)
+            SELECT doc_id, lang FROM r WHERE rn <= 10 ORDER BY doc_id""",
         "sample_mix": f"""
             SELECT doc_id, 'src0' AS mix_source FROM documents
             WHERE source = 'src0'

@@ -94,6 +94,7 @@ from pq_vector_spark.streaming.ingest import (
 from pq_vector_spark.streaming.monitor import drift_metrics_batch, streaming_drift_monitor
 from pq_vector_spark.operators.sampling import (
     importance_sample,
+    priority_sample_k,
     select_token_budget,
     select_token_budget_grouped,
     stratified_sample,
@@ -198,6 +199,7 @@ __all__ = [
     "importance_sample",
     "temperature_mix",
     "temperature_rates",
+    "priority_sample_k",
     "select_token_budget",
     "select_token_budget_grouped",
     "embedding_outliers",

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import logging
 from functools import reduce
-from typing import Mapping, Tuple
+from typing import Mapping, Optional, Tuple
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -153,6 +153,74 @@ def importance_sample(
     # portability trade as SQ8's code rounding, functions/quantize.py)
     threshold = F.floor(clamped * F.lit(BUCKETS) + F.lit(0.5)).cast("bigint")
     return df.filter(hash_bucket(key_col, salt) < threshold)
+
+
+def priority_sample_k(
+    df: DataFrame,
+    key_col: str,
+    weight_col,
+    k: int,
+    *,
+    group_col: Optional[str] = None,
+    salt: str = "",
+) -> DataFrame:
+    """EXACT-k weighted sampling without replacement (per group, or
+    globally): keep the k rows with the highest PRIORITY w / u, where u is
+    a deterministic hash-uniform in (0, 1] derived from (key, salt) — the
+    priority-sampling scheme of Duffield, Lund & Thorup ("Priority
+    sampling for estimation of arbitrary subset sums", JACM 2007).
+    Complements ``importance_sample`` (Bernoulli: expected-rate, variable
+    count) with the fixed-count draw a "take exactly 10k docs per
+    language, weighted by quality" curation step needs.
+
+    Determinism/portability contract (same as ``hash_sample``): a row's
+    priority depends only on (key, salt, its own weight) — never on
+    partitioning, ordering, or corpus size — and every arithmetic step is
+    an IEEE correctly-rounded cast/divide, so DuckDB replays the draw
+    bit-for-bit. (Efraimidis–Spirakis u^(1/w) ranking would need pow/ln,
+    which drift by 1 ulp across engine math libraries and flip selections
+    at the k boundary; priority sampling gives the same
+    weighted-without-replacement semantics transcendental-free.)
+
+    Rows with NULL or non-positive weight are EXCLUDED (weight 0 = never
+    sampled; a NULL weight is unknowable, not infinite). Groups smaller
+    than k keep all their positive-weight rows. ``key_col`` must uniquely
+    identify rows (it seeds u and breaks priority ties).
+
+    Scale shape: grouped = one window whose rank filter Spark plans as
+    WindowGroupLimit, pre-pruning every input partition to its own top k
+    BEFORE the shuffle (per-group task sees ≤ partitions × k rows);
+    global = sort-limit, planned as TakeOrderedAndProject (a k-row heap
+    per partition + a k-row merge — a global row_number window would NOT
+    get the group-limit rewrite and would sort the corpus in one task).
+    """
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    from pyspark.sql import Window
+
+    keyc = F.col(key_col) if isinstance(key_col, str) else key_col
+    w = (F.col(weight_col) if isinstance(weight_col, str) else weight_col).cast(
+        "double"
+    )
+    if k == 0:
+        return df.filter(F.lit(False))
+    # u in (0, 1]: token_hash is uniform on [0, 2^60); +1 stays exact in
+    # int64; the int->double cast and the divide are correctly rounded in
+    # every IEEE engine, so u (hence w/u) is bit-identical cross-engine
+    h = token_hash(F.concat(F.lit(salt), keyc.cast("string")))
+    u = (h + F.lit(1)).cast("double") / F.lit(float(2**60))
+    pri = w / u
+    pos = df.filter(w.isNotNull() & (w > 0.0)).withColumn("_ps_pri", pri)
+    if group_col is None:
+        return (
+            pos.orderBy(F.desc("_ps_pri"), keyc.asc()).limit(k).drop("_ps_pri")
+        )
+    win = Window.partitionBy(group_col).orderBy(F.desc("_ps_pri"), keyc.asc())
+    return (
+        pos.withColumn("_ps_rn", F.row_number().over(win))
+        .filter(F.col("_ps_rn") <= F.lit(k))
+        .drop("_ps_pri", "_ps_rn")
+    )
 
 
 def temperature_rates(

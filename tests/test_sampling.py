@@ -989,3 +989,76 @@ def test_select_token_budget_grouped_validates_max_depth(spark):
         )
     with _pytest.raises(ValueError, match="max_depth"):
         select_token_budget(df, "id", "score", "tok", 1, max_depth=-1)
+
+
+# ------------------------------- priority (exact-k weighted) sampling ----
+
+
+def test_priority_sample_k_exact_count_and_exclusions(spark):
+    """Exactly k rows per group; NULL/zero/negative weights are never
+    sampled; a group smaller than k keeps all its positive-weight rows;
+    k=0 is empty; k<0 raises."""
+    import pytest as _pytest
+
+    from pq_vector_spark.operators.sampling import priority_sample_k
+
+    rows = [("g%d" % (i % 2), i, float((i % 5) + 1)) for i in range(100)] + [
+        ("g0", 900, 0.0),
+        ("g0", 901, None),
+        ("g1", 902, -1.0),
+        ("tiny", 903, 3.0),
+    ]
+    df = spark.createDataFrame(rows, "g: string, id: bigint, w: double")
+    out = priority_sample_k(df, "id", "w", 7, group_col="g", salt="t")
+    counts = {r["g"]: r["n"] for r in out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"g0": 7, "g1": 7, "tiny": 1}
+    ids = {r["id"] for r in out.collect()}
+    assert not ({900, 901, 902} & ids)
+    assert priority_sample_k(df, "id", "w", 0, group_col="g").count() == 0
+    with _pytest.raises(ValueError, match="k must be"):
+        priority_sample_k(df, "id", "w", -1)
+
+
+def test_priority_sample_k_deterministic_and_weight_sensitive(spark):
+    """The draw depends only on (key, salt, weight): repartitioning never
+    changes it, a different salt does, and a 1000x-heavier row wins the
+    k=1 draw for most salts (weighted semantics, not uniform)."""
+    from pq_vector_spark.operators.sampling import priority_sample_k
+
+    rows = [("a", i, float((i * 13) % 11 + 1)) for i in range(60)]
+    df = spark.createDataFrame(rows, "g: string, id: bigint, w: double")
+    a = {r["id"] for r in priority_sample_k(df, "id", "w", 9, salt="x").collect()}
+    b = {
+        r["id"]
+        for r in priority_sample_k(df.repartition(7), "id", "w", 9, salt="x").collect()
+    }
+    assert a == b
+    c = {r["id"] for r in priority_sample_k(df, "id", "w", 9, salt="y").collect()}
+    assert a != c  # overwhelmingly likely; salt changes the draw
+
+    two = spark.createDataFrame(
+        [("a", 1, 1000.0), ("a", 2, 1.0)], "g: string, id: bigint, w: double"
+    )
+    wins = sum(
+        priority_sample_k(two, "id", "w", 1, salt=f"s{i}").collect()[0]["id"] == 1
+        for i in range(20)
+    )
+    assert wins >= 15  # P(heavy wins) = 1000/1001 per draw
+
+
+def test_priority_sample_k_plans_bounded_topk(spark):
+    """Scale shape: grouped draw plans as WindowGroupLimit (each input
+    partition pruned to its own top-k BEFORE the shuffle); the global
+    draw plans as TakeOrderedAndProject (bounded heap + merge, never a
+    single-task full sort)."""
+    from pq_vector_spark.operators.sampling import priority_sample_k
+
+    rows = [("g%d" % (i % 3), i, float(i % 9 + 1)) for i in range(300)]
+    df = spark.createDataFrame(rows, "g: string, id: bigint, w: double")
+    grouped = priority_sample_k(df, "id", "w", 5, group_col="g")
+    plan = grouped._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    global_ = priority_sample_k(df, "id", "w", 5)
+    gplan = global_._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in gplan
+    assert global_.count() == 5
