@@ -33,14 +33,20 @@ _LOG = logging.getLogger("pq_vector_spark.sampling")
 BUCKETS = 1_000_000
 
 
+def _salted_hash(col, salt: str) -> Column:
+    """60-bit deterministic hash of the SALT-THEN-KEY concat — the exact
+    expression every DuckDB oracle replays (md5 prefix via
+    ``functions.text.token_hash``); keep it in ONE place so the concat
+    order can never drift between samplers."""
+    c = F.col(col) if isinstance(col, str) else col
+    return token_hash(F.concat(F.lit(salt), c.cast("string")))
+
+
 def hash_bucket(col, salt: str = "") -> Column:
     """Stable bucket in [0, BUCKETS) from the md5 of the salted, stringified
     key (``functions.text.token_hash`` — portable: DuckDB reproduces it
     bit-for-bit, unlike engine-native hashes)."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.pmod(
-        token_hash(F.concat(F.lit(salt), c.cast("string"))), F.lit(BUCKETS)
-    )
+    return F.pmod(_salted_hash(col, salt), F.lit(BUCKETS))
 
 
 def hash_sample(df: DataFrame, key_col: str, rate: float, salt: str = "") -> DataFrame:
@@ -182,10 +188,14 @@ def priority_sample_k(
     at the k boundary; priority sampling gives the same
     weighted-without-replacement semantics transcendental-free.)
 
-    Rows with NULL or non-positive weight are EXCLUDED (weight 0 = never
-    sampled; a NULL weight is unknowable, not infinite). Groups smaller
-    than k keep all their positive-weight rows. ``key_col`` must uniquely
-    identify rows (it seeds u and breaks priority ties).
+    Rows with NULL, NaN or non-positive weight are EXCLUDED (weight 0 =
+    never sampled; NULL/NaN weights are unknowable, not infinite — and
+    Spark's ``> 0.0`` alone would rank NaN ABOVE every real weight).
+    Rows with a NULL key are excluded too (no key, no hash — the same
+    convention as ``hash_sample``, whose NULL bucket fails its
+    threshold). Groups smaller than k keep all their eligible rows.
+    ``key_col`` must uniquely identify rows (it seeds u and breaks
+    priority ties).
 
     Scale shape: grouped = one window whose rank filter Spark plans as
     WindowGroupLimit, pre-pruning every input partition to its own top k
@@ -207,10 +217,13 @@ def priority_sample_k(
     # u in (0, 1]: token_hash is uniform on [0, 2^60); +1 stays exact in
     # int64; the int->double cast and the divide are correctly rounded in
     # every IEEE engine, so u (hence w/u) is bit-identical cross-engine
-    h = token_hash(F.concat(F.lit(salt), keyc.cast("string")))
-    u = (h + F.lit(1)).cast("double") / F.lit(float(2**60))
+    u = (_salted_hash(keyc, salt) + F.lit(1)).cast("double") / F.lit(
+        float(2**60)
+    )
     pri = w / u
-    pos = df.filter(w.isNotNull() & (w > 0.0)).withColumn("_ps_pri", pri)
+    pos = df.filter(
+        keyc.isNotNull() & w.isNotNull() & ~F.isnan(w) & (w > 0.0)
+    ).withColumn("_ps_pri", pri)
     if group_col is None:
         return (
             pos.orderBy(F.desc("_ps_pri"), keyc.asc()).limit(k).drop("_ps_pri")

@@ -1006,6 +1006,10 @@ def test_priority_sample_k_exact_count_and_exclusions(spark):
         ("g0", 900, 0.0),
         ("g0", 901, None),
         ("g1", 902, -1.0),
+        # a NaN weight passes a bare `> 0.0` in Spark (NaN ranks above
+        # every numeric) and would unconditionally win every draw
+        ("g1", 904, float("nan")),
+        (None, None, 9.0),  # NULL key: no hash, excluded like hash_sample
         ("tiny", 903, 3.0),
     ]
     df = spark.createDataFrame(rows, "g: string, id: bigint, w: double")
@@ -1013,7 +1017,7 @@ def test_priority_sample_k_exact_count_and_exclusions(spark):
     counts = {r["g"]: r["n"] for r in out.groupBy("g").agg(F.count("*").alias("n")).collect()}
     assert counts == {"g0": 7, "g1": 7, "tiny": 1}
     ids = {r["id"] for r in out.collect()}
-    assert not ({900, 901, 902} & ids)
+    assert not ({900, 901, 902, 904, None} & ids)
     assert priority_sample_k(df, "id", "w", 0, group_col="g").count() == 0
     with _pytest.raises(ValueError, match="k must be"):
         priority_sample_k(df, "id", "w", -1)
