@@ -33,6 +33,23 @@ _LOG = logging.getLogger("pq_vector_spark.sampling")
 BUCKETS = 1_000_000
 
 
+def _check_reserved(df: DataFrame, names, prefixes=()):
+    """Fail loudly when an input column collides with a helper column this
+    module adds and later drops — a silent ``withColumn`` overwrite would
+    otherwise delete the user's column from the output."""
+    hit = [
+        c
+        for c in df.columns
+        if c in names or any(c.startswith(p) for p in prefixes)
+    ]
+    if hit:
+        raise ValueError(
+            f"input columns {hit} collide with reserved helper names "
+            f"({sorted(names)}{' + prefixes ' + repr(list(prefixes)) if prefixes else ''}); "
+            "rename them before sampling"
+        )
+
+
 def _salted_hash(col, salt: str) -> Column:
     """60-bit deterministic hash of the SALT-THEN-KEY concat — the exact
     expression every DuckDB oracle replays (md5 prefix via
@@ -99,6 +116,7 @@ def stratified_sample(
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
+    _check_reserved(df, {"_rk"})
     from pyspark.sql import Window
 
     w = Window.partitionBy(strata_col).orderBy(
@@ -206,6 +224,7 @@ def priority_sample_k(
     """
     if k < 0:
         raise ValueError(f"k must be >= 0, got {k}")
+    _check_reserved(df, {"_ps_pri", "_ps_rn"})
     from pyspark.sql import Window
 
     keyc = F.col(key_col) if isinstance(key_col, str) else key_col
@@ -416,6 +435,40 @@ def _gkey(g):
     return _NAN_GROUP if isinstance(g, float) and math.isnan(g) else g
 
 
+def _bucketer(lo, hi, n_b):
+    """Closure mapping a score expression to an ordered integer class:
+    NULL=-2 < -inf=-1 < finite 0..n_b-1 < +inf=n_b < NaN=n_b+1 —
+    integer comparisons on the class reproduce Spark/DuckDB DESC
+    ordering bit-for-bit, so "bucket > crossing" IS the greedy order."""
+    INF = float("inf")
+    width = (hi - lo) / n_b if (lo is not None and hi > lo) else 0.0
+
+    def bucket_of(e):
+        if width > 0.0:
+            fin = F.least(
+                F.floor((e - F.lit(lo)) / F.lit(width)), F.lit(n_b - 1)
+            ).cast("int")
+        else:
+            fin = F.lit(0)
+        return (
+            F.when(F.isnan(e), F.lit(n_b + 1))
+            .when(e == F.lit(INF), F.lit(n_b))
+            .when(e == F.lit(-INF), F.lit(-1))
+            .when(e.isNull(), F.lit(-2))
+            .otherwise(fin)
+            .cast("int")
+        )
+
+    return bucket_of, width
+
+
+def _conj(preds):
+    out = None
+    for p in preds:
+        out = p if out is None else (out & p)
+    return F.lit(True) if out is None else out
+
+
 def _budget_walk(
     slim: DataFrame,
     budget: int,
@@ -436,44 +489,22 @@ def _budget_walk(
     ``select_token_budget_grouped`` (auto-refined heavy groups); the walk
     semantics are documented on the former. ``bounds=(lo, hi)`` — the
     frontier's FINITE score min/max, when the caller already computed it —
-    skips the walk's own level-0 min/max job."""
+    skips the walk's own level-0 min/max job.
+
+    Determinism note: the RESULT is always exact and deterministic, but the
+    key-range refinement mode's PLAN SHAPE is not — it splits the tied
+    frontier with ``repartitionByRange``, whose boundaries come from an
+    RDD-id-seeded sample, so ``_stats`` ``window_rows``/``levels`` and the
+    number of planning jobs can vary between runs. The walk adapts to the
+    OBSERVED per-range max keys, so every run selects the identical row
+    set; only the diagnostics wobble."""
     import math
 
     from pyspark.sql import Window
 
     SCORE, KEY, TOK = F.col("_sb_score"), F.col("_sb_key"), F.col("_sb_tok")
-    INF = float("inf")
 
-    def bucketer(lo, hi, n_b):
-        """Closure mapping a score expression to an ordered integer class:
-        NULL=-2 < -inf=-1 < finite 0..n_b-1 < +inf=n_b < NaN=n_b+1 —
-        integer comparisons on the class reproduce Spark/DuckDB DESC
-        ordering bit-for-bit, so "bucket > crossing" IS the greedy order."""
-        width = (hi - lo) / n_b if (lo is not None and hi > lo) else 0.0
-
-        def bucket_of(e):
-            if width > 0.0:
-                fin = F.least(
-                    F.floor((e - F.lit(lo)) / F.lit(width)), F.lit(n_b - 1)
-                ).cast("int")
-            else:
-                fin = F.lit(0)
-            return (
-                F.when(F.isnan(e), F.lit(n_b + 1))
-                .when(e == F.lit(INF), F.lit(n_b))
-                .when(e == F.lit(-INF), F.lit(-1))
-                .when(e.isNull(), F.lit(-2))
-                .otherwise(fin)
-                .cast("int")
-            )
-
-        return bucket_of, width
-
-    def conj(preds):
-        out = None
-        for p in preds:
-            out = p if out is None else (out & p)
-        return F.lit(True) if out is None else out
+    bucketer, conj = _bucketer, _conj
 
     anc: list = []  # in-crossing-bucket predicates, one per level
     keep_terms: list = []  # disjuncts of the final map-side keep filter
@@ -633,6 +664,248 @@ def _budget_walk(
     return keep
 
 
+def _budget_walk_grouped(
+    slim: DataFrame,
+    specs: list,
+    buckets: int,
+    window_cap: int,
+    max_depth: int,
+) -> dict:
+    """``_budget_walk`` for MANY heavy groups in LOCK-STEP: per level, all
+    score-mode groups share ONE aggregation grouped by (group, bucket)
+    (each group's bucket id computed against its own lo/width via a
+    driver-built CASE chain over the ≤ heavy-groups frontiers) and all
+    key-mode groups share ONE ``repartitionByRange(GRP, KEY)`` range
+    summary; groups that reach the cap are staged and pay ONE final
+    boundary window partitioned by group. Total jobs: O(levels), not
+    O(heavy groups × levels) — the shape that lets a mixture spec with
+    hundreds of heavy groups plan in the same handful of jobs as one.
+
+    ``specs`` rows: dicts with keys ``g`` (group value), ``gk``
+    (``_gkey``-normalized dict key), ``match`` (group-membership Column —
+    built by the caller so NULL/NaN groups stay pruning-safe), ``budget``
+    (int), ``bounds`` ((lo, hi) finite score min/max of the group).
+    Returns {gk: (keep predicate Column or None, per-group stats dict)};
+    each predicate is relative to the group's rows (the caller ANDs its
+    ``match``). Results are bit-equal to running ``_budget_walk`` per
+    group — same greedy walk, same class chain, same boundary election —
+    only the job batching differs. The key-mode plan-shape nondeterminism
+    note on ``_budget_walk`` applies here too."""
+    import math
+
+    from pyspark.sql import Window
+
+    SCORE, KEY, TOK, GRP = (
+        F.col("_sb_score"), F.col("_sb_key"), F.col("_sb_tok"), F.col("_sb_grp")
+    )
+
+    st: dict = {}
+    for s in specs:
+        lo, hi = s["bounds"]
+        st[s["gk"]] = dict(
+            gk=s["gk"], match=s["match"], remaining=int(s["budget"]),
+            mode="score", lo=lo, hi=hi, cnt=None, anc=[], keep=[],
+            done=False, force_exact=False, pending=None, stats={},
+        )
+
+    def _or(cols):
+        out = None
+        for c in cols:
+            out = c if out is None else (out | c)
+        return out
+
+    def frontier(v):
+        return _conj([v["match"]] + v["anc"])
+
+    for depth in range(max_depth + 1):
+        active = [v for v in st.values() if not v["done"] and v["pending"] is None]
+        if not active:
+            break
+        for v in active:
+            if (
+                depth >= max_depth
+                or v["force_exact"]
+                or (v["cnt"] is not None and v["cnt"] <= window_cap)
+            ):
+                v["pending"] = frontier(v)
+                v["stats"].update(
+                    levels=depth,
+                    mode=v["mode"],
+                    window_rows=int(v["cnt"]) if v["cnt"] is not None else None,
+                )
+        score_act = [
+            v for v in st.values()
+            if not v["done"] and v["pending"] is None and v["mode"] == "score"
+        ]
+        key_act = [
+            v for v in st.values()
+            if not v["done"] and v["pending"] is None and v["mode"] == "key"
+        ]
+
+        if score_act:
+            # ONE histogram for every score-mode group: bucket ids against
+            # each group's own (lo, width, n_b) via a frontier CASE chain
+            bexpr, filt = None, None
+            for v in score_act:
+                lo, hi = v["lo"], v["hi"]
+                n_b = buckets if (lo is not None and hi is not None and hi > lo) else 1
+                bucket_of, _w = _bucketer(lo, hi, n_b)
+                v["n_b"], v["bucket_of"] = n_b, bucket_of
+                fr = frontier(v)
+                filt = fr if filt is None else (filt | fr)
+                bexpr = (
+                    F.when(fr, bucket_of(SCORE))
+                    if bexpr is None
+                    else bexpr.when(fr, bucket_of(SCORE))
+                )
+            hist: dict = {}
+            for r in (
+                slim.filter(filt)
+                .groupBy(GRP, bexpr.alias("_sb_b"))
+                .agg(
+                    F.sum(TOK).alias("t"),
+                    F.count("*").alias("c"),
+                    F.min(SCORE).alias("mn"),
+                    F.max(SCORE).alias("mx"),
+                )
+                .collect()
+            ):
+                hist.setdefault(_gkey(r["_sb_grp"]), {})[int(r["_sb_b"])] = (
+                    int(r["t"] or 0), int(r["c"]), r["mn"], r["mx"]
+                )
+            for v in score_act:
+                gh = hist.get(v["gk"], {})
+                n_b, bucket_of = v["n_b"], v["bucket_of"]
+                cum, crossing = 0, None
+                for i in _class_walk(n_b):
+                    t = gh.get(i, (0, 0, None, None))[0]
+                    if cum + t <= v["remaining"]:
+                        cum += t
+                    else:
+                        crossing = i
+                        break
+                if crossing is None:
+                    v["keep"].append(_conj(v["anc"]))  # whole frontier fits
+                    v["stats"].update(levels=depth, mode="score", window_rows=0)
+                    v["done"] = True
+                    continue
+                v["remaining"] -= cum
+                _, c_cnt, c_mn, c_mx = gh[crossing]
+                v["keep"].append(
+                    _conj(v["anc"] + [bucket_of(SCORE) > F.lit(crossing)])
+                )
+                v["anc"].append(bucket_of(SCORE) == F.lit(crossing))
+                v["cnt"] = c_cnt
+                if 0 <= crossing < n_b and c_mn is not None and c_mx > c_mn:
+                    v["lo"], v["hi"] = c_mn, c_mx
+                    if (c_mx - c_mn) / buckets <= 0.0:
+                        v["force_exact"] = True  # subnormal spread
+                else:
+                    v["mode"] = "key"  # special class or exact tie
+
+        if key_act:
+            # ONE range summary for every key-mode group: range-partition
+            # the union of tied frontiers on (GRP, KEY) — within a group,
+            # partition ids ascend with key, so per-(group, pid) stats give
+            # each group its own contiguous key ranges
+            total = sum(int(v["cnt"]) for v in key_act)
+            n_p = max(2, min(4096, -(-total // window_cap)))
+            filt = _or([frontier(v) for v in key_act])
+            byg: dict = {}
+            for r in (
+                slim.filter(filt)
+                .repartitionByRange(n_p, GRP.asc(), KEY.asc())
+                .groupBy(GRP, F.spark_partition_id().alias("p"))
+                .agg(
+                    F.sum(TOK).alias("t"),
+                    F.count("*").alias("c"),
+                    F.max(KEY).alias("mk"),
+                )
+                .collect()
+            ):
+                byg.setdefault(_gkey(r["_sb_grp"]), []).append(r)
+            for v in key_act:
+                parts = sorted(byg.get(v["gk"], []), key=lambda r: r["p"])
+                cum, cross_i = 0, None
+                for i, r in enumerate(parts):
+                    t = int(r["t"] or 0)
+                    if cum + t <= v["remaining"]:
+                        cum += t
+                    else:
+                        cross_i = i
+                        break
+                if cross_i is None:
+                    v["keep"].append(_conj(v["anc"]))
+                    v["stats"].update(levels=depth, mode="key", window_rows=0)
+                    v["done"] = True
+                    continue
+                v["remaining"] -= cum
+                if cross_i > 0:
+                    prev_mk = parts[cross_i - 1]["mk"]
+                    v["keep"].append(_conj(v["anc"] + [_key_le(KEY, prev_mk)]))
+                    v["anc"].append(_key_gt(KEY, prev_mk))
+                v["anc"].append(_key_le(KEY, parts[cross_i]["mk"]))
+                v["cnt"] = int(parts[cross_i]["c"])
+
+    # batched boundary election: ONE window partitioned by group over the
+    # union of the staged frontiers (each ≤ window_cap rows per group task)
+    pend = [v for v in st.values() if v["pending"] is not None and not v["done"]]
+    if pend:
+        unk = [v for v in pend if v["stats"].get("window_rows") is None]
+        if unk:
+            # only reachable via max_depth exhaustion before any level ran
+            # (max_depth=0): one bounded count so diagnostics stay honest
+            cm = {
+                _gkey(r["_sb_grp"]): int(r["count"])
+                for r in slim.filter(_or([v["pending"] for v in unk]))
+                .groupBy(GRP)
+                .count()
+                .collect()
+            }
+            for v in unk:
+                v["stats"]["window_rows"] = cm.get(v["gk"], 0)
+        filt = _or([v["pending"] for v in pend])
+        remc = None
+        for v in pend:
+            lit = F.lit(int(v["remaining"]))
+            remc = (
+                F.when(v["pending"], lit)
+                if remc is None
+                else remc.when(v["pending"], lit)
+            )
+        wcum = (
+            Window.partitionBy(GRP)
+            .orderBy(SCORE.desc_nulls_last(), KEY.asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wrev = Window.partitionBy(GRP).orderBy(SCORE.asc_nulls_first(), KEY.desc())
+        bmap = {
+            _gkey(r["_sb_grp"]): (r["_sb_score"], r["_sb_key"])
+            for r in slim.filter(filt)
+            .withColumn("_sb_cum", F.sum(TOK).over(wcum))
+            .filter(F.col("_sb_cum") <= remc)
+            .withColumn("_sb_rn", F.row_number().over(wrev))
+            .filter(F.col("_sb_rn") == 1)
+            .select(GRP, SCORE, KEY)
+            .collect()
+        }
+        for v in pend:
+            hit = bmap.get(v["gk"])
+            if hit is not None:
+                s_star, k_star = hit
+                key_le = _key_le(KEY, k_star)
+                if s_star is None:
+                    pred = SCORE.isNotNull() | key_le
+                elif math.isnan(s_star):
+                    pred = F.isnan(SCORE) & key_le
+                else:
+                    s_lit = F.lit(s_star)
+                    pred = (SCORE > s_lit) | ((SCORE == s_lit) & key_le)
+                v["keep"].append(_conj(v["anc"] + [pred]))
+            v["done"] = True
+
+    return {gk: (_or(v["keep"]), v["stats"]) for gk, v in st.items()}
+
 
 def select_token_budget(
     df: DataFrame,
@@ -706,6 +979,7 @@ def select_token_budget(
         raise ValueError(f"window_cap must be positive, got {window_cap}")
     if max_depth < 0:
         raise ValueError(f"max_depth must be >= 0, got {max_depth}")
+    _check_reserved(df, {"_sb_key", "_sb_score", "_sb_tok", "_sb_cum"})
 
     score = F.col(score_col) if isinstance(score_col, str) else score_col
     toks = (F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col).cast(
@@ -740,7 +1014,7 @@ def select_token_budget_grouped(
     buckets: int = 1024,
     default_budget=None,
     window_warn_rows: int = 4_000_000,
-    window_cap: int | None = None,
+    window_cap: int | None = 65536,
     max_depth: int = 8,
     _stats: dict | None = None,
 ) -> DataFrame:
@@ -774,16 +1048,18 @@ def select_token_budget_grouped(
 
     Degenerate guard: heavy score TIES within one group collapse its
     crossing bucket toward the whole group and that group's window task
-    widens accordingly. With ``window_cap`` set, any group whose crossing
-    bucket exceeds it is AUTO-REFINED: the same recursive walk that bounds
+    widens accordingly. Any group whose crossing bucket exceeds
+    ``window_cap`` (default 65536, matching ``select_token_budget``) is
+    AUTO-REFINED: the same recursive walk that bounds
     ``select_token_budget`` (score re-bucketing, then key-range splitting
     once tied) runs on that group's slice of the cached slim projection,
     so even an all-ties dominant group pays only ≤ ``window_cap``-row
     windows; the refined groups' keep predicates OR into the same single
-    output-pass filter. Refinement is planned per heavy group on the
-    driver (a few bounded jobs each) — the right shape for the handful of
-    groups a mixture spec names; with ``window_cap=None`` (default), a
-    crossing bucket above ``window_warn_rows`` instead logs a WARNING
+    output-pass filter. When SEVERAL groups need refinement they walk in
+    LOCK-STEP — one per-level aggregation grouped by (group, bucket) plus
+    one batched boundary window, O(levels) jobs instead of
+    O(heavy groups × levels). ``window_cap=None`` disables refinement; a
+    crossing bucket above ``window_warn_rows`` then only logs a WARNING
     naming the group. Ordering
     matches ``select_token_budget`` exactly (class chain NaN > +inf >
     finite > -inf > NULL, key ASC tie-break); token sums are exact bigint
@@ -803,6 +1079,11 @@ def select_token_budget_grouped(
         raise ValueError(f"window_cap must be positive, got {window_cap}")
     if max_depth < 0:
         raise ValueError(f"max_depth must be >= 0, got {max_depth}")
+    _check_reserved(
+        df,
+        {"_sb_grp", "_sb_key", "_sb_score", "_sb_tok", "_sb_cum", "_sb_rn", "_sb_b"},
+        prefixes=("_p_",),
+    )
 
     def _check(b, where):
         if b is None:
@@ -970,6 +1251,7 @@ def select_token_budget_grouped(
         heavy: dict = {}  # _gkey(g) -> walk diagnostics
         heavy_terms: list = []
         if window_cap is not None:
+            specs: list = []
             for g in list(crossing):
                 c, _rem = crossing[g]
                 if hist.get(_gkey(g), {}).get(c, (0, 0))[1] <= window_cap:
@@ -999,21 +1281,28 @@ def select_token_budget_grouped(
                     )
                     continue
                 del crossing[g]
-                gs: dict = {}
-                gpred = _budget_walk(
-                    slim.filter(grp_match),
-                    budget_of(g),
-                    buckets,
-                    window_cap,
-                    max_depth,
-                    gs,
-                    # the walk's level-0 min/max is this group's finite
-                    # min/max, already aggregated in step 1 — skip the job
-                    bounds=mm.get(_gkey(g), (None, None)),
+                specs.append(
+                    dict(
+                        g=g,
+                        gk=_gkey(g),
+                        match=grp_match,
+                        budget=budget_of(g),
+                        # each walk's level-0 min/max is its group's finite
+                        # min/max, already aggregated in step 1 — no job
+                        bounds=mm.get(_gkey(g), (None, None)),
+                    )
                 )
-                heavy[_gkey(g)] = gs
-                if gpred is not None:
-                    heavy_terms.append(grp_match & gpred)
+            if specs:
+                # all heavy groups refine in LOCK-STEP: O(levels) jobs
+                # total, not O(heavy groups × levels)
+                walked = _budget_walk_grouped(
+                    slim, specs, buckets, window_cap, max_depth
+                )
+                for s in specs:
+                    gpred, gs = walked[s["gk"]]
+                    heavy[s["gk"]] = gs
+                    if gpred is not None:
+                        heavy_terms.append(s["match"] & gpred)
 
         if _stats is not None:
             # per-group exact-window input = that group's crossing-bucket

@@ -1066,3 +1066,77 @@ def test_priority_sample_k_plans_bounded_topk(spark):
     gplan = global_._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in gplan
     assert global_.count() == 5
+
+
+def test_reserved_helper_column_collision_raises(spark):
+    """An input column named like one of the module's helper columns used
+    to be silently dropped from the output (withColumn overwrote it, the
+    trailing drop deleted it) — it must raise instead (r10 review)."""
+    from pq_vector_spark.operators.sampling import (
+        priority_sample_k,
+        select_token_budget,
+        select_token_budget_grouped,
+        stratified_sample,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1, 1.0, 1, 0.5)],
+        "g: string, id: bigint, score: double, tok: bigint, _ps_pri: double",
+    )
+    with pytest.raises(ValueError, match="_ps_pri"):
+        priority_sample_k(df, "id", "score", 1)
+    df2 = df.withColumnRenamed("_ps_pri", "_sb_score")
+    with pytest.raises(ValueError, match="_sb_score"):
+        select_token_budget(df2, "id", "score", "tok", 10)
+    with pytest.raises(ValueError, match="_sb_score"):
+        select_token_budget_grouped(df2, "g", "id", "score", "tok", 10)
+    df3 = df.withColumnRenamed("_ps_pri", "_p_lo")
+    with pytest.raises(ValueError, match="_p_lo"):
+        select_token_budget_grouped(df3, "g", "id", "score", "tok", 10)
+    df4 = df.withColumnRenamed("_ps_pri", "_rk")
+    with pytest.raises(ValueError, match="_rk"):
+        stratified_sample(df4, "g", "id", 1)
+    # non-colliding frames still work
+    assert select_token_budget(
+        df.drop("_ps_pri"), "id", "score", "tok", 10
+    ).count() == 1
+
+
+def test_select_token_budget_grouped_batches_heavy_refinement(spark):
+    """50 heavy (all-ties) groups must refine in LOCK-STEP: the per-level
+    range summaries run as shared jobs, so the whole plan costs O(levels)
+    Spark jobs, not O(groups × levels) — and every group's keep set stays
+    bit-equal to its own greedy prefix."""
+    from pq_vector_spark.operators.sampling import select_token_budget_grouped
+
+    n_groups, per_group, tok = 50, 200, 7
+    rows = [
+        (f"g{g:02d}", i, 1.0, tok)
+        for g in range(n_groups)
+        for i in range(per_group)
+    ]
+    df = spark.createDataFrame(rows, "g: string, id: bigint, score: double, tok: bigint")
+    budget = tok * 100 + 3  # crosses mid-group, every group
+    sc = spark.sparkContext
+    group_tag = "budget-batch-test"
+    sc.setJobGroup(group_tag, "batched heavy-group refinement")
+    try:
+        stats: dict = {}
+        got = sorted(
+            (r["g"], r["id"])
+            for r in select_token_budget_grouped(
+                df, "g", "id", "score", "tok", budget,
+                buckets=8, window_cap=32, _stats=stats,
+            ).collect()
+        )
+    finally:
+        sc.setJobGroup("", "")
+    assert got == sorted(
+        (f"g{g:02d}", i) for g in range(n_groups) for i in range(100)
+    )
+    assert stats["refined_groups"] == n_groups
+    assert stats["max_window_rows"] <= 4 * 32  # range sampling slack
+    jobs = len(sc.statusTracker().getJobIdsForGroup(group_tag))
+    # shared planning: ~2 bounded aggs + <=3 jobs per walk level + boundary
+    # + output collect; a per-group walk would need >= 3 * 50 jobs
+    assert jobs <= 40, f"expected O(levels) jobs, saw {jobs}"
