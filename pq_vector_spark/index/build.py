@@ -822,10 +822,11 @@ def auto_rebuild_if_stale(
     ``_pq_index/REBUILDING`` sentinel held for the rebuild's duration
     (``append_to_index`` raises while it exists; NOT an atomic lock — an
     append that passed its check before the sentinel landed can still slip
-    through), a pre-swap re-read of the live sidecar's row count that
-    aborts the swap if such an append slipped in mid-build, and this
-    docstring. A crashed rebuild can leave the sentinel behind; the error
-    message tells the operator to delete it.
+    through), a pre-swap verify of BOTH the live sidecar's row count AND
+    the live layout's actual parquet row count (so an append whose data
+    files landed but whose sidecar write hadn't yet still aborts the
+    swap), and this docstring. A crashed rebuild can leave the sentinel
+    behind; the error message tells the operator to delete it.
 
     Returns ``{"rebuilt": bool, "health": <pre-check>, "meta": <new meta
     or None>}``. Zero Spark jobs when healthy (the health probe is
@@ -855,16 +856,27 @@ def auto_rebuild_if_stale(
             spark, indexed_path, fresh, column=column, options=options
         )
         # pre-swap verification: if an in-flight append finished after the
-        # rebuild's read (it started before the sentinel landed), the live
-        # sidecar's row count moved — swapping now would DELETE those rows
-        # with the retired layout, so abort loudly instead
+        # rebuild's read (it started before the sentinel landed), swapping
+        # now would DELETE its rows with the retired layout — abort loudly
+        # instead. Two probes, because an append writes DATA first and its
+        # sidecar second: the sidecar row count catches a fully-completed
+        # append cheaply, and the live DATA count catches the r10 residual
+        # window — an append whose part-files landed but whose sidecar
+        # write hadn't yet (that append was invisible to the sidecar probe
+        # and its rows silently vanished). The data probe is a zero-column
+        # parquet count — O(files) footer metadata, trivial next to the
+        # retrain that just rewrote the whole layout.
         live_rows = int(load_index(spark, indexed_path).meta["row_count"])
-        if live_rows != int(meta["row_count"]):
+        live_data_rows = int(spark.read.parquet(indexed_path).count())
+        if live_rows != int(meta["row_count"]) or live_data_rows != int(
+            meta["row_count"]
+        ):
             raise IOError(
                 f"concurrent append detected during rebuild of "
-                f"{indexed_path}: live layout now has {live_rows} rows but "
-                f"the rebuilt layout captured {meta['row_count']}. Swap "
-                "aborted — quiesce appends and rerun the rebuild."
+                f"{indexed_path}: live layout now has {live_rows} sidecar / "
+                f"{live_data_rows} data rows but the rebuilt layout captured "
+                f"{meta['row_count']}. Swap aborted — quiesce appends and "
+                "rerun the rebuild."
             )
         _swap_dirs(spark, indexed_path, fresh)
     except BaseException:

@@ -770,3 +770,49 @@ def test_rebuild_clears_sentinel_and_appends_resume(spark, tmp_path):
     )
     meta = B.append_to_index(spark, extra, out)
     assert meta["row_count"] == 131
+
+
+def test_rebuild_aborts_swap_on_sidecar_lagging_append(spark, tmp_path):
+    """The r10 residual loss window: an append whose DATA files landed
+    mid-build but whose sidecar write hadn't yet was invisible to the
+    sidecar row-count verify — the pre-swap DATA count must catch it and
+    abort, leaving the live layout (including the appended part-files)
+    untouched."""
+    import os
+
+    import pq_vector_spark.index.build as B
+    from pq_vector_spark.index.build import INDEX_DIR, REBUILD_SENTINEL
+
+    out = _small_stale_index(spark, tmp_path)
+    real_build = B.build_index
+    real_write_sidecar = B._write_sidecar
+    real_sentinel_exists = B._rebuild_sentinel_exists
+
+    def racing_build(spark_, src, dst, **kw):
+        meta = real_build(spark_, src, dst, **kw)
+        # simulate the slipped-through append mid-rebuild, frozen BETWEEN
+        # its data write and its sidecar write: part-files land, sidecar
+        # row count stays at the pre-append value
+        extra = spark_.createDataFrame(
+            [(900, [5.0, 5.0])], "vec_id: bigint, embedding: array<float>"
+        )
+        B._rebuild_sentinel_exists = lambda *a, **k: False  # it started first
+        B._write_sidecar = lambda *a, **k: None  # ...and hasn't synced yet
+        try:
+            B.append_to_index(spark_, extra, out)
+        finally:
+            B._rebuild_sentinel_exists = real_sentinel_exists
+            B._write_sidecar = real_write_sidecar
+        return meta
+
+    B.build_index = racing_build
+    try:
+        with pytest.raises(IOError, match="concurrent append detected"):
+            B.auto_rebuild_if_stale(spark, out)
+    finally:
+        B.build_index = real_build
+    # swap aborted: appended data still present (131 = 130 + 1), no
+    # .rebuild debris, sentinel cleared so appends resume
+    assert spark.read.parquet(out).count() == 131
+    assert not os.path.exists(out + ".rebuild")
+    assert not os.path.isfile(os.path.join(out, INDEX_DIR, REBUILD_SENTINEL))
