@@ -26,11 +26,13 @@ Scale design:
 
 from __future__ import annotations
 
+import json
 import logging
 import os
 from typing import Optional
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from pq_vector_spark.operators.dedup import incremental_dedup
 
@@ -162,6 +164,7 @@ def streaming_index_ingest(
     stale_threshold: float = 0.2,
     rebuild_options=None,
     on_maintenance=None,
+    dedupe_on: Optional[str] = None,
 ):
     """Return a ``DataStreamWriter`` that continuously appends a vector
     stream into an indexed layout AND keeps the index healthy — the
@@ -195,11 +198,25 @@ def streaming_index_ingest(
     wrongly suppress a NEW run's appends) and surviving index rebuilds
     (a marker inside the layout would vanish with the retired directory).
     They are pruned as the stream advances (only the in-flight batch can
-    ever replay), so the set stays a handful of files. Without a
+    ever replay), so the set stays a handful of files. A marker-confirmed
+    replay reports the marker's RECORDED appended count with
+    ``"replayed": True`` in the ``on_maintenance`` result dict, so
+    sum-of-appended accounting sees the crashed attempt's rows (discount
+    by the flag if you need each batch counted once). Without a
     checkpoint there is nothing durable for Spark to replay FROM, so no
-    markers are kept and the run is plain at-least-once. The crash window
-    between append and marker write can still duplicate — exactly-once
-    needs a transactional sink.
+    markers are kept and the run is plain at-least-once.
+
+    The remaining crash window — dying BETWEEN the parquet append and the
+    marker write — replays as a re-append and duplicates that batch. For
+    keyed streams, ``dedupe_on=<id column>`` closes it: every batch's ids
+    are anti-joined against the layout before appending (the
+    ``incremental_dedup`` shape — the batch's distinct ids BROADCAST as a
+    semi-join probe over the layout's id column, so the corpus scan is
+    column-pruned and never shuffles; the anti-join then runs between two
+    batch-bounded sides), making re-appends drop already-present rows.
+    Cost: one id-column corpus probe per batch — opt-in because unkeyed
+    streams can't use it and exactly-once-by-sink setups don't need it.
+    True exactly-once without a key needs a transactional sink.
 
     Caller picks the trigger/start, e.g.::
 
@@ -231,6 +248,22 @@ def streaming_index_ingest(
                 f.write(body)
         else:
             _hadoop_write_bytes(spark, marker, body.encode())
+
+    def _read_marker_appended(spark, marker: str) -> int:
+        """Recorded appended count of the crashed attempt (0 when the
+        marker body is unreadable — accounting degrades, never the data)."""
+        from pq_vector_spark.index.build import _hadoop_read_bytes, _local_root
+
+        try:
+            root = _local_root(marker)
+            if root is not None:
+                with open(root) as f:
+                    body = f.read()
+            else:
+                body = _hadoop_read_bytes(spark, marker).decode()
+            return int(json.loads(body).get("appended", 0))
+        except Exception:
+            return 0
 
     def _prune_markers(spark, batch_id: int) -> None:
         """Markers for batches the checkpoint has committed past are dead
@@ -275,7 +308,12 @@ def streaming_index_ingest(
         )
         replayed = bool(marker) and _marker_exists(spark, marker)
         due = (batch_id % maintain_every) == (maintain_every - 1)
-        result = {"appended": 0, "codes_refreshed": False, "rebuilt": False}
+        result = {
+            "appended": 0,
+            "codes_refreshed": False,
+            "rebuilt": False,
+            "replayed": replayed,
+        }
         if replayed:
             _LOG.warning(
                 "streaming_index_ingest: batch %d already applied "
@@ -283,11 +321,41 @@ def streaming_index_ingest(
                 batch_id,
                 marker,
             )
+            # surface the crashed attempt's recorded count so the stream's
+            # sum-of-appended accounting doesn't silently undercount it
+            result["appended"] = _read_marker_appended(spark, marker)
         else:
+            to_append, cached = batch_df, None
+            if dedupe_on is not None and not batch_df.isEmpty():
+                # replay of a marker-less batch (crash between append and
+                # marker write) re-enters here — the anti-join drops rows
+                # whose ids already landed, so the re-append is a no-op.
+                # Corpus side: id-column scan, map-side filtered by the
+                # broadcast batch ids — never shuffles, hits ≤ batch rows.
+                ids = batch_df.select(dedupe_on).distinct()
+                hits = (
+                    spark.read.parquet(indexed_path)
+                    .select(dedupe_on)
+                    .join(F.broadcast(ids), dedupe_on, "left_semi")
+                    .distinct()
+                )
+                cached = batch_df.join(
+                    F.broadcast(hits), dedupe_on, "left_anti"
+                ).persist()
+                to_append = cached
             # append FIRST and mark it immediately — if the maintenance
             # below raises, the replay must retry maintenance only, never
             # re-append
-            result = append_index_batch(batch_df, indexed_path)
+            try:
+                sub = append_index_batch(to_append, indexed_path)
+            finally:
+                if cached is not None:
+                    cached.unpersist()
+            result.update(
+                appended=sub["appended"],
+                codes_refreshed=sub["codes_refreshed"],
+                rebuilt=sub["rebuilt"],
+            )
             if marker:
                 _write_marker(
                     spark, marker, f'{{"appended": {result["appended"]}}}\n'

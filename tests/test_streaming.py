@@ -887,15 +887,21 @@ def test_streaming_index_ingest_replay_is_idempotent(spark, tmp_path):
     first = []
     run(first)
     assert sum(e["appended"] for e in first) == 100
+    assert not any(e["replayed"] for e in first)
     assert index_health(spark, out)["row_count"] == 200
 
     # simulate a lost checkpoint AFTER the appends committed: Spark will
-    # replay every batch, but the markers (kept) must suppress re-appends
-    for sub in ("offsets", "commits", "metadata"):
+    # replay every batch, but the markers (kept) must suppress re-appends —
+    # each replay reports the marker's RECORDED count with replayed=True
+    # (r10 advice: observability hooks were undercounting across a crash).
+    # The source's seen-files log goes too, else the restart re-lists
+    # nothing and the replay collapses into one empty batch
+    for sub in ("offsets", "commits", "metadata", "sources"):
         shutil.rmtree(f"{chk}/{sub}", ignore_errors=True)
     second = []
     run(second)
-    assert sum(e["appended"] for e in second) == 0  # all batches skipped
+    assert all(e["replayed"] for e in second)
+    assert sum(e["appended"] for e in second) == 100  # recorded, not re-run
     assert index_health(spark, out)["row_count"] == 200  # no duplicates
 
 
@@ -1010,3 +1016,94 @@ def test_streaming_index_ingest_prunes_markers_and_skips_without_checkpoint(
     # stale-marker suppression) and no marker dir appears in the layout
     assert index_health(spark, out)["row_count"] == 130
     assert not os.path.isdir(os.path.join(out, "_pq_index", "ingest"))
+
+
+def test_streaming_index_ingest_dedupe_on_closes_marker_crash_window(
+    spark, tmp_path
+):
+    """The one remaining duplicate window: a crash BETWEEN a batch's
+    parquet append and its marker write replays as a re-append. With
+    dedupe_on=<id>, the replayed batch's ids anti-join against the layout
+    and the re-append lands zero rows — the stream converges to the exact
+    row count with recall unchanged."""
+    import shutil
+
+    import numpy as np
+
+    from pq_vector_spark.index.build import CLUSTER_COL, build_index, index_health
+    from pq_vector_spark.index.search import indexed_topk
+    from pq_vector_spark.operators.topk import brute_force_topk
+    from pq_vector_spark.session import IndexBuildOptions, VectorTopKOptions
+    from pq_vector_spark.streaming.ingest import streaming_index_ingest
+
+    rng = np.random.default_rng(6)
+    src = str(tmp_path / "dw_src.parquet")
+    out = str(tmp_path / "dw_indexed")
+    in_dir = str(tmp_path / "dw_incoming")
+    chk = str(tmp_path / "dw_chk")
+
+    def rows(start, n):
+        return [
+            (int(start + i), [float(x) for x in rng.random(8, dtype=np.float32)])
+            for i in range(n)
+        ]
+
+    base = spark.createDataFrame(rows(0, 100), "vec_id: bigint, embedding: array<float>")
+    base.write.parquet(src)
+    build_index(
+        spark, src, out, column="embedding", options=IndexBuildOptions(n_clusters=4)
+    )
+    for b in range(2):
+        spark.createDataFrame(
+            rows(1000 + 50 * b, 50), "vec_id: bigint, embedding: array<float>"
+        ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    def run(events):
+        stream = (
+            spark.readStream.schema(base.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = (
+            streaming_index_ingest(
+                stream, out, checkpoint=chk, maintain_index=False,
+                maintain_codes=False, dedupe_on="vec_id",
+                on_maintenance=lambda b, r: events.append(r),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    first = []
+    run(first)
+    assert sum(e["appended"] for e in first) == 100
+    assert index_health(spark, out)["row_count"] == 200
+
+    # simulate the crash window: appends committed, but BOTH the markers
+    # and the checkpoint are gone — the restart replays every batch with
+    # no marker to skip on, so only the id anti-join stands between the
+    # replay and duplicate vectors
+    shutil.rmtree(f"{chk}", ignore_errors=True)
+    second = []
+    run(second)
+    assert sum(e["appended"] for e in second) == 0  # every id already present
+    assert not any(e["replayed"] for e in second)  # markers were lost
+    assert index_health(spark, out)["row_count"] == 200
+    assert spark.read.parquet(out).count() == 200  # data-level: no dupes
+
+    # recall unchanged: probed search still matches brute force exactly
+    q_vec = [float(x) for x in rng.random(8)]
+    got = [
+        r["vec_id"]
+        for r in indexed_topk(
+            spark, out, q_vec, 20,
+            options=VectorTopKOptions(nprobe=4), tie_break="vec_id",
+        ).collect()
+    ]
+    full = spark.read.parquet(out).drop(CLUSTER_COL)
+    want = [
+        r["vec_id"]
+        for r in brute_force_topk(full, "embedding", q_vec, 20, tie_break="vec_id").collect()
+    ]
+    assert got == want
