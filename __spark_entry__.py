@@ -817,8 +817,12 @@ def _knn_auto_pq_fresh(spark, sf_dir):
     _icpt.register_codes_sidecar(path, codes, cb, id_col="vec_id")
     try:
         # ≙ restart: only the on-disk _pq_index/ registration remains
+        # (the centroid/sidecar cache goes too — r11 added it)
+        from pq_vector_spark.index import search as _srch
+
         _icpt._CODES_SIDECARS.clear()
         _icpt._CODES_SIDECAR_MISSES.clear()
+        _srch._SIDECAR_CACHE.clear()
         q = _qvec(spark, sf_dir, 0)
         vec = ", ".join(repr(float(x)) for x in q)
         sql = (

@@ -339,11 +339,14 @@ def unregister_codes_sidecar(indexed_path: str, spark=None) -> None:
     disk copy would silently resurrect the route on the next interception.
     Deleting a non-local registration needs a session (pass ``spark=`` or
     have one active); without one, only the in-memory entry is dropped and
-    a warning is logged."""
+    a warning is logged — and the negative-lookup cache is NOT seeded
+    (the registration is still on disk, so query-path lookups must stay
+    free to rediscover it; seeding a miss here would hide it for the
+    whole TTL, contradicting this docstring)."""
     import time as _time
 
-    _CODES_SIDECARS.pop(_normalize_path(indexed_path), None)
-    _CODES_SIDECAR_MISSES[_normalize_path(indexed_path)] = _time.monotonic()
+    key = _normalize_path(indexed_path)
+    _CODES_SIDECARS.pop(key, None)
     from pq_vector_spark.index.build import INDEX_DIR, _local_root
 
     root = _local_root(indexed_path)
@@ -352,11 +355,17 @@ def unregister_codes_sidecar(indexed_path: str, spark=None) -> None:
             p = os.path.join(root, INDEX_DIR, fname)
             if os.path.isfile(p):
                 os.remove(p)
+        # deletion confirmed: a miss entry is now TRUE, seed it so the
+        # query path doesn't pay a probe per query for the gone route
+        _CODES_SIDECAR_MISSES[key] = _time.monotonic()
         return
     from pyspark.sql import SparkSession
 
     spark = spark or SparkSession.getActiveSession()
     if spark is None:
+        # persisted copy NOT deleted — drop any stale miss entry so the
+        # still-on-disk registration stays discoverable
+        _CODES_SIDECAR_MISSES.pop(key, None)
         _LOG.warning(
             "unregister_codes_sidecar(%s): no active SparkSession — the "
             "persisted registration was NOT deleted and will be auto-loaded "
@@ -372,6 +381,7 @@ def unregister_codes_sidecar(indexed_path: str, spark=None) -> None:
         fs = p.getFileSystem(conf)
         if fs.exists(p):
             fs.delete(p, False)
+    _CODES_SIDECAR_MISSES[key] = _time.monotonic()
 
 
 def _cls(jnode) -> str:

@@ -940,3 +940,51 @@ def test_force_probe_bypasses_cached_miss(spark, icpt_table, monkeypatch):
         I._CODES_SIDECAR_MISSES.pop(key, None)
         if saved_hit is not None:
             I._CODES_SIDECARS[key] = saved_hit
+
+
+def test_unregister_without_session_does_not_seed_miss_cache(monkeypatch):
+    """r10 advice: when the persisted registration CANNOT be deleted (no
+    active session for a remote path), unregister must not seed the
+    negative-lookup cache — the registration is still on disk, and a
+    seeded miss would hide it from this session's query path for the
+    whole TTL, contradicting the docstring's 'only the in-memory entry
+    is dropped'."""
+    from pyspark.sql import SparkSession
+
+    import pq_vector_spark.plans.intercept as I
+
+    path = "hdfs://nn-nowhere/warehouse/tbl"
+    key = I._normalize_path(path)
+    I._CODES_SIDECAR_MISSES[key] = 0.0  # stale miss entry from earlier
+    monkeypatch.setattr(
+        SparkSession, "getActiveSession", staticmethod(lambda: None)
+    )
+    try:
+        I.unregister_codes_sidecar(path)  # delete skipped: no session
+    finally:
+        I._CODES_SIDECARS.pop(key, None)
+    # not seeded, and the stale entry was dropped so the on-disk
+    # registration stays discoverable immediately
+    assert key not in I._CODES_SIDECAR_MISSES
+
+
+def test_unregister_local_seeds_miss_cache_after_delete(spark, tmp_path, icpt_table):
+    """The local path DID delete the persisted registration — seeding the
+    miss cache there is truthful and keeps the per-query probe away."""
+    import tempfile
+
+    import pq_vector_spark.plans.intercept as I
+    from pq_vector_spark.index.pq import encode_indexed, train_pq
+
+    key = I._normalize_path(icpt_table["out"])
+    codes = tempfile.mkdtemp(prefix="pq_codes_unreg_") + "/codes"
+    emb = spark.read.parquet(icpt_table["src"])
+    cb = train_pq(emb, "vec", m=4, nbits=8, seed=42)
+    encode_indexed(spark, icpt_table["out"], codes, "vec", "id", cb)
+    I.register_codes_sidecar(icpt_table["out"], codes, cb, id_col="id")
+    try:
+        I.unregister_codes_sidecar(icpt_table["out"])
+        assert key in I._CODES_SIDECAR_MISSES
+        assert key not in I._CODES_SIDECARS
+    finally:
+        I._CODES_SIDECAR_MISSES.pop(key, None)
