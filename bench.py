@@ -9,9 +9,9 @@ recall@k of the indexed path vs brute force — plus the relational /
 dedup / text headline queries from __spark_entry__.
 
 Output contract (driver parses the LAST line of stdout): scale sections
-(`scale`, `scale_dedup`, `scale_asof`, `scale_maxsim`) are each printed as
-their OWN `{"section": "...", ...}` JSON line first, and the FINAL line is
-the compact bounded-size headline the driver records:
+(`scale`, `scale_dedup`, `scale_asof`, `scale_maxsim`, `scale_streaming`)
+are each printed as their OWN `{"section": "...", ...}` JSON line first,
+and the FINAL line is the compact bounded-size headline the driver records:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 (r6 lesson: folding the scale sections into the one headline line pushed it
 past the driver's tail-capture buffer and BENCH_r06 recorded parsed=null.)
@@ -77,6 +77,15 @@ HEADLINE = [
 
 K = 100
 NPROBE = 16
+
+# machine-speed anchor recorded by the LAST round's driver run
+# (BENCH_r10.json calib_sec) — this round's calib divides by it so the
+# verdict can mechanically separate host noise from plan regressions:
+# r10 saw the whole board drift +8% (untouched queries included) with no
+# way to prove it wasn't code. |ratio - 1| > 0.15 flags the run as
+# machine-skewed; divide headline totals by the ratio to compare rounds.
+CALIB_BASELINE_SEC = 0.271
+CALIB_BASELINE_ROUND = "r10"
 
 
 def _calibrate(reps: int = 3) -> float:
@@ -232,6 +241,12 @@ def main() -> None:
         if os.environ.get("PQ_BENCH_SCALE", "1") != "0"
         else None
     )
+    scale_streaming = (
+        _streaming_scale_bench(spark)
+        if os.environ.get("PQ_BENCH_SCALE", "1") != "0"
+        and os.environ.get("PQ_BENCH_SCALE_STREAMING", "1") != "0"
+        else None
+    )
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -241,6 +256,14 @@ def main() -> None:
         "queries": timings,
         "sf": _sf_from_dir(SF_DIR),
         "calib_sec": calib_sec,
+        "calib_baseline_sec": CALIB_BASELINE_SEC,
+        "calib_ratio_vs_r10": round(calib_sec / CALIB_BASELINE_SEC, 3),
+        # total with host-speed drift divided out — the cross-round
+        # comparable number (raw total stays the headline metric)
+        "headline_total_calib_adj": round(
+            total / (calib_sec / CALIB_BASELINE_SEC), 2
+        ),
+        "calib_drift_flag": abs(calib_sec / CALIB_BASELINE_SEC - 1.0) > 0.15,
         "recall_at_100": recall,
         # sf0.1's embeddings table is 2k rows: k=100 is 5% of the table and
         # nprobe 16/45 probes 36% of it — cluster granularity dominates
@@ -267,6 +290,7 @@ def main() -> None:
             ("scale_dedup", scale_dedup),
             ("scale_asof", scale_asof),
             ("scale_maxsim", scale_maxsim),
+            ("scale_streaming", scale_streaming),
             ("scale", scale),
         )
         if section is not None
@@ -1284,6 +1308,139 @@ def _maxsim_deep_inner(spark, src, cache_dir, n_rows, dim, m, sub, k, nprobe, ca
         "deep_speedup": round(brute_sec / ivf_sec, 2) if ivf_sec else None,
         "deep_recall_at_100": round(len(set(got) & set(truth)) / k, 4),
     }
+
+
+def _streaming_scale_bench(spark) -> dict:
+    """Streaming index maintenance at production shape (r10 verdict #7):
+    take the 1M-row indexed layout, stream PQ_BENCH_STREAM_BATCHES
+    micro-batches of PQ_BENCH_STREAM_BATCH_ROWS fresh vectors through
+    ``streaming_index_ingest`` with ``maintain_every=5``, and record
+    per-batch wall seconds, which batch triggered the staleness rebuild,
+    and post-stream recall@100 vs brute force. Proves the maintenance
+    loop keeps per-batch cost delta-bounded and recall at 1.0 while the
+    layout grows ~1.5× under the stream."""
+    import time as _time
+
+    from pq_vector_spark.index.build import (
+        CLUSTER_COL,
+        build_index,
+        index_health,
+    )
+    from pq_vector_spark.index.search import indexed_topk
+    from pq_vector_spark.operators.topk import brute_force_topk
+    from pq_vector_spark.session import VectorTopKOptions
+    from pq_vector_spark.streaming.ingest import streaming_index_ingest
+    from tools.gen_scale_embeddings import generate
+
+    n_rows = int(os.environ.get("PQ_BENCH_SCALE_ROWS", "1000000"))
+    dim = int(os.environ.get("PQ_BENCH_SCALE_DIM", "256"))
+    n_batches = int(os.environ.get("PQ_BENCH_STREAM_BATCHES", "10"))
+    batch_rows = int(os.environ.get("PQ_BENCH_STREAM_BATCH_ROWS", "50000"))
+    maintain_every, k, nprobe = 5, 100, 16
+
+    src = generate(n_rows=n_rows, dim=dim)
+    cached_idx = os.path.join(os.path.dirname(src), f"scale_idx_{n_rows}x{dim}")
+    work = tempfile.mkdtemp(prefix="pq_bench_stream_")
+    out = os.path.join(work, "indexed")
+    in_dir = os.path.join(work, "incoming")
+    chk = os.path.join(work, "chk")
+    os.makedirs(in_dir)
+    try:
+        t0 = _time.time()
+        if os.path.isdir(cached_idx):
+            # the scale section just (re)built this layout — stream into a
+            # private copy so appends/rebuilds never dirty the shared cache
+            shutil.copytree(cached_idx, out)
+        else:
+            build_index(spark, src, out, column="embedding")
+        setup_sec = round(_time.time() - t0, 3)
+        base = index_health(spark, out)
+        # fresh rows from the same mixture, ids far past every existing one
+        for i in range(n_batches):
+            p = generate(
+                n_rows=batch_rows,
+                dim=dim,
+                point_seed=7000 + i,
+                start_id=10_000_000 + i * batch_rows,
+            )
+            dst = os.path.join(in_dir, f"batch-{i:02d}.parquet")
+            if not os.path.exists(dst):
+                shutil.copy2(p, dst)
+
+        schema = spark.read.parquet(in_dir).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        events: list = []
+        t_start = _time.time()
+        last = [t_start]
+
+        def hook(batch_id, res):
+            now = _time.time()
+            events.append({"batch": int(batch_id), "sec": round(now - last[0], 3), **res})
+            last[0] = now
+
+        q = (
+            streaming_index_ingest(
+                stream,
+                out,
+                checkpoint=chk,
+                maintain_index=True,
+                maintain_codes=False,
+                maintain_every=maintain_every,
+                stale_threshold=0.2,
+                on_maintenance=hook,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        stream_sec = round(_time.time() - t_start, 3)
+
+        post = index_health(spark, out)
+        qvec = [
+            float(x)
+            for x in spark.read.parquet(src)
+            .filter("vec_id = 0")
+            .collect()[0]["embedding"]
+        ]
+        full = spark.read.parquet(out).drop(CLUSTER_COL)
+        truth = {
+            r["vec_id"]
+            for r in brute_force_topk(
+                full, "embedding", qvec, k, tie_break="vec_id"
+            ).collect()
+        }
+        got = {
+            r["vec_id"]
+            for r in indexed_topk(
+                spark, out, qvec, k,
+                options=VectorTopKOptions(nprobe=nprobe), tie_break="vec_id",
+            ).collect()
+        }
+        append_secs = [e["sec"] for e in events if not e.get("rebuilt")]
+        return {
+            "base_rows": int(base["row_count"]),
+            "dim": dim,
+            "n_batches": n_batches,
+            "batch_rows": batch_rows,
+            "maintain_every": maintain_every,
+            "setup_sec": setup_sec,
+            "stream_total_sec": stream_sec,
+            "appended_rows": int(sum(e["appended"] for e in events)),
+            "per_batch_sec": [e["sec"] for e in events],
+            "append_sec_max": max(append_secs) if append_secs else None,
+            "rebuild_batches": [e["batch"] for e in events if e.get("rebuilt")],
+            "rebuild_batch_sec": [e["sec"] for e in events if e.get("rebuilt")],
+            "post_rows": int(post["row_count"]),
+            "post_n_clusters": int(post["n_clusters"]),
+            "post_stale": bool(post["stale"]),
+            "recall_at_100": round(len(got & truth) / k, 4),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 if __name__ == "__main__":
