@@ -78,7 +78,13 @@ from pq_vector_spark.operators.constraints import (
 )
 from pq_vector_spark.operators.curate import curate_corpus
 from pq_vector_spark.operators.decontaminate import contamination_report, decontaminate
-from pq_vector_spark.operators.dedup import incremental_dedup, resolve_duplicates
+from pq_vector_spark.operators.dedup import (
+    append_dedup_index,
+    build_dedup_index,
+    incremental_dedup,
+    incremental_dedup_near,
+    resolve_duplicates,
+)
 from pq_vector_spark.operators.drift import distribution_drift, psi
 from pq_vector_spark.operators.merge import latest_changes, merge_upsert
 from pq_vector_spark.operators.packing import pack_sequences, packing_stats
@@ -176,6 +182,9 @@ __all__ = [
     "check_unique",
     "profile_columns",
     "incremental_dedup",
+    "incremental_dedup_near",
+    "build_dedup_index",
+    "append_dedup_index",
     "resolve_duplicates",
     "distribution_drift",
     "psi",

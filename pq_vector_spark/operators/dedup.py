@@ -123,6 +123,25 @@ def minhash_signature(col, n: int = 3, num_hashes: int = 32, seed: int = 42) -> 
     )
 
 
+def _band_structs(sig_col, bands: int, rows_per_band: int):
+    """array<struct<band int, key string>> of LSH band keys from a minhash
+    signature array — ONE definition shared by ``minhash_lsh_pairs``,
+    ``build_dedup_index`` and ``incremental_dedup_near`` so the banding
+    (hence index compatibility) can never drift between them."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[sig_col[i * rows_per_band + r] for r in range(rows_per_band)],
+                ).alias("key"),
+            )
+            for i in range(bands)
+        ]
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,
@@ -221,19 +240,7 @@ def minhash_lsh_pairs(
         sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
     banded = sig.select(
         "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.concat_ws(
-                            ",", *[F.col("_sig")[i * rows_per_band + r] for r in range(rows_per_band)]
-                        ).alias("key"),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("bk"),
+        F.explode(_band_structs(F.col("_sig"), bands, rows_per_band)).alias("bk"),
     ).select("_id", "bk.band", "bk.key")
     if max_bucket is not None:
         wb = Window.partitionBy("band", "key").orderBy("_id")
@@ -655,3 +662,279 @@ def incremental_dedup(
         .distinct()
     )
     return surv.join(F.broadcast(hits), "_fp", "left_anti").drop("_fp")
+
+
+# ---------------------------------------------------------------- near-dup
+# persisted LSH index: the NEAR-dup analogue of incremental_dedup's exact
+# contract. Build once over the standing corpus, probe every delta against
+# it, append survivors — the corpus's text is never re-hashed.
+
+DEDUP_INDEX_DIR = "_dedup_index"
+DEDUP_INDEX_META = "meta.json"
+
+
+def _dedup_index_meta_path(index_path: str) -> str:
+    return f"{index_path.rstrip('/')}/{DEDUP_INDEX_DIR}/{DEDUP_INDEX_META}"
+
+
+def load_dedup_index_meta(spark, index_path: str) -> dict:
+    """Read the index's pinned hash parameters (n, num_hashes, bands, seed)
+    — probes and appends MUST use these, never caller-supplied ones, or the
+    band keys silently stop matching."""
+    import json as _json
+    import os as _os
+
+    from pq_vector_spark.index.build import _hadoop_read_bytes, _local_root
+
+    p = _dedup_index_meta_path(index_path)
+    root = _local_root(p)
+    try:
+        if root is not None:
+            with open(root) as f:
+                return _json.loads(f.read())
+        return _json.loads(_hadoop_read_bytes(spark, p).decode("utf-8"))
+    except Exception as e:
+        raise IOError(
+            f"no readable dedup index meta at {p} (build_dedup_index writes "
+            f"it): {type(e).__name__}: {e}"
+        )
+
+
+def _write_dedup_index_meta(spark, index_path: str, meta: dict) -> None:
+    import json as _json
+    import os as _os
+
+    from pq_vector_spark.index.build import _hadoop_write_bytes, _local_root
+
+    p = _dedup_index_meta_path(index_path)
+    root = _local_root(p)
+    body = _json.dumps(meta) + "\n"
+    if root is not None:
+        _os.makedirs(_os.path.dirname(root), exist_ok=True)
+        with open(root, "w") as f:
+            f.write(body)
+    else:
+        _hadoop_write_bytes(spark, p, body.encode("utf-8"))
+
+
+def build_dedup_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    index_path: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+) -> dict:
+    """Persist the corpus's banded MinHash signatures as a standing
+    NEAR-DUP INDEX: one parquet table ``(id, band, key)`` plus a
+    ``_dedup_index/meta.json`` sidecar pinning the hash parameters.
+    ``incremental_dedup_near`` then near-dedups every nightly delta against
+    a 100 TB corpus WITHOUT re-hashing the corpus text — the near-dup
+    analogue of ``incremental_dedup``'s exact-fingerprint contract (and of
+    the reference's reuse-the-trained-structure append stance,
+    src/ivf/parquet.rs:88-103).
+
+    Scale shape: ONE map-side pass over the corpus (text → shingle md5 →
+    minhash fold → band keys) and one write of #docs × ``bands`` short
+    rows; no shuffle anywhere. The index is ~tens of bytes/doc — orders of
+    magnitude smaller than the text it replaces in every later probe.
+    All hashing is md5-derived, so the DuckDB oracle replays the index
+    content bit-for-bit.
+
+    Returns the meta dict. Extend the index as the corpus grows with
+    ``append_dedup_index`` (parameter compatibility is enforced).
+    """
+    if num_hashes % bands != 0:
+        raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
+    spark = df.sparkSession
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(text_col, n, num_hashes, seed).alias("_sig"),
+    )
+    banded = sig.select(
+        "id",
+        F.explode(_band_structs(F.col("_sig"), bands, rows_per_band)).alias("bk"),
+    ).select("id", "bk.band", "bk.key")
+    banded.write.mode("overwrite").parquet(index_path)
+    meta = {
+        "n": int(n),
+        "num_hashes": int(num_hashes),
+        "bands": int(bands),
+        "seed": int(seed),
+        "id_col": id_col,
+    }
+    _write_dedup_index_meta(spark, index_path, meta)
+    return meta
+
+
+def append_dedup_index(df: DataFrame, text_col: str, id_col: str, index_path: str) -> dict:
+    """Extend a standing near-dup index with new documents (the rows a
+    probe just admitted): one map-side signature pass over the DELTA only,
+    appended as new part-files — existing index files are never touched,
+    concurrent probes keep working. Hash parameters come from the index's
+    own meta (caller-supplied ones could silently split the key space)."""
+    spark = df.sparkSession
+    meta = load_dedup_index_meta(spark, index_path)
+    rows_per_band = meta["num_hashes"] // meta["bands"]
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(
+            text_col, meta["n"], meta["num_hashes"], meta["seed"]
+        ).alias("_sig"),
+    )
+    banded = sig.select(
+        "id",
+        F.explode(
+            _band_structs(F.col("_sig"), meta["bands"], rows_per_band)
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.key")
+    banded.write.mode("append").parquet(index_path)
+    return meta
+
+
+def incremental_dedup_near(
+    spark,
+    index_path: str,
+    delta: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    corpus: Optional[DataFrame] = None,
+    corpus_text_col: Optional[str] = None,
+    corpus_id_col: Optional[str] = None,
+    threshold: float = 0.5,
+    max_bucket: Optional[int] = 10_000,
+) -> DataFrame:
+    """NEAR-dedup an incoming delta against the standing corpus via its
+    persisted LSH index (``build_dedup_index``) — without re-hashing one
+    byte of corpus text.
+
+    Survivor rule (deterministic, engine-replayable): a delta row is
+    DROPPED iff (a) it near-matches any SMALLER-id delta row, or (b) it
+    near-matches any corpus document. "Near-matches" = shares at least one
+    LSH band key AND — when ``corpus`` is given — exact n-gram Jaccard ≥
+    ``threshold`` on the verified pair (without ``corpus``, the band
+    collision alone decides: cheaper, with LSH's false-positive rate —
+    P[collide | j] ≈ 1-(1-j^r)^b). Rule (a) deliberately lets a dropped
+    row still suppress its own near-matches — fate depends only on pair
+    relations, never on resolution order, which is what lets the DuckDB
+    oracle replay the outcome bit-for-bit.
+
+    Scale shape — the corpus never shuffles and its TEXT is read only for
+    verified candidates:
+
+    1. delta banded keys: map-side over the delta (delta-sized);
+    2. the delta's distinct keys BROADCAST as an inner-join probe over the
+       index scan (map-side; index rows that match ≤ collisions);
+       ``max_bucket`` caps degenerate (band, key) buckets the same way
+       ``minhash_lsh_pairs`` does (boilerplate belongs to ``exact_dedup``
+       first);
+    3. verification (when ``corpus`` given): candidate corpus ids BROADCAST
+       as a semi-join probe over the corpus scan — only matched documents
+       are shingled; the exact-Jaccard join is candidates-sized;
+    4. within-delta pairs via ``minhash_lsh_pairs`` on the delta alone.
+
+    Pairs with ``incremental_dedup`` (exact fingerprints) — run that first:
+    byte-identical copies are cheaper to kill exactly, and they are the
+    degenerate buckets this operator caps away.
+    """
+    meta = load_dedup_index_meta(spark, index_path)
+    n, num_hashes, bands, seed = (
+        meta["n"], meta["num_hashes"], meta["bands"], meta["seed"]
+    )
+    rows_per_band = num_hashes // bands
+    from pq_vector_spark.functions.text import token_hash
+
+    if corpus is not None:
+        corpus_text_col = corpus_text_col or text_col
+        corpus_id_col = corpus_id_col or id_col
+
+    from pyspark import StorageLevel
+
+    dband = (
+        delta.select(
+            F.col(id_col).alias("_did"),
+            minhash_signature(text_col, n, num_hashes, seed).alias("_sig"),
+        )
+        .select(
+            "_did",
+            F.explode(
+                _band_structs(F.col("_sig"), bands, rows_per_band)
+            ).alias("bk"),
+        )
+        .select("_did", "bk.band", "bk.key")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        probe = dband.select("band", "key").distinct()
+        index = spark.read.parquet(index_path)
+        hits = index.join(F.broadcast(probe), ["band", "key"], "inner")
+        if max_bucket is not None:
+            wb = Window.partitionBy("band", "key").orderBy("id")
+            hits = (
+                hits.withColumn("_pq_bpos", F.row_number().over(wb))
+                .filter(F.col("_pq_bpos") <= max_bucket)
+                .drop("_pq_bpos")
+            )
+        cands = (
+            dband.join(hits, ["band", "key"])
+            .select("_did", F.col("id").alias("_cid"))
+            .distinct()
+        )
+        if corpus is None:
+            corpus_dropped = cands.select("_did").distinct()
+        else:
+            cand_ids = cands.select(
+                F.col("_cid").alias(corpus_id_col)
+            ).distinct()
+            ctext = (
+                corpus.join(F.broadcast(cand_ids), corpus_id_col, "left_semi")
+                .select(
+                    F.col(corpus_id_col).alias("_cid"),
+                    F.transform(
+                        shingles(corpus_text_col, n), lambda s: token_hash(s)
+                    ).alias("_hc"),
+                )
+            )
+            dtext = delta.select(
+                F.col(id_col).alias("_did"),
+                F.transform(shingles(text_col, n), lambda s: token_hash(s)).alias(
+                    "_hd"
+                ),
+            )
+            inter = F.size(F.array_intersect(F.col("_hd"), F.col("_hc")))
+            jac = inter.cast("double") / (
+                F.size("_hd") + F.size("_hc") - inter
+            ).cast("double")
+            corpus_dropped = (
+                cands.join(dtext, "_did")
+                .join(ctext, "_cid")
+                .filter(jac >= F.lit(threshold))
+                .select("_did")
+                .distinct()
+            )
+        within = minhash_lsh_pairs(
+            delta,
+            text_col,
+            id_col,
+            n=n,
+            num_hashes=num_hashes,
+            bands=bands,
+            seed=seed,
+            threshold=threshold,
+            verify=corpus is not None,
+            max_bucket=max_bucket,
+        )
+        within_dropped = within.select(F.col("id_b").alias("_did")).distinct()
+        dropped = corpus_dropped.unionByName(within_dropped).distinct()
+        return delta.join(
+            F.broadcast(dropped.withColumnRenamed("_did", id_col)),
+            id_col,
+            "left_anti",
+        )
+    finally:
+        dband.unpersist()

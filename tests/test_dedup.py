@@ -322,3 +322,178 @@ def test_resolve_duplicates_prefer_none_unchanged(spark):
         for r in resolve_duplicates(docs, pairs, "doc_id").collect()
     }
     assert out == {1: 1, 2: 2, 3: 2}
+
+
+# ------------------------------------------------- persisted near-dup index
+
+
+def _near_corpus(spark):
+    """Corpus with one boilerplate family; delta with (a) a near-copy of a
+    corpus doc, (b) two near-identical fresh docs, (c) one genuinely new
+    doc. Texts are ~12 tokens so 3-gram Jaccard separates cleanly."""
+    mk = lambda *w: " ".join(w)
+    corpus_rows = [
+        (1, mk("the", "quick", "brown", "fox", "jumps", "over", "the",
+               "lazy", "dog", "near", "the", "river")),
+        (2, mk("spark", "plans", "are", "declarative", "catalyst",
+               "optimizes", "predicates", "and", "projections", "for",
+               "parquet", "scans")),
+        (3, mk("completely", "different", "third", "document", "about",
+               "minhash", "banding", "and", "jaccard", "estimation",
+               "at", "scale")),
+    ]
+    delta_rows = [
+        # near-copy of corpus doc 1 (one trailing token changed)
+        (10, mk("the", "quick", "brown", "fox", "jumps", "over", "the",
+                "lazy", "dog", "near", "the", "creek")),
+        # two near-identical fresh docs: 21 must suppress 22
+        (21, mk("fresh", "delta", "document", "describing", "streaming",
+                "ingestion", "markers", "checkpoints", "and", "replay",
+                "semantics", "today")),
+        (22, mk("fresh", "delta", "document", "describing", "streaming",
+                "ingestion", "markers", "checkpoints", "and", "replay",
+                "semantics", "tonight")),
+        # genuinely new
+        (30, mk("unrelated", "survivor", "text", "with", "nothing",
+                "shared", "against", "any", "other", "row", "at", "all")),
+    ]
+    schema = "doc_id: bigint, text: string"
+    return (
+        spark.createDataFrame(corpus_rows, schema),
+        spark.createDataFrame(delta_rows, schema),
+    )
+
+
+def test_incremental_dedup_near_verified(spark, tmp_path):
+    """Build the corpus index once; the delta near-dedups against it
+    without re-hashing corpus text: the near-copy of a corpus doc drops,
+    the smaller of the two within-delta twins survives, the fresh doc
+    survives."""
+    from pq_vector_spark.operators.dedup import (
+        build_dedup_index,
+        incremental_dedup_near,
+    )
+
+    corpus, delta = _near_corpus(spark)
+    idx = str(tmp_path / "near_idx")
+    meta = build_dedup_index(corpus, "text", "doc_id", idx, num_hashes=32, bands=8)
+    assert meta["bands"] == 8
+    out = incremental_dedup_near(
+        spark, idx, delta, "text", "doc_id", corpus=corpus, threshold=0.5
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == [21, 30]
+    # index table shape: one row per (doc, band)
+    assert spark.read.parquet(idx).count() == 3 * 8
+
+
+def test_incremental_dedup_near_unverified_band_collision(spark, tmp_path):
+    """Without a corpus frame, the band collision alone decides — same
+    outcome on this corpus (all true matches), zero corpus text reads."""
+    from pq_vector_spark.operators.dedup import (
+        build_dedup_index,
+        incremental_dedup_near,
+    )
+
+    corpus, delta = _near_corpus(spark)
+    idx = str(tmp_path / "near_idx_uv")
+    build_dedup_index(corpus, "text", "doc_id", idx)
+    out = incremental_dedup_near(spark, idx, delta, "text", "doc_id")
+    assert sorted(r["doc_id"] for r in out.collect()) == [21, 30]
+
+
+def test_append_dedup_index_extends_coverage(spark, tmp_path):
+    """Appending admitted survivors to the index makes the NEXT delta
+    near-dedup against them too; hash parameters come from the index meta,
+    so a caller cannot split the key space."""
+    from pq_vector_spark.operators.dedup import (
+        append_dedup_index,
+        build_dedup_index,
+        incremental_dedup_near,
+        load_dedup_index_meta,
+    )
+
+    corpus, delta = _near_corpus(spark)
+    idx = str(tmp_path / "near_idx_app")
+    build_dedup_index(corpus, "text", "doc_id", idx, num_hashes=16, bands=4)
+    surv = incremental_dedup_near(
+        spark, idx, delta, "text", "doc_id", corpus=corpus, threshold=0.5
+    )
+    append_dedup_index(surv, "text", "doc_id", idx)
+    assert load_dedup_index_meta(spark, idx)["num_hashes"] == 16
+    # a near-copy of survivor 21 now drops against the APPENDED index rows
+    delta2 = spark.createDataFrame(
+        [
+            (40, "fresh delta document describing streaming ingestion "
+                 "markers checkpoints and replay semantics forever"),
+            (41, "another brand new unique document mentioning vector "
+                 "search recall pruning and quantization tradeoffs"),
+        ],
+        "doc_id: bigint, text: string",
+    )
+    both = corpus.unionByName(surv.select("doc_id", "text"))
+    out2 = incremental_dedup_near(
+        spark, idx, delta2, "text", "doc_id", corpus=both, threshold=0.5
+    )
+    assert sorted(r["doc_id"] for r in out2.collect()) == [41]
+
+
+def test_incremental_dedup_near_missing_meta_raises(spark, tmp_path):
+    from pq_vector_spark.operators.dedup import incremental_dedup_near
+
+    delta = spark.createDataFrame([(1, "a b c")], "doc_id: bigint, text: string")
+    with pytest.raises(IOError, match="dedup index meta"):
+        incremental_dedup_near(
+            spark, str(tmp_path / "nope"), delta, "text", "doc_id"
+        )
+
+
+def test_incremental_dedup_near_matches_scratch_twin(spark, tmp_path):
+    """The indexed probe must select EXACTLY the rows a from-scratch LSH
+    run over (corpus ∪ delta) would keep under the same survivor rule —
+    the index is a cache, never a semantics change."""
+    import random
+
+    from pq_vector_spark.operators.dedup import (
+        build_dedup_index,
+        incremental_dedup_near,
+        minhash_lsh_pairs,
+    )
+
+    rng = random.Random(3)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = []
+    for i in range(30):
+        base = [rng.choice(vocab) for _ in range(12)]
+        docs.append((i, " ".join(base)))
+        if rng.random() < 0.4:  # near-copy with one token changed
+            twin = list(base)
+            twin[-1] = rng.choice(vocab)
+            docs.append((1000 + i, " ".join(twin)))
+    df = spark.createDataFrame(docs, "doc_id: bigint, text: string")
+    corpus = df.filter("doc_id % 2 = 0")
+    delta = df.filter("doc_id % 2 = 1")
+    idx = str(tmp_path / "near_idx_twin")
+    build_dedup_index(corpus, "text", "doc_id", idx)
+    got = sorted(
+        r["doc_id"]
+        for r in incremental_dedup_near(
+            spark, idx, delta, "text", "doc_id", corpus=corpus, threshold=0.5
+        ).collect()
+    )
+    # scratch twin: all verified LSH pairs over the union, same rule
+    pairs = minhash_lsh_pairs(
+        df, "text", "doc_id", threshold=0.5
+    ).collect()
+    corpus_ids = {r["doc_id"] for r in corpus.collect()}
+    delta_ids = sorted(r["doc_id"] for r in delta.collect())
+    dropped = set()
+    for p in pairs:
+        a, b = p["id_a"], p["id_b"]
+        for d in (a, b):
+            other = b if d == a else a
+            if d in delta_ids and (
+                other in corpus_ids or (other in delta_ids and other < d)
+            ):
+                dropped.add(d)
+    want = sorted(d for d in delta_ids if d not in dropped)
+    assert got == want
