@@ -873,6 +873,28 @@ def _dedup_scale_bench(spark) -> dict:
     n_new = D.incremental_dedup(standing, delta, "text", "doc_id").count()
     incr_sec = round(time.time() - t0, 3)
 
+    # Persisted near-dup index (r11): ONE map-side signature pass persists
+    # the standing 90%'s banded signatures; the 10% delta then NEAR-dedups
+    # against it — corpus text read only for verified candidates, never
+    # re-hashed. Probe cost is delta-bounded: compare near_probe_sec with
+    # minhash_sec (the full-corpus LSH run the index amortizes away).
+    idx_root = tempfile.mkdtemp(prefix="pq_bench_nearidx_")
+    idx_dir = os.path.join(idx_root, "near_idx")
+    try:
+        t0 = time.time()
+        D.build_dedup_index(
+            standing, "text", "doc_id", idx_dir, num_hashes=32, bands=8
+        )
+        near_build_sec = round(time.time() - t0, 3)
+        t0 = time.time()
+        n_near_new = D.incremental_dedup_near(
+            spark, idx_dir, delta, "text", "doc_id",
+            corpus=standing, threshold=0.6,
+        ).count()
+        near_probe_sec = round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(idx_root, ignore_errors=True)
+
     # Token-budget curation at scale: greedy best-docs prefix over 1M rows,
     # two-phase bucketed plan (operators/sampling.select_token_budget) vs
     # the naive global cumulative window. Wall time is parity-ish at local
@@ -1008,6 +1030,9 @@ def _dedup_scale_bench(spark) -> dict:
         "decon_survivors": int(n_clean),
         "incremental_sec": incr_sec,
         "incremental_new": int(n_new),
+        "near_index_build_sec": near_build_sec,
+        "near_probe_sec": near_probe_sec,
+        "near_probe_survivors": int(n_near_new),
     }
 
 

@@ -40,26 +40,102 @@ _LOG = logging.getLogger("pq_vector_spark.streaming.ingest")
 
 
 def dedup_append_batch(
-    batch_df: DataFrame, corpus_path: str, text_col: str, id_col: str
+    batch_df: DataFrame,
+    corpus_path: str,
+    text_col: str,
+    id_col: str,
+    *,
+    near_index: Optional[str] = None,
+    near_threshold: float = 0.5,
 ) -> int:
     """Apply one micro-batch: dedup against (and within) the corpus at
     ``corpus_path``, append survivors. Returns the number appended.
     Usable directly for batch backfills; ``streaming_ingest`` wires it
-    into foreachBatch."""
+    into foreachBatch.
+
+    ``near_index`` (a ``build_dedup_index`` layout) upgrades the batch
+    from exact-only to exact + NEAR dedup: after the fingerprint pass,
+    survivors probe the corpus's persisted LSH index
+    (``incremental_dedup_near`` — band keys broadcast, corpus text read
+    only for verified candidates at jaccard ≥ ``near_threshold``), and the
+    admitted rows' signatures are APPENDED to the index so the next batch
+    near-dedups against them too. Exact runs first: byte-identical copies
+    are cheaper to kill by fingerprint, and they are the degenerate LSH
+    buckets the near probe caps away."""
+    from pq_vector_spark.operators.dedup import (
+        append_dedup_index,
+        incremental_dedup_near,
+    )
+
     spark = batch_df.sparkSession
     corpus = spark.read.parquet(corpus_path)
     fresh = incremental_dedup(corpus, batch_df, text_col, id_col)
-    # Two actions on `fresh` (count + write) would re-run the probe; keep
-    # it single-action by writing then counting cheaply via the write's
-    # own output is not exposed — so persist the delta-bounded survivors.
-    fresh = fresh.persist()
+    if near_index is not None:
+        fresh = incremental_dedup_near(
+            spark,
+            near_index,
+            fresh,
+            text_col,
+            id_col,
+            corpus=corpus,
+            corpus_text_col=text_col,
+            corpus_id_col=id_col,
+            threshold=near_threshold,
+        )
+    if near_index is None:
+        # Two actions on `fresh` (count + write) would re-run the probe;
+        # persist the delta-bounded survivors instead.
+        fresh = fresh.persist()
+        try:
+            n = fresh.count()
+            if n:
+                fresh.write.mode("append").parquet(corpus_path)
+        finally:
+            fresh.unpersist()
+        return n
+    # With a near index, `fresh` must survive the corpus MUTATION: its plan
+    # reads corpus_path, and Spark's cache manager drops caches by path on
+    # write — a merely-persisted `fresh` re-evaluated for the index append
+    # would re-read the grown corpus and anti-join the just-admitted rows
+    # away (index silently misses every batch). Materialize the survivors
+    # to a shared STAGING dir (delta-sized write) and run both appends from
+    # that snapshot. Corpus lands before the index on purpose: a crash
+    # in between admits later near-copies (redundancy, curable by a probe
+    # rerun) — the reverse order would leave ghost signatures that
+    # silently SUPPRESS copies of a document that never landed (loss).
+    import uuid
+
+    stage = f"{corpus_path.rstrip('/')}.staging-{uuid.uuid4().hex[:12]}"
     try:
-        n = fresh.count()
+        fresh.write.mode("overwrite").parquet(stage)
+        staged = spark.read.parquet(stage)
+        n = staged.count()
         if n:
-            fresh.write.mode("append").parquet(corpus_path)
+            staged.write.mode("append").parquet(corpus_path)
+            append_dedup_index(staged, text_col, id_col, near_index)
+        return n
     finally:
-        fresh.unpersist()
-    return n
+        _delete_path(spark, stage)
+
+
+def _delete_path(spark, path: str) -> None:
+    """Best-effort recursive delete of a staging dir (local or Hadoop)."""
+    from pq_vector_spark.index.build import _local_root
+
+    try:
+        root = _local_root(path)
+        if root is not None:
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+            return
+        jvm = spark._jvm
+        jp = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(jp):
+            fs.delete(jp, True)
+    except Exception:
+        pass  # housekeeping only; the batch's appends already committed
 
 
 def streaming_ingest(
@@ -68,10 +144,16 @@ def streaming_ingest(
     text_col: str = "text",
     id_col: str = "doc_id",
     checkpoint: Optional[str] = None,
+    *,
+    near_index: Optional[str] = None,
+    near_threshold: float = 0.5,
 ):
     """Return a ``DataStreamWriter`` that continuously ingests ``stream``
     into the parquet corpus at ``corpus_path`` with per-batch incremental
-    dedup. Caller picks the trigger/start, e.g.::
+    dedup — exact by default; exact + NEAR when ``near_index`` names a
+    ``build_dedup_index`` layout (the index is kept current: each batch's
+    admitted rows append their signatures). Caller picks the
+    trigger/start, e.g.::
 
         q = streaming_ingest(src, "/corpus", checkpoint="/chk").trigger(
             availableNow=True).start()
@@ -79,7 +161,14 @@ def streaming_ingest(
     """
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        dedup_append_batch(batch_df, corpus_path, text_col, id_col)
+        dedup_append_batch(
+            batch_df,
+            corpus_path,
+            text_col,
+            id_col,
+            near_index=near_index,
+            near_threshold=near_threshold,
+        )
 
     writer = stream.writeStream.foreachBatch(_apply).outputMode("append")
     if checkpoint:

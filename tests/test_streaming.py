@@ -1107,3 +1107,80 @@ def test_streaming_index_ingest_dedupe_on_closes_marker_crash_window(
         for r in brute_force_topk(full, "embedding", q_vec, 20, tie_break="vec_id").collect()
     ]
     assert got == want
+
+
+def test_streaming_ingest_near_dedup_across_batches(spark, tmp_path):
+    """streaming_ingest(near_index=...): batches near-dedup against the
+    corpus's persisted LSH index AND against earlier batches' survivors
+    (each batch appends its admitted signatures), so a near-copy arriving
+    two batches later still drops — the continuous near-dup-free corpus."""
+    from pq_vector_spark.operators.dedup import build_dedup_index
+    from pq_vector_spark.streaming.ingest import streaming_ingest
+
+    corpus_dir = str(tmp_path / "ncorpus")
+    idx = str(tmp_path / "ncorpus_idx")
+    in_dir = str(tmp_path / "nincoming")
+    chk = str(tmp_path / "nchk")
+
+    mk = lambda *w: " ".join(w)
+    seed = spark.createDataFrame(
+        [
+            (1, mk("the", "quick", "brown", "fox", "jumps", "over", "the",
+                   "lazy", "dog", "near", "the", "river")),
+            (2, mk("spark", "plans", "are", "declarative", "catalyst",
+                   "optimizes", "predicates", "and", "projections", "for",
+                   "parquet", "scans")),
+        ],
+        ["doc_id", "text"],
+    )
+    seed.write.parquet(corpus_dir)
+    build_dedup_index(seed, "text", "doc_id", idx, num_hashes=16, bands=4)
+
+    batch1 = spark.createDataFrame(
+        [
+            # near-copy of corpus doc 1 -> dropped by the index probe
+            (10, mk("the", "quick", "brown", "fox", "jumps", "over", "the",
+                    "lazy", "dog", "near", "the", "creek")),
+            # fresh -> appended (and indexed)
+            (11, mk("fresh", "streaming", "document", "about", "markers",
+                    "checkpoints", "replay", "and", "idempotent", "appends",
+                    "in", "practice")),
+        ],
+        ["doc_id", "text"],
+    )
+    batch2 = spark.createDataFrame(
+        [
+            # near-copy of batch1's survivor 11 -> dropped via the APPENDED
+            # index rows (exact fingerprint differs: one token changed)
+            (20, mk("fresh", "streaming", "document", "about", "markers",
+                    "checkpoints", "replay", "and", "idempotent", "appends",
+                    "in", "theory")),
+            # fresh -> appended
+            (21, mk("completely", "unrelated", "payload", "covering",
+                    "vector", "recall", "pruning", "budgets", "and",
+                    "mixtures", "at", "scale")),
+        ],
+        ["doc_id", "text"],
+    )
+    batch1.coalesce(1).write.mode("append").parquet(in_dir)
+    batch2.coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema(batch1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        streaming_ingest(
+            stream, corpus_dir, "text", "doc_id", checkpoint=chk,
+            near_index=idx, near_threshold=0.5,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {r["doc_id"] for r in spark.read.parquet(corpus_dir).collect()}
+    assert got == {1, 2, 11, 21}
+    # the index tracks the corpus: 2 seed + 2 admitted docs x 4 bands
+    assert spark.read.parquet(idx).count() == 4 * 4
