@@ -855,6 +855,12 @@ def incremental_dedup_near(
 
     from pyspark import StorageLevel
 
+    # persisted WITHOUT a matching unpersist, like minhash_lsh_pairs'
+    # signature cache: the return value is LAZY — an unpersist inside this
+    # function would fire before the caller's first action, making the
+    # cache a no-op and re-running the delta's text→md5→minhash pass once
+    # per downstream reference. Both frames are delta/collision-bounded
+    # (never corpus-scaled); MEMORY_AND_DISK spills, never OOMs.
     dband = (
         delta.select(
             F.col(id_col).alias("_did"),
@@ -869,72 +875,72 @@ def incremental_dedup_near(
         .select("_did", "bk.band", "bk.key")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    try:
-        probe = dband.select("band", "key").distinct()
-        index = spark.read.parquet(index_path)
-        hits = index.join(F.broadcast(probe), ["band", "key"], "inner")
-        if max_bucket is not None:
-            wb = Window.partitionBy("band", "key").orderBy("id")
-            hits = (
-                hits.withColumn("_pq_bpos", F.row_number().over(wb))
-                .filter(F.col("_pq_bpos") <= max_bucket)
-                .drop("_pq_bpos")
+    probe = dband.select("band", "key").distinct()
+    index = spark.read.parquet(index_path)
+    hits = index.join(F.broadcast(probe), ["band", "key"], "inner")
+    if max_bucket is not None:
+        wb = Window.partitionBy("band", "key").orderBy("id")
+        hits = (
+            hits.withColumn("_pq_bpos", F.row_number().over(wb))
+            .filter(F.col("_pq_bpos") <= max_bucket)
+            .drop("_pq_bpos")
+        )
+    # delta side broadcast: the pair-expansion join stays map-side over
+    # the (collision-bounded) hits instead of shuffling both sides
+    cands = (
+        hits.join(F.broadcast(dband), ["band", "key"])
+        .select("_did", F.col("id").alias("_cid"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if corpus is None:
+        corpus_dropped = cands.select("_did").distinct()
+    else:
+        cand_ids = cands.select(
+            F.col("_cid").alias(corpus_id_col)
+        ).distinct()
+        ctext = (
+            corpus.join(F.broadcast(cand_ids), corpus_id_col, "left_semi")
+            .select(
+                F.col(corpus_id_col).alias("_cid"),
+                F.transform(
+                    shingles(corpus_text_col, n), lambda s: token_hash(s)
+                ).alias("_hc"),
             )
-        cands = (
-            dband.join(hits, ["band", "key"])
-            .select("_did", F.col("id").alias("_cid"))
+        )
+        dtext = delta.select(
+            F.col(id_col).alias("_did"),
+            F.transform(shingles(text_col, n), lambda s: token_hash(s)).alias(
+                "_hd"
+            ),
+        )
+        inter = F.size(F.array_intersect(F.col("_hd"), F.col("_hc")))
+        jac = inter.cast("double") / (
+            F.size("_hd") + F.size("_hc") - inter
+        ).cast("double")
+        corpus_dropped = (
+            cands.join(dtext, "_did")
+            .join(ctext, "_cid")
+            .filter(jac >= F.lit(threshold))
+            .select("_did")
             .distinct()
         )
-        if corpus is None:
-            corpus_dropped = cands.select("_did").distinct()
-        else:
-            cand_ids = cands.select(
-                F.col("_cid").alias(corpus_id_col)
-            ).distinct()
-            ctext = (
-                corpus.join(F.broadcast(cand_ids), corpus_id_col, "left_semi")
-                .select(
-                    F.col(corpus_id_col).alias("_cid"),
-                    F.transform(
-                        shingles(corpus_text_col, n), lambda s: token_hash(s)
-                    ).alias("_hc"),
-                )
-            )
-            dtext = delta.select(
-                F.col(id_col).alias("_did"),
-                F.transform(shingles(text_col, n), lambda s: token_hash(s)).alias(
-                    "_hd"
-                ),
-            )
-            inter = F.size(F.array_intersect(F.col("_hd"), F.col("_hc")))
-            jac = inter.cast("double") / (
-                F.size("_hd") + F.size("_hc") - inter
-            ).cast("double")
-            corpus_dropped = (
-                cands.join(dtext, "_did")
-                .join(ctext, "_cid")
-                .filter(jac >= F.lit(threshold))
-                .select("_did")
-                .distinct()
-            )
-        within = minhash_lsh_pairs(
-            delta,
-            text_col,
-            id_col,
-            n=n,
-            num_hashes=num_hashes,
-            bands=bands,
-            seed=seed,
-            threshold=threshold,
-            verify=corpus is not None,
-            max_bucket=max_bucket,
-        )
-        within_dropped = within.select(F.col("id_b").alias("_did")).distinct()
-        dropped = corpus_dropped.unionByName(within_dropped).distinct()
-        return delta.join(
-            F.broadcast(dropped.withColumnRenamed("_did", id_col)),
-            id_col,
-            "left_anti",
-        )
-    finally:
-        dband.unpersist()
+    within = minhash_lsh_pairs(
+        delta,
+        text_col,
+        id_col,
+        n=n,
+        num_hashes=num_hashes,
+        bands=bands,
+        seed=seed,
+        threshold=threshold,
+        verify=corpus is not None,
+        max_bucket=max_bucket,
+    )
+    within_dropped = within.select(F.col("id_b").alias("_did")).distinct()
+    dropped = corpus_dropped.unionByName(within_dropped).distinct()
+    return delta.join(
+        F.broadcast(dropped.withColumnRenamed("_did", id_col)),
+        id_col,
+        "left_anti",
+    )

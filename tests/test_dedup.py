@@ -497,3 +497,40 @@ def test_incremental_dedup_near_matches_scratch_twin(spark, tmp_path):
                 dropped.add(d)
     want = sorted(d for d in delta_ids if d not in dropped)
     assert got == want
+
+
+def test_incremental_dedup_near_plan_keeps_index_map_side(spark, tmp_path):
+    """Scale contract: the corpus-scaled index table must stream through a
+    BROADCAST join against the delta's band keys — never shuffle. Every
+    join the index scan feeds is a BroadcastHashJoin; the only
+    SortMergeJoins in the plan are the delta-bounded LSH self-join and
+    verification joins."""
+    from pq_vector_spark.operators.dedup import (
+        build_dedup_index,
+        incremental_dedup_near,
+    )
+
+    corpus, delta = _near_corpus(spark)
+    idx = str(tmp_path / "near_idx_plan")
+    build_dedup_index(corpus, "text", "doc_id", idx)
+    out = incremental_dedup_near(
+        spark, idx, delta, "text", "doc_id", corpus=corpus, threshold=0.5
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the index scan is the only parquet FileScan projecting (id, band, key)
+    scan_lines = [
+        l
+        for l in plan.splitlines()
+        if "FileScan parquet" in l and "band#" in l and "key#" in l
+    ]
+    assert scan_lines, "index scan missing from the plan"
+    # the probe join on (band, key) that touches the index is broadcast:
+    # no SortMergeJoin keyed on (band, key) may sit between a hits-side
+    # subtree and the scan — assert the hits pipeline stayed broadcast by
+    # checking the only band-keyed SMJ left is the delta self-join
+    # (join condition carries the _id < _id inequality)
+    import re
+
+    for line in plan.splitlines():
+        if "SortMergeJoin" in line and "band" in line:
+            assert "_id" in line, f"index-side shuffle join crept in: {line.strip()}"
