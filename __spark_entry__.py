@@ -2237,8 +2237,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_ivf": _ann_cosine_ivf,
         "knn_batch_ivf": _knn_batch_ivf,
         "similarity_join_ivf": _similarity_join_ivf,
-        "knn_appended": _knn_appended,
-        "knn_capped": _knn_capped,
         "knn_ivf_approx": _knn_ivf_approx,  # no_oracle (recall-gated) — never spends a budget row
         "events_windowed": _events_windowed,
         "events_stream_windowed": _events_stream_windowed,

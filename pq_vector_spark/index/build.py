@@ -213,7 +213,12 @@ def append_to_index(
             "if a crashed rebuild left the sentinel behind, delete the "
             "file to clear it."
         )
-    idx = load_index(spark, indexed_path)
+    # use_cache=False: this read SEEDS the sidecar rewrite (row_count +=
+    # appended). The cache's (mtime, size) probe is ms-granular on Hadoop
+    # stores — a same-size rewrite inside one tick could serve stale meta
+    # here and persist an UNDERCOUNTED row_count; mutating paths read
+    # storage truth.
+    idx = load_index(spark, indexed_path, use_cache=False)
     meta = dict(idx.meta)
     meta.pop("counts_sec", None)
     column = meta["column"]
@@ -575,6 +580,30 @@ def _hadoop_write_bytes(spark: SparkSession, path: str, data: bytes) -> None:
         stream.close()
 
 
+def _read_text(spark: SparkSession, path: str) -> str:
+    """Read one small text file, local-direct or through the Hadoop FS API
+    — the ONE definition of the local-vs-remote branching that sidecar
+    metas and streaming markers all share (it was copied in five places
+    before r11). Raises on unreadable/missing files."""
+    root = _local_root(path)
+    if root is not None:
+        with open(root) as f:
+            return f.read()
+    return _hadoop_read_bytes(spark, path).decode("utf-8")
+
+
+def _write_text(spark: SparkSession, path: str, body: str) -> None:
+    """Write one small text file (parents created), local-direct or via the
+    Hadoop FS API — the write twin of ``_read_text``."""
+    root = _local_root(path)
+    if root is not None:
+        os.makedirs(os.path.dirname(root), exist_ok=True)
+        with open(root, "w") as f:
+            f.write(body)
+        return
+    _hadoop_write_bytes(spark, path, body.encode("utf-8"))
+
+
 class _HadoopReadableFile:
     """Minimal seekable read-only file over the JVM Hadoop FileSystem —
     just enough surface (read/seek/tell/closed) for pyarrow's parquet
@@ -866,7 +895,9 @@ def auto_rebuild_if_stale(
         # and its rows silently vanished). The data probe is a zero-column
         # parquet count — O(files) footer metadata, trivial next to the
         # retrain that just rewrote the whole layout.
-        live_rows = int(load_index(spark, indexed_path).meta["row_count"])
+        live_rows = int(
+            load_index(spark, indexed_path, use_cache=False).meta["row_count"]
+        )
         live_data_rows = int(spark.read.parquet(indexed_path).count())
         if live_rows != int(meta["row_count"]) or live_data_rows != int(
             meta["row_count"]

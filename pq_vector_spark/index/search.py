@@ -157,8 +157,9 @@ def load_index(
     of re-parsing the centroid parquet (r10 measured ~0.4 s/query of fixed
     cold-path cost at sf0.1). Appends and rebuilds rewrite the meta file,
     so they invalidate naturally; ``use_cache=False`` bypasses for callers
-    that must see the storage truth (none today — the destructive paths
-    re-stat anyway, and the verify counts data rows directly).
+    that must see the storage truth — the MUTATING paths use it
+    (``append_to_index`` seeds its sidecar rewrite from this read, and the
+    rebuild's pre-swap verify must not trust a cached row count).
 
     The returned ``meta`` dict is a fresh shallow copy per call (callers
     historically mutate copies); ``centroids`` is SHARED — treat it as

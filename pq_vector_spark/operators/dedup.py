@@ -205,6 +205,7 @@ def minhash_lsh_pairs(
     persist: bool = True,
     max_bucket: Optional[int] = 10_000,
     observation=None,
+    _caches: Optional[list] = None,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup pairs — the scale path.
 
@@ -238,6 +239,8 @@ def minhash_lsh_pairs(
         from pyspark import StorageLevel
 
         sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+        if _caches is not None:
+            _caches.append(sig)
     banded = sig.select(
         "_id",
         F.explode(_band_structs(F.col("_sig"), bands, rows_per_band)).alias("bk"),
@@ -281,6 +284,8 @@ def minhash_lsh_pairs(
         from pyspark import StorageLevel
 
         hs = hs.persist(StorageLevel.MEMORY_AND_DISK)
+        if _caches is not None:
+            _caches.append(hs)
     a = hs.select(F.col("_hid").alias("id_a"), F.col("_h").alias("_ha"))
     b = hs.select(F.col("_hid").alias("id_b"), F.col("_h").alias("_hb"))
     inter = F.size(F.array_intersect(F.col("_ha"), F.col("_hb")))
@@ -682,17 +687,12 @@ def load_dedup_index_meta(spark, index_path: str) -> dict:
     — probes and appends MUST use these, never caller-supplied ones, or the
     band keys silently stop matching."""
     import json as _json
-    import os as _os
 
-    from pq_vector_spark.index.build import _hadoop_read_bytes, _local_root
+    from pq_vector_spark.index.build import _read_text
 
     p = _dedup_index_meta_path(index_path)
-    root = _local_root(p)
     try:
-        if root is not None:
-            with open(root) as f:
-                return _json.loads(f.read())
-        return _json.loads(_hadoop_read_bytes(spark, p).decode("utf-8"))
+        return _json.loads(_read_text(spark, p))
     except Exception as e:
         raise IOError(
             f"no readable dedup index meta at {p} (build_dedup_index writes "
@@ -702,19 +702,10 @@ def load_dedup_index_meta(spark, index_path: str) -> dict:
 
 def _write_dedup_index_meta(spark, index_path: str, meta: dict) -> None:
     import json as _json
-    import os as _os
 
-    from pq_vector_spark.index.build import _hadoop_write_bytes, _local_root
+    from pq_vector_spark.index.build import _write_text
 
-    p = _dedup_index_meta_path(index_path)
-    root = _local_root(p)
-    body = _json.dumps(meta) + "\n"
-    if root is not None:
-        _os.makedirs(_os.path.dirname(root), exist_ok=True)
-        with open(root, "w") as f:
-            f.write(body)
-    else:
-        _hadoop_write_bytes(spark, p, body.encode("utf-8"))
+    _write_text(spark, _dedup_index_meta_path(index_path), _json.dumps(meta) + "\n")
 
 
 def build_dedup_index(
@@ -808,6 +799,8 @@ def incremental_dedup_near(
     corpus_id_col: Optional[str] = None,
     threshold: float = 0.5,
     max_bucket: Optional[int] = 10_000,
+    broadcast_delta: bool = True,
+    _caches: Optional[list] = None,
 ) -> DataFrame:
     """NEAR-dedup an incoming delta against the standing corpus via its
     persisted LSH index (``build_dedup_index``) — without re-hashing one
@@ -860,7 +853,11 @@ def incremental_dedup_near(
     # function would fire before the caller's first action, making the
     # cache a no-op and re-running the delta's text→md5→minhash pass once
     # per downstream reference. Both frames are delta/collision-bounded
-    # (never corpus-scaled); MEMORY_AND_DISK spills, never OOMs.
+    # (never corpus-scaled); MEMORY_AND_DISK spills, never OOMs. A caller
+    # that MATERIALIZES the result (streaming_ingest's per-batch staging
+    # write) passes ``_caches`` to collect every persisted frame and
+    # unpersist after its action — otherwise a long-running stream leaks
+    # one cached-relation set per micro-batch.
     dband = (
         delta.select(
             F.col(id_col).alias("_did"),
@@ -875,6 +872,8 @@ def incremental_dedup_near(
         .select("_did", "bk.band", "bk.key")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if _caches is not None:
+        _caches.append(dband)
     probe = dband.select("band", "key").distinct()
     index = spark.read.parquet(index_path)
     hits = index.join(F.broadcast(probe), ["band", "key"], "inner")
@@ -893,6 +892,8 @@ def incremental_dedup_near(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if _caches is not None:
+        _caches.append(cands)
     if corpus is None:
         corpus_dropped = cands.select("_did").distinct()
     else:
@@ -936,6 +937,7 @@ def incremental_dedup_near(
         threshold=threshold,
         verify=corpus is not None,
         max_bucket=max_bucket,
+        _caches=_caches,
     )
     within_dropped = within.select(F.col("id_b").alias("_did")).distinct()
     dropped = corpus_dropped.unionByName(within_dropped).distinct()

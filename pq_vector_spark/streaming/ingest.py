@@ -70,18 +70,6 @@ def dedup_append_batch(
     spark = batch_df.sparkSession
     corpus = spark.read.parquet(corpus_path)
     fresh = incremental_dedup(corpus, batch_df, text_col, id_col)
-    if near_index is not None:
-        fresh = incremental_dedup_near(
-            spark,
-            near_index,
-            fresh,
-            text_col,
-            id_col,
-            corpus=corpus,
-            corpus_text_col=text_col,
-            corpus_id_col=id_col,
-            threshold=near_threshold,
-        )
     if near_index is None:
         # Two actions on `fresh` (count + write) would re-run the probe;
         # persist the delta-bounded survivors instead.
@@ -93,21 +81,41 @@ def dedup_append_batch(
         finally:
             fresh.unpersist()
         return n
-    # With a near index, `fresh` must survive the corpus MUTATION: its plan
-    # reads corpus_path, and Spark's cache manager drops caches by path on
-    # write — a merely-persisted `fresh` re-evaluated for the index append
-    # would re-read the grown corpus and anti-join the just-admitted rows
-    # away (index silently misses every batch). Materialize the survivors
-    # to a shared STAGING dir (delta-sized write) and run both appends from
-    # that snapshot. Corpus lands before the index on purpose: a crash
-    # in between admits later near-copies (redundancy, curable by a probe
-    # rerun) — the reverse order would leave ghost signatures that
-    # silently SUPPRESS copies of a document that never landed (loss).
+    # Near path. Persist the exact-dedup survivors FIRST: the near probe
+    # references them five ways (band keys, minhash signature, shingle
+    # arrays, and the final anti-join), and each would otherwise re-run
+    # the corpus fingerprint scan. `caches` collects every frame the probe
+    # persists so this batch releases them after its one action — a
+    # long-running stream must not leak one cached-relation set per batch.
+    caches: list = [fresh.persist()]
+    fresh = caches[0]
+    survivors = incremental_dedup_near(
+        spark,
+        near_index,
+        fresh,
+        text_col,
+        id_col,
+        corpus=corpus,
+        corpus_text_col=text_col,
+        corpus_id_col=id_col,
+        threshold=near_threshold,
+        _caches=caches,
+    )
+    # `survivors` must survive the corpus MUTATION: its plan reads
+    # corpus_path, and Spark's cache manager drops caches by path on write
+    # — a merely-persisted plan re-evaluated for the index append would
+    # re-read the grown corpus and anti-join the just-admitted rows away
+    # (index silently misses every batch). Materialize to a shared STAGING
+    # dir (delta-sized write) and run both appends from that snapshot.
+    # Corpus lands before the index on purpose: a crash in between admits
+    # later near-copies (redundancy, curable by a probe rerun) — the
+    # reverse order would leave ghost signatures that silently SUPPRESS
+    # copies of a document that never landed (loss).
     import uuid
 
     stage = f"{corpus_path.rstrip('/')}.staging-{uuid.uuid4().hex[:12]}"
     try:
-        fresh.write.mode("overwrite").parquet(stage)
+        survivors.write.mode("overwrite").parquet(stage)
         staged = spark.read.parquet(stage)
         n = staged.count()
         if n:
@@ -116,6 +124,11 @@ def dedup_append_batch(
         return n
     finally:
         _delete_path(spark, stage)
+        for c in caches:
+            try:
+                c.unpersist()
+            except Exception:
+                pass
 
 
 def _delete_path(spark, path: str) -> None:
@@ -328,29 +341,17 @@ def streaming_index_ingest(
         return bool(_hadoop_glob(spark, marker))
 
     def _write_marker(spark, marker: str, body: str) -> None:
-        from pq_vector_spark.index.build import _hadoop_write_bytes, _local_root
+        from pq_vector_spark.index.build import _write_text
 
-        root = _local_root(marker)
-        if root is not None:
-            os.makedirs(os.path.dirname(root), exist_ok=True)
-            with open(root, "w") as f:
-                f.write(body)
-        else:
-            _hadoop_write_bytes(spark, marker, body.encode())
+        _write_text(spark, marker, body)
 
     def _read_marker_appended(spark, marker: str) -> int:
         """Recorded appended count of the crashed attempt (0 when the
         marker body is unreadable — accounting degrades, never the data)."""
-        from pq_vector_spark.index.build import _hadoop_read_bytes, _local_root
+        from pq_vector_spark.index.build import _read_text
 
         try:
-            root = _local_root(marker)
-            if root is not None:
-                with open(root) as f:
-                    body = f.read()
-            else:
-                body = _hadoop_read_bytes(spark, marker).decode()
-            return int(json.loads(body).get("appended", 0))
+            return int(json.loads(_read_text(spark, marker)).get("appended", 0))
         except Exception:
             return 0
 
