@@ -106,6 +106,7 @@ from pq_vector_spark.operators.sampling import (
     stratified_sample,
     temperature_mix,
     temperature_rates,
+    temperature_token_budgets,
 )
 from pq_vector_spark.functions.vector import (
     embedding_outliers,
@@ -208,6 +209,7 @@ __all__ = [
     "importance_sample",
     "temperature_mix",
     "temperature_rates",
+    "temperature_token_budgets",
     "priority_sample_k",
     "select_token_budget",
     "select_token_budget_grouped",

@@ -290,6 +290,73 @@ def temperature_rates(
     return {g: 1.0 if r > 1.0 - 1e-12 else r for g, r in rates.items()}
 
 
+def temperature_token_budgets(
+    token_counts: Mapping, total_budget: int, alpha: float = 0.5
+) -> "dict[object, int]":
+    """Per-group TOKEN budgets for a temperature-rebalanced mixture — the
+    bridge between ``temperature_rates`` (per-ROW keep rates) and
+    ``select_token_budget_grouped`` (per-group token budgets): given each
+    group's available token count and a total training budget, target
+    composition q_i ∝ n_i^alpha, clipped group-by-group to what the group
+    actually has (downsample-only — a group never receives a budget above
+    its own supply; the leftover redistributes over the remaining groups
+    by the same temperature weights until it is spent or every group is
+    capped). The result plugs straight in::
+
+        budgets = temperature_token_budgets(counts, total_budget=10**12)
+        out = select_token_budget_grouped(df, "lang", "doc_id", "quality",
+                                          "n_tokens", budgets)
+
+    Driver-side pure math over a groups-sized dict (languages, sources) —
+    no Spark jobs; derive ``token_counts`` with one bounded aggregation
+    (``df.groupBy(g).agg(F.sum(tokens))``). Budgets are exact ints (floor)
+    so the grouped selector's bigint cums compare exactly; the sum of the
+    returned budgets is ≤ ``total_budget`` and equals it whenever supply
+    allows.
+    """
+    if total_budget < 0:
+        raise ValueError(f"total_budget must be >= 0, got {total_budget}")
+    if not token_counts:
+        raise ValueError("token_counts must name at least one group")
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    supply = {g: int(token_counts[g]) for g in token_counts}
+    if any(v < 0 for v in supply.values()):
+        raise ValueError("token counts must be >= 0")
+    order = sorted(supply, key=lambda g: (g is not None, str(g)))
+    budgets = {g: 0 for g in order}
+    remaining = int(total_budget)
+    open_groups = [g for g in order if supply[g] > 0]
+    # iterative water-filling: ≤ len(groups) rounds, each round either
+    # spends the remainder proportionally or caps at least one group
+    while remaining > 0 and open_groups:
+        w = {g: float(supply[g]) ** alpha for g in open_groups}
+        tot = sum(w.values())
+        share = {g: int(remaining * (w[g] / tot)) for g in open_groups}
+        # integer floors can sum below `remaining`; hand the dust to the
+        # deterministically-first open group so the budget is exhausted
+        dust = remaining - sum(share.values())
+        if dust > 0:
+            share[open_groups[0]] += dust
+        capped = False
+        for g in open_groups:
+            room = supply[g] - budgets[g]
+            take = min(share[g], room)
+            budgets[g] += take
+            remaining -= take
+            if budgets[g] >= supply[g]:
+                capped = True
+        open_groups = [g for g in open_groups if budgets[g] < supply[g]]
+        if not capped and remaining <= 0:
+            break
+        if not capped and remaining > 0 and open_groups:
+            # proportional pass spent everything it could without capping;
+            # only the integer dust loop remains — it terminates because
+            # each round moves >= 1 token while any group has room
+            continue
+    return budgets
+
+
 def temperature_mix(
     df: DataFrame,
     group_col: str,

@@ -1140,3 +1140,63 @@ def test_select_token_budget_grouped_batches_heavy_refinement(spark):
     # shared planning: ~2 bounded aggs + <=3 jobs per walk level + boundary
     # + output collect; a per-group walk would need >= 3 * 50 jobs
     assert jobs <= 40, f"expected O(levels) jobs, saw {jobs}"
+
+
+# ------------------------------------- temperature-derived token budgets
+
+
+def test_temperature_token_budgets_composition(spark):
+    """Water-filling per-group token budgets: proportional to n^alpha,
+    never above a group's own supply, redistribute the clipped surplus,
+    exhaust the total exactly when supply allows — and the result plugs
+    into select_token_budget_grouped."""
+    from pq_vector_spark.operators.sampling import (
+        select_token_budget_grouped,
+        temperature_token_budgets,
+    )
+
+    counts = {"en": 1_000_000, "de": 100_000, "code": 10_000}
+    b = temperature_token_budgets(counts, total_budget=500_000, alpha=0.5)
+    assert sum(b.values()) == 500_000
+    assert all(b[g] <= counts[g] for g in counts)
+    # alpha < 1 flattens the head: de gets more than its raw share
+    assert b["de"] / 500_000 > counts["de"] / sum(counts.values())
+    # supply-capped group: total above the whole corpus returns the corpus
+    b2 = temperature_token_budgets(counts, total_budget=10**9)
+    assert b2 == counts
+    # cap + redistribution: code (tiny) caps, surplus flows to en/de
+    b3 = temperature_token_budgets(counts, total_budget=900_000, alpha=0.5)
+    assert b3["code"] == 10_000
+    assert sum(b3.values()) == 900_000
+    # alpha=1 is proportional to raw counts (no flattening)
+    b4 = temperature_token_budgets({"a": 300, "b": 100}, 100, alpha=1.0)
+    assert b4["a"] == 75 and b4["b"] == 25
+    # zero-supply group gets zero; zero budget gets all-zero
+    assert temperature_token_budgets({"a": 0, "b": 10}, 5)["a"] == 0
+    assert sum(temperature_token_budgets(counts, 0).values()) == 0
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_token_budgets(counts, 10, alpha=0.0)
+    with pytest.raises(ValueError, match="total_budget"):
+        temperature_token_budgets(counts, -1)
+
+    # end-to-end: derived budgets drive the grouped selector
+    rows = [
+        (g, i, float(i), 10)
+        for g, n in (("en", 60), ("de", 25), ("code", 5))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "g: string, id: bigint, score: double, tok: bigint")
+    tok_counts = {
+        r["g"]: int(r["s"])
+        for r in df.groupBy("g").agg(F.sum("tok").alias("s")).collect()
+    }
+    budgets = temperature_token_budgets(tok_counts, total_budget=400, alpha=0.5)
+    out = select_token_budget_grouped(df, "g", "id", "score", "tok", budgets)
+    per_g = {
+        r["g"]: int(r["s"])
+        for r in out.groupBy("g").agg(F.sum("tok").alias("s")).collect()
+    }
+    # each group filled to its own budget (tokens are uniform 10s, so the
+    # greedy prefix lands exactly on floor(budget/10)*10)
+    for g in budgets:
+        assert per_g.get(g, 0) == (budgets[g] // 10) * 10
