@@ -2093,6 +2093,34 @@ def _dedup_incremental_near(spark, sf_dir):
     return out.select("doc_id", "source").orderBy("doc_id")
 
 
+def _dedup_paragraphs(spark, sf_dir):
+    """Boilerplate-paragraph removal (r11, operators/dedup.py:
+    remove_repeated_paragraphs — CCNet/Gopher-style paragraph-granular
+    dedup: a paragraph in >= min_docs distinct documents vanishes from all
+    of them). The documents table is single-paragraph, so the query
+    derives a two-paragraph frame both engines build identically: each
+    doc's own text plus a shared footer drawn from doc (doc_id % 29) via a
+    self-join — every footer repeats across ~17 docs and must vanish
+    everywhere, docs 0..28 (their own text IS a footer) clean to empty
+    text but are KEPT, and every other doc keeps exactly its first
+    paragraph byte-for-byte."""
+    from pq_vector_spark.operators.dedup import remove_repeated_paragraphs
+
+    docs = load_table(spark, sf_dir, "documents")
+    foot = docs.select(
+        F.col("doc_id").alias("_fid"), F.col("text").alias("_ftext")
+    )
+    framed = docs.select("doc_id", "text").join(
+        F.broadcast(foot),
+        F.pmod(F.col("doc_id"), F.lit(29)) == F.col("_fid"),
+        "inner",
+    ).select(
+        "doc_id", F.concat_ws("\n", F.col("text"), F.col("_ftext")).alias("text")
+    )
+    out = remove_repeated_paragraphs(framed, "text", "doc_id", min_docs=3)
+    return out.select("doc_id", "text").orderBy("doc_id")
+
+
 def _embedding_centroids(spark, sf_dir):
     """Per-label mean embedding (functions/vector.py:group_centroids) —
     class prototypes without collect_list: posexplode + ONE
@@ -2165,6 +2193,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # PERSISTED LSH index — new code, so it spends a budget row
         # (embedding_centroids demoted, stable since r6)
         "dedup_incremental_near": _dedup_incremental_near,
+        # r11 extension: paragraph-granular boilerplate removal — new
+        # code, so it spends a budget row (events_range_join_left demoted;
+        # the inner-join variant stays in budget for the family)
+        "dedup_paragraphs": _dedup_paragraphs,
         # -- multimodal family --
         "multimodal_features": _multimodal_features,
         # -- sampling / PII / packing / merge (training-pipeline curation) --
@@ -2192,7 +2224,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_sessions": _events_stream_sessions,
         "events_asof": _events_asof,
         "events_range_join": _events_range_join,
-        "events_range_join_left": _events_range_join_left,
         "events_funnel": _events_funnel,
         "events_scd_enriched": _events_scd_enriched,
         "events_stream_join": _events_stream_join,
@@ -2203,6 +2234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- 50-row budget cutoff: tail variants below were driver-green in
         # r5 (CORRECTNESS_r05.json) and their code is unchanged; rotate any
         # of them back above this line whenever their implementation changes.
+        "events_range_join_left": _events_range_join_left,  # demoted r11 (inner twin in budget)
         "embedding_centroids": _embedding_centroids,  # demoted r11 (stable since r6)
         "embedding_norms": _embedding_norms,  # demoted r11 (stable since r7)
         "text_score_normalize": _text_score_normalize,  # demoted r11 (stable since r7)
@@ -3594,6 +3626,27 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN surv s ON cc.component = s.component""",
         "dedup_minhash": _minhash_sql(),
         "dedup_incremental_near": _incremental_near_sql(),
+        "dedup_paragraphs": """
+    WITH base AS (SELECT d.doc_id, concat(d.text, chr(10), f.text) AS text
+                  FROM documents d JOIN documents f ON d.doc_id % 29 = f.doc_id),
+    ps AS (SELECT doc_id, string_split(text, chr(10)) AS ps FROM base),
+    ex AS (SELECT doc_id, i AS pos, ps[i] AS para
+           FROM ps, range(1, 21) t(i) WHERE i <= len(ps)),
+    fp AS (SELECT doc_id, pos, para,
+           CASE WHEN trim(para) <> ''
+                THEN md5(trim(regexp_replace(lower(para), '\\s+', ' ', 'g')))
+           END AS f
+           FROM ex),
+    hot AS (SELECT f FROM fp WHERE f IS NOT NULL
+            GROUP BY f HAVING count(DISTINCT doc_id) >= 3),
+    kept AS (SELECT fp.doc_id, fp.pos, fp.para, (h.f IS NULL) AS keep
+             FROM fp LEFT JOIN hot h ON fp.f = h.f),
+    clean AS (SELECT doc_id,
+              coalesce(string_agg(para, chr(10) ORDER BY pos)
+                       FILTER (WHERE keep), '') AS text
+              FROM kept GROUP BY doc_id)
+    SELECT doc_id, text FROM clean ORDER BY doc_id
+    """,
         "dedup_simhash": _simhash_sql(),
         "dedup_embedding": f"""
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -83,6 +83,7 @@ from pq_vector_spark.operators.dedup import (
     build_dedup_index,
     incremental_dedup,
     incremental_dedup_near,
+    remove_repeated_paragraphs,
     resolve_duplicates,
 )
 from pq_vector_spark.operators.drift import distribution_drift, psi
@@ -184,6 +185,7 @@ __all__ = [
     "profile_columns",
     "incremental_dedup",
     "incremental_dedup_near",
+    "remove_repeated_paragraphs",
     "build_dedup_index",
     "append_dedup_index",
     "resolve_duplicates",

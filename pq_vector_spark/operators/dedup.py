@@ -946,3 +946,121 @@ def incremental_dedup_near(
         id_col,
         "left_anti",
     )
+
+
+def remove_repeated_paragraphs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    min_docs: int = 2,
+    sep: str = "\n",
+    rewrite_all: bool = False,
+) -> DataFrame:
+    """Strip BOILERPLATE PARAGRAPHS from every document: a paragraph whose
+    normalized fingerprint appears in ≥ ``min_docs`` DISTINCT documents is
+    removed from all of them (every occurrence), preserving the order and
+    the raw bytes of the surviving paragraphs — the CCNet/Gopher-style
+    paragraph-granular dedup that document-level dedup cannot do (nav
+    bars, cookie banners, boilerplate headers ride inside otherwise-unique
+    pages). Whitespace-only paragraphs are never counted and never removed
+    (they are separator structure, not content); matching normalizes
+    (lower/trim/collapse-whitespace) but removal keeps survivors verbatim,
+    and ``sep`` is treated literally on both engines.
+
+    Scale shape:
+
+    1. ONE fingerprint-count aggregation over the exploded paragraphs
+       (16-byte keys, map-side combined) yields the hot set — boilerplate
+       is by nature a SMALL distinct set, broadcast from then on;
+    2. default (``rewrite_all=False``): only documents CONTAINING a hot
+       paragraph pay the explode→filter→reassemble rewrite (their ids
+       broadcast; one doc-keyed shuffle bounded by the flagged subset) —
+       untouched documents pass through byte-identical with zero text
+       movement. Premise: flagged docs are a bounded subset; a corpus
+       where nearly EVERY doc carries boilerplate should pass
+       ``rewrite_all=True`` instead — no id broadcast, one corpus-wide
+       reassembly shuffle (the operator rewrites everything anyway there);
+    3. a document whose every paragraph is hot yields empty text — it is
+       kept (make the drop decision with a length filter downstream, not
+       silently here).
+
+    Deterministic and engine-replayable: fate is a pure function of the
+    corpus's paragraph fingerprints (md5-normalized, the ``exact_dedup``
+    fingerprint), so the DuckDB oracle reproduces the cleaned text
+    byte-for-byte.
+    """
+    import re as _re
+
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    reserved = {"_rp_id", "_rp_pos", "_rp_para", "_rp_fp", "_rp_hot", "_rp_txt"}
+    hit = [c for c in df.columns if c in reserved]
+    if hit:
+        raise ValueError(f"input columns {hit} collide with reserved names")
+
+    paras = F.split(F.col(text_col), _re.escape(sep), -1)
+    ex = df.select(
+        F.col(id_col).alias("_rp_id"),
+        F.posexplode(paras).alias("_rp_pos", "_rp_para"),
+    )
+    nonblank = F.trim(F.col("_rp_para")) != ""
+    ex = ex.withColumn(
+        "_rp_fp", F.when(nonblank, fingerprint(F.col("_rp_para")))
+    )
+    hot = (
+        ex.filter(F.col("_rp_fp").isNotNull())
+        .groupBy("_rp_fp")
+        .agg(F.countDistinct("_rp_id").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_rp_fp")
+    )
+    if rewrite_all:
+        scoped = ex
+    else:
+        flagged = (
+            ex.join(F.broadcast(hot), "_rp_fp", "left_semi")
+            .select("_rp_id")
+            .distinct()
+        )
+        scoped = ex.join(F.broadcast(flagged), "_rp_id", "left_semi")
+    rewritten = (
+        scoped.join(
+            F.broadcast(hot.withColumn("_rp_hot", F.lit(True))), "_rp_fp", "left"
+        )
+        .groupBy("_rp_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    # collect_list skips NULLs: hot paragraphs vanish, an
+                    # all-hot doc yields [] -> "" (kept, never dropped)
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_rp_hot").isNull(),
+                                F.struct("_rp_pos", "_rp_para"),
+                            )
+                        )
+                    ),
+                    lambda x: x["_rp_para"],
+                ),
+                sep,
+            ).alias("_rp_txt")
+        )
+    )
+    if rewrite_all:
+        joined = df.join(rewritten, df[id_col] == rewritten["_rp_id"], "left")
+        cleaned = F.coalesce(F.col("_rp_txt"), F.col(text_col))
+        return joined.withColumn(text_col, cleaned).drop("_rp_id", "_rp_txt")
+    # untouched docs never shuffle: the flagged-id set broadcasts as a
+    # map-side anti/semi probe, and only the flagged subset joins its
+    # rewritten text (a flagged-subset-bounded join, never corpus-keyed)
+    fl = flagged.withColumnRenamed("_rp_id", id_col)
+    untouched = df.join(F.broadcast(fl), id_col, "left_anti")
+    touched = (
+        df.join(F.broadcast(fl), id_col, "left_semi")
+        .join(rewritten, F.col(id_col) == rewritten["_rp_id"], "left")
+        .withColumn(text_col, F.coalesce(F.col("_rp_txt"), F.col(text_col)))
+        .drop("_rp_id", "_rp_txt")
+    )
+    return untouched.unionByName(touched)

@@ -534,3 +534,90 @@ def test_incremental_dedup_near_plan_keeps_index_map_side(spark, tmp_path):
     for line in plan.splitlines():
         if "SortMergeJoin" in line and "band" in line:
             assert "_id" in line, f"index-side shuffle join crept in: {line.strip()}"
+
+
+# -------------------------------------------- repeated-paragraph removal
+
+
+def test_remove_repeated_paragraphs_golden(spark):
+    """Paragraphs shared by >= min_docs distinct documents vanish from all
+    of them (every occurrence); survivors keep raw bytes + order; blank
+    paragraphs are structure, not content; an all-hot doc stays with empty
+    text; untouched docs pass through byte-identical."""
+    from pq_vector_spark.operators.dedup import remove_repeated_paragraphs
+
+    boiler = "Subscribe  To Our NEWSLETTER"  # matching is normalized...
+    boiler2 = "subscribe to our newsletter"  # ...so these two collide
+    rows = [
+        (1, f"unique one\n{boiler}\nunique two"),
+        (2, f"{boiler2}\nanother unique line\n\ntail"),
+        (3, "totally untouched document\nwith two lines"),
+        (4, boiler),           # all-hot doc -> empty text, still present
+        (5, f"{boiler}\n{boiler2}"),  # every occurrence goes
+    ]
+    df = spark.createDataFrame(rows, "doc_id: bigint, text: string")
+    got = {
+        r["doc_id"]: r["text"]
+        for r in remove_repeated_paragraphs(df, "text", "doc_id", min_docs=2).collect()
+    }
+    assert got[1] == "unique one\nunique two"
+    assert got[2] == "another unique line\n\ntail"  # blank line kept
+    assert got[3] == "totally untouched document\nwith two lines"
+    assert got[4] == ""
+    assert got[5] == ""
+    # min_docs above the repeat count: nothing is boilerplate
+    got3 = {
+        r["doc_id"]: r["text"]
+        for r in remove_repeated_paragraphs(df, "text", "doc_id", min_docs=5).collect()
+    }
+    assert got3 == dict(rows)
+    # rewrite_all gives the identical answer through the corpus-wide plan
+    got_all = {
+        r["doc_id"]: r["text"]
+        for r in remove_repeated_paragraphs(
+            df, "text", "doc_id", min_docs=2, rewrite_all=True
+        ).collect()
+    }
+    assert got_all == got
+    with pytest.raises(ValueError, match="min_docs"):
+        remove_repeated_paragraphs(df, "text", "doc_id", min_docs=1)
+
+
+def test_remove_repeated_paragraphs_within_doc_repeat_not_hot(spark):
+    """A paragraph repeated many times INSIDE one document but present in
+    only that document is not boilerplate (the count is distinct-docs) —
+    while a cross-doc hot paragraph loses every within-doc occurrence."""
+    from pq_vector_spark.operators.dedup import remove_repeated_paragraphs
+
+    rows = [
+        (1, "same\nsame\nsame\nonly here"),
+        (2, "hot\nmiddle\nhot"),
+        (3, "hot\nelse"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: bigint, text: string")
+    got = {
+        r["doc_id"]: r["text"]
+        for r in remove_repeated_paragraphs(df, "text", "doc_id", min_docs=2).collect()
+    }
+    assert got[1] == "same\nsame\nsame\nonly here"
+    assert got[2] == "middle"
+    assert got[3] == "else"
+
+
+def test_remove_repeated_paragraphs_untouched_stay_map_side(spark):
+    """Default path: untouched documents flow through a broadcast anti
+    probe — the corpus text is never shuffled for them (no SortMergeJoin
+    keyed on the id for the untouched branch; the union's first leg is
+    scan + broadcast join only)."""
+    from pq_vector_spark.operators.dedup import remove_repeated_paragraphs
+
+    rows = [(i, f"unique {i}\ncommon footer") for i in range(50)] + [
+        (100 + i, f"solo doc {i}") for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "doc_id: bigint, text: string")
+    out = remove_repeated_paragraphs(df, "text", "doc_id", min_docs=2)
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert got[0] == "unique 0"
+    assert got[100] == "solo doc 0"
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
