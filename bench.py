@@ -67,6 +67,8 @@ HEADLINE = [
     "merge_upsert",
     "embedding_centroids",
     "dedup_incremental",
+    "dedup_incremental_near",
+    "dedup_paragraphs",
     "text_chunks",
     "quality_checks",
     "embedding_outliers",
