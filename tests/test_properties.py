@@ -425,3 +425,59 @@ def test_select_token_budget_grouped_matches_greedy_property(spark, data):
             cum += t
             kept.append(k)
     assert got == sorted(kept)
+
+
+@settings(max_examples=10, deadline=None)
+@given(data=st.data())
+def test_remove_repeated_paragraphs_matches_naive(spark, data):
+    """Arbitrary corpora (shared paragraph pool so repeats actually occur,
+    blank/whitespace paragraphs, empty docs, normalization collisions):
+    the operator's output is byte-equal to a naive Python twin of the
+    documented rule, on BOTH the flagged-subset and rewrite_all plans."""
+    import re
+
+    from pq_vector_spark.operators.dedup import remove_repeated_paragraphs
+
+    pool = data.draw(
+        st.lists(
+            st.sampled_from(
+                ["alpha beta", "ALPHA  beta", "gamma", " ", "", "d e f", "Gamma"]
+            ),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    n_docs = data.draw(st.integers(min_value=1, max_value=8))
+    docs = []
+    for i in range(n_docs):
+        k = data.draw(st.integers(min_value=0, max_value=4))
+        paras = [data.draw(st.sampled_from(pool)) for _ in range(k)]
+        docs.append((i, "\n".join(paras)))
+    min_docs = data.draw(st.integers(min_value=2, max_value=3))
+
+    def norm(p):
+        return re.sub(r"\s+", " ", p.lower()).strip()
+
+    by_fp = {}
+    for i, text in docs:
+        for p in text.split("\n"):
+            if p.strip() != "":
+                by_fp.setdefault(norm(p), set()).add(i)
+    hot = {fp for fp, ids in by_fp.items() if len(ids) >= min_docs}
+    want = {
+        i: "\n".join(
+            p for p in text.split("\n")
+            if p.strip() == "" or norm(p) not in hot
+        )
+        for i, text in docs
+    }
+
+    df = spark.createDataFrame(docs, "doc_id: bigint, text: string")
+    for rewrite_all in (False, True):
+        got = {
+            r["doc_id"]: r["text"]
+            for r in remove_repeated_paragraphs(
+                df, "text", "doc_id", min_docs=min_docs, rewrite_all=rewrite_all
+            ).collect()
+        }
+        assert got == want, f"rewrite_all={rewrite_all}"
