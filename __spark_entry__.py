@@ -3630,10 +3630,10 @@ def oracle_sql() -> dict[str, str]:
     WITH base AS (SELECT d.doc_id, concat(d.text, chr(10), f.text) AS text
                   FROM documents d JOIN documents f ON d.doc_id % 29 = f.doc_id),
     ps AS (SELECT doc_id, string_split(text, chr(10)) AS ps FROM base),
-    ex AS (SELECT doc_id, i AS pos, ps[i] AS para
-           FROM ps, range(1, 21) t(i) WHERE i <= len(ps)),
+    ex AS (SELECT doc_id, generate_subscripts(ps, 1) AS pos,
+                  unnest(ps) AS para FROM ps),
     fp AS (SELECT doc_id, pos, para,
-           CASE WHEN trim(para) <> ''
+           CASE WHEN trim(regexp_replace(lower(para), '\\s+', ' ', 'g')) <> ''
                 THEN md5(trim(regexp_replace(lower(para), '\\s+', ' ', 'g')))
            END AS f
            FROM ex),

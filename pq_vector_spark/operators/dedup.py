@@ -1004,7 +1004,11 @@ def remove_repeated_paragraphs(
         F.col(id_col).alias("_rp_id"),
         F.posexplode(paras).alias("_rp_pos", "_rp_para"),
     )
-    nonblank = F.trim(F.col("_rp_para")) != ""
+    # blankness on the NORMALIZED form — the same whitespace class the
+    # fingerprint collapses, so a tab/CR-only paragraph is structure too
+    # (F.trim alone strips only spaces; every whitespace-only paragraph
+    # would otherwise share fingerprint md5("") and turn hot together)
+    nonblank = normalize_text(F.col("_rp_para")) != ""
     ex = ex.withColumn(
         "_rp_fp", F.when(nonblank, fingerprint(F.col("_rp_para")))
     )

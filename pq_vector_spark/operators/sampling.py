@@ -327,33 +327,27 @@ def temperature_token_budgets(
     budgets = {g: 0 for g in order}
     remaining = int(total_budget)
     open_groups = [g for g in order if supply[g] > 0]
-    # iterative water-filling: ≤ len(groups) rounds, each round either
-    # spends the remainder proportionally or caps at least one group
+    # iterative water-filling: ≤ len(groups) rounds — a round either
+    # spends everything (no group capped: each take == its share and the
+    # shares sum EXACTLY to remaining) or caps ≥ 1 group out of the pool.
+    # Shares are built with integer clamping and the last open group takes
+    # the exact remainder, so float rounding can never make the shares sum
+    # above `remaining` (int(remaining * frac) rounds UP past 2^53 — the
+    # naive form could hand out total_budget + 1)
     while remaining > 0 and open_groups:
         w = {g: float(supply[g]) ** alpha for g in open_groups}
         tot = sum(w.values())
-        share = {g: int(remaining * (w[g] / tot)) for g in open_groups}
-        # integer floors can sum below `remaining`; hand the dust to the
-        # deterministically-first open group so the budget is exhausted
-        dust = remaining - sum(share.values())
-        if dust > 0:
-            share[open_groups[0]] += dust
-        capped = False
+        share, acc = {}, 0
+        for g in open_groups[:-1]:
+            s = max(0, min(int(remaining * (w[g] / tot)), remaining - acc))
+            share[g] = s
+            acc += s
+        share[open_groups[-1]] = remaining - acc
         for g in open_groups:
-            room = supply[g] - budgets[g]
-            take = min(share[g], room)
+            take = min(share[g], supply[g] - budgets[g])
             budgets[g] += take
             remaining -= take
-            if budgets[g] >= supply[g]:
-                capped = True
         open_groups = [g for g in open_groups if budgets[g] < supply[g]]
-        if not capped and remaining <= 0:
-            break
-        if not capped and remaining > 0 and open_groups:
-            # proportional pass spent everything it could without capping;
-            # only the integer dust loop remains — it terminates because
-            # each round moves >= 1 token while any group has room
-            continue
     return budgets
 
 

@@ -441,7 +441,8 @@ def test_remove_repeated_paragraphs_matches_naive(spark, data):
     pool = data.draw(
         st.lists(
             st.sampled_from(
-                ["alpha beta", "ALPHA  beta", "gamma", " ", "", "d e f", "Gamma"]
+                ["alpha beta", "ALPHA  beta", "gamma", " ", "", "d e f",
+                 "Gamma", "\t", "\r", "a\tb"]
             ),
             min_size=1,
             max_size=6,
