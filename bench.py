@@ -875,6 +875,27 @@ def _dedup_scale_bench(spark) -> dict:
     n_new = D.incremental_dedup(standing, delta, "text", "doc_id").count()
     incr_sec = round(time.time() - t0, 3)
 
+    # Paragraph-granular boilerplate removal (r11): frame every doc with a
+    # footer drawn from 101 shared texts (the oracle-row shape at corpus
+    # scale), then strip paragraphs repeated across >= 3 docs. Measures the
+    # 16-byte fingerprint-count pass + the flagged-subset rewrite; here
+    # EVERY doc is flagged (worst case for the default path), so the time
+    # bounds the corpus-wide reassembly too.
+    footers = docs.filter(F.col("doc_id") < 101).select(
+        F.col("doc_id").alias("_fid"), F.col("text").alias("_ftext")
+    )
+    framed = docs.join(
+        F.broadcast(footers),
+        F.pmod(F.col("doc_id"), F.lit(101)) == F.col("_fid"),
+    ).select(
+        "doc_id", F.concat_ws("\n", F.col("text"), F.col("_ftext")).alias("text")
+    )
+    t0 = time.time()
+    n_cleaned = D.remove_repeated_paragraphs(
+        framed, "text", "doc_id", min_docs=3
+    ).count()
+    paras_sec = round(time.time() - t0, 3)
+
     # Persisted near-dup index (r11): ONE map-side signature pass persists
     # the standing 90%'s banded signatures; the 10% delta then NEAR-dedups
     # against it — corpus text read only for verified candidates, never
@@ -1035,6 +1056,8 @@ def _dedup_scale_bench(spark) -> dict:
         "near_index_build_sec": near_build_sec,
         "near_probe_sec": near_probe_sec,
         "near_probe_survivors": int(n_near_new),
+        "paragraphs_sec": paras_sec,
+        "paragraphs_docs": int(n_cleaned),
     }
 
 
