@@ -50,7 +50,11 @@ from pq_vector_spark.functions.quantize import (
     quantize_vectors,
     quantized_distance,
 )
-from pq_vector_spark.sources.sinks import shard_manifest, write_training_shards
+from pq_vector_spark.sources.sinks import (
+    shard_manifest,
+    write_epoch_shards,
+    write_training_shards,
+)
 from pq_vector_spark.streaming.events import (
     enrich_join,
     trending,
@@ -161,6 +165,7 @@ __all__ = [
     "quantized_distance",
     "shard_manifest",
     "write_training_shards",
+    "write_epoch_shards",
     "enrich_join",
     "trending",
     "scd_enrich",

@@ -67,3 +67,51 @@ def shard_manifest(spark: SparkSession, path: str) -> DataFrame:
         .groupBy(F.input_file_name().alias("file"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
     )
+
+
+def write_epoch_shards(
+    df: DataFrame,
+    path: str,
+    *,
+    key_col: str,
+    epoch: int = 0,
+    salt: str = "epoch",
+    n_shards: int = 8,
+    max_records_per_file: Optional[int] = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write one EPOCH of globally-shuffled training data: a deterministic
+    pseudo-random permutation of the corpus, range-sharded so a loader that
+    reads shards in file order and rows in stored order replays the exact
+    sequence. The permutation key is the salted md5 hash of
+    ``(salt, epoch, key)`` — the ``hash_sample`` portability contract
+    applied to ORDERING — so it is reproducible across runs, partitionings,
+    and engines, and every epoch is an independent shuffle of the same
+    rows (no data loader RNG, no "shuffle buffer" locality bias: rows that
+    were neighbors in storage are scattered globally).
+
+    The written rows carry the 60-bit order key as ``_epoch_ord`` (the
+    shard/sort column must exist in the output; loaders can also use it to
+    VERIFY replay order). Range boundaries are sample-approximate, but
+    that only moves the shard CUT POINTS — the concatenated sequence
+    (shards in id order, rows in stored order) is the h-ascending
+    permutation regardless, because range partitions are globally ordered.
+
+    Scale shape: identical to ``write_training_shards`` (it delegates) —
+    ONE shuffle of the corpus, the floor for any global reorganization;
+    every shard sorts and writes in parallel, no single-task merge.
+    """
+    from pq_vector_spark.operators.sampling import _salted_hash
+
+    if "_epoch_ord" in df.columns:
+        raise ValueError("input already has an _epoch_ord column")
+    h = _salted_hash(F.col(key_col), f"{salt}:{int(epoch)}:")
+    write_training_shards(
+        df.withColumn("_epoch_ord", h),
+        path,
+        shard_col="_epoch_ord",
+        sort_cols=["_epoch_ord", key_col],
+        n_shards=n_shards,
+        max_records_per_file=max_records_per_file,
+        mode=mode,
+    )

@@ -65,3 +65,51 @@ def test_write_shards_guards(spark, corpus, tmp_path):
         write_training_shards(corpus, str(tmp_path / "x"), shard_col="quality", n_shards=0)
     with pytest.raises(ValueError, match="missing"):
         write_training_shards(corpus, str(tmp_path / "y"), shard_col="nope")
+
+
+def test_write_epoch_shards_deterministic_global_shuffle(spark, tmp_path):
+    """Epoch shuffling: reading shards in file order + rows in stored
+    order replays a deterministic pseudo-random permutation — identical
+    across re-writes of the same epoch, different between epochs, globally
+    ordered across shard boundaries, and carrying exactly the input rows."""
+    from pq_vector_spark.sources.sinks import write_epoch_shards
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], "doc_id: bigint, text: string"
+    )
+
+    def replay(path):
+        rows = (
+            spark.read.parquet(path)
+            .select(F.input_file_name().alias("f"), "_epoch_ord", "doc_id")
+            .collect()
+        )
+        return [r["doc_id"] for r in sorted(rows, key=lambda r: (r["f"], r["_epoch_ord"], r["doc_id"]))]
+
+    p0a, p0b, p1 = (str(tmp_path / n) for n in ("e0a", "e0b", "e1"))
+    write_epoch_shards(df, p0a, key_col="doc_id", epoch=0, n_shards=3)
+    write_epoch_shards(df.repartition(7), p0b, key_col="doc_id", epoch=0, n_shards=3)
+    write_epoch_shards(df, p1, key_col="doc_id", epoch=1, n_shards=3)
+
+    seq0a, seq0b, seq1 = replay(p0a), replay(p0b), replay(p1)
+    assert sorted(seq0a) == list(range(200))  # exactly the input rows
+    assert seq0a == seq0b  # reproducible across runs and partitionings
+    assert seq0a != seq1  # epochs are independent permutations
+    assert seq0a != list(range(200))  # actually shuffled
+
+    # the permutation is GLOBAL: the full sequence equals the corpus
+    # sorted by the order key alone (shards are range-ordered, so
+    # file-order concatenation IS h-ascending order)
+    by_h = [
+        r["doc_id"]
+        for r in spark.read.parquet(p0a)
+        .orderBy("_epoch_ord", "doc_id")
+        .collect()
+    ]
+    assert seq0a == by_h
+
+    with pytest.raises(ValueError, match="_epoch_ord"):
+        write_epoch_shards(
+            df.withColumn("_epoch_ord", F.lit(1)), str(tmp_path / "bad"),
+            key_col="doc_id",
+        )
