@@ -891,9 +891,14 @@ def _dedup_scale_bench(spark) -> dict:
         "doc_id", F.concat_ws("\n", F.col("text"), F.col("_ftext")).alias("text")
     )
     t0 = time.time()
-    n_cleaned = D.remove_repeated_paragraphs(
-        framed, "text", "doc_id", min_docs=3
-    ).count()
+    # sum(length(text)) forces the rewritten text to MATERIALIZE — a bare
+    # count() lets column pruning skip the reassembly aggregation entirely
+    # and would under-measure the pass this section exists to bound
+    cleaned = D.remove_repeated_paragraphs(framed, "text", "doc_id", min_docs=3)
+    row = cleaned.agg(
+        F.count(F.lit(1)).alias("c"), F.sum(F.length("text")).alias("b")
+    ).collect()[0]
+    n_cleaned = int(row["c"])
     paras_sec = round(time.time() - t0, 3)
 
     # Persisted near-dup index (r11): ONE map-side signature pass persists

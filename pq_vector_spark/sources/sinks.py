@@ -97,15 +97,29 @@ def write_epoch_shards(
     (shards in id order, rows in stored order) is the h-ascending
     permutation regardless, because range partitions are globally ordered.
 
-    Scale shape: identical to ``write_training_shards`` (it delegates) —
-    ONE shuffle of the corpus, the floor for any global reorganization;
-    every shard sorts and writes in parallel, no single-task merge.
+    ``key_col`` must be NON-NULL and should uniquely identify rows: a NULL
+    key cannot hash (the write FAILS LOUDLY on the first one — silently
+    parking un-shuffled rows at the front of every epoch would violate the
+    independence contract), and duplicate keys share an order key, so
+    their relative order is arbitrary (they ride adjacently in every
+    epoch). Scale shape: identical to ``write_training_shards`` (it
+    delegates) — ONE shuffle of the corpus, the floor for any global
+    reorganization; every shard sorts and writes in parallel, no
+    single-task merge.
     """
-    from pq_vector_spark.operators.sampling import _salted_hash
+    from pq_vector_spark.operators.sampling import _check_reserved, _salted_hash
 
-    if "_epoch_ord" in df.columns:
-        raise ValueError("input already has an _epoch_ord column")
-    h = _salted_hash(F.col(key_col), f"{salt}:{int(epoch)}:")
+    _check_reserved(df, {"_epoch_ord"})
+    keyc = F.col(key_col)
+    h = F.when(
+        keyc.isNull(),
+        F.raise_error(
+            F.lit(
+                f"write_epoch_shards: NULL {key_col!r} cannot be ordered — "
+                "epoch shuffling requires a non-NULL key"
+            )
+        ).cast("bigint"),
+    ).otherwise(_salted_hash(keyc, f"{salt}:{int(epoch)}:"))
     write_training_shards(
         df.withColumn("_epoch_ord", h),
         path,

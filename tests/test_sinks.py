@@ -79,12 +79,17 @@ def test_write_epoch_shards_deterministic_global_shuffle(spark, tmp_path):
     )
 
     def replay(path):
-        rows = (
-            spark.read.parquet(path)
-            .select(F.input_file_name().alias("f"), "_epoch_ord", "doc_id")
-            .collect()
-        )
-        return [r["doc_id"] for r in sorted(rows, key=lambda r: (r["f"], r["_epoch_ord"], r["doc_id"]))]
+        # a REAL loader's view: files in name order, rows in STORED order
+        # (pyarrow preserves physical row order) — this is what verifies
+        # the within-shard sort actually happened at write time
+        import glob
+
+        import pyarrow.parquet as pq
+
+        out = []
+        for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+            out.extend(pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist())
+        return out
 
     p0a, p0b, p1 = (str(tmp_path / n) for n in ("e0a", "e0b", "e1"))
     write_epoch_shards(df, p0a, key_col="doc_id", epoch=0, n_shards=3)
@@ -113,3 +118,9 @@ def test_write_epoch_shards_deterministic_global_shuffle(spark, tmp_path):
             df.withColumn("_epoch_ord", F.lit(1)), str(tmp_path / "bad"),
             key_col="doc_id",
         )
+    # NULL keys fail LOUDLY instead of parking un-shuffled rows up front
+    withnull = df.unionByName(
+        spark.createDataFrame([(None, "ghost")], "doc_id: bigint, text: string")
+    )
+    with pytest.raises(Exception, match="NULL 'doc_id'"):
+        write_epoch_shards(withnull, str(tmp_path / "bad2"), key_col="doc_id")
