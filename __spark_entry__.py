@@ -1387,6 +1387,21 @@ def _text_winnow(spark, sf_dir):
     return T.winnow_fingerprints(docs, "text", "doc_id", k=3, w=4)
 
 
+def _dedup_winnow_overlap(spark, sf_dir):
+    """Exact-substring overlap pairs (r11, operators/dedup.py:
+    winnow_overlap_pairs): document pairs sharing >= 2 MOSS winnow
+    fingerprints — each shared fingerprint witnesses a common run of
+    >= k + w - 1 tokens, localizing copied passages whole-document
+    Jaccard/MinHash dilute away. One 8-byte fingerprint equi-join with
+    map-side-combined pair counts; the oracle replays the winnowing and
+    the join bit-for-bit."""
+    from pq_vector_spark.operators.dedup import winnow_overlap_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = winnow_overlap_pairs(docs, "text", "doc_id", k=3, w=4, min_shared=2)
+    return out.orderBy("id_a", "id_b")
+
+
 def _pii_aug(docs):
     """Documents carry no real PII, so the scrub must be proven against
     DETERMINISTIC synthetic PII: append an email + URL derived from doc_id
@@ -2197,10 +2212,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # code, so it spends a budget row (events_range_join_left demoted;
         # the inner-join variant stays in budget for the family)
         "dedup_paragraphs": _dedup_paragraphs,
+        # r11 extension: exact-substring overlap pairs — new code, spends
+        # a budget row (sample_hash demoted; the hash-sampling primitive
+        # keeps five in-budget family rows: stratified/temperature/
+        # budget/budget_grouped/weighted)
+        "dedup_winnow_overlap": _dedup_winnow_overlap,
         # -- multimodal family --
         "multimodal_features": _multimodal_features,
         # -- sampling / PII / packing / merge (training-pipeline curation) --
-        "sample_hash": _sample_hash,
         "sample_stratified": _sample_stratified,
         "sample_temperature": _sample_temperature,
         "sample_budget": _sample_budget,
@@ -2234,6 +2253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- 50-row budget cutoff: tail variants below were driver-green in
         # r5 (CORRECTNESS_r05.json) and their code is unchanged; rotate any
         # of them back above this line whenever their implementation changes.
+        "sample_hash": _sample_hash,  # demoted r11 (family has 5 in-budget rows)
         "events_range_join_left": _events_range_join_left,  # demoted r11 (inner twin in budget)
         "embedding_centroids": _embedding_centroids,  # demoted r11 (stable since r6)
         "embedding_norms": _embedding_norms,  # demoted r11 (stable since r7)
@@ -2347,6 +2367,28 @@ _SHINGLES = (
     "i -> array_to_string(toks[i:i+2], ' ')))"
 )
 _TOKHASH = "CAST(concat('0x', substr(md5({s}), 1, 15)) AS BIGINT)"
+
+
+def _winnow_fp_cte() -> str:
+    """Shared winnowing CTE chain (k=3-gram rolling hashes, window w=4)
+    ending in ``wfp(doc_id, fp)`` — mirrors
+    functions/text.winnow_fingerprints hash-for-hash; used by the
+    text_winnow and dedup_winnow_overlap oracle twins."""
+    return f"""toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            g3 AS (SELECT doc_id,
+                     CASE WHEN len(toks) >= 3 THEN
+                       list_transform(range(1, len(toks) - 2 + 1),
+                                      i -> array_to_string(toks[i:i+2], ' '))
+                     ELSE [] END AS grams FROM toks),
+            ex AS (SELECT doc_id, unnest(grams) AS gram,
+                          unnest(range(1, len(grams) + 1)) AS i FROM g3),
+            h AS (SELECT doc_id, i, {_TOKHASH.format(s="gram")} AS h FROM ex),
+            win AS (SELECT doc_id, i,
+                      min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+                      count(*) OVER (PARTITION BY doc_id) AS n
+                    FROM h),
+            wfp AS (SELECT DISTINCT doc_id, fp FROM win WHERE i <= n - 3)"""
 
 
 def _jaccard_cte() -> str:
@@ -3087,21 +3129,17 @@ def oracle_sql() -> dict[str, str]:
         # full windows only, distinct per doc (parallel unnest zips
         # gram/index lists)
         "text_winnow": f"""
-            WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-            g3 AS (SELECT doc_id,
-                     CASE WHEN len(toks) >= 3 THEN
-                       list_transform(range(1, len(toks) - 2 + 1),
-                                      i -> array_to_string(toks[i:i+2], ' '))
-                     ELSE [] END AS grams FROM toks),
-            ex AS (SELECT doc_id, unnest(grams) AS gram,
-                          unnest(range(1, len(grams) + 1)) AS i FROM g3),
-            h AS (SELECT doc_id, i, {_TOKHASH.format(s="gram")} AS h FROM ex),
-            win AS (SELECT doc_id, i,
-                      min(h) OVER (PARTITION BY doc_id ORDER BY i
-                                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
-                      count(*) OVER (PARTITION BY doc_id) AS n
-                    FROM h)
-            SELECT DISTINCT doc_id, fp FROM win WHERE i <= n - 3""",
+            WITH {_winnow_fp_cte()}
+            SELECT doc_id, fp FROM wfp""",
+        "dedup_winnow_overlap": f"""
+            WITH {_winnow_fp_cte()},
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     count(*) AS shared_fps
+              FROM wfp a JOIN wfp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+            SELECT id_a, id_b, shared_fps FROM pairs
+            WHERE shared_fps >= 2 ORDER BY id_a, id_b""",
         # temperature mixture: thresholds re-derived from the oracle's own
         # counts (q_i ∝ sqrt(n_i), c = min n_i/q_i, rate = min(c*q_i/n_i, 1),
         # floor(rate*1e6 + 0.5) — the integer threshold insulates the

@@ -89,6 +89,7 @@ from pq_vector_spark.operators.dedup import (
     incremental_dedup_near,
     remove_repeated_paragraphs,
     resolve_duplicates,
+    winnow_overlap_pairs,
 )
 from pq_vector_spark.operators.drift import distribution_drift, psi
 from pq_vector_spark.operators.merge import latest_changes, merge_upsert
@@ -191,6 +192,7 @@ __all__ = [
     "incremental_dedup",
     "incremental_dedup_near",
     "remove_repeated_paragraphs",
+    "winnow_overlap_pairs",
     "build_dedup_index",
     "append_dedup_index",
     "resolve_duplicates",

@@ -1068,3 +1068,60 @@ def remove_repeated_paragraphs(
         .drop("_rp_id", "_rp_txt")
     )
     return untouched.unionByName(touched)
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_bucket: Optional[int] = 10_000,
+) -> DataFrame:
+    """Exact-SUBSTRING overlap pairs via MOSS winnowing
+    (``functions/text.winnow_fingerprints``): document pairs sharing
+    ≥ ``min_shared`` winnow fingerprints — and, by the winnowing
+    guarantee, each shared fingerprint witnesses a common token run of at
+    least k + w - 1 tokens. This LOCALIZES overlap: a single copied
+    paragraph inside two otherwise-unrelated documents is invisible to
+    whole-document Jaccard/MinHash (diluted below any usable threshold)
+    but lights up here — the Spark-shaped stand-in for suffix-array
+    exact-substring dedup (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better"), with the sketch bounding work instead of a
+    suffix array. Returns (id_a, id_b, shared_fps), id_a < id_b.
+
+    Scale shape: fingerprint extraction is doc-keyed (no cross-doc work);
+    the only cross-document exchange is ONE equi-join on 8-byte
+    fingerprints with map-side-combined pair counting. ``max_bucket``
+    truncates degenerate fingerprints (boilerplate runs every doc shares)
+    to their first ``max_bucket`` docs by id — same guard and rationale as
+    ``minhash_lsh_pairs``. Raise ``min_shared`` to demand longer / more
+    repeated overlap; pair with ``ngram_jaccard_pairs`` on the flagged
+    pairs when an exact similarity score is needed.
+    """
+    from pq_vector_spark.functions.text import winnow_fingerprints
+
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    fps = winnow_fingerprints(df, text_col, id_col, k=k, w=w).select(
+        F.col(id_col).alias("_id"), "fp"
+    )
+    if max_bucket is not None:
+        wb = Window.partitionBy("fp").orderBy("_id")
+        fps = (
+            fps.withColumn("_bp", F.row_number().over(wb))
+            .filter(F.col("_bp") <= max_bucket)
+            .drop("_bp")
+        )
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp")) & (F.col("a._id") < F.col("b._id")),
+        )
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )

@@ -621,3 +621,62 @@ def test_remove_repeated_paragraphs_untouched_stay_map_side(spark):
     assert got[100] == "solo doc 0"
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------- winnow overlap pairs
+
+
+def test_winnow_overlap_pairs_localizes_copied_paragraph(spark):
+    """A paragraph copied between two long, otherwise-unrelated documents
+    must surface as an overlap pair even though whole-doc Jaccard is
+    diluted far below any usable threshold — the capability MinHash-style
+    whole-document sketches lack."""
+    from pq_vector_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        winnow_overlap_pairs,
+    )
+
+    copied = "the exact same twelve token paragraph copied verbatim between documents here now"
+    a_fill = " ".join(f"alpha{i}" for i in range(120))
+    b_fill = " ".join(f"beta{i}" for i in range(120))
+    rows = [
+        (1, f"{a_fill} {copied}"),
+        (2, f"{copied} {b_fill}"),
+        (3, " ".join(f"gamma{i}" for i in range(60))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: bigint, text: string")
+    got = {
+        (r["id_a"], r["id_b"]): r["shared_fps"]
+        for r in winnow_overlap_pairs(df, "text", "doc_id", min_shared=2).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] >= 2
+    assert all(3 not in p for p in got)
+    # whole-doc jaccard on the same pair is diluted under 0.1
+    jac = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, "text", "doc_id", threshold=0.0).collect()
+    }
+    assert jac[(1, 2)] < 0.1
+    with pytest.raises(ValueError, match="min_shared"):
+        winnow_overlap_pairs(df, "text", "doc_id", min_shared=0)
+
+
+def test_winnow_overlap_pairs_hot_fingerprint_guard(spark):
+    """A fingerprint shared by every document (mass boilerplate) is capped
+    at max_bucket docs, bounding pair expansion at C(max_bucket, 2) —
+    exactly the minhash hot-bucket stance."""
+    from pq_vector_spark.operators.dedup import winnow_overlap_pairs
+
+    boiler = "identical boilerplate run of tokens long enough to fingerprint"
+    docs = spark.createDataFrame(
+        [(i, boiler) for i in range(60)], "doc_id: bigint, text: string"
+    )
+    capped = winnow_overlap_pairs(
+        df=docs, text_col="text", id_col="doc_id", min_shared=1, max_bucket=10
+    )
+    ids = {i for r in capped.collect() for i in (r["id_a"], r["id_b"])}
+    assert ids == set(range(10))  # only the first 10 ids per fingerprint
+    full = winnow_overlap_pairs(
+        df=docs, text_col="text", id_col="doc_id", min_shared=1, max_bucket=None
+    )
+    assert full.count() == 60 * 59 // 2
