@@ -69,6 +69,7 @@ HEADLINE = [
     "dedup_incremental",
     "dedup_incremental_near",
     "dedup_paragraphs",
+    "dedup_winnow_overlap",
     "text_chunks",
     "quality_checks",
     "embedding_outliers",
