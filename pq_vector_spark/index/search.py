@@ -183,6 +183,11 @@ def load_index(
     if sig is not None:
         while len(_SIDECAR_CACHE) >= _SIDECAR_CACHE_MAX:
             _SIDECAR_CACHE.pop(next(iter(_SIDECAR_CACHE)))
+        # enforce the read-only contract: the cached array is SHARED across
+        # callers, so an accidental in-place mutation must raise (ValueError:
+        # assignment destination is read-only) instead of silently poisoning
+        # every later cached load
+        centroids.setflags(write=False)
         _SIDECAR_CACHE[key] = (sig, meta, centroids)
     return LoadedIndex(meta=dict(meta), centroids=centroids)
 

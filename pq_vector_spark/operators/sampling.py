@@ -328,21 +328,37 @@ def temperature_token_budgets(
     remaining = int(total_budget)
     open_groups = [g for g in order if supply[g] > 0]
     # iterative water-filling: ≤ len(groups) rounds — a round either
-    # spends everything (no group capped: each take == its share and the
-    # shares sum EXACTLY to remaining) or caps ≥ 1 group out of the pool.
-    # Shares are built with integer clamping and the last open group takes
-    # the exact remainder, so float rounding can never make the shares sum
-    # above `remaining` (int(remaining * frac) rounds UP past 2^53 — the
-    # naive form could hand out total_budget + 1)
+    # spends everything (no group capped: the floors + largest-remainder
+    # bonuses sum EXACTLY to remaining) or caps ≥ 1 group out of the pool.
+    # Each round floors every group's ideal share (clamped so float
+    # rounding can never push the running sum past `remaining` —
+    # int(remaining * frac) rounds UP past 2^53) and distributes the
+    # integer leftover by LARGEST FRACTIONAL SHARE (ties broken by the
+    # deterministic group order) — the largest-remainder method, so no
+    # group is systematically over-allocated by position. Any leftover a
+    # pathological float corner leaves unspent rolls into the next round.
     while remaining > 0 and open_groups:
         w = {g: float(supply[g]) ** alpha for g in open_groups}
         tot = sum(w.values())
-        share, acc = {}, 0
-        for g in open_groups[:-1]:
-            s = max(0, min(int(remaining * (w[g] / tot)), remaining - acc))
+        share, frac, acc = {}, {}, 0
+        for g in open_groups:
+            ideal = remaining * (w[g] / tot)
+            s = max(0, min(int(ideal), remaining - acc))
             share[g] = s
+            frac[g] = ideal - s
             acc += s
-        share[open_groups[-1]] = remaining - acc
+        leftover = remaining - acc
+        if leftover > 0:
+            by_frac = sorted(
+                open_groups,
+                key=lambda g: (-frac[g], g is not None, str(g)),
+            )
+            ngrp = len(by_frac)
+            for i, g in enumerate(by_frac):
+                # leftover < ngrp in every non-degenerate round (the floors
+                # drop < 1 each); the divmod form stays exact if a clamped
+                # corner ever leaves more
+                share[g] += leftover // ngrp + (1 if i < leftover % ngrp else 0)
         for g in open_groups:
             take = min(share[g], supply[g] - budgets[g])
             budgets[g] += take

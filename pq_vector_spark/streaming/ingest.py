@@ -132,7 +132,11 @@ def dedup_append_batch(
 
 
 def _delete_path(spark, path: str) -> None:
-    """Best-effort recursive delete of a staging dir (local or Hadoop)."""
+    """Best-effort recursive delete of a staging dir (local or Hadoop).
+    A failed delete never fails the batch (its appends already committed)
+    but it is LOGGED — a silently-leaked ``.staging-*`` directory per batch
+    adds up on a long-running stream; ``_sweep_staging`` reclaims leftovers
+    at the next stream start."""
     from pq_vector_spark.index.build import _local_root
 
     try:
@@ -148,7 +152,52 @@ def _delete_path(spark, path: str) -> None:
         if fs.exists(jp):
             fs.delete(jp, True)
     except Exception:
-        pass  # housekeeping only; the batch's appends already committed
+        _LOG.warning(
+            "dedup_append_batch: failed to delete staging dir %s — it will "
+            "be swept at the next streaming_ingest start",
+            path,
+            exc_info=True,
+        )
+
+
+def _sweep_staging(spark, corpus_path: str) -> int:
+    """Delete leftover ``<corpus>.staging-*`` siblings from crashed or
+    delete-failed earlier batches. Safe at stream START: Structured
+    Streaming runs batches serially, so no staging dir of THIS query is
+    live before the first batch, and a staging dir is only ever read by
+    the batch that created it. Returns the number removed."""
+    from pq_vector_spark.index.build import _hadoop_glob, _local_root
+
+    pattern = f"{corpus_path.rstrip('/')}.staging-*"
+    removed = 0
+    try:
+        root = _local_root(pattern)
+        if root is not None:
+            import glob as _glob
+            import shutil
+
+            for p in _glob.glob(root):
+                shutil.rmtree(p, ignore_errors=True)
+                removed += 1
+        else:
+            jvm = spark._jvm
+            conf = spark._jsc.hadoopConfiguration()
+            for p in _hadoop_glob(spark, pattern):
+                jp = jvm.org.apache.hadoop.fs.Path(p)
+                jp.getFileSystem(conf).delete(jp, True)
+                removed += 1
+    except Exception:
+        _LOG.warning(
+            "streaming_ingest: staging sweep under %s failed", corpus_path,
+            exc_info=True,
+        )
+    if removed:
+        _LOG.warning(
+            "streaming_ingest: swept %d leftover staging dir(s) under %s",
+            removed,
+            corpus_path,
+        )
+    return removed
 
 
 def streaming_ingest(
@@ -172,6 +221,8 @@ def streaming_ingest(
             availableNow=True).start()
         q.awaitTermination()
     """
+
+    _sweep_staging(stream.sparkSession, corpus_path)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         dedup_append_batch(

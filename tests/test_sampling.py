@@ -1171,6 +1171,14 @@ def test_temperature_token_budgets_composition(spark):
     # alpha=1 is proportional to raw counts (no flattening)
     b4 = temperature_token_budgets({"a": 300, "b": 100}, 100, alpha=1.0)
     assert b4["a"] == 75 and b4["b"] == 25
+    # largest-remainder distribution: equal-weight groups split the
+    # flooring leftover by fractional share (order only breaks ties) —
+    # never dumped wholesale on the lexicographically last group
+    eq = temperature_token_budgets({"a": 1000, "b": 1000, "c": 1000}, 100)
+    assert eq == {"a": 34, "b": 33, "c": 33} and sum(eq.values()) == 100
+    assert temperature_token_budgets({"a": 7, "b": 7, "c": 7}, 10) == {
+        "a": 4, "b": 3, "c": 3,
+    }
     # zero-supply group gets zero; zero budget gets all-zero
     assert temperature_token_budgets({"a": 0, "b": 10}, 5)["a"] == 0
     assert sum(temperature_token_budgets(counts, 0).values()) == 0
