@@ -956,6 +956,9 @@ def remove_repeated_paragraphs(
     min_docs: int = 2,
     sep: str = "\n",
     rewrite_all: bool = False,
+    broadcast_threshold: int = 1_000_000,
+    _stats: Optional[dict] = None,
+    _caches: Optional[list] = None,
 ) -> DataFrame:
     """Strip BOILERPLATE PARAGRAPHS from every document: a paragraph whose
     normalized fingerprint appears in ≥ ``min_docs`` DISTINCT documents is
@@ -971,19 +974,33 @@ def remove_repeated_paragraphs(
     Scale shape:
 
     1. ONE fingerprint-count aggregation over the exploded paragraphs
-       (16-byte keys, map-side combined) yields the hot set — boilerplate
-       is by nature a SMALL distinct set, broadcast from then on;
+       (16-byte keys, map-side combined) yields the hot set, persisted and
+       COUNTED before any join is planned. Boilerplate is USUALLY a small
+       distinct set — but not axiomatically: at the default ``min_docs=2``
+       on a web-scale corpus, "paragraphs appearing in ≥2 documents" can
+       be billions of fingerprints, and an unconditional broadcast would
+       OOM the driver before any warning. So the hot/flagged joins carry a
+       ``broadcast()`` hint only while the hot set stays ≤
+       ``broadcast_threshold`` fingerprints; above it the hints are
+       dropped (a warning is logged) and the joins plan as ordinary
+       shuffles — AQE still broadcasts at runtime if the actual bytes fit;
     2. default (``rewrite_all=False``): only documents CONTAINING a hot
        paragraph pay the explode→filter→reassemble rewrite (their ids
-       broadcast; one doc-keyed shuffle bounded by the flagged subset) —
-       untouched documents pass through byte-identical with zero text
-       movement. Premise: flagged docs are a bounded subset; a corpus
-       where nearly EVERY doc carries boilerplate should pass
-       ``rewrite_all=True`` instead — no id broadcast, one corpus-wide
+       probe map-side when small; one doc-keyed shuffle bounded by the
+       flagged subset) — untouched documents pass through byte-identical
+       with zero text movement. Premise: flagged docs are a bounded
+       subset; a corpus where nearly EVERY doc carries boilerplate should
+       pass ``rewrite_all=True`` instead — no id probe, one corpus-wide
        reassembly shuffle (the operator rewrites everything anyway there);
     3. a document whose every paragraph is hot yields empty text — it is
        kept (make the drop decision with a length filter downstream, not
        silently here).
+
+    ``_stats`` (optional dict) receives ``hot_fingerprints`` (the counted
+    hot-set size) and ``broadcast`` (whether the hint path ran). The hot
+    set is persisted for the count + reuse across its joins; pass
+    ``_caches`` to collect the persisted frame for unpersisting after the
+    caller's action (same contract as ``incremental_dedup_near``).
 
     Deterministic and engine-replayable: fate is a pure function of the
     corpus's paragraph fingerprints (md5-normalized, the ``exact_dedup``
@@ -1012,25 +1029,51 @@ def remove_repeated_paragraphs(
     ex = ex.withColumn(
         "_rp_fp", F.when(nonblank, fingerprint(F.col("_rp_para")))
     )
+    from pyspark import StorageLevel
+
     hot = (
         ex.filter(F.col("_rp_fp").isNotNull())
         .groupBy("_rp_fp")
         .agg(F.countDistinct("_rp_id").alias("_nd"))
         .filter(F.col("_nd") >= min_docs)
         .select("_rp_fp")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if _caches is not None:
+        _caches.append(hot)
+    # bounded count probe BEFORE committing to a broadcast plan: the count
+    # materializes the persisted hot set, so its joins below reuse it
+    n_hot = hot.count()
+    small = n_hot <= broadcast_threshold
+    if not small:
+        import logging
+
+        logging.getLogger("pq_vector_spark.operators.dedup").warning(
+            "remove_repeated_paragraphs: hot set has %d fingerprints "
+            "(> broadcast_threshold=%d) — dropping broadcast hints; the "
+            "hot/flagged joins plan as shuffles (AQE may still broadcast "
+            "if the actual bytes fit)",
+            n_hot,
+            broadcast_threshold,
+        )
+    if _stats is not None:
+        _stats.update(hot_fingerprints=int(n_hot), broadcast=bool(small))
+
+    def bc(d):
+        return F.broadcast(d) if small else d
+
     if rewrite_all:
         scoped = ex
     else:
         flagged = (
-            ex.join(F.broadcast(hot), "_rp_fp", "left_semi")
+            ex.join(bc(hot), "_rp_fp", "left_semi")
             .select("_rp_id")
             .distinct()
         )
-        scoped = ex.join(F.broadcast(flagged), "_rp_id", "left_semi")
+        scoped = ex.join(bc(flagged), "_rp_id", "left_semi")
     rewritten = (
         scoped.join(
-            F.broadcast(hot.withColumn("_rp_hot", F.lit(True))), "_rp_fp", "left"
+            bc(hot.withColumn("_rp_hot", F.lit(True))), "_rp_fp", "left"
         )
         .groupBy("_rp_id")
         .agg(
@@ -1056,13 +1099,14 @@ def remove_repeated_paragraphs(
         joined = df.join(rewritten, df[id_col] == rewritten["_rp_id"], "left")
         cleaned = F.coalesce(F.col("_rp_txt"), F.col(text_col))
         return joined.withColumn(text_col, cleaned).drop("_rp_id", "_rp_txt")
-    # untouched docs never shuffle: the flagged-id set broadcasts as a
-    # map-side anti/semi probe, and only the flagged subset joins its
-    # rewritten text (a flagged-subset-bounded join, never corpus-keyed)
+    # untouched docs avoid the text shuffle: the flagged-id set probes as a
+    # map-side anti/semi filter when small (broadcast), and only the
+    # flagged subset joins its rewritten text (a flagged-subset-bounded
+    # join, never corpus-keyed)
     fl = flagged.withColumnRenamed("_rp_id", id_col)
-    untouched = df.join(F.broadcast(fl), id_col, "left_anti")
+    untouched = df.join(bc(fl), id_col, "left_anti")
     touched = (
-        df.join(F.broadcast(fl), id_col, "left_semi")
+        df.join(bc(fl), id_col, "left_semi")
         .join(rewritten, F.col(id_col) == rewritten["_rp_id"], "left")
         .withColumn(text_col, F.coalesce(F.col("_rp_txt"), F.col(text_col)))
         .drop("_rp_id", "_rp_txt")
@@ -1079,6 +1123,7 @@ def winnow_overlap_pairs(
     w: int = 4,
     min_shared: int = 2,
     max_bucket: Optional[int] = 10_000,
+    _stats: Optional[dict] = None,
 ) -> DataFrame:
     """Exact-SUBSTRING overlap pairs via MOSS winnowing
     (``functions/text.winnow_fingerprints``): document pairs sharing
@@ -1095,11 +1140,21 @@ def winnow_overlap_pairs(
     Scale shape: fingerprint extraction is doc-keyed (no cross-doc work);
     the only cross-document exchange is ONE equi-join on 8-byte
     fingerprints with map-side-combined pair counting. ``max_bucket``
-    truncates degenerate fingerprints (boilerplate runs every doc shares)
-    to their first ``max_bucket`` docs by id — same guard and rationale as
-    ``minhash_lsh_pairs``. Raise ``min_shared`` to demand longer / more
-    repeated overlap; pair with ``ngram_jaccard_pairs`` on the flagged
-    pairs when an exact similarity score is needed.
+    DROPS degenerate fingerprints entirely — a fp appearing in more than
+    ``max_bucket`` documents is mass boilerplate (a nav bar every page
+    shares), and any subset of its ~max_bucket²/2 pair expansions would be
+    an arbitrary sample anyway; the pre-filter is ONE map-side-combined
+    doc-frequency aggregation (distinct-fp-sized after combine) + an
+    anti-join, cheaper than a per-bucket ``row_number`` sort and the
+    suffix-array literature's standard stance on overly-common substrings
+    (Lee et al. 2022). A pair's ``shared_fps`` counts only surviving
+    fingerprints; genuinely-overlapping pairs still surface through their
+    NON-boilerplate shared runs. Pass ``_stats`` (a dict) to receive
+    ``dropped_fingerprints`` — how many distinct fps the cap removed (one
+    extra bounded count job; skip it in hot paths). Raise ``min_shared``
+    to demand longer / more repeated overlap; pair with
+    ``ngram_jaccard_pairs`` on the flagged pairs when an exact similarity
+    score is needed.
     """
     from pq_vector_spark.functions.text import winnow_fingerprints
 
@@ -1109,12 +1164,18 @@ def winnow_overlap_pairs(
         F.col(id_col).alias("_id"), "fp"
     )
     if max_bucket is not None:
-        wb = Window.partitionBy("fp").orderBy("_id")
-        fps = (
-            fps.withColumn("_bp", F.row_number().over(wb))
-            .filter(F.col("_bp") <= max_bucket)
-            .drop("_bp")
+        # no broadcast hint: the hot-fp set is dfreq-bounded (≤ total fp
+        # rows / max_bucket) but not provably driver-small — AQE broadcasts
+        # the agg side at runtime when its actual bytes fit
+        hot_fps = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("_dfreq"))
+            .filter(F.col("_dfreq") > max_bucket)
+            .select("fp")
         )
+        if _stats is not None:
+            _stats["dropped_fingerprints"] = hot_fps.count()
+        fps = fps.join(hot_fps, "fp", "left_anti")
     a, b = fps.alias("a"), fps.alias("b")
     return (
         a.join(

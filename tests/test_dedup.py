@@ -623,6 +623,47 @@ def test_remove_repeated_paragraphs_untouched_stay_map_side(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_remove_repeated_paragraphs_broadcast_guard(spark):
+    """Above broadcast_threshold the hot/flagged broadcast HINTS are
+    dropped (the r11 board's only `weak`): with auto-broadcast disabled,
+    the guarded plan contains NO BroadcastHashJoin — yet the answer is
+    byte-identical to the hinted plan, and _stats records which path
+    ran."""
+    from pq_vector_spark.operators.dedup import remove_repeated_paragraphs
+
+    rows = [(i, f"unique {i}\ncommon footer\nshared banner") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id: bigint, text: string")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        stats: dict = {}
+        guarded = remove_repeated_paragraphs(
+            df, "text", "doc_id", min_docs=2, broadcast_threshold=1,
+            _stats=stats,
+        )
+        plan = guarded._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan
+        assert stats == {"hot_fingerprints": 2, "broadcast": False}
+        got = {r["doc_id"]: r["text"] for r in guarded.collect()}
+        stats_small: dict = {}
+        hinted = remove_repeated_paragraphs(
+            df, "text", "doc_id", min_docs=2, _stats=stats_small
+        )
+        assert stats_small == {"hot_fingerprints": 2, "broadcast": True}
+        assert got == {r["doc_id"]: r["text"] for r in hinted.collect()}
+        assert got[0] == "unique 0"
+        # rewrite_all path honors the guard too (it still joins `hot`)
+        ga = remove_repeated_paragraphs(
+            df, "text", "doc_id", min_docs=2, rewrite_all=True,
+            broadcast_threshold=1,
+        )
+        plan_all = ga._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan_all
+        assert got == {r["doc_id"]: r["text"] for r in ga.collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 # ---------------------------------------------- winnow overlap pairs
 
 
@@ -662,21 +703,37 @@ def test_winnow_overlap_pairs_localizes_copied_paragraph(spark):
 
 
 def test_winnow_overlap_pairs_hot_fingerprint_guard(spark):
-    """A fingerprint shared by every document (mass boilerplate) is capped
-    at max_bucket docs, bounding pair expansion at C(max_bucket, 2) —
-    exactly the minhash hot-bucket stance."""
+    """A fingerprint shared by more than max_bucket documents (mass
+    boilerplate — a nav bar every page carries) is DROPPED before the pair
+    join, so its ~n²/2 expansion never happens; pairs that also share
+    non-boilerplate runs still surface through those, and _stats records
+    how many fps the cap removed."""
     from pq_vector_spark.operators.dedup import winnow_overlap_pairs
 
     boiler = "identical boilerplate run of tokens long enough to fingerprint"
-    docs = spark.createDataFrame(
-        [(i, boiler) for i in range(60)], "doc_id: bigint, text: string"
-    )
+    # docs 0/1 additionally share a UNIQUE copied passage (long enough for
+    # >= 2 winnow fps of its own)
+    copied = " ".join(f"copied{i}" for i in range(20))
+    rows = [(i, boiler if i > 1 else f"{boiler}\n{copied}") for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id: bigint, text: string")
+    stats: dict = {}
     capped = winnow_overlap_pairs(
-        df=docs, text_col="text", id_col="doc_id", min_shared=1, max_bucket=10
+        df=docs, text_col="text", id_col="doc_id", min_shared=1,
+        max_bucket=10, _stats=stats,
     )
-    ids = {i for r in capped.collect() for i in (r["id_a"], r["id_b"])}
-    assert ids == set(range(10))  # only the first 10 ids per fingerprint
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    # boilerplate-only pairs vanish entirely; the genuinely-overlapping
+    # pair survives through its non-boilerplate shared fingerprints
+    assert got == {(0, 1)}
+    assert stats["dropped_fingerprints"] >= 1
     full = winnow_overlap_pairs(
         df=docs, text_col="text", id_col="doc_id", min_shared=1, max_bucket=None
     )
     assert full.count() == 60 * 59 // 2
+    # a corpus with no hot fp is untouched by the guard (and records zero)
+    stats2: dict = {}
+    clean = winnow_overlap_pairs(
+        df=docs.filter("doc_id < 2"), text_col="text", id_col="doc_id",
+        min_shared=1, max_bucket=10, _stats=stats2,
+    )
+    assert clean.count() == 1 and stats2["dropped_fingerprints"] == 0
