@@ -800,6 +800,7 @@ def incremental_dedup_near(
     threshold: float = 0.5,
     max_bucket: Optional[int] = 10_000,
     broadcast_delta: bool = True,
+    _stats: Optional[dict] = None,
     _caches: Optional[list] = None,
 ) -> DataFrame:
     """NEAR-dedup an incoming delta against the standing corpus via its
@@ -834,6 +835,25 @@ def incremental_dedup_near(
     Pairs with ``incremental_dedup`` (exact fingerprints) — run that first:
     byte-identical copies are cheaper to kill exactly, and they are the
     degenerate buckets this operator caps away.
+
+    ``max_bucket`` caps BOTH sides of every (band, key) bucket: the index
+    (corpus) side and the delta side each keep their first ``max_bucket``
+    members by id, bounding a degenerate bucket's pair expansion at
+    ``max_bucket²`` instead of ``max_bucket × |delta bucket|`` — the same
+    bound ``minhash_lsh_pairs`` gives the single-frame operator.
+
+    ``_stats`` (optional dict) is the truncation-visibility hook a 100 TB
+    operator needs — when set it receives ``capped_index_buckets`` /
+    ``capped_delta_buckets`` (how many (band, key) buckets each cap
+    actually truncated), ``candidate_pairs`` (distinct delta↔corpus
+    collision pairs entering verification), ``verified_pairs`` (pairs at
+    exact Jaccard ≥ threshold; only when ``corpus`` is given) and
+    ``corpus_dropped`` / ``within_dropped`` (delta rows each rule
+    removed). Costs a handful of extra bounded jobs (the verified-pairs
+    probe re-runs the candidate verification) — diagnostic mode, skip it
+    in latency-critical batches. Nonzero ``capped_*`` counts mean the
+    answer is silently missing pairs from degenerate buckets: run
+    ``exact_dedup`` first or raise ``max_bucket``.
     """
     meta = load_dedup_index_meta(spark, index_path)
     n, num_hashes, bands, seed = (
@@ -877,23 +897,48 @@ def incremental_dedup_near(
     probe = dband.select("band", "key").distinct()
     index = spark.read.parquet(index_path)
     hits = index.join(F.broadcast(probe), ["band", "key"], "inner")
+    dpair = dband
     if max_bucket is not None:
+        if _stats is not None:
+            _stats["capped_index_buckets"] = int(
+                hits.groupBy("band", "key")
+                .count()
+                .filter(F.col("count") > max_bucket)
+                .count()
+            )
+            _stats["capped_delta_buckets"] = int(
+                dband.groupBy("band", "key")
+                .count()
+                .filter(F.col("count") > max_bucket)
+                .count()
+            )
         wb = Window.partitionBy("band", "key").orderBy("id")
         hits = (
             hits.withColumn("_pq_bpos", F.row_number().over(wb))
             .filter(F.col("_pq_bpos") <= max_bucket)
             .drop("_pq_bpos")
         )
+        # delta-side cap too: without it a degenerate bucket still expands
+        # to max_bucket × |delta bucket| pairs — cap both sides so the
+        # bound is max_bucket², mirroring minhash_lsh_pairs
+        wd = Window.partitionBy("band", "key").orderBy("_did")
+        dpair = (
+            dband.withColumn("_pq_dpos", F.row_number().over(wd))
+            .filter(F.col("_pq_dpos") <= max_bucket)
+            .drop("_pq_dpos")
+        )
     # delta side broadcast: the pair-expansion join stays map-side over
     # the (collision-bounded) hits instead of shuffling both sides
     cands = (
-        hits.join(F.broadcast(dband), ["band", "key"])
+        hits.join(F.broadcast(dpair), ["band", "key"])
         .select("_did", F.col("id").alias("_cid"))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     if _caches is not None:
         _caches.append(cands)
+    if _stats is not None:
+        _stats["candidate_pairs"] = int(cands.count())
     if corpus is None:
         corpus_dropped = cands.select("_did").distinct()
     else:
@@ -919,13 +964,14 @@ def incremental_dedup_near(
         jac = inter.cast("double") / (
             F.size("_hd") + F.size("_hc") - inter
         ).cast("double")
-        corpus_dropped = (
+        verified = (
             cands.join(dtext, "_did")
             .join(ctext, "_cid")
             .filter(jac >= F.lit(threshold))
-            .select("_did")
-            .distinct()
         )
+        if _stats is not None:
+            _stats["verified_pairs"] = int(verified.count())
+        corpus_dropped = verified.select("_did").distinct()
     within = minhash_lsh_pairs(
         delta,
         text_col,
@@ -940,6 +986,9 @@ def incremental_dedup_near(
         _caches=_caches,
     )
     within_dropped = within.select(F.col("id_b").alias("_did")).distinct()
+    if _stats is not None:
+        _stats["corpus_dropped"] = int(corpus_dropped.count())
+        _stats["within_dropped"] = int(within_dropped.count())
     dropped = corpus_dropped.unionByName(within_dropped).distinct()
     return delta.join(
         F.broadcast(dropped.withColumnRenamed("_did", id_col)),

@@ -401,6 +401,61 @@ def test_incremental_dedup_near_unverified_band_collision(spark, tmp_path):
     assert sorted(r["doc_id"] for r in out.collect()) == [21, 30]
 
 
+def test_incremental_dedup_near_stats_and_delta_cap(spark, tmp_path):
+    """_stats surfaces what the probe actually did — candidate/verified
+    pair volumes, per-rule drop counts, and whether max_bucket truncated
+    any (band, key) bucket on EITHER side. The delta-side cap bounds a
+    degenerate bucket at max_bucket² pair expansions (not max_bucket ×
+    |delta bucket|)."""
+    from pq_vector_spark.operators.dedup import (
+        build_dedup_index,
+        incremental_dedup_near,
+    )
+
+    corpus, delta = _near_corpus(spark)
+    idx = str(tmp_path / "near_idx_stats")
+    build_dedup_index(corpus, "text", "doc_id", idx, num_hashes=32, bands=8)
+    stats: dict = {}
+    out = incremental_dedup_near(
+        spark, idx, delta, "text", "doc_id", corpus=corpus, threshold=0.5,
+        _stats=stats,
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == [21, 30]
+    assert stats["capped_index_buckets"] == 0
+    assert stats["capped_delta_buckets"] == 0
+    assert stats["candidate_pairs"] >= 1  # doc 10 collided with corpus doc 1
+    assert stats["verified_pairs"] >= 1
+    assert stats["corpus_dropped"] == 1  # doc 10
+    assert stats["within_dropped"] == 1  # doc 22 (suppressed by 21)
+
+    # degenerate bucket: many identical delta docs against one identical
+    # corpus doc — max_bucket=2 truncates both sides and the stats say so
+    mk = lambda *w: " ".join(w)
+    same = mk("boiler", "plate", "navigation", "bar", "shared", "by",
+              "every", "single", "page", "on", "the", "site")
+    corpus2 = spark.createDataFrame(
+        [(i, same) for i in range(5)], "doc_id: bigint, text: string"
+    )
+    delta2 = spark.createDataFrame(
+        [(100 + i, same) for i in range(8)], "doc_id: bigint, text: string"
+    )
+    idx2 = str(tmp_path / "near_idx_degen")
+    build_dedup_index(corpus2, "text", "doc_id", idx2)
+    stats2: dict = {}
+    out2 = incremental_dedup_near(
+        spark, idx2, delta2, "text", "doc_id", corpus=corpus2,
+        threshold=0.5, max_bucket=2, _stats=stats2,
+    )
+    assert stats2["capped_index_buckets"] >= 1
+    assert stats2["capped_delta_buckets"] >= 1
+    # cap bound honored: ≤ max_bucket² = 4 distinct collision pairs
+    assert stats2["candidate_pairs"] <= 2 * 2
+    # THE point of the stats: capping silently admits the truncated rows
+    # (102..107 never entered any bucket pair) — visible, not invisible
+    assert out2.count() == 6
+    assert stats2["corpus_dropped"] == 2 and stats2["within_dropped"] >= 1
+
+
 def test_append_dedup_index_extends_coverage(spark, tmp_path):
     """Appending admitted survivors to the index makes the NEXT delta
     near-dedup against them too; hash parameters come from the index meta,
