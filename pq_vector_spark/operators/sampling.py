@@ -546,6 +546,35 @@ def _conj(preds):
     return F.lit(True) if out is None else out
 
 
+def _thin_key_bounds(keys: list, n_p: int) -> list:
+    """Evenly-spaced range boundaries from a sampled key list, sorted
+    under the walk's NULLS-FIRST key order and deduped. Up to ``n_p - 1``
+    boundaries; fewer (or none) when the sample lacks distinct keys — the
+    caller treats an empty result as an un-splittable tied frontier."""
+    if not keys:
+        return []
+    ks = sorted(keys, key=lambda k: (k is not None, k))
+    bounds: list = []
+    m = len(ks)
+    for i in range(1, n_p):
+        b = ks[(i * m) // n_p]
+        if not bounds or b != bounds[-1]:
+            bounds.append(b)
+    return bounds
+
+
+def _key_range_id(key_expr: Column, bounds: list) -> Column:
+    """Contiguous range id (0..len(bounds)) of a key against ordered
+    boundaries — the first ``_key_le`` branch that matches wins, so range
+    i covers (bounds[i-1], bounds[i]] with NULL keys in range 0 (the
+    NULLS-FIRST front of the key order)."""
+    c = None
+    for i, b in enumerate(bounds):
+        w = _key_le(key_expr, b)
+        c = F.when(w, F.lit(i)) if c is None else c.when(w, F.lit(i))
+    return c.otherwise(F.lit(len(bounds)))
+
+
 def _budget_walk(
     slim: DataFrame,
     budget: int,
@@ -568,13 +597,12 @@ def _budget_walk(
     frontier's FINITE score min/max, when the caller already computed it —
     skips the walk's own level-0 min/max job.
 
-    Determinism note: the RESULT is always exact and deterministic, but the
-    key-range refinement mode's PLAN SHAPE is not — it splits the tied
-    frontier with ``repartitionByRange``, whose boundaries come from an
-    RDD-id-seeded sample, so ``_stats`` ``window_rows``/``levels`` and the
-    number of planning jobs can vary between runs. The walk adapts to the
-    OBSERVED per-range max keys, so every run selects the identical row
-    set; only the diagnostics wobble."""
+    Determinism: the RESULT is exact and deterministic, and — since r12 —
+    so are the DIAGNOSTICS: key-range refinement derives its boundaries
+    from an explicitly-seeded key sample (``sample(seed=42)`` + driver
+    thinning), not from ``repartitionByRange``'s RDD-id-seeded internal
+    sample, so two runs on the same input report identical ``_stats``
+    (``window_rows``/``levels``) and run the same planning jobs."""
     import math
 
     from pyspark.sql import Window
@@ -699,11 +727,29 @@ def _budget_walk(
             else:
                 mode = "key"  # special class or exact tie: key refine
         else:  # mode == "key": frontier is score-tied, order = KEY ASC
-            n_p = max(2, min(4096, -(-int(cnt) // window_cap)))
+            # deterministic split (r11 ADVICE): boundaries come from an
+            # explicitly-SEEDED key sample thinned on the driver — not from
+            # repartitionByRange, whose internal sample is seeded by the
+            # RDD id and so wobbled _stats/job counts between runs. Bonus:
+            # the per-range aggregation below groups by a computed range
+            # id, so only map-side-combined partials shuffle — not the
+            # whole frontier, as the old range repartition did.
+            n_p = max(2, min(512, -(-int(cnt) // window_cap)))
+            frac = min(1.0, (32.0 * n_p) / max(int(cnt), 1))
+            samp = [
+                r["_sb_key"]
+                for r in sub.select(KEY).sample(fraction=frac, seed=42).collect()
+            ]
+            kbounds = _thin_key_bounds(samp, n_p)
+            if not kbounds:
+                # un-splittable (all sampled keys equal / empty sample):
+                # the exact window is the only refinement left
+                force_exact = True
+                continue
+            rid = _key_range_id(KEY, kbounds)
             parts = sorted(
                 (
-                    sub.repartitionByRange(n_p, KEY.asc())
-                    .groupBy(F.spark_partition_id().alias("p"))
+                    sub.groupBy(rid.alias("p"))
                     .agg(
                         F.sum(TOK).alias("t"),
                         F.count("*").alias("c"),
@@ -752,8 +798,8 @@ def _budget_walk_grouped(
     score-mode groups share ONE aggregation grouped by (group, bucket)
     (each group's bucket id computed against its own lo/width via a
     driver-built CASE chain over the ≤ heavy-groups frontiers) and all
-    key-mode groups share ONE ``repartitionByRange(GRP, KEY)`` range
-    summary; groups that reach the cap are staged and pay ONE final
+    key-mode groups share ONE seeded key sample + one (group, range-id)
+    aggregation; groups that reach the cap are staged and pay ONE final
     boundary window partitioned by group. Total jobs: O(levels), not
     O(heavy groups × levels) — the shape that lets a mixture spec with
     hundreds of heavy groups plan in the same handful of jobs as one.
@@ -766,8 +812,9 @@ def _budget_walk_grouped(
     each predicate is relative to the group's rows (the caller ANDs its
     ``match``). Results are bit-equal to running ``_budget_walk`` per
     group — same greedy walk, same class chain, same boundary election —
-    only the job batching differs. The key-mode plan-shape nondeterminism
-    note on ``_budget_walk`` applies here too."""
+    only the job batching differs. The key-mode determinism note on
+    ``_budget_walk`` applies here too: boundaries come from a shared
+    seeded sample, so diagnostics and job counts are run-reproducible."""
     import math
 
     from pyspark.sql import Window
@@ -881,27 +928,62 @@ def _budget_walk_grouped(
                     v["mode"] = "key"  # special class or exact tie
 
         if key_act:
-            # ONE range summary for every key-mode group: range-partition
-            # the union of tied frontiers on (GRP, KEY) — within a group,
-            # partition ids ascend with key, so per-(group, pid) stats give
-            # each group its own contiguous key ranges
-            total = sum(int(v["cnt"]) for v in key_act)
-            n_p = max(2, min(4096, -(-total // window_cap)))
+            # ONE range summary for every key-mode group: a shared SEEDED
+            # key sample over the union of tied frontiers (deterministic —
+            # see the single-walk note on repartitionByRange's RDD-id
+            # seed), per-group boundaries thinned on the driver, then ONE
+            # map-side-combined aggregation grouped by (group, range id)
+            np_of = {
+                v["gk"]: max(2, min(512, -(-int(v["cnt"]) // window_cap)))
+                for v in key_act
+            }
+            frac = min(
+                1.0,
+                max(
+                    32.0 * np_of[v["gk"]] / max(int(v["cnt"]), 1)
+                    for v in key_act
+                ),
+            )
             filt = _or([frontier(v) for v in key_act])
-            byg: dict = {}
+            kb_samp: dict = {}
             for r in (
                 slim.filter(filt)
-                .repartitionByRange(n_p, GRP.asc(), KEY.asc())
-                .groupBy(GRP, F.spark_partition_id().alias("p"))
-                .agg(
-                    F.sum(TOK).alias("t"),
-                    F.count("*").alias("c"),
-                    F.max(KEY).alias("mk"),
-                )
+                .select(GRP, KEY)
+                .sample(fraction=frac, seed=42)
                 .collect()
             ):
-                byg.setdefault(_gkey(r["_sb_grp"]), []).append(r)
+                kb_samp.setdefault(_gkey(r["_sb_grp"]), []).append(r["_sb_key"])
+            ridc, afilt = None, None
             for v in key_act:
+                v["kbounds"] = _thin_key_bounds(
+                    kb_samp.get(v["gk"], []), np_of[v["gk"]]
+                )
+                if not v["kbounds"]:
+                    # un-splittable tied frontier: exact window next level
+                    v["force_exact"] = True
+                    continue
+                fr = frontier(v)
+                afilt = fr if afilt is None else (afilt | fr)
+                rid_v = _key_range_id(KEY, v["kbounds"])
+                ridc = (
+                    F.when(fr, rid_v) if ridc is None else ridc.when(fr, rid_v)
+                )
+            byg: dict = {}
+            if ridc is not None:
+                for r in (
+                    slim.filter(afilt)
+                    .groupBy(GRP, ridc.alias("p"))
+                    .agg(
+                        F.sum(TOK).alias("t"),
+                        F.count("*").alias("c"),
+                        F.max(KEY).alias("mk"),
+                    )
+                    .collect()
+                ):
+                    byg.setdefault(_gkey(r["_sb_grp"]), []).append(r)
+            for v in key_act:
+                if not v["kbounds"]:
+                    continue
                 parts = sorted(byg.get(v["gk"], []), key=lambda r: r["p"])
                 cum, cross_i = 0, None
                 for i, r in enumerate(parts):
@@ -1018,8 +1100,9 @@ def select_token_budget(
        holds ≤ ``window_cap`` rows — only those pay the exact ordered
        window for the residual budget. Score TIES (and the NaN/±inf/NULL
        classes) cannot be split by score, so a tied frontier switches to
-       KEY-RANGE refinement: one ``repartitionByRange`` pass over the tied
-       rows yields per-range token totals and split keys (the per-range
+       KEY-RANGE refinement: a seeded key sample draws deterministic range
+       boundaries and one map-side-combined aggregation over the tied rows
+       yields per-range token totals and split keys (the per-range
        MAX key), and the walk recurses on key intervals — the adversarial
        all-scores-equal corpus is therefore just as bounded as the
        well-spread one. ``max_depth`` caps both recursions (falling back

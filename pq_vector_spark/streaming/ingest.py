@@ -318,6 +318,7 @@ def streaming_index_ingest(
     rebuild_options=None,
     on_maintenance=None,
     dedupe_on: Optional[str] = None,
+    dedupe_probe: str = "always",
 ):
     """Return a ``DataStreamWriter`` that continuously appends a vector
     stream into an indexed layout AND keeps the index healthy — the
@@ -371,6 +372,18 @@ def streaming_index_ingest(
     streams can't use it and exactly-once-by-sink setups don't need it.
     True exactly-once without a key needs a transactional sink.
 
+    ``dedupe_probe`` prices that probe: ``"always"`` (default) anti-joins
+    every batch — the belt-and-suspenders mode, and the only safe one
+    when the CHECKPOINT itself can be lost (every batch replays then,
+    invisibly). ``"auto"`` runs the probe only on SUSPECTED replays: the
+    first batch after this writer starts (a restart's in-flight batch is
+    always the first one the new process sees — exactly where the
+    crash-between-append-and-marker window lands) and any batch whose id
+    is ≤ one this writer already processed. Steady-state batches — the
+    99.99 % non-crash case — skip the corpus id scan entirely. Each
+    ``on_maintenance`` result carries ``"dedupe_probed"`` so the choice is
+    observable.
+
     Caller picks the trigger/start, e.g.::
 
         q = streaming_index_ingest(src, "/indexed", checkpoint="/chk") \\
@@ -379,9 +392,16 @@ def streaming_index_ingest(
     """
     if maintain_every <= 0:
         raise ValueError(f"maintain_every must be positive, got {maintain_every}")
+    if dedupe_probe not in ("always", "auto"):
+        raise ValueError(
+            f"dedupe_probe must be always|auto, got {dedupe_probe!r}"
+        )
     marker_base = (
         f"{checkpoint.rstrip('/')}/pq_ingest_markers" if checkpoint else None
     )
+    # replay-suspicion state for dedupe_probe="auto": per-writer (a restart
+    # builds a fresh closure, so its first batch is always suspected)
+    _seen = {"first": True, "max": None}
 
     def _marker_exists(spark, marker: str) -> bool:
         from pq_vector_spark.index.build import _hadoop_glob, _local_root
@@ -448,12 +468,20 @@ def streaming_index_ingest(
             f"{marker_base}/batch-{int(batch_id)}" if marker_base else None
         )
         replayed = bool(marker) and _marker_exists(spark, marker)
+        suspected = _seen["first"] or (
+            _seen["max"] is not None and batch_id <= _seen["max"]
+        )
+        _seen["first"] = False
+        _seen["max"] = (
+            batch_id if _seen["max"] is None else max(_seen["max"], batch_id)
+        )
         due = (batch_id % maintain_every) == (maintain_every - 1)
         result = {
             "appended": 0,
             "codes_refreshed": False,
             "rebuilt": False,
             "replayed": replayed,
+            "dedupe_probed": False,
         }
         if replayed:
             _LOG.warning(
@@ -467,7 +495,11 @@ def streaming_index_ingest(
             result["appended"] = _read_marker_appended(spark, marker)
         else:
             to_append, cached = batch_df, None
-            if dedupe_on is not None and not batch_df.isEmpty():
+            probe = dedupe_on is not None and not batch_df.isEmpty() and (
+                dedupe_probe == "always" or suspected
+            )
+            result["dedupe_probed"] = probe
+            if probe:
                 # replay of a marker-less batch (crash between append and
                 # marker write) re-enters here — the anti-join drops rows
                 # whose ids already landed, so the re-append is a no-op.

@@ -548,6 +548,52 @@ def test_select_token_budget_recursive_refinement_bounds_window(spark):
     assert stats["window_rows"] <= 64
 
 
+def test_select_token_budget_key_refinement_deterministic_stats(spark):
+    """r12: key-range boundaries come from a SEEDED sample, so two runs on
+    the same input report identical _stats (window_rows/levels/mode) — the
+    r11 repartitionByRange split wobbled them with the RDD-id seed."""
+    from pq_vector_spark.operators.sampling import (
+        select_token_budget,
+        select_token_budget_grouped,
+    )
+
+    rows = [(i, 1.0, 7) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id: bigint, score: double, tok: bigint")
+    runs = []
+    for _ in range(2):
+        stats: dict = {}
+        got = sorted(
+            r["id"]
+            for r in select_token_budget(
+                df, "id", "score", "tok", 7 * 1000 + 3,
+                buckets=8, window_cap=64, _stats=stats,
+            ).collect()
+        )
+        runs.append((got, stats))
+    assert runs[0] == runs[1]
+    assert runs[0][1]["mode"] == "key"
+
+    grows = [("g", i, 1.0, 7) for i in range(900)] + [
+        ("h", 10_000 + i, 1.0, 7) for i in range(300)
+    ]
+    gdf = spark.createDataFrame(
+        grows, "grp: string, id: bigint, score: double, tok: bigint"
+    )
+    gruns = []
+    for _ in range(2):
+        gstats: dict = {}
+        gout = sorted(
+            r["id"]
+            for r in select_token_budget_grouped(
+                gdf, "grp", "id", "score", "tok",
+                {"g": 7 * 500, "h": 7 * 100}, buckets=8, window_cap=32,
+                _stats=gstats,
+            ).collect()
+        )
+        gruns.append((gout, gstats))
+    assert gruns[0] == gruns[1]
+
+
 def test_select_token_budget_all_ties_key_refinement(spark):
     """The adversarial all-scores-equal corpus collapses every row into
     one bucket — the walk must switch to key-range refinement and keep

@@ -1018,6 +1018,102 @@ def test_streaming_index_ingest_prunes_markers_and_skips_without_checkpoint(
     assert not os.path.isdir(os.path.join(out, "_pq_index", "ingest"))
 
 
+def test_streaming_index_ingest_dedupe_probe_auto(spark, tmp_path):
+    """dedupe_probe='auto' (r12): the id anti-join runs only on SUSPECTED
+    replays — the first batch after a (re)start, which is exactly where a
+    crash-between-append-and-marker replay lands — and never on
+    steady-state fresh batches; the replayed batch still appends zero
+    duplicates."""
+    import os
+
+    import numpy as np
+
+    from pq_vector_spark.index.build import build_index, index_health
+    from pq_vector_spark.session import IndexBuildOptions
+    from pq_vector_spark.streaming.ingest import streaming_index_ingest
+
+    rng = np.random.default_rng(7)
+    src = str(tmp_path / "ap_src.parquet")
+    out = str(tmp_path / "ap_indexed")
+    in_dir = str(tmp_path / "ap_incoming")
+    chk = str(tmp_path / "ap_chk")
+
+    def rows(start, n):
+        return [
+            (int(start + i), [float(x) for x in rng.random(8, dtype=np.float32)])
+            for i in range(n)
+        ]
+
+    base = spark.createDataFrame(rows(0, 100), "vec_id: bigint, embedding: array<float>")
+    base.write.parquet(src)
+    build_index(
+        spark, src, out, column="embedding", options=IndexBuildOptions(n_clusters=4)
+    )
+
+    def add_file(b):
+        spark.createDataFrame(
+            rows(1000 + 50 * b, 50), "vec_id: bigint, embedding: array<float>"
+        ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    def run(events):
+        stream = (
+            spark.readStream.schema(base.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = (
+            streaming_index_ingest(
+                stream, out, checkpoint=chk, maintain_index=False,
+                maintain_codes=False, dedupe_on="vec_id",
+                dedupe_probe="auto",
+                on_maintenance=lambda b, r: events.append((b, r)),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    add_file(0)
+    add_file(1)
+    first = []
+    run(first)
+    # first batch of the writer is suspected (probed); the next is not
+    assert [(b, r["dedupe_probed"]) for b, r in first] == [(0, True), (1, False)]
+    assert sum(r["appended"] for _, r in first) == 100
+    assert index_health(spark, out)["row_count"] == 200
+
+    # crash window for batch 1: its append landed but neither the marker
+    # nor the checkpoint commit did — delete both; restart replays batch 1
+    os.remove(os.path.join(chk, "commits", "1"))
+    # the Hadoop local FS keeps a sibling checksum; a stale .crc makes the
+    # restart's commit rename fail and masquerade as a concurrent query
+    crc = os.path.join(chk, "commits", ".1.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    os.remove(os.path.join(chk, "pq_ingest_markers", "batch-1"))
+    second = []
+    run(second)
+    assert [(b, r["dedupe_probed"]) for b, r in second] == [(1, True)]
+    assert sum(r["appended"] for _, r in second) == 0  # ids already present
+    assert index_health(spark, out)["row_count"] == 200
+    assert spark.read.parquet(out).count() == 200
+
+    # steady state resumes: two fresh batches — only the restart's first
+    # batch pays the probe
+    add_file(2)
+    add_file(3)
+    third = []
+    run(third)
+    assert [(b, r["dedupe_probed"]) for b, r in third] == [(2, True), (3, False)]
+    assert sum(r["appended"] for _, r in third) == 100
+    assert spark.read.parquet(out).count() == 300
+    with pytest.raises(ValueError, match="dedupe_probe"):
+        streaming_index_ingest(
+            spark.readStream.schema(base.schema).parquet(in_dir),
+            out, dedupe_probe="sometimes",
+        )
+
+
 def test_streaming_index_ingest_dedupe_on_closes_marker_crash_window(
     spark, tmp_path
 ):
