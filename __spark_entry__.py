@@ -1507,6 +1507,75 @@ def _sample_budget_grouped(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+# total char budget the temperature water-filling splits per language at
+# the oracle sf (no language's share caps at its own supply there, so the
+# single-round floors + largest-remainder arithmetic is SQL-replayable)
+TEMP_CHAR_BUDGET = 60_000
+
+
+def _sample_budget_temperature(spark, sf_dir):
+    """Temperature-DERIVED grouped token budgets (r11 extension,
+    operators/sampling.py:temperature_token_budgets, r12
+    largest-remainder shares) composed with the grouped selector: one
+    bounded per-language char-supply aggregation feeds the driver-pure
+    water-filling (share_i ∝ supply_i^0.5, integer floors + bonuses by
+    largest fractional share), and the resulting exact integer budgets
+    drive select_token_budget_grouped — the full "split a 60k-char budget
+    by temperature, fill each language with its best docs" pipeline. The
+    oracle replays the water-filling bit-for-bit (pow/floor/row_number
+    over fractional shares) and the per-group greedy prefix."""
+    from pq_vector_spark.operators.sampling import (
+        select_token_budget_grouped,
+        temperature_token_budgets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = {
+        r["lang"]: int(r["s"])
+        for r in docs.groupBy("lang").agg(F.sum("n_chars").alias("s")).collect()
+    }
+    budgets = temperature_token_budgets(counts, TEMP_CHAR_BUDGET, alpha=0.5)
+    scored = docs.withColumn("quality", F.round(T.quality_score("text"), 4))
+    out = select_token_budget_grouped(
+        scored, "lang", "doc_id", "quality", "n_chars", budgets,
+        buckets=32, window_cap=12,
+    )
+    return out.select(
+        "doc_id", "lang", "quality",
+        F.col("n_chars").cast("bigint").alias("chars"),
+    ).orderBy("doc_id")
+
+
+_EPOCH_CACHE: dict[str, str] = {}
+
+
+def _epoch_shuffle(spark, sf_dir):
+    """Deterministic epoch shuffling (r11 extension,
+    sources/sinks.py:write_epoch_shards): one epoch of the documents table
+    written as range-sharded parquet whose (file order, row order) IS the
+    salted-md5 permutation — ONE corpus shuffle, the floor for any global
+    reorganization. The read-back attests the whole write→read round
+    trip: every doc present exactly once, each carrying the portable
+    60-bit order key a loader replays/verifies; the oracle recomputes the
+    same md5 order key per doc_id."""
+    import tempfile
+
+    from pq_vector_spark.sources.sinks import write_epoch_shards
+
+    path = _EPOCH_CACHE.get(sf_dir)
+    if not (path and os.path.isdir(path)):
+        path = os.path.join(tempfile.mkdtemp(prefix="pq_entry_epoch_"), "epoch1")
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+        write_epoch_shards(
+            docs, path, key_col="doc_id", epoch=1, salt="bench", n_shards=4
+        )
+        _EPOCH_CACHE[sf_dir] = path
+    back = spark.read.parquet(path)
+    return back.select(
+        "doc_id", F.col("_epoch_ord").alias("epoch_ord")
+    ).orderBy("doc_id")
+
+
 def _sample_hash(spark, sf_dir):
     """Deterministic 10% corpus sample (operators/sampling.py:hash_sample):
     row fate = f(doc_id, salt) only — reproducible across runs, engines,
@@ -2201,7 +2270,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # spends a budget row this round (quality_profile demoted)
         "dedup_resolve_best": _dedup_resolve_best,
         "dedup_minhash": _dedup_minhash,
-        "dedup_embedding": _dedup_embedding,
         "dedup_embedding_bucketed": _dedup_embedding_bucketed,
         "dedup_incremental": _dedup_incremental,
         # r11 extension: NEAR-dedup of a delta against the corpus's
@@ -2220,12 +2288,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- multimodal family --
         "multimodal_features": _multimodal_features,
         # -- sampling / PII / packing / merge (training-pipeline curation) --
-        "sample_stratified": _sample_stratified,
         "sample_temperature": _sample_temperature,
         "sample_budget": _sample_budget,
         # r10 extension: per-group budgets — new code, so it spends a
         # budget row this round (events_abtest demoted)
         "sample_budget_grouped": _sample_budget_grouped,
+        # r12 attestation (r11 verdict #5): temperature→token-budget
+        # composition — the water-filling math gains a driver-attested
+        # hash-green row (sample_stratified demoted; hash-bucket family
+        # keeps 4 in-budget rows)
+        "sample_budget_temperature": _sample_budget_temperature,
+        # r12 attestation (r11 verdict #5): epoch-shuffle write→read round
+        # trip — the sink family's first oracle row (dedup_embedding
+        # demoted; the IVF-bucketed variant pins the family)
+        "epoch_shuffle": _epoch_shuffle,
         # r10 extension: exact-k weighted sampling — new code, so it
         # spends a budget row this round (events_retention demoted)
         "sample_weighted": _sample_weighted,
@@ -2253,6 +2329,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- 50-row budget cutoff: tail variants below were driver-green in
         # r5 (CORRECTNESS_r05.json) and their code is unchanged; rotate any
         # of them back above this line whenever their implementation changes.
+        "sample_stratified": _sample_stratified,  # demoted r12 (stable since r5)
+        "dedup_embedding": _dedup_embedding,  # demoted r12 (stable since r6; bucketed twin in budget)
         "sample_hash": _sample_hash,  # demoted r11 (family has 5 in-budget rows)
         "events_range_join_left": _events_range_join_left,  # demoted r11 (inner twin in budget)
         "embedding_centroids": _embedding_centroids,  # demoted r11 (stable since r6)
@@ -3140,6 +3218,49 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY a.doc_id, b.doc_id)
             SELECT id_a, id_b, shared_fps FROM pairs
             WHERE shared_fps >= 2 ORDER BY id_a, id_b""",
+        # temperature-derived grouped token budgets: the oracle replays the
+        # water-filling round (share ∝ pow(supply, 0.5), integer floors,
+        # largest-remainder bonuses by fractional share with lang
+        # tie-break) to the exact integers the driver computes, then the
+        # per-group greedy prefix — identical cum<=budget window as
+        # sample_budget_grouped. pow/floor/× are the same IEEE doubles on
+        # both engines; budgets are integers, so the comparison can't sit
+        # on a float boundary.
+        "sample_budget_temperature": f"""
+            WITH toks AS (SELECT doc_id, lang, text, n_chars, {_TOKS} AS toks
+                          FROM documents),
+            sc AS (SELECT doc_id, lang, round({quality}, 4) AS quality, n_chars
+                   FROM toks),
+            c AS (SELECT lang, CAST(sum(n_chars) AS DOUBLE) AS s
+                  FROM documents GROUP BY lang),
+            w AS (SELECT lang, pow(s, 0.5) AS pw FROM c),
+            t AS (SELECT sum(pw ORDER BY lang) AS tot FROM w),
+            i AS (SELECT lang, {TEMP_CHAR_BUDGET} * (pw / tot) AS ideal
+                  FROM w, t),
+            fl AS (SELECT lang, CAST(floor(ideal) AS BIGINT) AS base,
+                          ideal - floor(ideal) AS frac FROM i),
+            lv AS (SELECT {TEMP_CHAR_BUDGET} - sum(base) AS leftover FROM fl),
+            bud AS (SELECT lang,
+                           base + CASE WHEN row_number()
+                                         OVER (ORDER BY frac DESC, lang)
+                                       <= leftover THEN 1 ELSE 0 END AS budget
+                    FROM fl, lv),
+            r AS (SELECT doc_id, lang, quality, n_chars,
+                         sum(n_chars) OVER (PARTITION BY lang
+                             ORDER BY quality DESC, doc_id) AS cum
+                  FROM sc)
+            SELECT r.doc_id, r.lang, r.quality, CAST(r.n_chars AS BIGINT) AS chars
+            FROM r JOIN bud USING (lang)
+            WHERE r.cum <= bud.budget
+            ORDER BY r.doc_id""",
+        # epoch shuffle: the permutation key contract — every doc exactly
+        # once, order key = 60-bit md5 of 'salt:epoch:key' (the same
+        # _TOKHASH every sampler oracle replays)
+        "epoch_shuffle": f"""
+            SELECT doc_id,
+                   {_TOKHASH.format(s="concat('bench:1:', CAST(doc_id AS VARCHAR))")}
+                   AS epoch_ord
+            FROM documents ORDER BY doc_id""",
         # temperature mixture: thresholds re-derived from the oracle's own
         # counts (q_i ∝ sqrt(n_i), c = min n_i/q_i, rate = min(c*q_i/n_i, 1),
         # floor(rate*1e6 + 0.5) — the integer threshold insulates the

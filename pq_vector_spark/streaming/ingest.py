@@ -306,6 +306,82 @@ def append_index_batch(
     return result
 
 
+# in-flight async rebuilds, keyed by normalized indexed_path — lets a test
+# or operator join a rebuild the stream kicked off (and a restarted writer
+# in the same process notice one is still running)
+_ASYNC_REBUILDS: dict = {}
+
+
+def wait_for_async_rebuild(indexed_path: str, timeout: Optional[float] = None):
+    """Block until the async rebuild for ``indexed_path`` (if any)
+    finishes; returns its ``auto_rebuild_if_stale`` result dict, or None
+    when no rebuild is registered / it hasn't completed in ``timeout``
+    seconds. Re-raises an exception the rebuild thread died on."""
+    st = _ASYNC_REBUILDS.get(indexed_path.rstrip("/"))
+    if st is None:
+        return None
+    th = st.get("thread")
+    if th is not None:
+        th.join(timeout)
+        if th.is_alive():
+            return None
+    if st.get("error") is not None:
+        raise st["error"]
+    return st.get("done")
+
+
+def _pending_dir(indexed_path: str) -> str:
+    return indexed_path.rstrip("/") + ".pending-appends"
+
+
+def _list_pending(spark, indexed_path: str) -> list:
+    from pq_vector_spark.index.build import _hadoop_glob, _local_root
+
+    base = _pending_dir(indexed_path)
+    root = _local_root(base)
+    if root is not None:
+        if not os.path.isdir(root):
+            return []
+        return sorted(
+            os.path.join(base, d)
+            for d in os.listdir(root)
+            if d.startswith("batch-")
+        )
+    return sorted(_hadoop_glob(spark, f"{base}/batch-*"))
+
+
+def drain_pending_appends(
+    spark, indexed_path: str, *, dedupe_on: Optional[str] = None
+) -> int:
+    """Append rows parked in ``<indexed_path>.pending-appends`` (batches
+    deferred while an async rebuild held the layout) into the index —
+    assigning them to the CURRENT centroids — and remove the buffer.
+    Returns the number of rows appended. ``streaming_index_ingest`` calls
+    this automatically on the first batch after a rebuild completes; call
+    it manually after ``wait_for_async_rebuild`` when the stream ended
+    with the rebuild still running. With ``dedupe_on``, pending ids
+    already present in the layout are dropped first (closes the
+    crash-between-drain-and-delete replay window for keyed streams)."""
+    from pq_vector_spark.index.build import _hadoop_glob  # noqa: F401
+
+    dirs = _list_pending(spark, indexed_path)
+    if not dirs:
+        return 0
+    pdf = spark.read.parquet(*dirs)
+    if dedupe_on is not None:
+        ids = pdf.select(dedupe_on).distinct()
+        hits = (
+            spark.read.parquet(indexed_path)
+            .select(dedupe_on)
+            .join(F.broadcast(ids), dedupe_on, "left_semi")
+            .distinct()
+        )
+        pdf = pdf.join(F.broadcast(hits), dedupe_on, "left_anti")
+    sub = append_index_batch(pdf, indexed_path)
+    _delete_path(spark, _pending_dir(indexed_path))
+    return int(sub["appended"])
+
+
 def streaming_index_ingest(
     stream: DataFrame,
     indexed_path: str,
@@ -319,6 +395,8 @@ def streaming_index_ingest(
     on_maintenance=None,
     dedupe_on: Optional[str] = None,
     dedupe_probe: str = "always",
+    maintenance_mode: str = "inline",
+    _pre_rebuild_hook=None,
 ):
     """Return a ``DataStreamWriter`` that continuously appends a vector
     stream into an indexed layout AND keeps the index healthy — the
@@ -384,6 +462,31 @@ def streaming_index_ingest(
     ``on_maintenance`` result carries ``"dedupe_probed"`` so the choice is
     observable.
 
+    ``maintenance_mode`` names WHERE a triggered rebuild runs.
+    ``"inline"`` (default) retrains inside the micro-batch — simplest, but
+    the batch (and the upstream source) stalls for the rebuild's duration,
+    which at production scale is minutes-to-hours. ``"async"`` keeps the
+    stream flowing: the due batch that finds the index stale only STARTS
+    the rebuild on a side thread (reporting ``"rebuild_started": True``)
+    and returns at append cost; while the rebuild holds the layout
+    (REBUILDING sentinel), incoming batches park their rows in
+    ``<indexed_path>.pending-appends/batch-<id>`` — a plain delta-sized
+    parquet write, no centroid assignment — reporting
+    ``"deferred": True``; the first batch after the thread finishes
+    reports ``"rebuilt"`` and DRAINS the buffer into the fresh layout
+    (one append against the new centroids), so per-batch latency stays
+    bounded by append cost throughout. The rebuild's pre-swap verify is
+    satisfied by construction: deferred batches never touch the layout,
+    so the live row count cannot move under the retrain. If the stream
+    ends while the rebuild is still running, ``wait_for_async_rebuild``
+    then ``drain_pending_appends`` finish the job (a restarted stream
+    also drains leftovers on its first batch). Deferred rows are
+    invisible to queries until drained — bounded staleness, the price of
+    not stalling; a pending buffer left by a crash is likewise drained at
+    the next (re)start. While a rebuild is in flight, due maintenance is
+    skipped (``"maintenance_deferred": True``) — the rebuild itself
+    re-encodes any registered codes sidecar when it swaps.
+
     Caller picks the trigger/start, e.g.::
 
         q = streaming_index_ingest(src, "/indexed", checkpoint="/chk") \\
@@ -396,12 +499,45 @@ def streaming_index_ingest(
         raise ValueError(
             f"dedupe_probe must be always|auto, got {dedupe_probe!r}"
         )
+    if maintenance_mode not in ("inline", "async"):
+        raise ValueError(
+            f"maintenance_mode must be inline|async, got {maintenance_mode!r}"
+        )
     marker_base = (
         f"{checkpoint.rstrip('/')}/pq_ingest_markers" if checkpoint else None
     )
     # replay-suspicion state for dedupe_probe="auto": per-writer (a restart
     # builds a fresh closure, so its first batch is always suspected)
     _seen = {"first": True, "max": None}
+    _rb = _ASYNC_REBUILDS.setdefault(
+        indexed_path.rstrip("/"), {"thread": None, "done": None, "error": None}
+    )
+
+    def _start_async_rebuild(spark) -> None:
+        import threading
+
+        _rb["done"], _rb["error"] = None, None
+
+        def _run():
+            try:
+                from pq_vector_spark.index.build import auto_rebuild_if_stale
+
+                if _pre_rebuild_hook is not None:
+                    _pre_rebuild_hook()
+                _rb["done"] = auto_rebuild_if_stale(
+                    spark,
+                    indexed_path,
+                    stale_threshold=stale_threshold,
+                    options=rebuild_options,
+                )
+            except BaseException as e:  # surfaced on the next batch
+                _rb["error"] = e
+
+        th = threading.Thread(
+            target=_run, name=f"pq-rebuild-{indexed_path}", daemon=True
+        )
+        _rb["thread"] = th
+        th.start()
 
     def _marker_exists(spark, marker: str) -> bool:
         from pq_vector_spark.index.build import _hadoop_glob, _local_root
@@ -482,7 +618,36 @@ def streaming_index_ingest(
             "rebuilt": False,
             "replayed": replayed,
             "dedupe_probed": False,
+            "deferred": False,
         }
+        rebuilding = False
+        if maintenance_mode == "async":
+            th = _rb["thread"]
+            if th is not None and not th.is_alive():
+                th.join()
+                _rb["thread"] = None
+                if _rb["error"] is not None:
+                    _LOG.warning(
+                        "streaming_index_ingest: async rebuild of %s failed "
+                        "(stream continues on the old layout): %r",
+                        indexed_path,
+                        _rb["error"],
+                    )
+                    result["rebuild_error"] = repr(_rb["error"])
+                else:
+                    result["rebuilt"] = bool(
+                        _rb["done"] and _rb["done"].get("rebuilt")
+                    )
+                result["drained"] = drain_pending_appends(
+                    spark, indexed_path, dedupe_on=dedupe_on
+                )
+            elif th is None and _list_pending(spark, indexed_path):
+                # buffer left by a crashed run or a stream that ended
+                # mid-rebuild: fold it in before this batch's append
+                result["drained"] = drain_pending_appends(
+                    spark, indexed_path, dedupe_on=dedupe_on
+                )
+            rebuilding = _rb["thread"] is not None
         if replayed:
             _LOG.warning(
                 "streaming_index_ingest: batch %d already applied "
@@ -518,17 +683,31 @@ def streaming_index_ingest(
                 to_append = cached
             # append FIRST and mark it immediately — if the maintenance
             # below raises, the replay must retry maintenance only, never
-            # re-append
+            # re-append. While an async rebuild holds the layout, the
+            # "append" is a pending-buffer parquet write (idempotent per
+            # batch via overwrite) — drained after the rebuild swaps.
             try:
-                sub = append_index_batch(to_append, indexed_path)
+                if rebuilding:
+                    if not batch_df.isEmpty():
+                        pdir = (
+                            f"{_pending_dir(indexed_path)}/batch-{int(batch_id)}"
+                        )
+                        to_append.write.mode("overwrite").parquet(pdir)
+                        result["appended"] = int(
+                            spark.read.parquet(pdir).count()
+                        )
+                    result["deferred"] = True
+                else:
+                    sub = append_index_batch(to_append, indexed_path)
+                    result.update(
+                        appended=sub["appended"],
+                        codes_refreshed=sub["codes_refreshed"],
+                        # never clobber a True set by the async-join above
+                        rebuilt=result["rebuilt"] or sub["rebuilt"],
+                    )
             finally:
                 if cached is not None:
                     cached.unpersist()
-            result.update(
-                appended=sub["appended"],
-                codes_refreshed=sub["codes_refreshed"],
-                rebuilt=sub["rebuilt"],
-            )
             if marker:
                 _write_marker(
                     spark, marker, f'{{"appended": {result["appended"]}}}\n'
@@ -536,16 +715,43 @@ def streaming_index_ingest(
         if marker:
             _prune_markers(spark, batch_id)
         if due and (maintain_index or maintain_codes):
-            maint = append_index_batch(
-                batch_df.limit(0),
-                indexed_path,
-                maintain_index=maintain_index,
-                maintain_codes=maintain_codes,
-                stale_threshold=stale_threshold,
-                rebuild_options=rebuild_options,
-            )
-            result["codes_refreshed"] = maint["codes_refreshed"]
-            result["rebuilt"] = maint["rebuilt"]
+            if maintenance_mode == "async":
+                if rebuilding:
+                    # the running rebuild IS the maintenance; codes refresh
+                    # would race the swap's own re-encode — skip until done
+                    result["maintenance_deferred"] = True
+                else:
+                    started = False
+                    if maintain_index:
+                        from pq_vector_spark.index.build import index_health
+
+                        health = index_health(
+                            spark, indexed_path,
+                            stale_threshold=stale_threshold,
+                        )
+                        if health["stale"]:
+                            _start_async_rebuild(spark)
+                            result["rebuild_started"] = True
+                            started = True
+                    if maintain_codes and not started:
+                        maint = append_index_batch(
+                            batch_df.limit(0),
+                            indexed_path,
+                            maintain_index=False,
+                            maintain_codes=True,
+                        )
+                        result["codes_refreshed"] = maint["codes_refreshed"]
+            else:
+                maint = append_index_batch(
+                    batch_df.limit(0),
+                    indexed_path,
+                    maintain_index=maintain_index,
+                    maintain_codes=maintain_codes,
+                    stale_threshold=stale_threshold,
+                    rebuild_options=rebuild_options,
+                )
+                result["codes_refreshed"] = maint["codes_refreshed"]
+                result["rebuilt"] = maint["rebuilt"]
         if on_maintenance is not None:
             on_maintenance(batch_id, result)
 

@@ -1018,6 +1018,128 @@ def test_streaming_index_ingest_prunes_markers_and_skips_without_checkpoint(
     assert not os.path.isdir(os.path.join(out, "_pq_index", "ingest"))
 
 
+def test_streaming_index_ingest_async_rebuild_defers_appends(spark, tmp_path):
+    """maintenance_mode='async' (r12): a stale index starts the rebuild on
+    a side thread — the due batch returns at append cost with
+    rebuild_started, later batches park rows in the pending buffer
+    (deferred=True) instead of stalling, and the first batch after the
+    rebuild completes reports rebuilt, drains the buffer into the fresh
+    layout, and appends normally. Recall is exact post-drain."""
+    import threading
+
+    import numpy as np
+
+    from pq_vector_spark.index.build import (
+        CLUSTER_COL,
+        build_index,
+        index_health,
+    )
+    from pq_vector_spark.index.search import indexed_topk
+    from pq_vector_spark.operators.topk import brute_force_topk
+    from pq_vector_spark.session import IndexBuildOptions, VectorTopKOptions
+    from pq_vector_spark.streaming.ingest import (
+        streaming_index_ingest,
+        wait_for_async_rebuild,
+    )
+
+    rng = np.random.default_rng(11)
+    src = str(tmp_path / "ar_src.parquet")
+    out = str(tmp_path / "ar_indexed")
+    in_dir = str(tmp_path / "ar_incoming")
+    chk = str(tmp_path / "ar_chk")
+
+    def rows(start, n):
+        return [
+            (int(start + i), [float(x) for x in rng.random(8, dtype=np.float32)])
+            for i in range(n)
+        ]
+
+    base = spark.createDataFrame(rows(0, 100), "vec_id: bigint, embedding: array<float>")
+    base.write.parquet(src)
+    build_index(
+        spark, src, out, column="embedding", options=IndexBuildOptions(n_clusters=4)
+    )
+
+    def add_file(b):
+        spark.createDataFrame(
+            rows(1000 + 50 * b, 50), "vec_id: bigint, embedding: array<float>"
+        ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    gate = threading.Event()
+
+    def run(events, hook=None, maintain=True):
+        stream = (
+            spark.readStream.schema(base.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = (
+            streaming_index_ingest(
+                stream, out, checkpoint=chk, maintain_index=maintain,
+                maintain_codes=False, stale_threshold=0.01,
+                maintenance_mode="async", _pre_rebuild_hook=hook,
+                on_maintenance=lambda b, r: events.append((b, r)),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    for b in range(3):
+        add_file(b)
+    first = []
+    run(first, hook=gate.wait)
+    by_batch = dict(first)
+    # batch 0 appended + detected staleness + only STARTED the rebuild
+    assert by_batch[0]["appended"] == 50 and not by_batch[0]["deferred"]
+    assert by_batch[0].get("rebuild_started") is True
+    # batches 1-2 deferred while the (gated) rebuild holds the layout —
+    # and their maintenance was skipped, not run against the old layout
+    for b in (1, 2):
+        assert by_batch[b]["deferred"] is True
+        assert by_batch[b]["appended"] == 50
+        assert by_batch[b].get("maintenance_deferred") is True
+    # layout unchanged while deferring (the rebuild's read is stable)
+    assert index_health(spark, out)["row_count"] == 150
+
+    gate.set()
+    res = wait_for_async_rebuild(out, timeout=300)
+    assert res is not None and res["rebuilt"] is True
+
+    # next stream run: first batch reports the finished rebuild, drains
+    # the 100 parked rows into the FRESH layout, then appends its own 50
+    add_file(3)
+    second = []
+    run(second, maintain=False)  # no second rebuild racing the asserts
+    assert len(second) == 1
+    b3 = second[0][1]
+    assert b3["rebuilt"] is True and b3["drained"] == 100
+    assert b3["appended"] == 50 and not b3["deferred"]
+    assert index_health(spark, out)["row_count"] == 300
+    assert spark.read.parquet(out).count() == 300
+
+    # recall exact post-drain
+    q_vec = [float(x) for x in rng.random(8)]
+    got = [
+        r["vec_id"]
+        for r in indexed_topk(
+            spark, out, q_vec, 20,
+            options=VectorTopKOptions(nprobe=64), tie_break="vec_id",
+        ).collect()
+    ]
+    full = spark.read.parquet(out).drop(CLUSTER_COL)
+    want = [
+        r["vec_id"]
+        for r in brute_force_topk(full, "embedding", q_vec, 20, tie_break="vec_id").collect()
+    ]
+    assert got == want
+    with pytest.raises(ValueError, match="maintenance_mode"):
+        streaming_index_ingest(
+            spark.readStream.schema(base.schema).parquet(in_dir),
+            out, maintenance_mode="background",
+        )
+
+
 def test_streaming_index_ingest_dedupe_probe_auto(spark, tmp_path):
     """dedupe_probe='auto' (r12): the id anti-join runs only on SUSPECTED
     replays — the first batch after a (re)start, which is exactly where a
