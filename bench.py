@@ -70,6 +70,8 @@ HEADLINE = [
     "dedup_incremental_near",
     "dedup_paragraphs",
     "dedup_winnow_overlap",
+    "sample_budget_temperature",
+    "epoch_shuffle",
     "text_chunks",
     "quality_checks",
     "embedding_outliers",
@@ -82,13 +84,14 @@ K = 100
 NPROBE = 16
 
 # machine-speed anchor recorded by the LAST round's driver run
-# (BENCH_r10.json calib_sec) — this round's calib divides by it so the
+# (BENCH_r11.json calib_sec) — this round's calib divides by it so the
 # verdict can mechanically separate host noise from plan regressions:
 # r10 saw the whole board drift +8% (untouched queries included) with no
-# way to prove it wasn't code. |ratio - 1| > 0.15 flags the run as
+# way to prove it wasn't code; r11's host ran 34% slower than r10's
+# recording (ratio 1.336). |ratio - 1| > 0.15 flags the run as
 # machine-skewed; divide headline totals by the ratio to compare rounds.
-CALIB_BASELINE_SEC = 0.271
-CALIB_BASELINE_ROUND = "r10"
+CALIB_BASELINE_SEC = 0.362
+CALIB_BASELINE_ROUND = "r11"
 
 
 def _calibrate(reps: int = 3) -> float:
@@ -260,7 +263,9 @@ def main() -> None:
         "sf": _sf_from_dir(SF_DIR),
         "calib_sec": calib_sec,
         "calib_baseline_sec": CALIB_BASELINE_SEC,
-        "calib_ratio_vs_r10": round(calib_sec / CALIB_BASELINE_SEC, 3),
+        f"calib_ratio_vs_{CALIB_BASELINE_ROUND}": round(
+            calib_sec / CALIB_BASELINE_SEC, 3
+        ),
         # total with host-speed drift divided out — the cross-round
         # comparable number (raw total stays the headline metric)
         "headline_total_calib_adj": round(
@@ -895,12 +900,29 @@ def _dedup_scale_bench(spark) -> dict:
     # sum(length(text)) forces the rewritten text to MATERIALIZE — a bare
     # count() lets column pruning skip the reassembly aggregation entirely
     # and would under-measure the pass this section exists to bound
-    cleaned = D.remove_repeated_paragraphs(framed, "text", "doc_id", min_docs=3)
+    pstats: dict = {}
+    cleaned = D.remove_repeated_paragraphs(
+        framed, "text", "doc_id", min_docs=3, _stats=pstats
+    )
     row = cleaned.agg(
         F.count(F.lit(1)).alias("c"), F.sum(F.length("text")).alias("b")
     ).collect()[0]
     n_cleaned = int(row["c"])
     paras_sec = round(time.time() - t0, 3)
+
+    # Exact-substring overlap pairs at scale (r12, r11 verdict #3): winnow
+    # fingerprints over the full 1M corpus, ONE 8-byte-fp equi-join with
+    # map-side-combined pair counting; fingerprints in > max_bucket docs
+    # are DROPPED pre-join (mass boilerplate — any subset of their ~n²/2
+    # expansions is arbitrary), and the dropped-fp count is recorded so
+    # silent truncation is visible at scale.
+    wstats: dict = {}
+    t0 = time.time()
+    n_overlap = D.winnow_overlap_pairs(
+        docs, "text", "doc_id", k=3, w=4, min_shared=2, max_bucket=10_000,
+        _stats=wstats,
+    ).count()
+    winnow_sec = round(time.time() - t0, 3)
 
     # Persisted near-dup index (r11): ONE map-side signature pass persists
     # the standing 90%'s banded signatures; the 10% delta then NEAR-dedups
@@ -1064,6 +1086,11 @@ def _dedup_scale_bench(spark) -> dict:
         "near_probe_survivors": int(n_near_new),
         "paragraphs_sec": paras_sec,
         "paragraphs_docs": int(n_cleaned),
+        "paragraphs_hot_fps": int(pstats.get("hot_fingerprints", -1)),
+        "paragraphs_broadcast_path": bool(pstats.get("broadcast", False)),
+        "winnow_overlap_sec": winnow_sec,
+        "winnow_overlap_pairs": int(n_overlap),
+        "winnow_dropped_fps": int(wstats.get("dropped_fingerprints", -1)),
     }
 
 
@@ -1367,14 +1394,16 @@ def _maxsim_deep_inner(spark, src, cache_dir, n_rows, dim, m, sub, k, nprobe, ca
 
 
 def _streaming_scale_bench(spark) -> dict:
-    """Streaming index maintenance at production shape (r10 verdict #7):
-    take the 1M-row indexed layout, stream PQ_BENCH_STREAM_BATCHES
-    micro-batches of PQ_BENCH_STREAM_BATCH_ROWS fresh vectors through
-    ``streaming_index_ingest`` with ``maintain_every=5``, and record
-    per-batch wall seconds, which batch triggered the staleness rebuild,
-    and post-stream recall@100 vs brute force. Proves the maintenance
-    loop keeps per-batch cost delta-bounded and recall at 1.0 while the
-    layout grows ~1.5× under the stream."""
+    """Streaming index maintenance at production shape (r10 verdict #7;
+    r12 verdict #2 moves the rebuild OFF the batch path): take the 1M-row
+    indexed layout, stream PQ_BENCH_STREAM_BATCHES micro-batches of
+    PQ_BENCH_STREAM_BATCH_ROWS fresh vectors through
+    ``streaming_index_ingest`` with ``maintain_every=5`` and
+    ``maintenance_mode="async"``, and record per-batch wall seconds, where
+    the rebuild started/completed, how many rows rode the pending buffer,
+    and post-stream recall@100 vs brute force. The r11 inline run stalled
+    batch 9 for 59 s on the retrain; async keeps every batch bounded by
+    append (or pending-write) cost while the rebuild overlaps."""
     import time as _time
 
     from pq_vector_spark.index.build import (
@@ -1385,7 +1414,11 @@ def _streaming_scale_bench(spark) -> dict:
     from pq_vector_spark.index.search import indexed_topk
     from pq_vector_spark.operators.topk import brute_force_topk
     from pq_vector_spark.session import VectorTopKOptions
-    from pq_vector_spark.streaming.ingest import streaming_index_ingest
+    from pq_vector_spark.streaming.ingest import (
+        drain_pending_appends,
+        streaming_index_ingest,
+        wait_for_async_rebuild,
+    )
     from tools.gen_scale_embeddings import generate
 
     n_rows = int(os.environ.get("PQ_BENCH_SCALE_ROWS", "1000000"))
@@ -1447,6 +1480,7 @@ def _streaming_scale_bench(spark) -> dict:
                 maintain_codes=False,
                 maintain_every=maintain_every,
                 stale_threshold=0.2,
+                maintenance_mode="async",
                 on_maintenance=hook,
             )
             .trigger(availableNow=True)
@@ -1454,6 +1488,16 @@ def _streaming_scale_bench(spark) -> dict:
         )
         q.awaitTermination()
         stream_sec = round(_time.time() - t_start, 3)
+
+        # the stream may end with the rebuild still running: finish it and
+        # fold any still-parked batches in (exactly what a restarted
+        # stream's first batch would do)
+        t0 = _time.time()
+        wait_for_async_rebuild(out, timeout=3600)
+        rebuild_wait_sec = round(_time.time() - t0, 3)
+        t0 = _time.time()
+        tail_drained = drain_pending_appends(spark, out)
+        tail_drain_sec = round(_time.time() - t0, 3)
 
         post = index_health(spark, out)
         qvec = [
@@ -1476,20 +1520,37 @@ def _streaming_scale_bench(spark) -> dict:
                 options=VectorTopKOptions(nprobe=nprobe), tie_break="vec_id",
             ).collect()
         }
-        append_secs = [e["sec"] for e in events if not e.get("rebuilt")]
+        append_secs = [
+            e["sec"] for e in events if not e.get("drained")
+        ]
         return {
             "base_rows": int(base["row_count"]),
             "dim": dim,
             "n_batches": n_batches,
             "batch_rows": batch_rows,
             "maintain_every": maintain_every,
+            "maintenance_mode": "async",
             "setup_sec": setup_sec,
             "stream_total_sec": stream_sec,
             "appended_rows": int(sum(e["appended"] for e in events)),
             "per_batch_sec": [e["sec"] for e in events],
+            # max batch latency with the rebuild OFF the batch path — the
+            # r11 inline run's equivalent figure was the 59.2 s batch 9
             "append_sec_max": max(append_secs) if append_secs else None,
-            "rebuild_batches": [e["batch"] for e in events if e.get("rebuilt")],
-            "rebuild_batch_sec": [e["sec"] for e in events if e.get("rebuilt")],
+            "deferred_batches": [e["batch"] for e in events if e.get("deferred")],
+            "rebuild_started_batches": [
+                e["batch"] for e in events if e.get("rebuild_started")
+            ],
+            "rebuild_completed_batches": [
+                e["batch"] for e in events if e.get("rebuilt")
+            ],
+            "drain_batch_rows": [
+                int(e["drained"]) for e in events if e.get("drained")
+            ],
+            "drain_batch_sec": [e["sec"] for e in events if e.get("drained")],
+            "post_stream_rebuild_wait_sec": rebuild_wait_sec,
+            "tail_drained_rows": int(tail_drained),
+            "tail_drain_sec": tail_drain_sec,
             "post_rows": int(post["row_count"]),
             "post_n_clusters": int(post["n_clusters"]),
             "post_stale": bool(post["stale"]),
