@@ -362,8 +362,6 @@ def drain_pending_appends(
     with the rebuild still running. With ``dedupe_on``, pending ids
     already present in the layout are dropped first (closes the
     crash-between-drain-and-delete replay window for keyed streams)."""
-    from pq_vector_spark.index.build import _hadoop_glob  # noqa: F401
-
     dirs = _list_pending(spark, indexed_path)
     if not dirs:
         return 0
