@@ -129,3 +129,47 @@ def write_epoch_shards(
         max_records_per_file=max_records_per_file,
         mode=mode,
     )
+
+
+def verify_epoch_shards(
+    spark: SparkSession,
+    path: str,
+    *,
+    key_col: str,
+    epoch: int = 0,
+    salt: str = "epoch",
+    expected_rows: Optional[int] = None,
+) -> dict:
+    """Loader-side audit of a written epoch: re-derive every row's order
+    key from ``(salt, epoch, key)`` and check it equals the stored
+    ``_epoch_ord`` (a corrupted/foreign shard set fails here), that no key
+    appears twice (a doubled shard — e.g. a partially-retried write —
+    fails here), and optionally that the row count matches the corpus the
+    epoch was cut from. One aggregation over the shard set — no sort, no
+    collect of data rows. Returns ``{"ok", "rows", "distinct_keys",
+    "ord_mismatches"}``; run it before a multi-day training job consumes
+    the epoch, not after.
+    """
+    from pq_vector_spark.operators.sampling import _salted_hash
+
+    df = spark.read.parquet(path)
+    if "_epoch_ord" not in df.columns:
+        raise ValueError(f"{path} has no _epoch_ord column — not an epoch layout")
+    expect = _salted_hash(F.col(key_col), f"{salt}:{int(epoch)}:")
+    row = df.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.count_distinct(F.col(key_col)).alias("keys"),
+        F.sum(
+            F.when(F.col("_epoch_ord") != expect, 1).otherwise(0)
+        ).alias("bad"),
+    ).collect()[0]
+    rows, keys, bad = int(row["rows"]), int(row["keys"]), int(row["bad"] or 0)
+    ok = bad == 0 and keys == rows and (
+        expected_rows is None or rows == int(expected_rows)
+    )
+    return {
+        "ok": bool(ok),
+        "rows": rows,
+        "distinct_keys": keys,
+        "ord_mismatches": bad,
+    }

@@ -124,3 +124,41 @@ def test_write_epoch_shards_deterministic_global_shuffle(spark, tmp_path):
     )
     with pytest.raises(Exception, match="NULL 'doc_id'"):
         write_epoch_shards(withnull, str(tmp_path / "bad2"), key_col="doc_id")
+
+
+def test_verify_epoch_shards_audit(spark, tmp_path):
+    """Loader-side epoch audit (r12): a clean epoch verifies; wrong
+    (salt, epoch) parameters, a doubled shard, and a row-count mismatch
+    each fail with the specific counter that caught them."""
+    import glob
+    import shutil
+
+    from pq_vector_spark.sources.sinks import verify_epoch_shards, write_epoch_shards
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(150)], "doc_id: bigint, text: string"
+    )
+    p = str(tmp_path / "ve1")
+    write_epoch_shards(df, p, key_col="doc_id", epoch=3, salt="s", n_shards=3)
+    good = verify_epoch_shards(
+        spark, p, key_col="doc_id", epoch=3, salt="s", expected_rows=150
+    )
+    assert good == {
+        "ok": True, "rows": 150, "distinct_keys": 150, "ord_mismatches": 0
+    }
+    # wrong epoch: every stored order key disagrees with the re-derivation
+    wrong = verify_epoch_shards(spark, p, key_col="doc_id", epoch=4, salt="s")
+    assert not wrong["ok"] and wrong["ord_mismatches"] == 150
+    # doubled shard (a partially-retried write): duplicate keys caught
+    part = sorted(glob.glob(f"{p}/part-*.parquet"))[0]
+    shutil.copy2(part, part.replace("part-", "part-copy-"))
+    doubled = verify_epoch_shards(spark, p, key_col="doc_id", epoch=3, salt="s")
+    assert not doubled["ok"] and doubled["distinct_keys"] < doubled["rows"]
+    # row-count expectation
+    assert not verify_epoch_shards(
+        spark, p, key_col="doc_id", epoch=3, salt="s", expected_rows=150
+    )["ok"]
+    plain = str(tmp_path / "plain.parquet")
+    df.write.parquet(plain)
+    with pytest.raises(ValueError, match="_epoch_ord"):
+        verify_epoch_shards(spark, plain, key_col="doc_id")
