@@ -1425,7 +1425,12 @@ def _streaming_scale_bench(spark) -> dict:
     dim = int(os.environ.get("PQ_BENCH_SCALE_DIM", "256"))
     n_batches = int(os.environ.get("PQ_BENCH_STREAM_BATCHES", "10"))
     batch_rows = int(os.environ.get("PQ_BENCH_STREAM_BATCH_ROWS", "50000"))
+    # staleness 0.15: the due batch 4 (250k appended / 1.3M rows = 0.19)
+    # fires the rebuild MID-stream, so the async deferral path actually
+    # exercises under measurement — batches 5+ park rows while the
+    # retrain overlaps (0.2 only fired at the final batch)
     maintain_every, k, nprobe = 5, 100, 16
+    stale_threshold = 0.15
 
     src = generate(n_rows=n_rows, dim=dim)
     cached_idx = os.path.join(os.path.dirname(src), f"scale_idx_{n_rows}x{dim}")
@@ -1479,7 +1484,7 @@ def _streaming_scale_bench(spark) -> dict:
                 maintain_index=True,
                 maintain_codes=False,
                 maintain_every=maintain_every,
-                stale_threshold=0.2,
+                stale_threshold=stale_threshold,
                 maintenance_mode="async",
                 on_maintenance=hook,
             )
@@ -1529,6 +1534,7 @@ def _streaming_scale_bench(spark) -> dict:
             "n_batches": n_batches,
             "batch_rows": batch_rows,
             "maintain_every": maintain_every,
+            "stale_threshold": stale_threshold,
             "maintenance_mode": "async",
             "setup_sec": setup_sec,
             "stream_total_sec": stream_sec,
