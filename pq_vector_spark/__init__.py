@@ -52,6 +52,7 @@ from pq_vector_spark.functions.quantize import (
 )
 from pq_vector_spark.sources.sinks import (
     shard_manifest,
+    verify_epoch_shards,
     write_epoch_shards,
     write_training_shards,
 )
@@ -100,8 +101,10 @@ from pq_vector_spark.operators.retention import cohort_retention, event_transiti
 from pq_vector_spark.streaming.ingest import (
     append_index_batch,
     dedup_append_batch,
+    drain_pending_appends,
     streaming_index_ingest,
     streaming_ingest,
+    wait_for_async_rebuild,
 )
 from pq_vector_spark.streaming.monitor import drift_metrics_batch, streaming_drift_monitor
 from pq_vector_spark.operators.sampling import (
@@ -167,6 +170,7 @@ __all__ = [
     "shard_manifest",
     "write_training_shards",
     "write_epoch_shards",
+    "verify_epoch_shards",
     "enrich_join",
     "trending",
     "scd_enrich",
@@ -212,6 +216,8 @@ __all__ = [
     "streaming_ingest",
     "streaming_index_ingest",
     "append_index_batch",
+    "drain_pending_appends",
+    "wait_for_async_rebuild",
     "drift_metrics_batch",
     "streaming_drift_monitor",
     "stratified_sample",
