@@ -416,6 +416,21 @@ def _dedup_embedding_bucketed(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 
+def _dedup_semantic(spark, sf_dir):
+    """SemDeDup (r12, operators/dedup.py:semantic_dedup — Abbas et al.
+    2023): k-means-blocked cosine groups keep one member each. Oracle
+    variant runs the exactness envelope (nprobe = n_clusters ⇒ blocking
+    is all-pairs) with the SQL-replayable min-id survivor; the
+    centroid-cosine 'outlier'/'prototype' policies are pytest-attested
+    (their scores depend on the engine-native seeded k-means sample)."""
+    emb = _emb(spark, sf_dir)
+    out = D.semantic_dedup(
+        emb, "embedding", "vec_id", eps=0.58, n_clusters=IVF_CLUSTERS,
+        nprobe=IVF_CLUSTERS, keep="min_id",
+    )
+    return out.select("vec_id", "canonical_id", "is_canonical").orderBy("vec_id")
+
+
 def _rel_topk(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     return (
@@ -2331,6 +2346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # of them back above this line whenever their implementation changes.
         "sample_stratified": _sample_stratified,  # demoted r12 (stable since r5)
         "dedup_embedding": _dedup_embedding,  # demoted r12 (stable since r6; bucketed twin in budget)
+        "dedup_semantic": _dedup_semantic,  # r12 (SemDeDup envelope; rotate in next round)
         "sample_hash": _sample_hash,  # demoted r11 (family has 5 in-budget rows)
         "events_range_join_left": _events_range_join_left,  # demoted r11 (inner twin in budget)
         "embedding_centroids": _embedding_centroids,  # demoted r11 (stable since r6)
@@ -3754,6 +3770,28 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(cc.component, d.doc_id) AS canonical_id,
                    coalesce(cc.component, d.doc_id) = d.doc_id AS is_canonical
             FROM documents d LEFT JOIN cc ON d.doc_id = cc.node""",
+        # SemDeDup envelope: all-pairs cosine >= 1 - eps (the SQL computes
+        # 1.0 - 0.58 itself so the float threshold is bit-identical to the
+        # Spark side's), recursive-CTE components, min-id canonical
+        "dedup_semantic": f"""
+            WITH RECURSIVE p AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              WHERE {_cos("a.embedding", "b.embedding")} >= (1.0 - 0.58)),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM p
+              UNION
+              SELECT id_b AS src, id_a AS dst FROM p),
+            reach(node, lbl) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node),
+            cc AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node)
+            SELECT emb.vec_id,
+                   coalesce(cc.component, emb.vec_id) AS canonical_id,
+                   coalesce(cc.component, emb.vec_id) = emb.vec_id AS is_canonical
+            FROM embeddings emb LEFT JOIN cc ON emb.vec_id = cc.node
+            ORDER BY emb.vec_id""",
         # quality-keyed survivor: same components, canonical = max n_chars
         # (ties -> min id) elected by a window over the component members
         "dedup_resolve_best": f"""

@@ -90,6 +90,7 @@ from pq_vector_spark.operators.dedup import (
     incremental_dedup_near,
     remove_repeated_paragraphs,
     resolve_duplicates,
+    semantic_dedup,
     winnow_overlap_pairs,
 )
 from pq_vector_spark.operators.drift import distribution_drift, psi
@@ -196,6 +197,7 @@ __all__ = [
     "incremental_dedup",
     "incremental_dedup_near",
     "remove_repeated_paragraphs",
+    "semantic_dedup",
     "winnow_overlap_pairs",
     "build_dedup_index",
     "append_dedup_index",

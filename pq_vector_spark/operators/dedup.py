@@ -446,6 +446,129 @@ def embedding_near_dup_bucketed(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    *,
+    eps: float = 0.05,
+    n_clusters: Optional[int] = None,
+    nprobe: int = 2,
+    keep: str = "outlier",
+    seed: int = 42,
+    max_iters: int = 20,
+    sample_cap: int = 100_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication over an embedding column — k-means clusters the
+    embeddings, pairs within a cluster at cosine ≥ 1 - ``eps`` are
+    semantic duplicates, and each duplicate group keeps exactly one
+    member. ``keep`` names the survivor policy:
+
+    - ``"outlier"`` (the paper's choice): the member with the LOWEST
+      cosine to its nearest centroid — keeping the least prototypical
+      copy preserves diversity, which is what made SemDeDup's pruned
+      corpora train better;
+    - ``"prototype"``: the highest-centroid-cosine member (most
+      representative);
+    - ``"min_id"``: smallest id (the engine's default elsewhere, and the
+      variant an external SQL engine can replay exactly — centroid scores
+      depend on the seeded k-means sample, which is engine-native).
+
+    Returns ``df`` + ``canonical_id`` / ``is_canonical``
+    (``resolve_duplicates`` contract): filter ``is_canonical`` for the
+    pruned corpus.
+
+    Scale shape — one k-means (driver-bounded ≤ ``sample_cap`` sample,
+    the index-build contract), one map-side multi-probe assignment, pair
+    generation Σ_c |c|² via the same cluster-blocked self-join as
+    :func:`embedding_near_dup_bucketed` (never n²), and a component-keyed
+    survivor window. ``nprobe`` > 1 catches near-boundary pairs;
+    ``nprobe = n_clusters`` is the exactness envelope (identical to
+    all-pairs cosine at 1 - eps). The centroid set is trained ONCE and
+    shared by blocking and scoring, so the survivor score is consistent
+    with the blocking geometry.
+    """
+    import math
+
+    from pq_vector_spark.index.build import (
+        PROBE_COL,
+        _sample_size,
+        probe_clusters,
+        sample_embeddings_to_driver,
+    )
+    from pq_vector_spark.index.kmeans import train_kmeans
+    from pq_vector_spark.schema import validate_vector_column
+
+    if keep not in ("outlier", "prototype", "min_id"):
+        raise ValueError(f"keep must be outlier|prototype|min_id, got {keep!r}")
+    if not (0.0 < eps < 1.0):
+        raise ValueError(f"eps must be in (0, 1), got {eps}")
+    reserved = {"_sd_cos", "_sd_c", "_sd_cv", "canonical_id", "is_canonical"}
+    hit = [c for c in df.columns if c in reserved]
+    if hit:
+        raise ValueError(f"input columns {hit} collide with reserved names")
+    spark = df.sparkSession
+    stats = validate_vector_column(df, vec_col)
+    if n_clusters is None:
+        n_clusters = max(1, math.ceil(math.sqrt(stats.rows)))
+    n_clusters = min(n_clusters, stats.rows)
+    nprobe = max(1, min(int(nprobe), n_clusters))
+    sample = sample_embeddings_to_driver(
+        df, vec_col, _sample_size(stats.rows, n_clusters, sample_cap),
+        stats.rows, seed,
+    )
+    centroids = train_kmeans(sample, n_clusters, max_iters=max_iters, seed=seed)
+
+    probed = probe_clusters(df.select(id_col, vec_col), vec_col, centroids, nprobe)
+    exploded = probed.select(
+        F.col(id_col).alias("_id"), F.explode(PROBE_COL).alias("_c")
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    cands = (
+        a.join(b, (F.col("a._c") == F.col("b._c")) & (F.col("a._id") < F.col("b._id")))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    pairs = (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .filter(
+            cosine_similarity(F.col("_va"), F.col("_vb")) >= F.lit(1.0 - eps)
+        )
+        .select("id_a", "id_b")
+    )
+    if keep == "min_id":
+        return resolve_duplicates(df, pairs, id_col)
+    # survivor score: cosine to the NEAREST centroid (probe_clusters
+    # orders probes by distance) via a tiny broadcast centroid table —
+    # map-side, one number per row
+    cent = spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "_sd_c: int, _sd_cv: array<double>",
+    )
+    scored = (
+        probed.select(
+            id_col, vec_col, F.element_at(F.col(PROBE_COL), 1).alias("_sd_c")
+        )
+        .join(F.broadcast(cent), "_sd_c")
+        .select(
+            id_col,
+            cosine_similarity(F.col(vec_col), F.col("_sd_cv")).alias("_sd_cos"),
+        )
+    )
+    out = resolve_duplicates(
+        df.join(scored, id_col),
+        pairs,
+        id_col,
+        prefer_col="_sd_cos",
+        prefer="min" if keep == "outlier" else "max",
+    )
+    return out.drop("_sd_cos")
+
+
 def _local_components(spark, edges: DataFrame) -> DataFrame:
     """Driver union-find over a bounded, already-collected-size edge list;
     always attaches the larger root under the smaller, so by induction the

@@ -401,6 +401,68 @@ def test_incremental_dedup_near_unverified_band_collision(spark, tmp_path):
     assert sorted(r["doc_id"] for r in out.collect()) == [21, 30]
 
 
+def test_semantic_dedup_policies(spark):
+    """SemDeDup: cluster-blocked cosine groups keep exactly one member.
+    nprobe = n_clusters is the exactness envelope (identical to the
+    all-pairs + min-id composition); 'outlier' and 'prototype' elect
+    different survivors from an asymmetric group (lowest vs highest
+    centroid cosine), and components are policy-invariant."""
+    from pq_vector_spark.operators.dedup import (
+        embedding_near_dup,
+        resolve_duplicates,
+        semantic_dedup,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [1.0, 0.05, 0.0]),
+        (3, [1.0, -0.05, 0.0]),
+        (4, [0.0, 1.0, 0.0]),
+        (5, [0.0, 1.0, 0.05]),
+        (6, [0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id: bigint, embedding: array<float>")
+    got = {
+        (r["vec_id"], r["canonical_id"], r["is_canonical"])
+        for r in semantic_dedup(
+            df, "embedding", "vec_id", eps=0.01, n_clusters=3, nprobe=3,
+            keep="min_id",
+        ).collect()
+    }
+    pairs = embedding_near_dup(df, "embedding", "vec_id", threshold=0.99)
+    want = {
+        (r["vec_id"], r["canonical_id"], r["is_canonical"])
+        for r in resolve_duplicates(df, pairs, "vec_id").collect()
+    }
+    assert got == want
+    assert {(v, c) for v, c, _ in got} == {
+        (1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 6)
+    }
+
+    def canon(keep):
+        # ONE shared centroid: every member scores against the same
+        # vector, so the asymmetric A-group's scores can never all tie
+        # (with n_clusters=3 the 3-point training sample can make each
+        # member its own centroid — every score 1.0, policies collapse)
+        out = semantic_dedup(
+            df, "embedding", "vec_id", eps=0.01, n_clusters=1, nprobe=1,
+            keep=keep,
+        )
+        return {r["vec_id"]: r["canonical_id"] for r in out.collect()}
+
+    po, pp = canon("outlier"), canon("prototype")
+    for m in (po, pp):
+        assert m[6] == 6  # non-duplicate stays its own canonical
+        assert m[1] == m[2] == m[3] and m[1] in (1, 2, 3)
+        assert m[4] == m[5] and m[4] in (4, 5)
+    # the asymmetric group separates the policies
+    assert po[1] != pp[1]
+    with pytest.raises(ValueError, match="keep"):
+        semantic_dedup(df, "embedding", "vec_id", keep="random")
+    with pytest.raises(ValueError, match="eps"):
+        semantic_dedup(df, "embedding", "vec_id", eps=1.5)
+
+
 def test_incremental_dedup_near_stats_and_delta_cap(spark, tmp_path):
     """_stats surfaces what the probe actually did — candidate/verified
     pair volumes, per-rule drop counts, and whether max_bucket truncated
