@@ -1271,6 +1271,21 @@ def _events_scd_enriched(spark, sf_dir):
     )
 
 
+def _text_gopher(spark, sf_dir):
+    """Gopher rule filters (r12, functions/text.py:gopher_quality_flags —
+    Rae et al. 2021 §A1.1): word-count / mean-word-length / symbol /
+    bullet / ellipsis / alphabetic / stop-word rules as one struct of
+    booleans, all native expressions in whole-stage codegen. The oracle
+    replays every rule in ANSI SQL — each ratio is the same int-derived
+    double division on both engines, so the flags match bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", T.gopher_quality_flags("text").alias("g"))
+        .select("doc_id", "g.*")
+        .orderBy("doc_id")
+    )
+
+
 def _text_stats(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
@@ -2347,6 +2362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": _sample_stratified,  # demoted r12 (stable since r5)
         "dedup_embedding": _dedup_embedding,  # demoted r12 (stable since r6; bucketed twin in budget)
         "dedup_semantic": _dedup_semantic,  # r12 (SemDeDup envelope; rotate in next round)
+        "text_gopher": _text_gopher,  # r12 (Gopher rule filters; rotate in next round)
         "sample_hash": _sample_hash,  # demoted r11 (family has 5 in-budget rows)
         "events_range_join_left": _events_range_join_left,  # demoted r11 (inner twin in budget)
         "embedding_centroids": _embedding_centroids,  # demoted r11 (stable since r6)
@@ -3706,6 +3722,51 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(CAST(length(text) AS DOUBLE), 0.75), 4) AS q_75,
                    round(quantile_cont(CAST(length(text) AS DOUBLE), 0.9), 4) AS q_90
             FROM documents""",
+        # Gopher rule filters: every rule recomputed in SQL — same token
+        # split, same int-derived double ratios, boolean output only
+        "text_gopher": f"""
+            WITH t AS (SELECT doc_id, text,
+                     list_filter({_TOKS}, x -> x <> '') AS words,
+                     string_split(text, chr(10)) AS lines
+                   FROM documents),
+            m AS (SELECT doc_id,
+                     len(words) AS n,
+                     CASE WHEN len(words) > 0 THEN
+                       CAST(list_reduce(list_transform(words,
+                              x -> length(x)), (a, b) -> a + b) AS DOUBLE)
+                       / len(words) END AS mean_wl,
+                     length(text) - length(replace(text, '#', '')) AS hashc,
+                     (length(text) - length(replace(text, '...', ''))) / 3
+                       AS ellc,
+                     len(list_filter(words,
+                         x -> regexp_matches(x, '[a-z]'))) AS alpha,
+                     len(list_intersect(list_distinct(words),
+                         ['the','be','to','of','and','that','have','with']))
+                       AS stop_hits,
+                     len(lines) AS n_lines,
+                     len(list_filter(lines, l ->
+                         starts_with(ltrim(l), '•') OR
+                         starts_with(ltrim(l), '-') OR
+                         starts_with(ltrim(l), '*'))) AS bullets,
+                     len(list_filter(lines, l ->
+                         ends_with(rtrim(l), '...') OR
+                         ends_with(rtrim(l), '…'))) AS ells
+                   FROM t),
+            fl AS (SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+                     (n >= 50 AND n <= 100000) AS words_ok,
+                     (n > 0 AND mean_wl >= 3.0 AND mean_wl <= 10.0)
+                       AS mean_word_len_ok,
+                     (n > 0 AND (hashc + ellc) / n <= 0.1) AS symbol_ok,
+                     (CAST(bullets AS DOUBLE) / n_lines <= 0.9) AS bullet_ok,
+                     (CAST(ells AS DOUBLE) / n_lines <= 0.3) AS ellipsis_ok,
+                     (n > 0 AND CAST(alpha AS DOUBLE) / n >= 0.8) AS alpha_ok,
+                     (stop_hits >= 2) AS stop_ok
+                   FROM m)
+            SELECT doc_id, n_words, words_ok, mean_word_len_ok, symbol_ok,
+                   bullet_ok, ellipsis_ok, alpha_ok, stop_ok,
+                   (words_ok AND mean_word_len_ok AND symbol_ok AND bullet_ok
+                    AND ellipsis_ok AND alpha_ok AND stop_ok) AS passes
+            FROM fl ORDER BY doc_id""",
         "text_stats": f"""
             WITH toks AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
             SELECT doc_id, CAST(length(text) AS BIGINT) AS chars,

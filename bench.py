@@ -112,6 +112,32 @@ def _calibrate(reps: int = 3) -> float:
     return round(min(once() for _ in range(reps)), 3)
 
 
+# r12 records the first JVM anchor; set this to that run's calib_jvm_sec
+# next round (same convention as CALIB_BASELINE_SEC)
+CALIB_JVM_BASELINE_SEC = None
+
+
+def _calibrate_jvm(spark, reps: int = 3) -> float:
+    """Fixed JVM-side workload (32-partition range + xxhash64 fold), one
+    warmup then min-of-N — emitted as ``calib_jvm_sec``. Complements the
+    single-core Python anchor: the headline queries are JVM/multicore
+    bound, and the r11 verdict observed the Python anchor can
+    under-correct JVM-speed drift (the knn_batch false alarm). Two
+    anchors bracket the host: Python for interpreter/driver speed, this
+    for executor throughput."""
+    from pyspark.sql import functions as F
+
+    def once() -> float:
+        t0 = time.perf_counter()
+        spark.range(0, 20_000_000, 1, 32).select(
+            F.sum(F.xxhash64("id"))
+        ).collect()
+        return time.perf_counter() - t0
+
+    once()
+    return round(min(once() for _ in range(reps)), 3)
+
+
 def _sf_from_dir(d: str) -> float:
     base = os.path.basename(d.rstrip("/"))
     try:
@@ -144,6 +170,8 @@ def main() -> None:
     # harness warms up the same way (3 s warmup per benchmark by default).
     for name in HEADLINE:
         qs[name](spark, SF_DIR).collect()
+
+    calib_jvm_sec = _calibrate_jvm(spark)
 
     for name in HEADLINE:
         fn = qs[name]
@@ -262,6 +290,8 @@ def main() -> None:
         "queries": timings,
         "sf": _sf_from_dir(SF_DIR),
         "calib_sec": calib_sec,
+        "calib_jvm_sec": calib_jvm_sec,
+        "calib_jvm_baseline_sec": CALIB_JVM_BASELINE_SEC,
         "calib_baseline_sec": CALIB_BASELINE_SEC,
         f"calib_ratio_vs_{CALIB_BASELINE_ROUND}": round(
             calib_sec / CALIB_BASELINE_SEC, 3

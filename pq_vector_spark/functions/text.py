@@ -91,6 +91,127 @@ def quality_score(col, stopwords: Optional[Sequence[str]] = None) -> Column:
     return F.transform(F.array(tokens(col)), _score)[0]
 
 
+# Gopher rule-filter stop set (Rae et al. 2021, table A2): a doc must
+# contain >= 2 of these to count as natural English prose
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_flags(
+    col,
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+    stopwords: Optional[Sequence[str]] = None,
+    bullets: Sequence[str] = ("•", "-", "*"),
+) -> Column:
+    """The Gopher rule filters (Rae et al. 2021, arXiv:2112.11446 §A1.1)
+    as ONE struct column of named booleans — the standard first-pass web
+    cleaning spec (reused by MassiveText / RefinedWeb / Dolma):
+
+    - ``words_ok``: 50 ≤ word count ≤ 100,000;
+    - ``mean_word_len_ok``: mean word length in [3, 10];
+    - ``symbol_ok``: ('#' + '...')-to-word ratio ≤ 0.1;
+    - ``bullet_ok``: ≤ 90 % of lines start with a bullet;
+    - ``ellipsis_ok``: ≤ 30 % of lines end with '...'/'…';
+    - ``alpha_ok``: ≥ 80 % of words contain an alphabetic character;
+    - ``stop_ok``: ≥ 2 distinct Gopher stop words present;
+    - ``passes``: the conjunction; plus ``n_words`` for reporting.
+
+    All native expressions (split/filter/aggregate — whole-stage codegen,
+    zero shuffle, and an exact ANSI-SQL twin exists for every rule, so the
+    DuckDB oracle replays the flags bit-for-bit; every ratio is the same
+    int-derived double division on both engines). An EMPTY document fails
+    the word-derived rules by definition. The alphabetic test is [a-z] on
+    the lowercased tokens — the ruleset is an English-web spec; non-Latin
+    corpora should route through ``lang_guess`` first, not this filter.
+    Thresholds are keyword-tunable but default to the paper's.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    sw = [s.lower() for s in (stopwords or GOPHER_STOPWORDS)]
+
+    hash_cnt = F.length(c) - F.length(F.regexp_replace(c, r"#", ""))
+    ell_cnt = (F.length(c) - F.length(F.replace(c, F.lit("...")))) / F.lit(3)
+    lines = F.split(c, r"\n")
+
+    def _line_flags(ls: Column) -> Column:
+        n_lines = F.size(ls).cast("double")
+        bullet = F.size(
+            F.filter(
+                ls,
+                lambda l: _any_prefix(F.ltrim(l), bullets),
+            )
+        ).cast("double")
+        ell = F.size(
+            F.filter(
+                ls,
+                lambda l: F.rtrim(l).endswith("...") | F.rtrim(l).endswith("…"),
+            )
+        ).cast("double")
+        return F.struct(
+            (bullet / n_lines <= F.lit(float(max_bullet_line_frac))).alias("b"),
+            (ell / n_lines <= F.lit(float(max_ellipsis_line_frac))).alias("e"),
+        )
+
+    def _flags(t: Column) -> Column:
+        words = F.filter(t, lambda x: x != F.lit(""))
+        n = F.size(words).cast("bigint")
+        nd = n.cast("double")
+        total_chars = F.aggregate(
+            words, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+        ).cast("double")
+        mean_wl = total_chars / nd
+        alpha = F.size(F.filter(words, lambda x: x.rlike("[a-z]"))).cast("double")
+        stop_hits = F.size(
+            F.array_intersect(
+                F.array_distinct(words), F.array(*[F.lit(s) for s in sw])
+            )
+        )
+        lf = _line_flags(lines)
+        nonempty = n > 0
+        words_ok = (n >= F.lit(min_words)) & (n <= F.lit(max_words))
+        mean_ok = nonempty & (
+            (mean_wl >= F.lit(float(min_mean_word_len)))
+            & (mean_wl <= F.lit(float(max_mean_word_len)))
+        )
+        symbol_ok = nonempty & (
+            (hash_cnt + ell_cnt) / nd <= F.lit(float(max_symbol_word_ratio))
+        )
+        alpha_ok = nonempty & (alpha / nd >= F.lit(float(min_alpha_word_frac)))
+        stop_ok = stop_hits >= F.lit(min_stop_hits)
+        bullet_ok, ellipsis_ok = lf["b"], lf["e"]
+        return F.struct(
+            n.alias("n_words"),
+            words_ok.alias("words_ok"),
+            mean_ok.alias("mean_word_len_ok"),
+            symbol_ok.alias("symbol_ok"),
+            bullet_ok.alias("bullet_ok"),
+            ellipsis_ok.alias("ellipsis_ok"),
+            alpha_ok.alias("alpha_ok"),
+            stop_ok.alias("stop_ok"),
+            (
+                words_ok & mean_ok & symbol_ok & bullet_ok & ellipsis_ok
+                & alpha_ok & stop_ok
+            ).alias("passes"),
+        )
+
+    return F.transform(F.array(tokens(col)), _flags)[0]
+
+
+def _any_prefix(expr: Column, prefixes: Sequence[str]) -> Column:
+    out = None
+    for p in prefixes:
+        t = expr.startswith(p)
+        out = t if out is None else (out | t)
+    return out
+
+
 def lang_guess(col) -> Column:
     """Stopword-overlap language ID: argmax over per-language stopword hit
     counts, 'und' (undetermined) when no list scores > 0. Tie-break by

@@ -224,3 +224,46 @@ def test_repetition_ratios_golden(spark):
     # repetitive (top_ngram_ratio 1.0) — they have no signal at all
     assert out[3] == (None, None)
     assert out[4] == (None, None)
+
+
+def test_gopher_quality_flags_golden(spark):
+    """Gopher rule filters (Rae et al. 2021): each rule trips on the doc
+    built to violate exactly it; the clean doc passes all; the empty doc
+    fails every word-derived rule by definition."""
+    good = (
+        "the data pipeline works well and that should have been fine with "
+        + " ".join(f"word{i}" for i in range(60))
+    )
+    rows = [
+        (1, good),
+        (2, "short text"),                         # too few words
+        (3, good + " " + "#" * 50),                # symbol ratio
+        (4, "\n".join(["- bullet"] * 10)),         # bullet lines
+        (5, ""),                                   # empty
+        (6, "\n".join(["ends..."] * 10 + ["x"])),  # ellipsis lines
+        (7, " ".join(["12345"] * 80)),             # no alphabetic words
+        (8, good.replace("word", "w" * 30)),       # mean word length
+    ]
+    df = spark.createDataFrame(rows, "doc_id: bigint, text: string")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in df.select(
+            "doc_id", T.gopher_quality_flags("text").alias("g")
+        ).select("doc_id", "g.*").collect()
+    }
+    assert out[1]["passes"] and out[1]["n_words"] == 72
+    assert not out[2]["words_ok"] and not out[2]["passes"]
+    assert not out[3]["symbol_ok"] and out[3]["words_ok"]
+    assert not out[4]["bullet_ok"]
+    e = out[5]
+    assert e["n_words"] == 0 and not e["words_ok"] and not e["mean_word_len_ok"]
+    assert not e["symbol_ok"] and not e["alpha_ok"] and not e["passes"]
+    assert e["bullet_ok"] and e["ellipsis_ok"]  # line rules hold vacuously
+    assert not out[6]["ellipsis_ok"]
+    assert not out[7]["alpha_ok"] and out[7]["words_ok"]
+    assert not out[8]["mean_word_len_ok"]
+    # thresholds are tunable: loosening the word floor flips doc 2's rule
+    loose = df.filter("doc_id = 2").select(
+        T.gopher_quality_flags("text", min_words=2, min_stop_hits=0).alias("g")
+    ).select("g.*").collect()[0]
+    assert loose["words_ok"] and loose["stop_ok"]
