@@ -129,8 +129,10 @@ def _calibrate_jvm(spark, reps: int = 3) -> float:
 
     def once() -> float:
         t0 = time.perf_counter()
+        # pmod before the sum: 20M raw xxhash64 values overflow a long
+        # under ANSI mode; the bounded residues sum to < 2e13
         spark.range(0, 20_000_000, 1, 32).select(
-            F.sum(F.xxhash64("id"))
+            F.sum(F.pmod(F.xxhash64("id"), F.lit(1_000_003)))
         ).collect()
         return time.perf_counter() - t0
 

@@ -209,11 +209,17 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """MinHash + banded LSH near-dup pairs — the scale path.
 
-    signature (map-side) → explode into ``bands`` band-keys → self-join on
-    (band, band-signature) → distinct candidate pairs → [verify] exact
-    Jaccard ≥ threshold. Shuffle volume is #docs × bands rows of small keys;
-    candidate pairs are only same-bucket collisions (P[collide] ≈ 1-(1-j^r)^b
-    with r = num_hashes/bands), never the full cross product.
+    signature (map-side) → explode into ``bands`` band-keys → ONE shuffle
+    grouping (band, key) → sorted member list per bucket, SINGLETON buckets
+    (the overwhelming majority) filtered before any pair exists → map-side
+    within-bucket pair expansion → distinct candidate pairs → [verify]
+    exact Jaccard ≥ threshold. Shuffle volume is #docs × bands rows of
+    small keys; candidate pairs are only same-bucket collisions
+    (P[collide] ≈ 1-(1-j^r)^b with r = num_hashes/bands), never the full
+    cross product. (r12 rewrite: the previous (band, key) SELF-JOIN
+    shuffled every banded row twice and the hot-bucket guard paid a
+    per-bucket row_number sort; grouping once and slicing the sorted
+    member array gives the same pairs with one exchange and no window.)
 
     ``max_bucket`` is the hot-bucket guard: a degenerate bucket (boilerplate
     docs, empty strings) would otherwise go quadratic WITHIN the bucket.
@@ -245,26 +251,45 @@ def minhash_lsh_pairs(
         "_id",
         F.explode(_band_structs(F.col("_sig"), bands, rows_per_band)).alias("bk"),
     ).select("_id", "bk.band", "bk.key")
+    # ONE exchange: (band, key) → sorted member ids (collect_list
+    # partial-aggregates map-side; sort_array pins determinism). The
+    # hot-bucket guard is an array slice — first max_bucket members by id,
+    # identical semantics to the old per-bucket row_number, without the
+    # window sort.
+    grouped = banded.groupBy("band", "key").agg(
+        F.sort_array(F.collect_list("_id")).alias("_ids")
+    )
     if max_bucket is not None:
-        wb = Window.partitionBy("band", "key").orderBy("_id")
-        banded = banded.withColumn("_pq_bpos", F.row_number().over(wb))
         if observation is not None:
-            banded = banded.observe(
+            grouped = grouped.observe(
                 observation,
                 F.sum(
-                    F.when(F.col("_pq_bpos") > max_bucket, 1).otherwise(0)
+                    F.greatest(F.size("_ids") - max_bucket, F.lit(0))
                 ).alias("dropped_bucket_rows"),
             )
-        banded = banded.filter(F.col("_pq_bpos") <= max_bucket).drop("_pq_bpos")
-    a, b = banded.alias("a"), banded.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a._id") < F.col("b._id")),
+        grouped = grouped.withColumn(
+            "_ids", F.slice(F.col("_ids"), 1, max_bucket)
         )
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+    grouped = grouped.filter(F.size("_ids") >= 2)
+    ids = F.col("_ids")
+    cands = (
+        grouped.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(ids) - 1),
+                        lambda i: F.transform(
+                            F.slice(ids, i + 1, F.size(ids)),
+                            lambda b: F.struct(
+                                F.element_at(ids, i).alias("id_a"),
+                                b.alias("id_b"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
     if not verify:
