@@ -525,11 +525,13 @@ def semantic_dedup(
     from pq_vector_spark.index.kmeans import train_kmeans
     from pq_vector_spark.schema import validate_vector_column
 
+    from pq_vector_spark.index.build import PROBE_COL as _PROBE
+
     if keep not in ("outlier", "prototype", "min_id"):
         raise ValueError(f"keep must be outlier|prototype|min_id, got {keep!r}")
     if not (0.0 < eps < 1.0):
         raise ValueError(f"eps must be in (0, 1), got {eps}")
-    reserved = {"_sd_cos", "_sd_c", "_sd_cv", "canonical_id", "is_canonical"}
+    reserved = {"_sd_cos", "_sd_c", "_sd_cv", "canonical_id", "is_canonical", _PROBE}
     hit = [c for c in df.columns if c in reserved]
     if hit:
         raise ValueError(f"input columns {hit} collide with reserved names")
@@ -545,7 +547,10 @@ def semantic_dedup(
     )
     centroids = train_kmeans(sample, n_clusters, max_iters=max_iters, seed=seed)
 
-    probed = probe_clusters(df.select(id_col, vec_col), vec_col, centroids, nprobe)
+    # probe the FULL frame: probe_clusters only appends a column, so the
+    # survivor score below rides the same rows — no corpus-keyed join to
+    # reattach it (the blocking explode still projects just (id, cluster))
+    probed = probe_clusters(df, vec_col, centroids, nprobe)
     exploded = probed.select(
         F.col(id_col).alias("_id"), F.explode(PROBE_COL).alias("_c")
     )
@@ -569,23 +574,22 @@ def semantic_dedup(
         return resolve_duplicates(df, pairs, id_col)
     # survivor score: cosine to the NEAREST centroid (probe_clusters
     # orders probes by distance) via a tiny broadcast centroid table —
-    # map-side, one number per row
+    # map-side, one number per row, riding the probed frame itself (no
+    # corpus-keyed join to reattach the score)
     cent = spark.createDataFrame(
         [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
         "_sd_c: int, _sd_cv: array<double>",
     )
     scored = (
-        probed.select(
-            id_col, vec_col, F.element_at(F.col(PROBE_COL), 1).alias("_sd_c")
-        )
+        probed.withColumn("_sd_c", F.element_at(F.col(PROBE_COL), 1))
         .join(F.broadcast(cent), "_sd_c")
-        .select(
-            id_col,
-            cosine_similarity(F.col(vec_col), F.col("_sd_cv")).alias("_sd_cos"),
+        .withColumn(
+            "_sd_cos", cosine_similarity(F.col(vec_col), F.col("_sd_cv"))
         )
+        .drop(PROBE_COL, "_sd_c", "_sd_cv")
     )
     out = resolve_duplicates(
-        df.join(scored, id_col),
+        scored,
         pairs,
         id_col,
         prefer_col="_sd_cos",
