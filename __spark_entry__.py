@@ -1286,6 +1286,17 @@ def _text_gopher(spark, sf_dir):
     )
 
 
+def _text_dup_spans(spark, sf_dir):
+    """Duplicate-line repetition fractions (r12, functions/text.py:
+    duplicate_span_stats — the Gopher repetition suite's line/paragraph
+    half): per-doc fraction of spans (and of their characters) belonging
+    to a value occurring more than once. Spans md5-compress before the
+    (doc, span) exchange; the oracle groups the raw spans — same counts,
+    same int-derived double ratios."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.duplicate_span_stats(docs, "text", "doc_id").orderBy("doc_id")
+
+
 def _text_stats(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
@@ -2363,6 +2374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": _dedup_embedding,  # demoted r12 (stable since r6; bucketed twin in budget)
         "dedup_semantic": _dedup_semantic,  # r12 (SemDeDup envelope; rotate in next round)
         "text_gopher": _text_gopher,  # r12 (Gopher rule filters; rotate in next round)
+        "text_dup_spans": _text_dup_spans,  # r12 (duplicate-line fractions; rotate in next round)
         "sample_hash": _sample_hash,  # demoted r11 (family has 5 in-budget rows)
         "events_range_join_left": _events_range_join_left,  # demoted r11 (inner twin in budget)
         "embedding_centroids": _embedding_centroids,  # demoted r11 (stable since r6)
@@ -3722,6 +3734,28 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(CAST(length(text) AS DOUBLE), 0.75), 4) AS q_75,
                    round(quantile_cont(CAST(length(text) AS DOUBLE), 0.9), 4) AS q_90
             FROM documents""",
+        # duplicate-line fractions: group the RAW spans (the Spark side
+        # md5-compresses them for the exchange — identical counts), same
+        # blank-span exclusion, NULL for span-less docs via the left join
+        "text_dup_spans": """
+            WITH ex AS (SELECT doc_id,
+                     unnest(list_filter(string_split(text, chr(10)),
+                                        s -> trim(s) <> '')) AS sp
+                   FROM documents),
+            g AS (SELECT doc_id, sp, count(*) AS c, max(length(sp)) AS l
+                  FROM ex GROUP BY doc_id, sp),
+            per AS (SELECT doc_id, sum(c) AS tot,
+                           sum(CASE WHEN c > 1 THEN c END) AS dup,
+                           sum(c * l) AS totc,
+                           sum(CASE WHEN c > 1 THEN c * l END) AS dupc
+                    FROM g GROUP BY doc_id)
+            SELECT d.doc_id,
+                   round(coalesce(dup, 0) / CAST(tot AS DOUBLE), 4)
+                     AS dup_span_frac,
+                   round(coalesce(dupc, 0) / CAST(totc AS DOUBLE), 4)
+                     AS dup_span_char_frac
+            FROM documents d LEFT JOIN per USING (doc_id)
+            ORDER BY d.doc_id""",
         # Gopher rule filters: every rule recomputed in SQL — same token
         # split, same int-derived double ratios, boolean output only
         "text_gopher": f"""

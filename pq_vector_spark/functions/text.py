@@ -580,6 +580,71 @@ def winnow_fingerprints(df, text_col: str, id_col: str, k: int = 3, w: int = 4):
     return fp.select(F.col("_id").alias(id_col), "fp").distinct()
 
 
+def duplicate_span_stats(df, text_col: str, id_col: str, sep: str = "\n"):
+    """Duplicate-LINE/PARAGRAPH repetition signals (the other half of
+    Gopher §A1.1's repetition suite — ``repetition_ratios`` covers the
+    n-gram half): per document,
+
+    - ``dup_span_frac``: fraction of spans (lines with the default sep,
+      paragraphs with ``sep="\\n\\n"``) belonging to a value that occurs
+      MORE THAN ONCE in the document, counting every occurrence — the
+      Gopher/Dolma duplicate-line-fraction definition;
+    - ``dup_span_char_frac``: the same fraction weighted by span length
+      in characters (short chrome lines vs long copied paragraphs score
+      very differently — the paper thresholds both).
+
+    Whitespace-only spans are separator structure, not content: excluded
+    from both numerator and denominator; a document with no non-blank
+    span surfaces with NULL fractions (no signal ≠ maximally repetitive —
+    the ``repetition_ratios`` stance). Spans are md5-compressed BEFORE the
+    exchange, so the (doc, span) aggregation shuffles 16-byte keys + a
+    length, never the text; ratios are int-derived double divisions the
+    DuckDB oracle reproduces bit-for-bit.
+    """
+    import re as _re
+
+    spans = F.split(F.col(text_col), _re.escape(sep), -1)
+    ex = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode_outer(
+            F.filter(spans, lambda s: F.trim(s) != F.lit(""))
+        ).alias("_sp"),
+    )
+    g = (
+        ex.select(
+            "_id",
+            F.md5(F.col("_sp")).alias("_h"),
+            F.length("_sp").alias("_len"),
+        )
+        .groupBy("_id", "_h")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("_c"),
+            F.max("_len").cast("bigint").alias("_l"),
+        )
+    )
+    real = F.col("_h").isNotNull()
+    dup = real & (F.col("_c") > 1)
+    per = g.groupBy("_id").agg(
+        F.sum(F.when(real, F.col("_c"))).cast("bigint").alias("_tot"),
+        F.sum(F.when(dup, F.col("_c"))).cast("bigint").alias("_dup"),
+        F.sum(F.when(real, F.col("_c") * F.col("_l"))).cast("bigint").alias("_totc"),
+        F.sum(F.when(dup, F.col("_c") * F.col("_l"))).cast("bigint").alias("_dupc"),
+    )
+    return per.select(
+        F.col("_id").alias(id_col),
+        F.round(
+            F.coalesce(F.col("_dup"), F.lit(0)).cast("double")
+            / F.col("_tot").cast("double"),
+            4,
+        ).alias("dup_span_frac"),
+        F.round(
+            F.coalesce(F.col("_dupc"), F.lit(0)).cast("double")
+            / F.col("_totc").cast("double"),
+            4,
+        ).alias("dup_span_char_frac"),
+    )
+
+
 def repetition_ratios(df, text_col: str, id_col: str, n: int = 2):
     """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1:
     repetitious documents correlate with low quality and are filtered

@@ -267,3 +267,32 @@ def test_gopher_quality_flags_golden(spark):
         T.gopher_quality_flags("text", min_words=2, min_stop_hits=0).alias("g")
     ).select("g.*").collect()[0]
     assert loose["words_ok"] and loose["stop_ok"]
+
+
+def test_duplicate_span_stats_golden(spark):
+    """Duplicate-line fractions: every occurrence of a repeated span
+    counts (Gopher/Dolma definition), char weighting separates short
+    chrome from long copied blocks, blank spans are structure, and a doc
+    with no non-blank span has NULL fractions (no signal)."""
+    rows = [
+        (1, "a\nb\nc"),
+        (2, "x\nx\nlonger line\nx"),
+        (3, "\n\n  \n"),
+        (4, "p\n\np\n\nqq"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: bigint, text: string")
+    out = {
+        r["doc_id"]: (r["dup_span_frac"], r["dup_span_char_frac"])
+        for r in T.duplicate_span_stats(df, "text", "doc_id").collect()
+    }
+    assert out[1] == (0.0, 0.0)
+    assert out[2] == (0.75, pytest.approx(round(3 / 14, 4)))
+    assert out[3] == (None, None)
+    # default line split sees p,p,qq (blanks excluded): 2/3 of lines,
+    # 2/4 of chars are duplicates; the paragraph split gives the same
+    assert out[4] == (pytest.approx(round(2 / 3, 4)), 0.5)
+    para = {
+        r["doc_id"]: r["dup_span_frac"]
+        for r in T.duplicate_span_stats(df, "text", "doc_id", sep="\n\n").collect()
+    }
+    assert para[4] == pytest.approx(round(2 / 3, 4))
