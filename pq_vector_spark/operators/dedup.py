@@ -411,6 +411,8 @@ def embedding_near_dup_bucketed(
     seed: int = 42,
     max_iters: int = 20,
     sample_cap: int = 100_000,
+    max_cluster: Optional[int] = 100_000,
+    _stats: Optional[dict] = None,
 ) -> DataFrame:
     """Embedding near-dup at scale: IVF same-cluster pair blocking — the
     recommended path (replaces the O(n²) cross join of
@@ -429,6 +431,16 @@ def embedding_near_dup_bucketed(
     a shared neighboring cluster. With ``nprobe = n_clusters`` every pair
     shares every cluster and the result is EXACTLY ``embedding_near_dup``
     (the correctness envelope the oracle checks).
+
+    r12: candidate generation is the one-shuffle grouped expansion (the
+    minhash/winnow shape — cluster → sorted member list, singleton
+    clusters filtered before any pair exists, map-side within-cluster
+    comprehension), and ``max_cluster`` is the hot-cluster guard the LSH
+    buckets already had: a degenerate cluster (mass near-identical
+    embeddings) is truncated to its first ``max_cluster`` members by id,
+    bounding its expansion at C(max_cluster, 2) — byte-identical rows
+    belong to ``exact_dedup`` first, exactly the hot-bucket stance. Pass
+    ``_stats`` to receive ``capped_clusters`` (one extra bounded count).
     """
     import math
 
@@ -454,12 +466,7 @@ def embedding_near_dup_bucketed(
         probe_clusters(df.select(id_col, vec_col), vec_col, centroids, nprobe)
         .select(F.col(id_col).alias("_id"), F.explode(PROBE_COL).alias("_c"))
     )
-    a, b = exploded.alias("a"), exploded.alias("b")
-    cands = (
-        a.join(b, (F.col("a._c") == F.col("b._c")) & (F.col("a._id") < F.col("b._id")))
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .distinct()
-    )
+    cands = _cluster_pair_expansion(exploded, max_cluster, _stats)
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     return (
@@ -468,6 +475,53 @@ def embedding_near_dup_bucketed(
         .withColumn("cosine", cosine_similarity(F.col("_va"), F.col("_vb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
+    )
+
+
+def _cluster_pair_expansion(
+    exploded: DataFrame, max_cluster: Optional[int], _stats: Optional[dict]
+) -> DataFrame:
+    """(_id, _c) memberships → distinct within-cluster (id_a < id_b)
+    candidate pairs via ONE exchange: group each cluster's sorted member
+    ids (collect_list partial-aggregates map-side), truncate hot clusters
+    to ``max_cluster`` members (first by id — deterministic; records
+    ``capped_clusters`` in ``_stats``), drop singleton clusters BEFORE
+    any pair is materialized, expand map-side."""
+    grouped = exploded.groupBy("_c").agg(
+        F.sort_array(F.collect_list("_id")).alias("_ids")
+    )
+    if max_cluster is not None:
+        if _stats is not None:
+            from pyspark import StorageLevel
+
+            grouped = grouped.persist(StorageLevel.MEMORY_AND_DISK)
+            _stats["capped_clusters"] = int(
+                grouped.filter(F.size("_ids") > max_cluster).count()
+            )
+        grouped = grouped.withColumn(
+            "_ids", F.slice(F.col("_ids"), 1, max_cluster)
+        )
+    grouped = grouped.filter(F.size("_ids") >= 2)
+    ids = F.col("_ids")
+    return (
+        grouped.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(ids) - 1),
+                        lambda i: F.transform(
+                            F.slice(ids, i + 1, F.size(ids)),
+                            lambda b: F.struct(
+                                F.element_at(ids, i).alias("id_a"),
+                                b.alias("id_b"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .distinct()
     )
 
 
@@ -483,6 +537,8 @@ def semantic_dedup(
     seed: int = 42,
     max_iters: int = 20,
     sample_cap: int = 100_000,
+    max_cluster: Optional[int] = 100_000,
+    _stats: Optional[dict] = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication over an embedding column — k-means clusters the
@@ -506,13 +562,16 @@ def semantic_dedup(
 
     Scale shape — one k-means (driver-bounded ≤ ``sample_cap`` sample,
     the index-build contract), one map-side multi-probe assignment, pair
-    generation Σ_c |c|² via the same cluster-blocked self-join as
-    :func:`embedding_near_dup_bucketed` (never n²), and a component-keyed
-    survivor window. ``nprobe`` > 1 catches near-boundary pairs;
-    ``nprobe = n_clusters`` is the exactness envelope (identical to
-    all-pairs cosine at 1 - eps). The centroid set is trained ONCE and
-    shared by blocking and scoring, so the survivor score is consistent
-    with the blocking geometry.
+    generation Σ_c min(|c|, max_cluster)² via the same one-shuffle
+    grouped expansion as :func:`embedding_near_dup_bucketed` (never n²;
+    ``max_cluster`` truncates a degenerate cluster of mass-near-identical
+    embeddings — run ``exact_dedup`` on the payloads first, the hot-bucket
+    stance; ``_stats["capped_clusters"]`` reports when it fired), and a
+    component-keyed survivor window. ``nprobe`` > 1 catches near-boundary
+    pairs; ``nprobe = n_clusters`` with an uncapped ``max_cluster`` is the
+    exactness envelope (identical to all-pairs cosine at 1 - eps). The
+    centroid set is trained ONCE and shared by blocking and scoring, so
+    the survivor score is consistent with the blocking geometry.
     """
     import math
 
@@ -554,12 +613,7 @@ def semantic_dedup(
     exploded = probed.select(
         F.col(id_col).alias("_id"), F.explode(PROBE_COL).alias("_c")
     )
-    a, b = exploded.alias("a"), exploded.alias("b")
-    cands = (
-        a.join(b, (F.col("a._c") == F.col("b._c")) & (F.col("a._id") < F.col("b._id")))
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .distinct()
-    )
+    cands = _cluster_pair_expansion(exploded, max_cluster, _stats)
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     pairs = (

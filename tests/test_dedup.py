@@ -401,6 +401,30 @@ def test_incremental_dedup_near_unverified_band_collision(spark, tmp_path):
     assert sorted(r["doc_id"] for r in out.collect()) == [21, 30]
 
 
+def test_embedding_bucketed_hot_cluster_cap(spark):
+    """max_cluster (r12): a degenerate cluster of near-identical
+    embeddings is truncated to its first max_cluster members by id —
+    pair expansion bounded at C(max_cluster, 2) — and _stats says the
+    cap fired; uncapped, the full quadratic set comes back."""
+    from pq_vector_spark.operators.dedup import embedding_near_dup_bucketed
+
+    rows = [(i, [1.0, float(i) * 1e-6]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id: bigint, embedding: array<float>")
+    stats: dict = {}
+    capped = embedding_near_dup_bucketed(
+        df, "embedding", "vec_id", threshold=0.9, n_clusters=1, nprobe=1,
+        max_cluster=5, _stats=stats,
+    )
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert got == {(a, b) for a in range(5) for b in range(a + 1, 5)}
+    assert stats["capped_clusters"] == 1
+    full = embedding_near_dup_bucketed(
+        df, "embedding", "vec_id", threshold=0.9, n_clusters=1, nprobe=1,
+        max_cluster=None,
+    )
+    assert full.count() == 30 * 29 // 2
+
+
 def test_semantic_dedup_policies(spark):
     """SemDeDup: cluster-blocked cosine groups keep exactly one member.
     nprobe = n_clusters is the exactness envelope (identical to the
