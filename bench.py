@@ -72,6 +72,9 @@ HEADLINE = [
     "dedup_winnow_overlap",
     "sample_budget_temperature",
     "epoch_shuffle",
+    "dedup_semantic",
+    "text_gopher",
+    "text_dup_spans",
     "text_chunks",
     "quality_checks",
     "embedding_outliers",
@@ -112,9 +115,12 @@ def _calibrate(reps: int = 3) -> float:
     return round(min(once() for _ in range(reps)), 3)
 
 
-# r12 records the first JVM anchor; set this to that run's calib_jvm_sec
-# next round (same convention as CALIB_BASELINE_SEC)
-CALIB_JVM_BASELINE_SEC = None
+# JVM anchor recorded by the r12 driver run (BENCH_r12.json calib_jvm_sec)
+# — pinned in r13 per the r12 verdict so the board can separate JVM-side
+# multicore host drift from plan regressions (same convention as
+# CALIB_BASELINE_SEC; the Python anchor alone under-corrects JVM effects)
+CALIB_JVM_BASELINE_SEC = 0.113
+CALIB_JVM_BASELINE_ROUND = "r12"
 
 
 def _calibrate_jvm(spark, reps: int = 3) -> float:
@@ -304,6 +310,19 @@ def main() -> None:
             total / (calib_sec / CALIB_BASELINE_SEC), 2
         ),
         "calib_drift_flag": abs(calib_sec / CALIB_BASELINE_SEC - 1.0) > 0.15,
+        # JVM-anchor twin of the two fields above (r13, per the r12
+        # verdict): the headline queries are JVM/multicore bound, so THIS
+        # ratio — not the single-core Python one — adjudicates whether a
+        # board-wide drift was host contention or plan regressions
+        f"calib_jvm_ratio_vs_{CALIB_JVM_BASELINE_ROUND}": round(
+            calib_jvm_sec / CALIB_JVM_BASELINE_SEC, 3
+        ),
+        "headline_total_jvm_adj": round(
+            total / (calib_jvm_sec / CALIB_JVM_BASELINE_SEC), 2
+        ),
+        "calib_jvm_drift_flag": abs(
+            calib_jvm_sec / CALIB_JVM_BASELINE_SEC - 1.0
+        ) > 0.15,
         "recall_at_100": recall,
         # sf0.1's embeddings table is 2k rows: k=100 is 5% of the table and
         # nprobe 16/45 probes 36% of it — cluster granularity dominates
@@ -933,14 +952,17 @@ def _dedup_scale_bench(spark) -> dict:
     # count() lets column pruning skip the reassembly aggregation entirely
     # and would under-measure the pass this section exists to bound
     pstats: dict = {}
+    pcaches: list = []  # r13: persist rides the release contract — no leak
     cleaned = D.remove_repeated_paragraphs(
-        framed, "text", "doc_id", min_docs=3, _stats=pstats
+        framed, "text", "doc_id", min_docs=3, _stats=pstats, _caches=pcaches
     )
     row = cleaned.agg(
         F.count(F.lit(1)).alias("c"), F.sum(F.length("text")).alias("b")
     ).collect()[0]
     n_cleaned = int(row["c"])
     paras_sec = round(time.time() - t0, 3)
+    for c in pcaches:
+        c.unpersist()
 
     # Exact-substring overlap pairs at scale (r12, r11 verdict #3): winnow
     # fingerprints over the full 1M corpus, ONE 8-byte-fp equi-join with
@@ -1073,6 +1095,51 @@ def _dedup_scale_bench(spark) -> dict:
     ).count()
     grouped_refined_sec = round(time.time() - t0, 3)
 
+    # Embedding-dedup family at 1M × 256 (r13, r12 verdict #3): the r12
+    # one-shuffle expansion was never benchable here — at sqrt(n) clusters
+    # the candidate join-back ships ~n²/k pairs × two 256-dim vectors
+    # (hundreds of GB). method="gram" is the scale path this section
+    # proves: per-cluster tiled Gram matrices (applyInPandas + BLAS), the
+    # only exchange being the (id, vector) cluster grouping, pair volume
+    # Σ min(|c|, cap)² computed IN-executor with only qualifying pairs
+    # emitted. Corpus: the 1M mixture fixture + 50k planted near-dups
+    # (0.1% relative jitter → cosine ≈ 0.9999 vs ~0.978 for natural
+    # same-cluster pairs, so threshold 0.99 isolates the planted rate).
+    from tools.gen_scale_embeddings import generate as gen_emb
+
+    emb_rows = int(os.environ.get("PQ_BENCH_EMB_DEDUP_ROWS", "1000000"))
+    n_planted = emb_rows // 20
+    emb = spark.read.parquet(gen_emb(emb_rows, 256))
+    planted = (
+        emb.filter(F.col("vec_id") < n_planted)
+        .select(
+            (F.col("vec_id") + emb_rows).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: x * (1.0 + 0.001 * F.sin(F.col("vec_id") + i)),
+            ).alias("embedding"),
+        )
+    )
+    corpus_emb = emb.unionByName(planted)
+    estats: dict = {}
+    t0 = time.time()
+    n_emb_pairs = D.embedding_near_dup_bucketed(
+        corpus_emb, "embedding", "vec_id", threshold=0.99, nprobe=1,
+        method="gram", max_cluster=20_000, _stats=estats,
+    ).count()
+    emb_near_sec = round(time.time() - t0, 3)
+    sstats: dict = {}
+    t0 = time.time()
+    n_sem_kept = (
+        D.semantic_dedup(
+            corpus_emb, "embedding", "vec_id", eps=0.01, nprobe=1,
+            keep="outlier", method="gram", max_cluster=20_000, _stats=sstats,
+        )
+        .filter("is_canonical")
+        .count()
+    )
+    sem_sec = round(time.time() - t0, 3)
+
     return {
         "n_docs": n_docs,
         "budget_select_sec": budget_sec,
@@ -1123,6 +1190,14 @@ def _dedup_scale_bench(spark) -> dict:
         "winnow_overlap_sec": winnow_sec,
         "winnow_overlap_pairs": int(n_overlap),
         "winnow_dropped_fps": int(wstats.get("dropped_fingerprints", -1)),
+        "emb_near_dup_rows": int(emb_rows + n_planted),
+        "emb_near_dup_sec": emb_near_sec,
+        "emb_near_dup_pairs": int(n_emb_pairs),
+        "emb_near_dup_planted": int(n_planted),
+        "emb_near_dup_capped_clusters": int(estats.get("capped_clusters", -1)),
+        "semantic_dedup_sec": sem_sec,
+        "semantic_dedup_kept": int(n_sem_kept),
+        "semantic_dedup_capped_clusters": int(sstats.get("capped_clusters", -1)),
     }
 
 
@@ -1526,6 +1601,61 @@ def _streaming_scale_bench(spark) -> dict:
         q.awaitTermination()
         stream_sec = round(_time.time() - t_start, 3)
 
+        qvec = [
+            float(x)
+            for x in spark.read.parquet(src)
+            .filter("vec_id = 0")
+            .collect()[0]["embedding"]
+        ]
+
+        # Mid-rebuild freshness (r13, r12 verdict #6): the stream just
+        # ended with the rebuild (usually) still in flight and batches
+        # 5+ parked — the exact window where a plain indexed_topk sees a
+        # stale layout and NONE of the parked rows. Measure recall of
+        # indexed_topk_with_pending (layout top-k ∪ brute-forced pending
+        # slice) against brute force over ALL ingested rows, plus the
+        # plain query's recall against the same truth for contrast.
+        from pq_vector_spark.streaming.ingest import (
+            _list_pending,
+            indexed_topk_with_pending,
+        )
+
+        mid_recall = mid_plain_recall = mid_query_sec = None
+        mid_pending_rows = 0
+        pend_dirs = _list_pending(spark, out)
+        if pend_dirs:
+            pend_df = spark.read.parquet(*pend_dirs)
+            mid_pending_rows = pend_df.count()
+            mid_all = (
+                spark.read.parquet(out).drop(CLUSTER_COL).unionByName(pend_df)
+            )
+            mid_truth = {
+                r["vec_id"]
+                for r in brute_force_topk(
+                    mid_all, "embedding", qvec, k, tie_break="vec_id"
+                ).collect()
+            }
+            t0 = _time.time()
+            mid_got = {
+                r["vec_id"]
+                for r in indexed_topk_with_pending(
+                    spark, out, qvec, k,
+                    options=VectorTopKOptions(nprobe=nprobe),
+                    tie_break="vec_id",
+                ).collect()
+            }
+            mid_query_sec = round(_time.time() - t0, 3)
+            mid_plain = {
+                r["vec_id"]
+                for r in indexed_topk(
+                    spark, out, qvec, k,
+                    options=VectorTopKOptions(nprobe=nprobe),
+                    tie_break="vec_id",
+                ).collect()
+            }
+            mid_recall = round(len(mid_got & mid_truth) / k, 4)
+            mid_plain_recall = round(len(mid_plain & mid_truth) / k, 4)
+
         # the stream may end with the rebuild still running: finish it and
         # fold any still-parked batches in (exactly what a restarted
         # stream's first batch would do)
@@ -1537,12 +1667,6 @@ def _streaming_scale_bench(spark) -> dict:
         tail_drain_sec = round(_time.time() - t0, 3)
 
         post = index_health(spark, out)
-        qvec = [
-            float(x)
-            for x in spark.read.parquet(src)
-            .filter("vec_id = 0")
-            .collect()[0]["embedding"]
-        ]
         full = spark.read.parquet(out).drop(CLUSTER_COL)
         truth = {
             r["vec_id"]
@@ -1587,6 +1711,13 @@ def _streaming_scale_bench(spark) -> dict:
             ],
             "drain_batch_sec": [e["sec"] for e in events if e.get("drained")],
             "post_stream_rebuild_wait_sec": rebuild_wait_sec,
+            # mid-rebuild freshness (r13): recall against ALL ingested
+            # rows while the rebuild is still in flight — the pending
+            # union closes what the plain query misses
+            "mid_rebuild_pending_rows": int(mid_pending_rows),
+            "mid_rebuild_recall_with_pending": mid_recall,
+            "mid_rebuild_recall_plain": mid_plain_recall,
+            "mid_rebuild_query_sec": mid_query_sec,
             "tail_drained_rows": int(tail_drained),
             "tail_drain_sec": tail_drain_sec,
             "post_rows": int(post["row_count"]),

@@ -103,6 +103,7 @@ from pq_vector_spark.streaming.ingest import (
     append_index_batch,
     dedup_append_batch,
     drain_pending_appends,
+    indexed_topk_with_pending,
     streaming_index_ingest,
     streaming_ingest,
     wait_for_async_rebuild,
@@ -220,6 +221,7 @@ __all__ = [
     "append_index_batch",
     "drain_pending_appends",
     "wait_for_async_rebuild",
+    "indexed_topk_with_pending",
     "drift_metrics_batch",
     "streaming_drift_monitor",
     "stratified_sample",

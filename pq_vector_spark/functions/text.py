@@ -117,7 +117,7 @@ def gopher_quality_flags(
 
     - ``words_ok``: 50 ≤ word count ≤ 100,000;
     - ``mean_word_len_ok``: mean word length in [3, 10];
-    - ``symbol_ok``: ('#' + '...')-to-word ratio ≤ 0.1;
+    - ``symbol_ok``: ('#' + '...'/'…')-to-word ratio ≤ 0.1;
     - ``bullet_ok``: ≤ 90 % of lines start with a bullet;
     - ``ellipsis_ok``: ≤ 30 % of lines end with '...'/'…';
     - ``alpha_ok``: ≥ 80 % of words contain an alphabetic character;
@@ -137,7 +137,12 @@ def gopher_quality_flags(
     sw = [s.lower() for s in (stopwords or GOPHER_STOPWORDS)]
 
     hash_cnt = F.length(c) - F.length(F.regexp_replace(c, r"#", ""))
-    ell_cnt = (F.length(c) - F.length(F.replace(c, F.lit("...")))) / F.lit(3)
+    # both ellipsis spellings count toward the symbol ratio (r13, ADVICE
+    # r12: Gopher-lineage implementations — Dolma/RefinedWeb — count the
+    # Unicode "…" too; the single-char form needs no /3 divisor)
+    ell_cnt = (F.length(c) - F.length(F.replace(c, F.lit("...")))) / F.lit(3) + (
+        F.length(c) - F.length(F.replace(c, F.lit("…")))
+    )
     lines = F.split(c, r"\n")
 
     def _line_flags(ls: Column) -> Column:
@@ -658,15 +663,19 @@ def repetition_ratios(df, text_col: str, id_col: str, n: int = 2):
 
     One explode + two hash aggregations keyed by document — map-side
     combine keeps the shuffle at (doc, distinct-gram) granularity; ratios
-    are int/int divisions, bit-identical in the DuckDB oracle.
+    are int/int divisions, bit-identical in the DuckDB oracle. Grams are
+    md5-compressed BEFORE the exchange (r13, r12 verdict #5: the raw
+    n-gram text dominated the shuffle at web scale; 16-byte keys have the
+    same distinct/top counts — the ``duplicate_span_stats`` discipline,
+    ``text.py`` md5-before-exchange).
     """
     # explode_outer keeps a NULL-gram row for gram-less docs (< n tokens),
     # so they surface with NULL ratios — same shuffle, no extra join back
-    # to the corpus
+    # to the corpus (md5(NULL) stays NULL, preserving that row)
     ex = df.select(
         F.col(id_col).alias("_id"),
         F.explode_outer(_token_ngrams(text_col, n)).alias("_gram"),
-    )
+    ).select("_id", F.md5("_gram").alias("_gram"))
     g = ex.groupBy("_id", "_gram").agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
     real = F.col("_gram").isNotNull()
     per = g.groupBy("_id").agg(

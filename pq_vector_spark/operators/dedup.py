@@ -191,6 +191,35 @@ def ngram_jaccard_pairs(
     )
 
 
+def _expand_sorted_id_pairs(grouped: DataFrame, ids_col: str = "_ids") -> DataFrame:
+    """Buckets of SORTED member ids → within-bucket ordered (id_a, id_b)
+    pairs, id_a < id_b, in TWO generator steps so no single row ever holds
+    a bucket's full C(n, 2) pair set. (r13, ADVICE r12: the previous
+    flatten-of-structs expansion materialized all C(n, 2) pairs as ONE
+    array in ONE row before exploding — at max_bucket=10k that is a ~50M-
+    struct single-row allocation, and past ~65,536 members ``flatten``
+    exceeds Spark's 2^31 array-size limit and the job fails deterministically
+    in exactly the degenerate case the cap exists to bound.) Step 1 explodes
+    the anchor index i — each output row carries the O(n) bucket array;
+    step 2 explodes the O(n - i) suffix slice. Per-row memory stays O(n),
+    and whole-stage codegen streams the C(n, 2) pairs through both
+    generators without ever allocating them together. Callers must have
+    filtered size >= 2 already; pairs are emitted once per bucket (dedupe
+    across buckets stays the caller's job)."""
+    ids = F.col(ids_col)
+    anchored = grouped.select(
+        ids.alias("_xp_ids"),
+        F.explode(F.sequence(F.lit(1), F.size(ids) - 1)).alias("_xp_i"),
+    )
+    suffix = F.slice(
+        F.col("_xp_ids"), F.col("_xp_i") + 1, F.size("_xp_ids") - F.col("_xp_i")
+    )
+    return anchored.select(
+        F.element_at("_xp_ids", F.col("_xp_i")).alias("id_a"),
+        F.explode(suffix).alias("id_b"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -271,27 +300,7 @@ def minhash_lsh_pairs(
             "_ids", F.slice(F.col("_ids"), 1, max_bucket)
         )
     grouped = grouped.filter(F.size("_ids") >= 2)
-    ids = F.col("_ids")
-    cands = (
-        grouped.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        F.sequence(F.lit(1), F.size(ids) - 1),
-                        lambda i: F.transform(
-                            F.slice(ids, i + 1, F.size(ids)),
-                            lambda b: F.struct(
-                                F.element_at(ids, i).alias("id_a"),
-                                b.alias("id_b"),
-                            ),
-                        ),
-                    )
-                )
-            ).alias("p")
-        )
-        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
-        .distinct()
-    )
+    cands = _expand_sorted_id_pairs(grouped).distinct()
     if not verify:
         return cands
     # Verify ONLY the candidate pairs: join each side to its (distinct)
@@ -412,7 +421,9 @@ def embedding_near_dup_bucketed(
     max_iters: int = 20,
     sample_cap: int = 100_000,
     max_cluster: Optional[int] = 100_000,
+    method: str = "expand",
     _stats: Optional[dict] = None,
+    _caches: Optional[list] = None,
 ) -> DataFrame:
     """Embedding near-dup at scale: IVF same-cluster pair blocking — the
     recommended path (replaces the O(n²) cross join of
@@ -432,15 +443,32 @@ def embedding_near_dup_bucketed(
     shares every cluster and the result is EXACTLY ``embedding_near_dup``
     (the correctness envelope the oracle checks).
 
-    r12: candidate generation is the one-shuffle grouped expansion (the
-    minhash/winnow shape — cluster → sorted member list, singleton
-    clusters filtered before any pair exists, map-side within-cluster
-    comprehension), and ``max_cluster`` is the hot-cluster guard the LSH
-    buckets already had: a degenerate cluster (mass near-identical
-    embeddings) is truncated to its first ``max_cluster`` members by id,
-    bounding its expansion at C(max_cluster, 2) — byte-identical rows
-    belong to ``exact_dedup`` first, exactly the hot-bucket stance. Pass
-    ``_stats`` to receive ``capped_clusters`` (one extra bounded count).
+    ``method`` names the within-cluster compute (both produce the same
+    pair SET — all co-clustered pairs at cosine ≥ ``threshold``):
+
+    - ``"expand"`` (default): one-shuffle grouped candidate expansion
+      (cluster → sorted member list, singletons filtered before any pair
+      exists, streaming two-step generator — r13, never a single C(n, 2)
+      allocation) → exact ``cosine_similarity`` via a join back to the
+      vectors. Cosines are the SQL left-to-right fold, so an external
+      engine replays them bit-for-bit — the oracle-row path. The
+      join-back ships ~Σ|c|² candidate pairs × two vectors, so it is for
+      MODEST candidate volumes;
+    - ``"gram"``: per-cluster tiled Gram matrix (``_cluster_gram_pairs``,
+      SemDeDup's compute shape) — candidates never leave the executor;
+      the only exchange is the (id, vector) cluster grouping. THE scale
+      path at 1M+ rows, where expand's pair join-back would shuffle
+      hundreds of GB. Cosines come from float64 BLAS (last-ulp may differ
+      from the SQL fold; multi-probe duplicates resolve by max).
+
+    ``max_cluster`` is the hot-cluster guard the LSH buckets already had
+    (r12): a degenerate cluster (mass near-identical embeddings) is
+    truncated to its first ``max_cluster`` members by id, bounding its
+    work at C(max_cluster, 2) — byte-identical rows belong to
+    ``exact_dedup`` first, exactly the hot-bucket stance. Pass ``_stats``
+    to receive ``capped_clusters`` (one extra bounded count; pair it with
+    ``_caches`` — the module's unpersist-after-action contract — to avoid
+    recomputing the grouped frame on the expand path).
     """
     import math
 
@@ -453,6 +481,8 @@ def embedding_near_dup_bucketed(
     from pq_vector_spark.index.kmeans import train_kmeans
     from pq_vector_spark.schema import validate_vector_column
 
+    if method not in ("expand", "gram"):
+        raise ValueError(f"method must be expand|gram, got {method!r}")
     stats = validate_vector_column(df, vec_col)
     if n_clusters is None:
         n_clusters = max(1, math.ceil(math.sqrt(stats.rows)))
@@ -462,11 +492,26 @@ def embedding_near_dup_bucketed(
     )
     centroids = train_kmeans(sample, n_clusters, max_iters=max_iters, seed=seed)
 
-    exploded = (
-        probe_clusters(df.select(id_col, vec_col), vec_col, centroids, nprobe)
-        .select(F.col(id_col).alias("_id"), F.explode(PROBE_COL).alias("_c"))
+    probed = probe_clusters(df.select(id_col, vec_col), vec_col, centroids, nprobe)
+    if method == "gram":
+        if _stats is not None:
+            _stats["capped_clusters"] = _count_capped_clusters(
+                probed, id_col, PROBE_COL, max_cluster
+            )
+        pairs = _cluster_gram_pairs(
+            probed.select(
+                F.col(id_col).alias("_id"),
+                F.col(vec_col).alias("_v"),
+                F.explode(PROBE_COL).alias("_c"),
+            ),
+            threshold,
+            max_cluster,
+        )
+        return pairs.groupBy("id_a", "id_b").agg(F.max("cosine").alias("cosine"))
+    exploded = probed.select(
+        F.col(id_col).alias("_id"), F.explode(PROBE_COL).alias("_c")
     )
-    cands = _cluster_pair_expansion(exploded, max_cluster, _stats)
+    cands = _cluster_pair_expansion(exploded, max_cluster, _stats, _caches)
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     return (
@@ -478,23 +523,148 @@ def embedding_near_dup_bucketed(
     )
 
 
+def _count_capped_clusters(
+    probed: DataFrame, id_col: str, probe_col: str, max_cluster: Optional[int]
+) -> int:
+    """Diagnostic twin of the expand path's ``capped_clusters`` stat for
+    the gram path (which truncates inside the pandas worker): one bounded
+    membership-count aggregation, no vectors shuffled."""
+    if max_cluster is None:
+        return 0
+    return int(
+        probed.select(F.explode(probe_col).alias("_c"))
+        .groupBy("_c")
+        .count()
+        .filter(F.col("count") > max_cluster)
+        .count()
+    )
+
+
+def _cluster_gram_pairs(
+    probed_exploded: DataFrame,
+    threshold: float,
+    max_cluster: Optional[int],
+    *,
+    tile: int = 2048,
+) -> DataFrame:
+    """(_id, _v, _c) memberships → within-cluster (id_a < id_b, cosine)
+    pairs at cosine ≥ ``threshold``, via a PER-CLUSTER TILED GRAM MATRIX
+    (``applyInPandas`` + BLAS) instead of pair expansion + vector
+    join-back. This is the 100 TB path for the embedding-dedup family
+    (SemDeDup's own compute shape, Abbas et al. 2023 §3: normalize the
+    cluster's vectors, X·Xᵀ, threshold the upper triangle):
+
+    - the ONLY exchange is the cluster grouping itself — n·nprobe rows of
+      (id, vector), ~2 KB each at 256 dims. Candidate PAIRS never travel:
+      the Σ min(|c|, max_cluster)² candidate dot products are computed
+      inside the executor by vectorized BLAS and only the QUALIFYING
+      pairs (rare at real thresholds) are emitted. The expand path's
+      join-back of both vectors to every candidate pair — ~n²/k pairs ×
+      2 vectors ≈ hundreds of GB shuffled at 1M×256 — does not exist here;
+    - per-group memory is bounded: hot clusters truncate to their first
+      ``max_cluster`` members by id (the expand path's exact semantics)
+      and the Gram matrix is evaluated in ``tile``×``tile`` blocks
+      (2048² × 8 B = 32 MB), never |c|²;
+    - zero-norm vectors score cosine 0 against everything (they divide by
+      a clamped norm of 1), matching ``cosine_similarity``'s no-NaN
+      contract downstream.
+
+    Multi-probe (nprobe > 1) emits a shared pair once PER shared cluster;
+    the caller dedupes with ``groupBy(id_a, id_b).agg(max(cosine))`` —
+    max, not first, so the result is deterministic. Cosines come from
+    float64 BLAS, which may differ from the SQL ``cosine_similarity``
+    fold in the last ulp — use ``method="expand"`` when an external
+    engine must replay values bit-for-bit (the oracle rows do)."""
+    import pandas as pd  # noqa: F401 — worker-side dependency, import-checked here
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    id_field = probed_exploded.schema["_id"]
+    out_schema = StructType(
+        [
+            StructField("id_a", id_field.dataType),
+            StructField("id_b", id_field.dataType),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    def gram(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf["_id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        vecs = pdf["_v"].to_numpy()[order]
+        if max_cluster is not None and len(ids) > max_cluster:
+            ids, vecs = ids[:max_cluster], vecs[:max_cluster]
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        norms = np.linalg.norm(X, axis=1)
+        norms[norms == 0.0] = 1.0
+        Xn = X / norms[:, None]
+        n = len(ids)
+        out_a, out_b, out_c = [], [], []
+        for i0 in range(0, n, tile):
+            ai = Xn[i0 : i0 + tile]
+            for j0 in range(i0, n, tile):
+                g = ai @ Xn[j0 : j0 + tile].T
+                if j0 == i0:
+                    # upper triangle only: strict i < j within the block
+                    g = np.triu(g, k=1)
+                    hit = np.argwhere(g >= threshold)
+                    # triu zeroed the rest, but threshold <= 0 would let
+                    # zeros through — mask explicitly
+                    if threshold <= 0.0 and len(hit):
+                        hit = hit[hit[:, 1] > hit[:, 0]]
+                else:
+                    hit = np.argwhere(g >= threshold)
+                if len(hit):
+                    out_a.append(ids[i0 + hit[:, 0]])
+                    out_b.append(ids[j0 + hit[:, 1]])
+                    out_c.append(g[hit[:, 0], hit[:, 1]])
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cosine": np.concatenate(out_c),
+            }
+        )
+
+    return probed_exploded.groupBy("_c").applyInPandas(gram, out_schema)
+
+
 def _cluster_pair_expansion(
-    exploded: DataFrame, max_cluster: Optional[int], _stats: Optional[dict]
+    exploded: DataFrame,
+    max_cluster: Optional[int],
+    _stats: Optional[dict],
+    _caches: Optional[list] = None,
 ) -> DataFrame:
     """(_id, _c) memberships → distinct within-cluster (id_a < id_b)
     candidate pairs via ONE exchange: group each cluster's sorted member
     ids (collect_list partial-aggregates map-side), truncate hot clusters
     to ``max_cluster`` members (first by id — deterministic; records
     ``capped_clusters`` in ``_stats``), drop singleton clusters BEFORE
-    any pair is materialized, expand map-side."""
+    any pair is materialized, expand map-side via the streaming two-step
+    generator (``_expand_sorted_id_pairs`` — never a single C(n, 2)
+    allocation). The ``capped_clusters`` count reuses the grouped frame:
+    pass ``_caches`` (the module's unpersist-after-action contract) to
+    persist it across the count + expansion; without ``_caches`` the count
+    runs unpersisted (one extra aggregation pass) so a diagnostics run
+    never leaks a cached relation for the session (ADVICE r12)."""
     grouped = exploded.groupBy("_c").agg(
         F.sort_array(F.collect_list("_id")).alias("_ids")
     )
     if max_cluster is not None:
         if _stats is not None:
-            from pyspark import StorageLevel
+            if _caches is not None:
+                from pyspark import StorageLevel
 
-            grouped = grouped.persist(StorageLevel.MEMORY_AND_DISK)
+                grouped = grouped.persist(StorageLevel.MEMORY_AND_DISK)
+                _caches.append(grouped)
             _stats["capped_clusters"] = int(
                 grouped.filter(F.size("_ids") > max_cluster).count()
             )
@@ -502,27 +672,7 @@ def _cluster_pair_expansion(
             "_ids", F.slice(F.col("_ids"), 1, max_cluster)
         )
     grouped = grouped.filter(F.size("_ids") >= 2)
-    ids = F.col("_ids")
-    return (
-        grouped.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        F.sequence(F.lit(1), F.size(ids) - 1),
-                        lambda i: F.transform(
-                            F.slice(ids, i + 1, F.size(ids)),
-                            lambda b: F.struct(
-                                F.element_at(ids, i).alias("id_a"),
-                                b.alias("id_b"),
-                            ),
-                        ),
-                    )
-                )
-            ).alias("p")
-        )
-        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
-        .distinct()
-    )
+    return _expand_sorted_id_pairs(grouped).distinct()
 
 
 def semantic_dedup(
@@ -538,7 +688,9 @@ def semantic_dedup(
     max_iters: int = 20,
     sample_cap: int = 100_000,
     max_cluster: Optional[int] = 100_000,
+    method: str = "expand",
     _stats: Optional[dict] = None,
+    _caches: Optional[list] = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication over an embedding column — k-means clusters the
@@ -562,16 +714,21 @@ def semantic_dedup(
 
     Scale shape — one k-means (driver-bounded ≤ ``sample_cap`` sample,
     the index-build contract), one map-side multi-probe assignment, pair
-    generation Σ_c min(|c|, max_cluster)² via the same one-shuffle
-    grouped expansion as :func:`embedding_near_dup_bucketed` (never n²;
-    ``max_cluster`` truncates a degenerate cluster of mass-near-identical
-    embeddings — run ``exact_dedup`` on the payloads first, the hot-bucket
-    stance; ``_stats["capped_clusters"]`` reports when it fired), and a
-    component-keyed survivor window. ``nprobe`` > 1 catches near-boundary
-    pairs; ``nprobe = n_clusters`` with an uncapped ``max_cluster`` is the
-    exactness envelope (identical to all-pairs cosine at 1 - eps). The
-    centroid set is trained ONCE and shared by blocking and scoring, so
-    the survivor score is consistent with the blocking geometry.
+    generation Σ_c min(|c|, max_cluster)² (never n²; ``max_cluster``
+    truncates a degenerate cluster of mass-near-identical embeddings —
+    run ``exact_dedup`` on the payloads first, the hot-bucket stance;
+    ``_stats["capped_clusters"]`` reports when it fired), and a
+    component-keyed survivor window. ``method`` picks the within-cluster
+    compute, exactly as in :func:`embedding_near_dup_bucketed`:
+    ``"expand"`` (default — grouped candidate expansion + SQL cosine, the
+    engine-replayable oracle path) or ``"gram"`` (per-cluster tiled Gram
+    matrix, the paper's own compute shape and THE path at 1M+ rows —
+    candidate pairs never leave the executor). ``nprobe`` > 1 catches
+    near-boundary pairs; ``nprobe = n_clusters`` with an uncapped
+    ``max_cluster`` is the exactness envelope (identical to all-pairs
+    cosine at 1 - eps). The centroid set is trained ONCE and shared by
+    blocking and scoring, so the survivor score is consistent with the
+    blocking geometry.
     """
     import math
 
@@ -588,6 +745,8 @@ def semantic_dedup(
 
     if keep not in ("outlier", "prototype", "min_id"):
         raise ValueError(f"keep must be outlier|prototype|min_id, got {keep!r}")
+    if method not in ("expand", "gram"):
+        raise ValueError(f"method must be expand|gram, got {method!r}")
     if not (0.0 < eps < 1.0):
         raise ValueError(f"eps must be in (0, 1), got {eps}")
     reserved = {"_sd_cos", "_sd_c", "_sd_cv", "canonical_id", "is_canonical", _PROBE}
@@ -610,20 +769,38 @@ def semantic_dedup(
     # survivor score below rides the same rows — no corpus-keyed join to
     # reattach it (the blocking explode still projects just (id, cluster))
     probed = probe_clusters(df, vec_col, centroids, nprobe)
-    exploded = probed.select(
-        F.col(id_col).alias("_id"), F.explode(PROBE_COL).alias("_c")
-    )
-    cands = _cluster_pair_expansion(exploded, max_cluster, _stats)
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
-    pairs = (
-        cands.join(va, "id_a")
-        .join(vb, "id_b")
-        .filter(
-            cosine_similarity(F.col("_va"), F.col("_vb")) >= F.lit(1.0 - eps)
+    if method == "gram":
+        # SemDeDup's own compute shape: per-cluster tiled Gram matrix —
+        # candidate pairs never leave the executor (see
+        # embedding_near_dup_bucketed's method docs for the trade)
+        if _stats is not None:
+            _stats["capped_clusters"] = _count_capped_clusters(
+                probed, id_col, PROBE_COL, max_cluster
+            )
+        pairs = _cluster_gram_pairs(
+            probed.select(
+                F.col(id_col).alias("_id"),
+                F.col(vec_col).alias("_v"),
+                F.explode(PROBE_COL).alias("_c"),
+            ),
+            1.0 - eps,
+            max_cluster,
+        ).select("id_a", "id_b").distinct()
+    else:
+        exploded = probed.select(
+            F.col(id_col).alias("_id"), F.explode(PROBE_COL).alias("_c")
         )
-        .select("id_a", "id_b")
-    )
+        cands = _cluster_pair_expansion(exploded, max_cluster, _stats, _caches)
+        va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+        vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+        pairs = (
+            cands.join(va, "id_a")
+            .join(vb, "id_b")
+            .filter(
+                cosine_similarity(F.col("_va"), F.col("_vb")) >= F.lit(1.0 - eps)
+            )
+            .select("id_a", "id_b")
+        )
     if keep == "min_id":
         return resolve_duplicates(df, pairs, id_col)
     # survivor score: cosine to the NEAREST centroid (probe_clusters
@@ -1252,10 +1429,11 @@ def remove_repeated_paragraphs(
        silently here).
 
     ``_stats`` (optional dict) receives ``hot_fingerprints`` (the counted
-    hot-set size) and ``broadcast`` (whether the hint path ran). The hot
-    set is persisted for the count + reuse across its joins; pass
-    ``_caches`` to collect the persisted frame for unpersisting after the
-    caller's action (same contract as ``incremental_dedup_near``).
+    hot-set size) and ``broadcast`` (whether the hint path ran). Pass
+    ``_caches`` (same contract as ``incremental_dedup_near``) to persist
+    the hot set across the count + its joins and unpersist after the
+    caller's action; without it nothing is persisted (the count pays one
+    extra aggregation pass) so no cached relation outlives the call.
 
     Deterministic and engine-replayable: fate is a pure function of the
     corpus's paragraph fingerprints (md5-normalized, the ``exact_dedup``
@@ -1284,20 +1462,26 @@ def remove_repeated_paragraphs(
     ex = ex.withColumn(
         "_rp_fp", F.when(nonblank, fingerprint(F.col("_rp_para")))
     )
-    from pyspark import StorageLevel
-
     hot = (
         ex.filter(F.col("_rp_fp").isNotNull())
         .groupBy("_rp_fp")
         .agg(F.countDistinct("_rp_id").alias("_nd"))
         .filter(F.col("_nd") >= min_docs)
         .select("_rp_fp")
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # Persist ONLY under the _caches contract (r13, r12 verdict #4): an
+    # unconditional persist leaked one MEMORY_AND_DISK frame per call for
+    # callers that never unpersist. With _caches the count below
+    # materializes the cache and every hot-set join reuses it; without,
+    # the count pays one standalone aggregation pass and the final query
+    # dedupes its own hot references via ReusedExchange — slower by one
+    # pass, but nothing survives the action.
     if _caches is not None:
+        from pyspark import StorageLevel
+
+        hot = hot.persist(StorageLevel.MEMORY_AND_DISK)
         _caches.append(hot)
-    # bounded count probe BEFORE committing to a broadcast plan: the count
-    # materializes the persisted hot set, so its joins below reuse it
+    # bounded count probe BEFORE committing to a broadcast plan
     n_hot = hot.count()
     small = n_hot <= broadcast_threshold
     if not small:
@@ -1414,6 +1598,15 @@ def winnow_overlap_pairs(
     to demand longer / more repeated overlap; pair with
     ``ngram_jaccard_pairs`` on the flagged pairs when an exact similarity
     score is needed.
+
+    .. versionchanged:: r12
+       ``max_bucket`` semantics: hot fingerprints are now DROPPED
+       entirely (the Lee et al. 2022 stance above), where pre-r12 they
+       were truncated to their first ``max_bucket`` docs. Callers see
+       fewer boilerplate-only pairs and smaller ``shared_fps`` for pairs
+       that shared a dropped fp; opt into ``_stats`` to observe how many
+       fps the cap removed. The signature is unchanged on purpose — the
+       truncated-subset pairs were an arbitrary sample, not a contract.
     """
     from pq_vector_spark.functions.text import winnow_fingerprints
 
@@ -1429,14 +1622,15 @@ def winnow_overlap_pairs(
     )
     if max_bucket is not None:
         if _stats is not None:
-            # the count would otherwise re-run the whole fingerprint
-            # extraction — persist the grouped frame for the stats pass +
-            # the expansion below (``_caches`` collects it for unpersist
-            # after the caller's action, the module's usual contract)
-            from pyspark import StorageLevel
-
-            grouped = grouped.persist(StorageLevel.MEMORY_AND_DISK)
+            # the stats count re-runs the fingerprint extraction unless
+            # the grouped frame is persisted — but persisting without a
+            # release hook leaks the cache for the session, so the persist
+            # happens ONLY under the ``_caches`` contract (r13, matching
+            # _cluster_pair_expansion / remove_repeated_paragraphs)
             if _caches is not None:
+                from pyspark import StorageLevel
+
+                grouped = grouped.persist(StorageLevel.MEMORY_AND_DISK)
                 _caches.append(grouped)
             _stats["dropped_fingerprints"] = grouped.filter(
                 F.size("_ids") > max_bucket
@@ -1446,27 +1640,9 @@ def winnow_overlap_pairs(
     # BEFORE expansion; the comprehension below then emits each bucket's
     # C(n,2) ordered pairs with ids ascending, so id_a < id_b by sort
     grouped = grouped.filter(F.size("_ids") >= 2)
-    ids = F.col("_ids")
-    pairs = grouped.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.sequence(F.lit(1), F.size(ids) - 1),
-                    lambda i: F.transform(
-                        F.slice(ids, i + 1, F.size(ids)),
-                        lambda b: F.struct(
-                            F.element_at(ids, i).alias("id_a"),
-                            b.alias("id_b"),
-                        ),
-                    ),
-                )
-            )
-        ).alias("p")
-    )
     return (
-        pairs.groupBy(
-            F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b")
-        )
+        _expand_sorted_id_pairs(grouped)
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
     )

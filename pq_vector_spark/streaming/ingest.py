@@ -29,6 +29,7 @@ from __future__ import annotations
 import json
 import logging
 import os
+import uuid
 from typing import Optional
 
 from pyspark.sql import DataFrame
@@ -248,6 +249,7 @@ def append_index_batch(
     maintain_codes: bool = False,
     stale_threshold: float = 0.2,
     rebuild_options=None,
+    _warn_pending: bool = True,
 ) -> dict:
     """Apply one micro-batch to an INDEXED vector layout: assign the new
     rows to the existing centroids and append them
@@ -276,6 +278,20 @@ def append_index_batch(
 
     spark = batch_df.sparkSession
     result = {"appended": 0, "codes_refreshed": False, "rebuilt": False}
+    if _warn_pending and _list_pending(spark, indexed_path):
+        # a pending-append buffer is a DURABLE artifact (parked by an
+        # async-rebuild run that crashed or ended mid-rebuild) — a direct
+        # batch caller appending around it would leave those rows
+        # invisible to queries indefinitely (ADVICE r12). The streaming
+        # wrapper drains it on its first batch in EITHER maintenance
+        # mode; direct callers get this loud pointer instead of a silent
+        # strand (draining here would recurse via drain_pending_appends).
+        _LOG.warning(
+            "append_index_batch: %s has a pending-append buffer with "
+            "parked rows — run drain_pending_appends() to fold them in; "
+            "they are invisible to queries until drained",
+            indexed_path,
+        )
     live_rows = None
     if not batch_df.isEmpty():
         meta = append_to_index(spark, batch_df, indexed_path)
@@ -375,9 +391,67 @@ def drain_pending_appends(
             .distinct()
         )
         pdf = pdf.join(F.broadcast(hits), dedupe_on, "left_anti")
-    sub = append_index_batch(pdf, indexed_path)
+    sub = append_index_batch(pdf, indexed_path, _warn_pending=False)
     _delete_path(spark, _pending_dir(indexed_path))
     return int(sub["appended"])
+
+
+def indexed_topk_with_pending(
+    spark,
+    indexed_path: str,
+    query,
+    k: int,
+    *,
+    column: Optional[str] = None,
+    options=None,
+    tie_break: Optional[str] = None,
+    keep_distance: bool = False,
+    metric: str = "l2",
+):
+    """Freshness-closing search (r13, r12 verdict #6): while an async
+    rebuild holds the layout, incoming batches park in
+    ``<indexed_path>.pending-appends`` and a plain ``indexed_topk`` cannot
+    see them until the post-swap drain (tens of seconds of invisible rows
+    at bench scale; minutes-to-hours at production scale). This helper
+    unions the indexed top-k over the layout with a BRUTE-FORCE ranking of
+    the pending slice — delta-sized by construction (at most the batches
+    that arrived during one rebuild), so the extra cost is append-bounded,
+    not corpus-bounded — and re-ranks globally. With no pending buffer it
+    returns exactly ``indexed_topk``; the pending union needs no index
+    because brute force IS optimal on a slice that small. The global
+    re-rank stays a bounded heap (TakeOrderedAndProject): the layout side
+    arrives pre-limited to k and the pending side is delta-sized."""
+    from pq_vector_spark.functions.distance import array_distance, cosine_similarity
+    from pq_vector_spark.index.search import indexed_topk, load_index
+    from pq_vector_spark.operators.topk import DISTANCE_COL
+
+    main = indexed_topk(
+        spark,
+        indexed_path,
+        query,
+        k,
+        column=column,
+        options=options,
+        tie_break=tie_break,
+        keep_distance=True,
+        metric=metric,
+    )
+    dirs = _list_pending(spark, indexed_path)
+    if not dirs:
+        return main if keep_distance else main.drop(DISTANCE_COL)
+    col = column or load_index(spark, indexed_path).meta["column"]
+    pend = spark.read.parquet(*dirs)
+    if metric == "cosine":
+        d = cosine_similarity(F.col(col), [float(x) for x in query])
+        order = [F.col(DISTANCE_COL).desc()]
+    else:
+        d = array_distance(F.col(col), list(query))
+        order = [F.col(DISTANCE_COL).asc()]
+    if tie_break is not None:
+        order.append(F.col(tie_break).asc())
+    both = main.unionByName(pend.withColumn(DISTANCE_COL, d).select(main.columns))
+    out = both.orderBy(*order).limit(k)
+    return out if keep_distance else out.drop(DISTANCE_COL)
 
 
 def streaming_index_ingest(
@@ -485,6 +559,27 @@ def streaming_index_ingest(
     skipped (``"maintenance_deferred": True``) — the rebuild itself
     re-encodes any registered codes sidecar when it swaps.
 
+    Single-writer guard (r13, r12 verdict #7): the pending buffer and
+    the async-rebuild registry assume ONE live writer per indexed path —
+    a second in-process writer whose batch found ``_ASYNC_REBUILDS``
+    holding another stream's live rebuild used to pass the sentinel check
+    and park rows into the SAME pending dir (colliding batch-id
+    subdirectories overwrite each other). Each rebuild now records the
+    writer that STARTED it, and a batch that finds a live rebuild owned
+    by a different writer raises immediately — the query fails loudly
+    instead of corrupting the buffer. Cross-process writers were already
+    loud: ``append_to_index`` raises while the REBUILDING sentinel
+    exists, and a second rebuild refuses to acquire a held sentinel.
+    Outside a rebuild window, two appending streams interleave plain
+    appends — still a documented single-writer assumption (their
+    sidecar-meta updates can lose each other's counts), but they cannot
+    corrupt the pending buffer.
+
+    Freshness while a rebuild is in flight: deferred rows are invisible
+    to a plain ``indexed_topk`` until drained; ``indexed_topk_with_pending``
+    unions the layout result with a brute-force ranking of the pending
+    slice (delta-sized), closing the gap at append-bounded read cost.
+
     Caller picks the trigger/start, e.g.::
 
         q = streaming_index_ingest(src, "/indexed", checkpoint="/chk") \\
@@ -507,6 +602,7 @@ def streaming_index_ingest(
     # replay-suspicion state for dedupe_probe="auto": per-writer (a restart
     # builds a fresh closure, so its first batch is always suspected)
     _seen = {"first": True, "max": None}
+    _writer_token = uuid.uuid4().hex
     _rb = _ASYNC_REBUILDS.setdefault(
         indexed_path.rstrip("/"), {"thread": None, "done": None, "error": None}
     )
@@ -515,6 +611,7 @@ def streaming_index_ingest(
         import threading
 
         _rb["done"], _rb["error"] = None, None
+        _rb["owner"] = _writer_token
 
         def _run():
             try:
@@ -602,6 +699,7 @@ def streaming_index_ingest(
             f"{marker_base}/batch-{int(batch_id)}" if marker_base else None
         )
         replayed = bool(marker) and _marker_exists(spark, marker)
+        first_batch = _seen["first"]
         suspected = _seen["first"] or (
             _seen["max"] is not None and batch_id <= _seen["max"]
         )
@@ -621,6 +719,25 @@ def streaming_index_ingest(
         rebuilding = False
         if maintenance_mode == "async":
             th = _rb["thread"]
+            if (
+                th is not None
+                and th.is_alive()
+                and _rb.get("owner") not in (None, _writer_token)
+            ):
+                # r13 (r12 verdict #7): a SECOND in-process writer on this
+                # path would pass the sentinel check (the sentinel belongs
+                # to the live rebuild) and park rows into the same pending
+                # dir with colliding batch-id subdirs — refuse loudly
+                # instead. Cross-process second writers already fail on
+                # the REBUILDING sentinel inside append_to_index.
+                raise RuntimeError(
+                    f"streaming_index_ingest: another writer's async "
+                    f"rebuild is in flight for {indexed_path} — a second "
+                    "concurrent writer would corrupt the pending-append "
+                    "buffer (batch ids collide). Stop the other stream or "
+                    "wait for its rebuild to finish "
+                    "(wait_for_async_rebuild)."
+                )
             if th is not None and not th.is_alive():
                 th.join()
                 _rb["thread"] = None
@@ -646,6 +763,20 @@ def streaming_index_ingest(
                     spark, indexed_path, dedupe_on=dedupe_on
                 )
             rebuilding = _rb["thread"] is not None
+        elif first_batch and _list_pending(spark, indexed_path):
+            # inline mode must ALSO rescue a buffer stranded by a prior
+            # async run (ADVICE r12: the buffer is a durable on-disk
+            # artifact, not tied to this writer's maintenance_mode — a
+            # restart in the default mode silently lost those rows before)
+            _LOG.warning(
+                "streaming_index_ingest: draining pending-append buffer "
+                "stranded at %s by a previous async run before batch %d",
+                indexed_path,
+                batch_id,
+            )
+            result["drained"] = drain_pending_appends(
+                spark, indexed_path, dedupe_on=dedupe_on
+            )
         if replayed:
             _LOG.warning(
                 "streaming_index_ingest: batch %d already applied "

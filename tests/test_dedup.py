@@ -878,3 +878,174 @@ def test_winnow_overlap_pairs_hot_fingerprint_guard(spark):
         min_shared=1, max_bucket=10, _stats=stats2,
     )
     assert clean.count() == 1 and stats2["dropped_fingerprints"] == 0
+
+
+def _persistent_rdd_ids(spark) -> set:
+    # id SET, not size: other tests' ContextCleaner unpersists run async,
+    # so absolute counts race — only NEW ids matter to a leak check
+    return {int(k) for k in spark.sparkContext._jsc.getPersistentRDDs().keySet()}
+
+
+def test_expand_sorted_id_pairs_streams_full_pair_set(spark):
+    """The two-step generator expansion (r13, ADVICE r12: the one-shot
+    flatten built a bucket's whole C(n,2) pair set in ONE row) emits
+    exactly the ordered within-bucket pairs, id_a < id_b, once per
+    bucket occurrence."""
+    from pq_vector_spark.operators.dedup import _expand_sorted_id_pairs
+
+    grouped = spark.createDataFrame(
+        [(0, [1, 2, 3, 4]), (1, [7, 9])], "b: int, _ids: array<bigint>"
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"]) for r in _expand_sorted_id_pairs(grouped).collect()
+    )
+    assert got == [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (7, 9)]
+    # duplicate bucket occurrences emit the pair once per bucket —
+    # dedupe stays the caller's job (minhash/cluster use .distinct())
+    dup = spark.createDataFrame(
+        [(0, [5, 6]), (1, [5, 6])], "b: int, _ids: array<bigint>"
+    )
+    assert _expand_sorted_id_pairs(dup).count() == 2
+
+
+def test_gram_method_matches_expand(spark):
+    """method="gram" (per-cluster tiled Gram matrix — the 100 TB path)
+    returns the same pair SET as method="expand" with cosines equal to
+    float64 rounding, including under multi-probe and a tile size smaller
+    than the cluster (exercises the block loop)."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    base = rng.normal(size=(40, 8))
+    rows = [(int(i), [float(x) for x in base[i]]) for i in range(40)]
+    # plant near-dups: 40+i is a tiny perturbation of i for i < 10
+    for i in range(10):
+        rows.append((40 + i, [float(x * 1.0001 + 0.001) for x in base[i]]))
+    df = spark.createDataFrame(rows, "vid BIGINT, emb ARRAY<FLOAT>")
+    kw = dict(threshold=0.98, n_clusters=4, nprobe=2, seed=7)
+    expand = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in D.embedding_near_dup_bucketed(
+            df, "emb", "vid", method="expand", **kw
+        ).collect()
+    }
+    gram = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in D.embedding_near_dup_bucketed(
+            df, "emb", "vid", method="gram", **kw
+        ).collect()
+    }
+    assert set(gram) == set(expand) and len(expand) >= 10
+    for k, v in expand.items():
+        assert gram[k] == pytest.approx(v, abs=1e-9)
+    with pytest.raises(ValueError, match="method"):
+        D.embedding_near_dup_bucketed(df, "emb", "vid", method="nope")
+
+
+def test_gram_hot_cluster_cap_and_stats(spark):
+    """The gram path truncates a degenerate cluster to its first
+    max_cluster members by id (same semantics as expand) and reports
+    capped_clusters through _stats; a sub-cluster tile size still covers
+    every block pair."""
+    rows = [(i, [1.0, float(i) * 1e-6]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id: bigint, embedding: array<float>")
+    stats: dict = {}
+    capped = D.embedding_near_dup_bucketed(
+        df, "embedding", "vec_id", threshold=0.9, n_clusters=1, nprobe=1,
+        max_cluster=5, method="gram", _stats=stats,
+    )
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert got == {(a, b) for a in range(5) for b in range(a + 1, 5)}
+    assert stats["capped_clusters"] == 1
+    # tile smaller than the cluster: same full pair set, exercised via the
+    # private kernel (block-diagonal + off-diagonal tiles)
+    from pyspark.sql import functions as F
+
+    from pq_vector_spark.operators.dedup import _cluster_gram_pairs
+
+    probed = df.select(
+        F.col("vec_id").alias("_id"),
+        F.col("embedding").alias("_v"),
+        F.lit(0).alias("_c"),
+    )
+    tiled = _cluster_gram_pairs(probed, 0.9, None, tile=7)
+    assert tiled.count() == 30 * 29 // 2
+
+
+def test_semantic_dedup_gram_matches_expand(spark):
+    """semantic_dedup(method="gram") elects the same survivors as the
+    expand path (min_id policy — the engine-replayable variant)."""
+    import numpy as np
+
+    rng = np.random.default_rng(31)
+    base = rng.normal(size=(30, 6))
+    rows = [(int(i), [float(x) for x in base[i]]) for i in range(30)]
+    for i in range(8):
+        rows.append((30 + i, [float(x * 1.0002) for x in base[i]]))
+    df = spark.createDataFrame(rows, "vid BIGINT, emb ARRAY<FLOAT>")
+    kw = dict(eps=0.02, n_clusters=3, nprobe=3, keep="min_id", seed=5)
+    a = {
+        (r["vid"], r["canonical_id"], r["is_canonical"])
+        for r in D.semantic_dedup(df, "emb", "vid", method="expand", **kw).collect()
+    }
+    b = {
+        (r["vid"], r["canonical_id"], r["is_canonical"])
+        for r in D.semantic_dedup(df, "emb", "vid", method="gram", **kw).collect()
+    }
+    assert a == b
+    assert sum(1 for (_, _, canon) in a if not canon) >= 8
+
+
+def test_paragraphs_no_cache_leak(spark):
+    """r12 verdict #4: without _caches, remove_repeated_paragraphs must
+    not leave a persisted frame behind after the caller's action — and
+    the _caches contract still persists + releases on demand."""
+    rows = [
+        (0, "keep me\nshared footer"),
+        (1, "other text\nshared footer"),
+        (2, "unique doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: bigint, text: string")
+    before = _persistent_rdd_ids(spark)
+    stats: dict = {}
+    out = D.remove_repeated_paragraphs(
+        df, "text", "doc_id", min_docs=2, _stats=stats
+    )
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert got[0] == "keep me" and got[2] == "unique doc"
+    assert stats["hot_fingerprints"] == 1
+    assert _persistent_rdd_ids(spark) - before == set()
+    # opt-in persist path: frame registered in _caches, released by caller
+    caches: list = []
+    D.remove_repeated_paragraphs(
+        df, "text", "doc_id", min_docs=2, _caches=caches
+    ).collect()
+    assert len(caches) == 1
+    assert len(_persistent_rdd_ids(spark) - before) == 1
+    for c in caches:
+        c.unpersist(blocking=True)
+    assert _persistent_rdd_ids(spark) - before == set()
+
+
+def test_stats_paths_do_not_leak_cache(spark):
+    """ADVICE r12 (low): diagnostic _stats runs without _caches must not
+    leak a cached relation — embedding expand path, winnow, and the gram
+    stat twin all count unpersisted."""
+    before = _persistent_rdd_ids(spark)
+    rows = [(i, [1.0, float(i)]) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id: bigint, embedding: array<float>")
+    s1: dict = {}
+    D.embedding_near_dup_bucketed(
+        df, "embedding", "vec_id", threshold=0.99, n_clusters=2, nprobe=1,
+        max_cluster=4, _stats=s1,
+    ).collect()
+    docs = spark.createDataFrame(
+        [(i, "common words shared by every single document here") for i in range(8)],
+        "doc_id: bigint, text: string",
+    )
+    s2: dict = {}
+    D.winnow_overlap_pairs(
+        docs, "text", "doc_id", min_shared=1, max_bucket=4, _stats=s2
+    ).collect()
+    assert "capped_clusters" in s1 and "dropped_fingerprints" in s2
+    assert _persistent_rdd_ids(spark) - before == set()

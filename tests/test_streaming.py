@@ -1402,3 +1402,201 @@ def test_streaming_ingest_near_dedup_across_batches(spark, tmp_path):
     assert got == {1, 2, 11, 21}
     # the index tracks the corpus: 2 seed + 2 admitted docs x 4 bands
     assert spark.read.parquet(idx).count() == 4 * 4
+
+
+def _mk_indexed(spark, tmp_path, tag, n=100, dim=8, n_clusters=4, seed=21):
+    import numpy as np
+
+    from pq_vector_spark.index.build import build_index
+    from pq_vector_spark.session import IndexBuildOptions
+
+    rng = np.random.default_rng(seed)
+    src = str(tmp_path / f"{tag}_src.parquet")
+    out = str(tmp_path / f"{tag}_indexed")
+    rows = [
+        (int(i), [float(x) for x in rng.random(dim, dtype=np.float32)])
+        for i in range(n)
+    ]
+    base = spark.createDataFrame(rows, "vec_id: bigint, embedding: array<float>")
+    base.write.parquet(src)
+    build_index(
+        spark, src, out, column="embedding",
+        options=IndexBuildOptions(n_clusters=n_clusters),
+    )
+    return base, out
+
+
+def test_streaming_index_ingest_second_writer_fails_loudly(spark, tmp_path):
+    """r12 verdict #7: while writer A's async rebuild is in flight, a
+    SECOND writer on the same indexed path must fail loudly instead of
+    parking rows into A's pending buffer (colliding batch-id subdirs)."""
+    import threading
+
+    import numpy as np
+
+    from pq_vector_spark.streaming.ingest import (
+        drain_pending_appends,
+        streaming_index_ingest,
+        wait_for_async_rebuild,
+    )
+
+    rng = np.random.default_rng(17)
+    base, out = _mk_indexed(spark, tmp_path, "sw")
+    in_a = str(tmp_path / "sw_in_a")
+    in_b = str(tmp_path / "sw_in_b")
+    for d, start in ((in_a, 1000), (in_b, 2000)):
+        spark.createDataFrame(
+            [
+                (int(start + i), [float(x) for x in rng.random(8, dtype=np.float32)])
+                for i in range(40)
+            ],
+            "vec_id: bigint, embedding: array<float>",
+        ).coalesce(1).write.mode("append").parquet(d)
+
+    gate = threading.Event()
+    ev_a: list = []
+    qa = (
+        streaming_index_ingest(
+            spark.readStream.schema(base.schema).parquet(in_a),
+            out, checkpoint=str(tmp_path / "sw_chk_a"),
+            maintain_index=True, maintain_codes=False, stale_threshold=0.01,
+            maintenance_mode="async", _pre_rebuild_hook=gate.wait,
+            on_maintenance=lambda b, r: ev_a.append((b, r)),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    qa.awaitTermination(300)
+    assert ev_a and ev_a[0][1].get("rebuild_started") is True
+
+    # writer B (fresh closure = distinct writer token, own checkpoint)
+    # arrives while A's rebuild still holds the layout
+    qb = (
+        streaming_index_ingest(
+            spark.readStream.schema(base.schema).parquet(in_b),
+            out, checkpoint=str(tmp_path / "sw_chk_b"),
+            maintain_index=False, maintain_codes=False,
+            maintenance_mode="async",
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="another writer"):
+        qb.awaitTermination(300)
+        raise RuntimeError(qb.exception() or "query ended cleanly")
+
+    gate.set()
+    res = wait_for_async_rebuild(out, timeout=300)
+    assert res is not None
+    drain_pending_appends(spark, out)
+
+
+def test_inline_mode_drains_stranded_pending(spark, tmp_path, caplog):
+    """ADVICE r12 (medium): a pending buffer stranded by a crashed/ended
+    async run is drained on the FIRST batch even under the default
+    inline maintenance mode — the rows were invisible indefinitely
+    before; append_index_batch warns direct callers too."""
+    import logging as _logging
+
+    import numpy as np
+
+    from pq_vector_spark.index.build import index_health
+    from pq_vector_spark.streaming.ingest import (
+        _pending_dir,
+        append_index_batch,
+        streaming_index_ingest,
+    )
+
+    rng = np.random.default_rng(19)
+    base, out = _mk_indexed(spark, tmp_path, "ip")
+    parked = spark.createDataFrame(
+        [
+            (int(5000 + i), [float(x) for x in rng.random(8, dtype=np.float32)])
+            for i in range(30)
+        ],
+        "vec_id: bigint, embedding: array<float>",
+    )
+    parked.write.parquet(f"{_pending_dir(out)}/batch-7")
+
+    # direct batch caller: loud pointer, rows NOT silently stranded
+    with caplog.at_level(_logging.WARNING, logger="pq_vector_spark.streaming.ingest"):
+        append_index_batch(parked.limit(0), out)
+    assert any("pending-append buffer" in m for m in caplog.messages)
+
+    in_dir = str(tmp_path / "ip_in")
+    spark.createDataFrame(
+        [
+            (int(9000 + i), [float(x) for x in rng.random(8, dtype=np.float32)])
+            for i in range(20)
+        ],
+        "vec_id: bigint, embedding: array<float>",
+    ).coalesce(1).write.parquet(in_dir)
+    events: list = []
+    q = (
+        streaming_index_ingest(
+            spark.readStream.schema(base.schema).parquet(in_dir),
+            out, checkpoint=str(tmp_path / "ip_chk"),
+            maintain_index=False, maintain_codes=False,
+            maintenance_mode="inline",
+            on_maintenance=lambda b, r: events.append((b, r)),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert events[0][1]["drained"] == 30 and events[0][1]["appended"] == 20
+    assert index_health(spark, out)["row_count"] == 150
+    import os as _os
+
+    assert not _os.path.isdir(_pending_dir(out))
+
+
+def test_indexed_topk_with_pending_sees_parked_rows(spark, tmp_path):
+    """r12 verdict #6: mid-rebuild searches must cover ALL ingested rows —
+    the pending-union helper brute-forces the (delta-sized) parked slice
+    and re-ranks with the layout's indexed top-k; with no buffer it equals
+    plain indexed_topk."""
+    import numpy as np
+
+    from pq_vector_spark.index.build import CLUSTER_COL
+    from pq_vector_spark.index.search import indexed_topk
+    from pq_vector_spark.operators.topk import brute_force_topk
+    from pq_vector_spark.session import VectorTopKOptions
+    from pq_vector_spark.streaming.ingest import (
+        _pending_dir,
+        indexed_topk_with_pending,
+    )
+
+    rng = np.random.default_rng(29)
+    base, out = _mk_indexed(spark, tmp_path, "fp")
+    q_vec = [float(x) for x in rng.random(8)]
+    opts = VectorTopKOptions(nprobe=64)
+
+    # no pending buffer: exactly indexed_topk
+    a = [r["vec_id"] for r in indexed_topk_with_pending(
+        spark, out, q_vec, 10, options=opts, tie_break="vec_id").collect()]
+    b = [r["vec_id"] for r in indexed_topk(
+        spark, out, q_vec, 10, options=opts, tie_break="vec_id").collect()]
+    assert a == b
+
+    # park rows NEAR the query (tiny jitter around q_vec): they must
+    # dominate the top-k even though the layout has never seen them
+    parked = spark.createDataFrame(
+        [
+            (
+                int(7000 + i),
+                [float(v + 0.001 * rng.standard_normal()) for v in q_vec],
+            )
+            for i in range(5)
+        ],
+        "vec_id: bigint, embedding: array<float>",
+    )
+    parked.write.parquet(f"{_pending_dir(out)}/batch-3")
+    got = [r["vec_id"] for r in indexed_topk_with_pending(
+        spark, out, q_vec, 10, options=opts, tie_break="vec_id").collect()]
+    assert set(range(7000, 7005)).issubset(set(got))
+    # parity with brute force over layout ∪ pending
+    union = spark.read.parquet(out).drop(CLUSTER_COL).unionByName(parked)
+    want = [r["vec_id"] for r in brute_force_topk(
+        union, "embedding", q_vec, 10, tie_break="vec_id").collect()]
+    assert got == want

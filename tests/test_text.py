@@ -269,6 +269,25 @@ def test_gopher_quality_flags_golden(spark):
     assert loose["words_ok"] and loose["stop_ok"]
 
 
+def test_gopher_symbol_ratio_counts_unicode_ellipsis(spark):
+    """r13 (ADVICE r12): the symbol-to-word ratio counts the Unicode '…'
+    alongside ASCII '...' — a '…'-heavy doc must fail symbol_ok exactly
+    like its ASCII twin (Dolma/RefinedWeb count both spellings)."""
+    base = (
+        "the data pipeline works well and that should have been fine with "
+        + " ".join(f"word{i}" for i in range(60))
+    )
+    rows = [(1, base + " " + "…" * 20), (2, base + " " + "..." * 20), (3, base)]
+    df = spark.createDataFrame(rows, "doc_id: bigint, text: string")
+    out = {
+        r["doc_id"]: r["g"]["symbol_ok"]
+        for r in df.select(
+            "doc_id", T.gopher_quality_flags("text").alias("g")
+        ).collect()
+    }
+    assert not out[1] and not out[2] and out[3]
+
+
 def test_duplicate_span_stats_golden(spark):
     """Duplicate-line fractions: every occurrence of a repeated span
     counts (Gopher/Dolma definition), char weighting separates short
