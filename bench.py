@@ -75,6 +75,8 @@ HEADLINE = [
     "dedup_semantic",
     "text_gopher",
     "text_dup_spans",
+    "sample_dsir",
+    "text_c4",
     "text_chunks",
     "quality_checks",
     "embedding_outliers",

@@ -217,6 +217,107 @@ def _any_prefix(expr: Column, prefixes: Sequence[str]) -> Column:
     return out
 
 
+C4_TERMINALS = (".", "!", "?", '"', "”", "'")
+
+
+def c4_line_filters(
+    col,
+    *,
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+    terminals: Sequence[str] = C4_TERMINALS,
+    ban_line_words: Sequence[str] = ("javascript",),
+    ban_page_phrases: Sequence[str] = ("lorem ipsum",),
+    ban_page_chars: Sequence[str] = ("{",),
+) -> Column:
+    """The C4 cleaning rules (Raffel et al. 2020 §2.2 — the other
+    canonical web first-pass next to the Gopher rules, reused by
+    FineWeb/Dolma) as ONE struct column: line-level filtering plus the
+    page-level flags, so callers get the cleaned text AND the keep/drop
+    decision from a single whole-stage-codegen pass.
+
+    Line level (a line survives iff ALL hold):
+
+    - ends in a terminal punctuation mark (``terminals`` — the paper's
+      ., !, ?, closing quote), after right-trim;
+    - has ≥ ``min_words_per_line`` whitespace words (paper: 5);
+    - contains no ``ban_line_words`` token-insensitive substring
+      (paper: "javascript" — cookie/JS boilerplate lines).
+
+    Page level:
+
+    - ``sentences_ok``: the CLEANED text carries ≥ ``min_sentences``
+      sentence enders (occurrences of . ! ? — a deterministic,
+      engine-replayable proxy for the paper's "at least 3 sentences");
+    - ``no_lorem_ipsum`` / ``no_curly_brace``: the RAW page contains none
+      of ``ban_page_phrases`` (case-insensitive) / ``ban_page_chars``
+      (code, not prose — the paper drops pages with '{');
+    - ``passes``: all page flags AND at least one surviving line.
+
+    Returns struct ``(text_clean, n_lines, n_kept, sentences,
+    sentences_ok, no_lorem_ipsum, no_curly_brace, passes)``;
+    ``text_clean`` joins survivors with ``\\n`` verbatim (bytes
+    preserved, order preserved — the paragraph-dedup discipline). The
+    word-dirty-list rule is ``ban_line_words``-shaped too — pass your
+    own list; none ships by default. Complements
+    :func:`gopher_quality_flags`: C4 edits lines, Gopher judges whole
+    documents — FineWeb applies both.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    lines = F.split(c, r"\n", -1)
+
+    def _line_ok(l: Column) -> Column:
+        r = F.rtrim(l)
+        term = _any_suffix(r, terminals)
+        words = F.filter(F.split(F.trim(l), r"\s+"), lambda x: x != F.lit(""))
+        enough = F.size(words) >= F.lit(int(min_words_per_line))
+        low = F.lower(l)
+        banned = None
+        for w in ban_line_words:
+            hit = low.contains(w.lower())
+            banned = hit if banned is None else (banned | hit)
+        ok = term & enough
+        if banned is not None:
+            ok = ok & ~banned
+        return ok
+
+    kept = F.filter(lines, _line_ok)
+    cleaned = F.array_join(kept, "\n")
+    sentences = F.length(cleaned) - F.length(F.translate(cleaned, ".!?", ""))
+    low_page = F.lower(c)
+    no_phrase = None
+    for p in ban_page_phrases:
+        t = ~low_page.contains(p.lower())
+        no_phrase = t if no_phrase is None else (no_phrase & t)
+    no_char = None
+    for ch in ban_page_chars:
+        t = ~c.contains(ch)
+        no_char = t if no_char is None else (no_char & t)
+    no_phrase = F.lit(True) if no_phrase is None else no_phrase
+    no_char = F.lit(True) if no_char is None else no_char
+    sent_ok = sentences >= F.lit(int(min_sentences))
+    return F.struct(
+        cleaned.alias("text_clean"),
+        F.size(lines).cast("bigint").alias("n_lines"),
+        F.size(kept).cast("bigint").alias("n_kept"),
+        sentences.cast("bigint").alias("sentences"),
+        sent_ok.alias("sentences_ok"),
+        no_phrase.alias("no_lorem_ipsum"),
+        no_char.alias("no_curly_brace"),
+        (
+            sent_ok & no_phrase & no_char & (F.size(kept) > 0)
+        ).alias("passes"),
+    )
+
+
+def _any_suffix(expr: Column, suffixes: Sequence[str]) -> Column:
+    out = None
+    for s in suffixes:
+        t = expr.endswith(s)
+        out = t if out is None else (out | t)
+    return out
+
+
 def lang_guess(col) -> Column:
     """Stopword-overlap language ID: argmax over per-language stopword hit
     counts, 'und' (undetermined) when no list scores > 0. Tie-break by

@@ -1,0 +1,167 @@
+"""DSIR importance resampling (Xie et al. 2023): hashed-ngram models,
+log importance weights, Gumbel-top-k selection."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pq_vector_spark.operators.dsir import dsir_importance_weights, dsir_select
+
+RAW = [
+    (1, "the cat sat on the mat"),
+    (2, "stock market prices rose sharply today"),
+    (3, "a dog sat near the cat"),
+    (4, "quarterly earnings beat expectations amid volatility"),
+    (5, "   "),
+    (6, None),
+]
+TARGET = [
+    (0, "the cat sat quietly"),
+    (1, "a cat and a dog sat together"),
+]
+
+
+@pytest.fixture(scope="module")
+def corpora(spark):
+    raw = spark.createDataFrame(RAW, "doc_id: bigint, text: string")
+    target = spark.createDataFrame(TARGET, "tid: bigint, text: string")
+    return raw, target
+
+
+def test_weights_rank_by_target_resemblance(corpora):
+    """Equal-length docs: the animal docs (target-like) must outweigh the
+    finance docs; featureless docs score NULL (no signal), including
+    NULL text."""
+    raw, target = corpora
+    w = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir_importance_weights(
+            raw, "text", "doc_id", target, smoothing=0.1
+        ).collect()
+    }
+    assert w[1] > w[2] and w[1] > w[4]
+    assert w[3] > w[2] and w[3] > w[4]
+    assert w[5] is None and w[6] is None
+    assert len(w) == 6  # every input row surfaces exactly once
+
+
+def test_weights_deterministic_across_partitioning(corpora):
+    """Fate is a pure function of (text, models): a repartitioned input
+    produces identical rounded weights — the engine's reproducibility
+    contract applied to scoring."""
+    raw, target = corpora
+    a = sorted(dsir_importance_weights(raw, "text", "doc_id", target).collect())
+    b = sorted(
+        dsir_importance_weights(
+            raw.repartition(7), "text", "doc_id", target
+        ).collect()
+    )
+    assert a == b
+
+
+def test_select_hard_and_gumbel(corpora):
+    """Hard top-k keeps the best-resembling docs; the Gumbel variant is
+    deterministic across calls (salted-hash noise, no RNG) and changes
+    with the salt; NULL-weight docs rank last."""
+    raw, target = corpora
+    hard = [
+        r["doc_id"]
+        for r in dsir_select(
+            raw, "text", "doc_id", target, 2, gumbel=False, smoothing=0.1
+        ).collect()
+    ]
+    assert set(hard) == {1, 3}
+    g1 = [
+        r["doc_id"]
+        for r in dsir_select(raw, "text", "doc_id", target, 3, smoothing=0.1).collect()
+    ]
+    g2 = [
+        r["doc_id"]
+        for r in dsir_select(raw, "text", "doc_id", target, 3, smoothing=0.1).collect()
+    ]
+    assert g1 == g2
+    assert 5 not in g1[:2] and 6 not in g1[:2]  # NULLs never outrank scores
+    # selecting everything returns featureless docs LAST
+    full = [
+        r["doc_id"]
+        for r in dsir_select(raw, "text", "doc_id", target, 6, smoothing=0.1).collect()
+    ]
+    assert set(full[-2:]) == {5, 6}
+
+
+def test_select_plans_bounded_heap_and_broadcast(corpora):
+    """The llr table (buckets rows) broadcasts to the scoring join and the
+    selection plans as TakeOrderedAndProject — no global sort, no
+    shuffled pair table."""
+    raw, target = corpora
+    plan = (
+        dsir_select(raw, "text", "doc_id", target, 2, gumbel=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_validation(corpora):
+    raw, target = corpora
+    with pytest.raises(ValueError, match="n_max"):
+        dsir_importance_weights(raw, "text", "doc_id", target, n_max=0)
+    with pytest.raises(ValueError, match="buckets"):
+        dsir_importance_weights(raw, "text", "doc_id", target, buckets=1)
+    with pytest.raises(ValueError, match="smoothing"):
+        dsir_importance_weights(raw, "text", "doc_id", target, smoothing=0.0)
+    with pytest.raises(ValueError, match="k must"):
+        dsir_select(raw, "text", "doc_id", target, 0)
+
+
+def test_bigrams_contribute(spark):
+    """n_max=2 sees word ORDER that unigrams cannot: two docs with the
+    same bag of words but different order get identical unigram-only
+    weights and different bigram-inclusive weights."""
+    raw = spark.createDataFrame(
+        [(1, "new york city hall"), (2, "hall city york new")],
+        "doc_id: bigint, text: string",
+    )
+    target = spark.createDataFrame(
+        [(0, "welcome to new york city")], "tid: bigint, text: string"
+    )
+    uni = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir_importance_weights(
+            raw, "text", "doc_id", target, n_max=1
+        ).collect()
+    }
+    bi = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir_importance_weights(
+            raw, "text", "doc_id", target, n_max=2
+        ).collect()
+    }
+    assert uni[1] == uni[2]
+    assert bi[1] > bi[2]  # "new york" / "york city" bigrams match the target
+
+
+def test_target_only_contributes_bucket_totals(spark, corpora):
+    """The target enters as a buckets-row model: splitting one target doc
+    into two rows with the same concatenated text leaves every weight
+    unchanged (no row-wise target join anywhere)."""
+    raw, _ = corpora
+    t1 = spark.createDataFrame(
+        [(0, "the cat sat quietly a cat and a dog sat together")],
+        "tid: bigint, text: string",
+    )
+    # same token stream split across rows — unigram totals identical,
+    # bigram totals differ only at the seam ("quietly a"), so compare
+    # with n_max=1
+    t2 = spark.createDataFrame(
+        [(0, "the cat sat quietly"), (1, "a cat and a dog sat together")],
+        "tid: bigint, text: string",
+    )
+    w1 = sorted(
+        dsir_importance_weights(raw, "text", "doc_id", t1, n_max=1).collect()
+    )
+    w2 = sorted(
+        dsir_importance_weights(raw, "text", "doc_id", t2, n_max=1).collect()
+    )
+    assert w1 == w2

@@ -315,3 +315,54 @@ def test_duplicate_span_stats_golden(spark):
         for r in T.duplicate_span_stats(df, "text", "doc_id", sep="\n\n").collect()
     }
     assert para[4] == pytest.approx(round(2 / 3, 4))
+
+
+def test_c4_line_filters_golden(spark):
+    """C4 rules (Raffel et al. 2020): short lines, unterminated lines and
+    javascript lines drop; page flags catch lorem ipsum, curly braces and
+    too-few sentences; cleaned text preserves surviving bytes/order."""
+    good = (
+        "This is a perfectly reasonable first sentence for a web page.\n"
+        "menu\n"
+        "Please enable javascript to view this site properly today.\n"
+        "Here is another sentence that carries enough words to keep!\n"
+        "short line here.\n"
+        "And a third full sentence rounds out the document nicely?"
+    )
+    rows = [
+        (1, good),
+        (2, "Lorem ipsum dolor sit amet consectetur adipiscing elit sed."
+            "\nAnd yet another full sentence appears right here today."
+            "\nAnd one more full sentence appears right here again now."),
+        (3, "function f() { return 1; } is a sentence with many words."
+            "\nAnd another full sentence is right here with many words."
+            "\nAnd a third full sentence is right here with many words."),
+        (4, "Only one real sentence lives on this entire web page today."),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: bigint, text: string")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in df.select(
+            "doc_id", T.c4_line_filters("text").alias("c")
+        ).select("doc_id", "c.*").collect()
+    }
+    d1 = out[1]
+    assert d1["n_lines"] == 6 and d1["n_kept"] == 3
+    assert d1["text_clean"] == (
+        "This is a perfectly reasonable first sentence for a web page.\n"
+        "Here is another sentence that carries enough words to keep!\n"
+        "And a third full sentence rounds out the document nicely?"
+    )
+    assert d1["sentences"] == 3 and d1["passes"]
+    assert not out[2]["no_lorem_ipsum"] and not out[2]["passes"]
+    assert out[2]["n_kept"] == 3  # line rules pass; the PAGE flag kills it
+    assert not out[3]["no_curly_brace"] and not out[3]["passes"]
+    assert not out[4]["sentences_ok"] and not out[4]["passes"]
+    e = out[5]
+    assert e["n_kept"] == 0 and not e["passes"]
+    # thresholds are tunable
+    loose = df.filter("doc_id = 4").select(
+        T.c4_line_filters("text", min_sentences=1).alias("c")
+    ).select("c.*").collect()[0]
+    assert loose["sentences_ok"] and loose["passes"]
