@@ -487,31 +487,72 @@ def embedding_near_dup_bucketed(
     if n_clusters is None:
         n_clusters = max(1, math.ceil(math.sqrt(stats.rows)))
     n_clusters = min(n_clusters, stats.rows)
-    sample = sample_embeddings_to_driver(
-        df, vec_col, _sample_size(stats.rows, n_clusters, sample_cap), stats.rows, seed
-    )
-    centroids = train_kmeans(sample, n_clusters, max_iters=max_iters, seed=seed)
-
-    probed = probe_clusters(df.select(id_col, vec_col), vec_col, centroids, nprobe)
+    nprobe = max(1, min(int(nprobe), n_clusters))
+    # exactness envelope shortcut (r13): nprobe = n_clusters puts EVERY
+    # point in EVERY cluster — the pair set is complete with ONE block,
+    # and probing all clusters would generate each pair n_clusters times
+    # (the r13 bench measured that redundancy at 45× on the oracle row).
+    # No centroids are needed to block a single complete block. On the
+    # expand path, a one-block grouped expansion would emit all C(n, 2)
+    # pairs from ONE task and pay the interpreted-HOF cosine on every
+    # one; instead the complete case discovers CANDIDATES via the BLAS
+    # gram kernel at (threshold − 1e-9) — the margin absorbs the
+    # last-ulp BLAS-vs-SQL-fold difference, so no qualifying pair can be
+    # missed — and the ordinary join-back then applies the EXACT SQL
+    # cosine at the real threshold. Bit-identical result, gram speed.
+    complete = nprobe >= n_clusters
+    if not complete:
+        sample = sample_embeddings_to_driver(
+            df, vec_col, _sample_size(stats.rows, n_clusters, sample_cap),
+            stats.rows, seed,
+        )
+        centroids = train_kmeans(sample, n_clusters, max_iters=max_iters, seed=seed)
+        probed = probe_clusters(
+            df.select(id_col, vec_col), vec_col, centroids, nprobe
+        )
     if method == "gram":
-        if _stats is not None:
-            _stats["capped_clusters"] = _count_capped_clusters(
-                probed, id_col, PROBE_COL, max_cluster
+        if complete:
+            pe = df.select(
+                F.col(id_col).alias("_id"),
+                F.col(vec_col).alias("_v"),
+                F.lit(0).alias("_c"),
             )
-        pairs = _cluster_gram_pairs(
-            probed.select(
+        else:
+            pe = probed.select(
                 F.col(id_col).alias("_id"),
                 F.col(vec_col).alias("_v"),
                 F.explode(PROBE_COL).alias("_c"),
-            ),
-            threshold,
-            max_cluster,
-        )
+            )
+        if _stats is not None:
+            if complete:
+                _stats["capped_clusters"] = int(
+                    max_cluster is not None and stats.rows > max_cluster
+                )
+            else:
+                _stats["capped_clusters"] = _count_capped_clusters(
+                    probed, id_col, PROBE_COL, max_cluster
+                )
+        pairs = _cluster_gram_pairs(pe, threshold, max_cluster)
         return pairs.groupBy("id_a", "id_b").agg(F.max("cosine").alias("cosine"))
-    exploded = probed.select(
-        F.col(id_col).alias("_id"), F.explode(PROBE_COL).alias("_c")
-    )
-    cands = _cluster_pair_expansion(exploded, max_cluster, _stats, _caches)
+    if complete:
+        cands = _cluster_gram_pairs(
+            df.select(
+                F.col(id_col).alias("_id"),
+                F.col(vec_col).alias("_v"),
+                F.lit(0).alias("_c"),
+            ),
+            threshold - 1e-9,
+            max_cluster,
+        ).select("id_a", "id_b")
+        if _stats is not None:
+            _stats["capped_clusters"] = int(
+                max_cluster is not None and stats.rows > max_cluster
+            )
+    else:
+        exploded = probed.select(
+            F.col(id_col).alias("_id"), F.explode(PROBE_COL).alias("_c")
+        )
+        cands = _cluster_pair_expansion(exploded, max_cluster, _stats, _caches)
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     return (
@@ -759,38 +800,76 @@ def semantic_dedup(
         n_clusters = max(1, math.ceil(math.sqrt(stats.rows)))
     n_clusters = min(n_clusters, stats.rows)
     nprobe = max(1, min(int(nprobe), n_clusters))
-    sample = sample_embeddings_to_driver(
-        df, vec_col, _sample_size(stats.rows, n_clusters, sample_cap),
-        stats.rows, seed,
-    )
-    centroids = train_kmeans(sample, n_clusters, max_iters=max_iters, seed=seed)
-
-    # probe the FULL frame: probe_clusters only appends a column, so the
-    # survivor score below rides the same rows — no corpus-keyed join to
-    # reattach it (the blocking explode still projects just (id, cluster))
-    probed = probe_clusters(df, vec_col, centroids, nprobe)
+    # exactness envelope shortcut (r13, as in embedding_near_dup_bucketed):
+    # nprobe = n_clusters makes blocking complete with ONE block — probing
+    # all clusters would emit every pair n_clusters times. Centroids are
+    # still trained when the SURVIVOR SCORE needs them (keep != min_id);
+    # the pure min_id envelope skips k-means entirely.
+    complete = nprobe >= n_clusters
+    if not complete or keep != "min_id":
+        sample = sample_embeddings_to_driver(
+            df, vec_col, _sample_size(stats.rows, n_clusters, sample_cap),
+            stats.rows, seed,
+        )
+        centroids = train_kmeans(
+            sample, n_clusters, max_iters=max_iters, seed=seed
+        )
+        # probe the FULL frame: probe_clusters only appends a column, so
+        # the survivor score below rides the same rows — no corpus-keyed
+        # join to reattach it (the blocking explode still projects just
+        # (id, cluster))
+        probed = probe_clusters(df, vec_col, centroids, nprobe)
     if method == "gram":
         # SemDeDup's own compute shape: per-cluster tiled Gram matrix —
         # candidate pairs never leave the executor (see
         # embedding_near_dup_bucketed's method docs for the trade)
-        if _stats is not None:
-            _stats["capped_clusters"] = _count_capped_clusters(
-                probed, id_col, PROBE_COL, max_cluster
+        if complete:
+            pe = df.select(
+                F.col(id_col).alias("_id"),
+                F.col(vec_col).alias("_v"),
+                F.lit(0).alias("_c"),
             )
-        pairs = _cluster_gram_pairs(
-            probed.select(
+        else:
+            pe = probed.select(
                 F.col(id_col).alias("_id"),
                 F.col(vec_col).alias("_v"),
                 F.explode(PROBE_COL).alias("_c"),
-            ),
-            1.0 - eps,
-            max_cluster,
-        ).select("id_a", "id_b").distinct()
+            )
+        if _stats is not None:
+            if complete:
+                _stats["capped_clusters"] = int(
+                    max_cluster is not None and stats.rows > max_cluster
+                )
+            else:
+                _stats["capped_clusters"] = _count_capped_clusters(
+                    probed, id_col, PROBE_COL, max_cluster
+                )
+        pairs = _cluster_gram_pairs(pe, 1.0 - eps, max_cluster).select(
+            "id_a", "id_b"
+        ).distinct()
     else:
-        exploded = probed.select(
-            F.col(id_col).alias("_id"), F.explode(PROBE_COL).alias("_c")
-        )
-        cands = _cluster_pair_expansion(exploded, max_cluster, _stats, _caches)
+        if complete:
+            # gram-BLAS candidate discovery at a 1e-9 margin + exact SQL
+            # cosine verify — see embedding_near_dup_bucketed's complete
+            # path for why (one-block expansion would run in one task)
+            cands = _cluster_gram_pairs(
+                df.select(
+                    F.col(id_col).alias("_id"),
+                    F.col(vec_col).alias("_v"),
+                    F.lit(0).alias("_c"),
+                ),
+                (1.0 - eps) - 1e-9,
+                max_cluster,
+            ).select("id_a", "id_b")
+            if _stats is not None:
+                _stats["capped_clusters"] = int(
+                    max_cluster is not None and stats.rows > max_cluster
+                )
+        else:
+            exploded = probed.select(
+                F.col(id_col).alias("_id"), F.explode(PROBE_COL).alias("_c")
+            )
+            cands = _cluster_pair_expansion(exploded, max_cluster, _stats, _caches)
         va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
         vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
         pairs = (
