@@ -2269,6 +2269,37 @@ def _dedup_incremental(spark, sf_dir):
     return out.select("doc_id", "source")
 
 
+_EXACT_IDX_CACHE: dict[str, str] = {}
+
+
+def _dedup_incremental_indexed(spark, sf_dir):
+    """Incremental exact dedup against the PERSISTED fingerprint index
+    (r13, operators/dedup.py:incremental_dedup_exact_indexed — the exact
+    twin of the LSH near-dup index): the standing corpus's 16-byte fp
+    table is built once; each delta probes it column-pruned with zero
+    corpus text I/O and zero corpus hashing. Same delta/corpus split and
+    SAME SURVIVORS as dedup_incremental — the oracle pins the index path
+    to the raw-corpus semantics."""
+    import tempfile
+
+    from pq_vector_spark.operators.dedup import (
+        build_exact_dedup_index,
+        incremental_dedup_exact_indexed,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = _EXACT_IDX_CACHE.get(sf_dir)
+    if not (idx and os.path.isdir(idx)):
+        idx = os.path.join(tempfile.mkdtemp(prefix="pq_entry_exidx_"), "fp_idx")
+        build_exact_dedup_index(
+            docs.filter(F.col("doc_id") % 5 != 0), "text", idx
+        )
+        _EXACT_IDX_CACHE[sf_dir] = idx
+    delta = docs.filter(F.col("doc_id") % 5 == 0)
+    out = incremental_dedup_exact_indexed(spark, idx, delta, "text", "doc_id")
+    return out.select("doc_id", "source")
+
+
 _DEDUP_IDX_CACHE: dict[str, str] = {}
 
 
@@ -2414,7 +2445,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # since; layout_zorder stays — the budget must represent every
         # family, test_entry_contract) ride the tail in exchange.
         "dedup_semantic": _dedup_semantic,
-        "dedup_incremental": _dedup_incremental,
+        # r13 extension: persisted exact-fp index — new code, spends a
+        # budget row (dedup_incremental demoted: identical survivor
+        # semantics, raw-corpus probe code untouched since r5, and THIS
+        # row's oracle pins the equivalence of the two paths)
+        "dedup_incremental_indexed": _dedup_incremental_indexed,
         # r11 extension: NEAR-dedup of a delta against the corpus's
         # PERSISTED LSH index — new code, so it spends a budget row
         # (embedding_centroids demoted, stable since r6)
@@ -2482,6 +2517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_resolve_best": _dedup_resolve_best,  # demoted r13 (green r10-r12, code untouched)
         "knn_ivfpq": _knn_ivfpq,  # demoted r13 (green since r6; pq.py pinned by the two in-budget auto-pq rows)
         "sample_weighted": _sample_weighted,  # demoted r13 (green r10-r12, code untouched; 5 sample rows in budget)
+        "dedup_incremental": _dedup_incremental,  # demoted r13 (green since r5; indexed twin pins the same survivor oracle)
         "knn_capped": _knn_capped,  # demoted r13 (green r11-r12; cap code untouched, 11 knn rows stay in budget)
         "events_stream_stats": _events_stream_stats,  # demoted r13 (green since r7; batch twin shares oracle)
         "sample_stratified": _sample_stratified,  # demoted r12 (stable since r5)
@@ -3668,6 +3704,18 @@ def oracle_sql() -> dict[str, str]:
             )""",
         # incremental dedup: delta survivors (min id per fingerprint) whose
         # content is absent from the standing corpus
+        # persisted exact-index probe: SAME survivor semantics as
+        # dedup_incremental — the oracle IS the raw-corpus replay, which is
+        # exactly the equivalence the row attests
+        "dedup_incremental_indexed": f"""
+            WITH fp AS (SELECT doc_id, source, md5({_NORM}) AS f FROM documents),
+            delta AS (SELECT * FROM fp WHERE doc_id % 5 = 0),
+            corpus AS (SELECT DISTINCT f FROM fp WHERE doc_id % 5 <> 0),
+            surv AS (SELECT *, row_number() OVER (PARTITION BY f
+                                                  ORDER BY doc_id) AS rn
+                     FROM delta)
+            SELECT doc_id, source FROM surv
+            WHERE rn = 1 AND f NOT IN (SELECT f FROM corpus)""",
         "dedup_incremental": f"""
             WITH fp AS (SELECT doc_id, source, md5({_NORM}) AS f FROM documents),
             delta AS (SELECT * FROM fp WHERE doc_id % 5 = 0),

@@ -67,6 +67,7 @@ HEADLINE = [
     "merge_upsert",
     "embedding_centroids",
     "dedup_incremental",
+    "dedup_incremental_indexed",
     "dedup_incremental_near",
     "dedup_paragraphs",
     "dedup_winnow_overlap",
@@ -934,6 +935,24 @@ def _dedup_scale_bench(spark) -> dict:
     n_new = D.incremental_dedup(standing, delta, "text", "doc_id").count()
     incr_sec = round(time.time() - t0, 3)
 
+    # Persisted exact-fp index (r13): build once over the standing 90%,
+    # probe the same 10% delta — compare exidx_probe_sec with incr_sec
+    # (the raw-corpus probe re-hashes 900k texts every batch; the index
+    # probe scans 16-byte fps, zero corpus text I/O).
+    exidx_root = tempfile.mkdtemp(prefix="pq_bench_exidx_")
+    exidx = os.path.join(exidx_root, "fp_idx")
+    try:
+        t0 = time.time()
+        D.build_exact_dedup_index(standing, "text", exidx)
+        exidx_build_sec = round(time.time() - t0, 3)
+        t0 = time.time()
+        n_new_idx = D.incremental_dedup_exact_indexed(
+            spark, exidx, delta, "text", "doc_id"
+        ).count()
+        exidx_probe_sec = round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(exidx_root, ignore_errors=True)
+
     # Paragraph-granular boilerplate removal (r11): frame every doc with a
     # footer drawn from 101 shared texts (the oracle-row shape at corpus
     # scale), then strip paragraphs repeated across >= 3 docs. Measures the
@@ -1182,6 +1201,9 @@ def _dedup_scale_bench(spark) -> dict:
         "decon_survivors": int(n_clean),
         "incremental_sec": incr_sec,
         "incremental_new": int(n_new),
+        "exact_index_build_sec": exidx_build_sec,
+        "exact_index_probe_sec": exidx_probe_sec,
+        "exact_index_probe_matches": bool(n_new_idx == n_new),
         "near_index_build_sec": near_build_sec,
         "near_probe_sec": near_probe_sec,
         "near_probe_survivors": int(n_near_new),

@@ -85,8 +85,11 @@ from pq_vector_spark.operators.curate import curate_corpus
 from pq_vector_spark.operators.decontaminate import contamination_report, decontaminate
 from pq_vector_spark.operators.dedup import (
     append_dedup_index,
+    append_exact_dedup_index,
     build_dedup_index,
+    build_exact_dedup_index,
     incremental_dedup,
+    incremental_dedup_exact_indexed,
     incremental_dedup_near,
     remove_repeated_paragraphs,
     resolve_duplicates,
@@ -220,6 +223,9 @@ __all__ = [
     "streaming_ingest",
     "streaming_index_ingest",
     "append_index_batch",
+    "build_exact_dedup_index",
+    "append_exact_dedup_index",
+    "incremental_dedup_exact_indexed",
     "drain_pending_appends",
     "wait_for_async_rebuild",
     "dsir_importance_weights",

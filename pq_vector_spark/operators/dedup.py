@@ -1131,6 +1131,104 @@ def incremental_dedup(
     return surv.join(F.broadcast(hits), "_fp", "left_anti").drop("_fp")
 
 
+def build_exact_dedup_index(
+    df: DataFrame, text_col: str, index_path: str
+) -> dict:
+    """Persist the corpus's EXACT-dedup state as a fingerprint table —
+    the exact twin of :func:`build_dedup_index` (near-dup LSH). ONE pass
+    hashes the corpus text into distinct 16-byte fingerprints
+    (md5-of-normalized, ``exact_dedup``'s function, stored unhexed) and
+    writes them as parquet plus a ``_dedup_index/meta.json`` sidecar with
+    ``kind: "exact"``.
+
+    Why: :func:`incremental_dedup` re-reads and RE-HASHES the standing
+    corpus's text column on every delta batch — correct, but at 100 TB
+    the nightly crawl pays a full-corpus text scan + md5 per night. The
+    index collapses that to a 16-byte-per-document table scanned
+    column-pruned per probe (~0.2 % of the text bytes), with no
+    per-batch hashing of the corpus at all. Returns the meta dict;
+    extend with :func:`append_exact_dedup_index` as batches land.
+    """
+    spark = df.sparkSession
+    (
+        df.select(F.unhex(fingerprint(text_col)).alias("fp"))
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(index_path)
+    )
+    meta = {"kind": "exact", "norm": "md5(lower/trim/collapse-ws)"}
+    _write_dedup_index_meta(spark, index_path, meta)
+    return meta
+
+
+def append_exact_dedup_index(
+    admitted: DataFrame, text_col: str, index_path: str
+) -> None:
+    """Append ADMITTED rows' fingerprints to an exact index so the next
+    delta also dedups against them. Admitted rows' fps are absent from
+    the index by construction (they survived the probe), so a plain
+    delta-sized append keeps the table duplicate-free. The same staging
+    rule as every index append applies (SKILL r11 lesson): if the frame
+    you are appending was DERIVED from a probe that read ``index_path``,
+    materialize it first — Spark re-evaluates path-cached plans against
+    the mutated path."""
+    meta = load_dedup_index_meta(admitted.sparkSession, index_path)
+    if meta.get("kind") != "exact":
+        raise ValueError(
+            f"{index_path} is not an exact dedup index (kind="
+            f"{meta.get('kind')!r}) — use append_dedup_index for LSH"
+        )
+    (
+        admitted.select(F.unhex(fingerprint(text_col)).alias("fp"))
+        .distinct()
+        .write.mode("append")
+        .parquet(index_path)
+    )
+
+
+def incremental_dedup_exact_indexed(
+    spark,
+    index_path: str,
+    delta: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """:func:`incremental_dedup` semantics against a PERSISTED exact
+    index instead of the raw corpus: within-delta duplicates collapse to
+    the smallest id, and any delta row whose fingerprint exists in the
+    index is dropped. Identical survivors to ``incremental_dedup(corpus,
+    delta, …)`` when the index was built from ``corpus`` — the oracle
+    row pins that equivalence.
+
+    Scale shape: the delta's distinct fingerprints BROADCAST as a
+    map-side semi-join probe over the index scan (16-byte column, never
+    the corpus text; hits are delta-bounded), then anti-join the delta —
+    the only exchange is the delta-sized survivor window. Per-batch cost
+    is O(|delta| hash + |index| pruned-column scan), with zero corpus
+    text I/O and zero corpus hashing."""
+    meta = load_dedup_index_meta(spark, index_path)
+    if meta.get("kind") != "exact":
+        raise ValueError(
+            f"{index_path} is not an exact dedup index (kind="
+            f"{meta.get('kind')!r}) — use incremental_dedup_near for LSH"
+        )
+    dfp = delta.withColumn("_fp", F.unhex(fingerprint(text_col)))
+    w = Window.partitionBy("_fp").orderBy(F.col(id_col).asc())
+    surv = (
+        dfp.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    probe = surv.select(F.col("_fp").alias("fp")).distinct()
+    hits = (
+        spark.read.parquet(index_path)
+        .join(F.broadcast(probe), "fp", "left_semi")
+        .distinct()
+        .withColumnRenamed("fp", "_fp")
+    )
+    return surv.join(F.broadcast(hits), "_fp", "left_anti").drop("_fp")
+
+
 # ---------------------------------------------------------------- near-dup
 # persisted LSH index: the NEAR-dup analogue of incremental_dedup's exact
 # contract. Build once over the standing corpus, probe every delta against

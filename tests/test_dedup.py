@@ -1049,3 +1049,81 @@ def test_stats_paths_do_not_leak_cache(spark):
     ).collect()
     assert "capped_clusters" in s1 and "dropped_fingerprints" in s2
     assert _persistent_rdd_ids(spark) - before == set()
+
+
+def test_exact_dedup_index_matches_incremental(spark, tmp_path):
+    """Persisted exact-fp index (r13): probing a delta against the index
+    elects the same survivors as incremental_dedup against the raw
+    corpus; appending the admitted rows makes a replayed delta drop
+    fully; kind guards cross-wire exact and LSH indexes loudly."""
+    from pq_vector_spark.operators.dedup import (
+        append_exact_dedup_index,
+        build_dedup_index,
+        build_exact_dedup_index,
+        incremental_dedup,
+        incremental_dedup_exact_indexed,
+    )
+
+    rows = [(i, f"doc number {i} body") for i in range(20)]
+    rows += [(100 + i, f"doc number {i} body") for i in range(5)]  # corpus dups
+    corpus = spark.createDataFrame(rows, "doc_id: bigint, text: string")
+    delta = spark.createDataFrame(
+        [
+            (200, "doc number 3 body"),        # dup of corpus → dropped
+            (201, "a genuinely fresh page"),   # admitted
+            (202, "a genuinely fresh page"),   # within-delta dup of 201
+            (203, "another fresh page here"),  # admitted
+        ],
+        "doc_id: bigint, text: string",
+    )
+    idx = str(tmp_path / "exact_idx")
+    meta = build_exact_dedup_index(corpus, "text", idx)
+    assert meta["kind"] == "exact"
+
+    want = sorted(
+        r["doc_id"] for r in incremental_dedup(corpus, delta, "text", "doc_id").collect()
+    )
+    got_df = incremental_dedup_exact_indexed(spark, idx, delta, "text", "doc_id")
+    got = sorted(r["doc_id"] for r in got_df.collect())
+    assert got == want == [201, 203]
+
+    # admit the survivors (materialized above), replay the same delta:
+    # everything now drops — the index covers the admitted rows
+    admitted = delta.filter(F.col("doc_id").isin([201, 203]))
+    append_exact_dedup_index(admitted, "text", idx)
+    assert (
+        incremental_dedup_exact_indexed(spark, idx, delta, "text", "doc_id").count()
+        == 0
+    )
+
+    # kind guards: LSH index rejected by the exact probe and vice versa
+    lsh = str(tmp_path / "lsh_idx")
+    build_dedup_index(corpus, "text", "doc_id", lsh, num_hashes=8, bands=2)
+    with pytest.raises(ValueError, match="not an exact dedup index"):
+        incremental_dedup_exact_indexed(spark, lsh, delta, "text", "doc_id")
+    with pytest.raises(ValueError, match="not an exact dedup index"):
+        append_exact_dedup_index(admitted, "text", lsh)
+
+
+def test_exact_dedup_index_probe_is_corpus_free(spark, tmp_path):
+    """The probe plan reads ONLY the 16-byte fp table (column-pruned) —
+    no corpus text scan, no corpus-side shuffle; the delta's fingerprint
+    set broadcasts."""
+    from pq_vector_spark.operators.dedup import (
+        build_exact_dedup_index,
+        incremental_dedup_exact_indexed,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"body {i}") for i in range(50)], "doc_id: bigint, text: string"
+    )
+    idx = str(tmp_path / "exact_idx2")
+    build_exact_dedup_index(corpus, "text", idx)
+    delta = spark.createDataFrame(
+        [(900, "body 7"), (901, "new page")], "doc_id: bigint, text: string"
+    )
+    out = incremental_dedup_exact_indexed(spark, idx, delta, "text", "doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Scan parquet") == 1 or "exact_idx2" in plan
+    assert sorted(r["doc_id"] for r in out.collect()) == [901]
