@@ -119,30 +119,26 @@ def dsir_importance_weights(
         n_max,
         buckets,
     )
-    pt = _bucket_model(tfeat).withColumnRenamed("_n", "_nt")
-    qr = _bucket_model(feat).withColumnRenamed("_n", "_nr")
-    # totals are tiny driver scalars (one count over a buckets-row frame
-    # each — bounded work, and the llr table below must embed them as
-    # literals so the broadcast frame is a pure function of the models)
-    tot_t = pt.agg(F.sum("_nt")).collect()[0][0] or 0
-    tot_r = qr.agg(F.sum("_nr")).collect()[0][0] or 0
+    # Both models COLLECT to the driver — ≤ ``buckets`` rows each is this
+    # operator's designed bounded driver state (10k–65k ints), and
+    # building the llr table as a literal frame means the raw corpus is
+    # featurized exactly TWICE (model fit + scoring) instead of the 3–4
+    # lazy re-evaluations the all-lazy formulation paid (one per action
+    # that referenced the model subtree — measured at ~2× the operator's
+    # wall time at sf0.1).
+    import math
+
+    nt = {int(r["_b"]): int(r["_n"]) for r in _bucket_model(tfeat).collect()}
+    nr = {int(r["_b"]): int(r["_n"]) for r in _bucket_model(feat).collect()}
+    tot_t, tot_r = sum(nt.values()), sum(nr.values())
     s = float(smoothing)
-    llr_tbl = (
-        pt.join(qr, "_b", "full_outer")
-        .select(
-            "_b",
-            (
-                F.log(
-                    (F.coalesce(F.col("_nt"), F.lit(0)).cast("double") + F.lit(s))
-                    / F.lit(float(tot_t) + s * buckets)
-                )
-                - F.log(
-                    (F.coalesce(F.col("_nr"), F.lit(0)).cast("double") + F.lit(s))
-                    / F.lit(float(tot_r) + s * buckets)
-                )
-            ).alias("_llr"),
-        )
-    )
+    dt, dr = float(tot_t) + s * buckets, float(tot_r) + s * buckets
+    llr_rows = [
+        (b, math.log((nt.get(b, 0) + s) / dt) - math.log((nr.get(b, 0) + s) / dr))
+        for b in sorted(set(nt) | set(nr))
+    ]
+    spark = df.sparkSession
+    llr_tbl = spark.createDataFrame(llr_rows, "_b: int, _llr: double")
     scored = (
         feat.join(F.broadcast(llr_tbl), "_b")
         .groupBy("_id")
