@@ -1742,6 +1742,29 @@ def _sample_dsir(spark, sf_dir):
     return out.select("doc_id", "log_weight", "gumbel_score").orderBy("doc_id")
 
 
+def _sample_ccnet(spark, sf_dir):
+    """CCNet head/middle/tail bucketing (r13, operators/sampling.py:
+    score_buckets — Wenzek et al. 2020 §4.4), composed end-to-end with
+    the LM quality signal: per-doc mean unigram log-probability
+    (functions/text.py:unigram_logprob) cut into PER-LANGUAGE terciles
+    by exact-percentile thresholds. No window anywhere — the thresholds
+    table is languages-sized and broadcasts; the naive per-language
+    ntile would hold a whole language in one task at web scale. The
+    oracle replays the smoothed MLE, the quantile_cont cut points, and
+    the boundary comparisons."""
+    from pq_vector_spark.operators.sampling import score_buckets
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", "lang").join(
+        T.unigram_logprob(docs, "text", "doc_id"), "doc_id"
+    )
+    out = score_buckets(
+        scored, "logprob", group_col="lang",
+        labels=("head", "middle", "tail"),
+    )
+    return out.select("doc_id", "lang", "logprob", "bucket").orderBy("doc_id")
+
+
 def _sample_mix(spark, sf_dir):
     """Weighted deterministic dataset mix (100% src0 + 50% src1 + 25% src2)
     — the training-mixture primitive (operators/sampling.py:weighted_mix);
@@ -2484,6 +2507,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # budget row (sample_weighted demoted, green r10-r12 on untouched
         # priority-sampling code; the sample family keeps 5 in-budget rows)
         "sample_dsir": _sample_dsir,
+        # r13 extension: CCNet head/middle/tail bucketing — new code,
+        # spends a budget row (events_funnel demoted: green since r7 on
+        # untouched funnel code; 5 events rows stay in budget)
+        "sample_ccnet": _sample_ccnet,
         "text_pii": _text_pii,
         "text_decontaminate": _text_decontaminate,
         "pipeline_curate": _pipeline_curate,
@@ -2498,7 +2525,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_sessions": _events_stream_sessions,
         "events_asof": _events_asof,
         "events_range_join": _events_range_join,
-        "events_funnel": _events_funnel,
         "events_scd_enriched": _events_scd_enriched,
         "events_stream_join": _events_stream_join,
         # -- text family --
@@ -2518,6 +2544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivfpq": _knn_ivfpq,  # demoted r13 (green since r6; pq.py pinned by the two in-budget auto-pq rows)
         "sample_weighted": _sample_weighted,  # demoted r13 (green r10-r12, code untouched; 5 sample rows in budget)
         "dedup_incremental": _dedup_incremental,  # demoted r13 (green since r5; indexed twin pins the same survivor oracle)
+        "events_funnel": _events_funnel,  # demoted r13 (green since r7, funnel code untouched)
         "knn_capped": _knn_capped,  # demoted r13 (green r11-r12; cap code untouched, 11 knn rows stay in budget)
         "events_stream_stats": _events_stream_stats,  # demoted r13 (green since r7; batch twin shares oracle)
         "sample_stratified": _sample_stratified,  # demoted r12 (stable since r5)
@@ -3573,6 +3600,33 @@ def oracle_sql() -> dict[str, str]:
                     ORDER BY gumbel_score DESC NULLS LAST, doc_id LIMIT 200)
             SELECT doc_id, log_weight, gumbel_score FROM sel
             ORDER BY doc_id""",
+        # CCNet terciles: smoothed-MLE logprob (the text_logprob CTE) cut
+        # at per-language quantile_cont(1/3, 2/3); higher logprob = head;
+        # boundary ties go DOWN (score <= threshold) on both engines
+        "sample_ccnet": f"""
+            WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+            vocab AS (SELECT term, CAST(count(*) AS BIGINT) AS c
+                      FROM toks GROUP BY term),
+            stats AS (SELECT CAST(sum(c) AS DOUBLE) AS n,
+                             CAST(count(*) AS DOUBLE) AS v FROM vocab),
+            per AS (SELECT t.doc_id,
+                      round(avg(ln((CAST(c AS DOUBLE) + 1.0) / (n + 1.0 * v))), 4)
+                          AS logprob
+                    FROM toks t JOIN vocab USING (term) CROSS JOIN stats
+                    GROUP BY t.doc_id),
+            sc AS (SELECT d.doc_id, d.lang, per.logprob
+                   FROM documents d JOIN per USING (doc_id)),
+            thr AS (SELECT lang,
+                      quantile_cont(logprob, CAST(1 AS DOUBLE)/3) AS t1,
+                      quantile_cont(logprob, CAST(2 AS DOUBLE)/3) AS t2
+                    FROM sc GROUP BY lang)
+            SELECT sc.doc_id, sc.lang, sc.logprob,
+                   CASE WHEN sc.logprob IS NULL THEN NULL
+                        WHEN sc.logprob > thr.t2 THEN 'head'
+                        WHEN sc.logprob > thr.t1 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM sc JOIN thr USING (lang)
+            ORDER BY sc.doc_id""",
         "sample_mix": f"""
             SELECT doc_id, 'src0' AS mix_source FROM documents
             WHERE source = 'src0'

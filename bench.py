@@ -77,6 +77,7 @@ HEADLINE = [
     "text_gopher",
     "text_dup_spans",
     "sample_dsir",
+    "sample_ccnet",
     "text_c4",
     "text_chunks",
     "quality_checks",
@@ -935,6 +936,21 @@ def _dedup_scale_bench(spark) -> dict:
     n_new = D.incremental_dedup(standing, delta, "text", "doc_id").count()
     incr_sec = round(time.time() - t0, 3)
 
+    # DSIR importance weights at 1M docs (r13): hashed uni+bigram
+    # featurization is the one corpus-sized exchange ((doc, int-bucket)
+    # pairs, map-side combined); the target slice only ever contributes a
+    # 10k-bucket model. Weights for every doc — the rank-then-cut mode a
+    # 100 TB selection would run (global top-k heap is for modest k).
+    from pq_vector_spark.operators.dsir import dsir_importance_weights
+
+    dsir_target = docs.filter(F.col("doc_id") % 1000 == 3)
+    dsir_raw = docs.filter(F.col("doc_id") % 1000 != 3)
+    t0 = time.time()
+    n_dsir = dsir_importance_weights(
+        dsir_raw, "text", "doc_id", dsir_target, n_max=2, buckets=10_000
+    ).count()
+    dsir_sec = round(time.time() - t0, 3)
+
     # Persisted exact-fp index (r13): build once over the standing 90%,
     # probe the same 10% delta — compare exidx_probe_sec with incr_sec
     # (the raw-corpus probe re-hashes 900k texts every batch; the index
@@ -1204,6 +1220,8 @@ def _dedup_scale_bench(spark) -> dict:
         "exact_index_build_sec": exidx_build_sec,
         "exact_index_probe_sec": exidx_probe_sec,
         "exact_index_probe_matches": bool(n_new_idx == n_new),
+        "dsir_weights_sec": dsir_sec,
+        "dsir_docs_scored": int(n_dsir),
         "near_index_build_sec": near_build_sec,
         "near_probe_sec": near_probe_sec,
         "near_probe_survivors": int(n_near_new),

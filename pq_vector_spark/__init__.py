@@ -115,6 +115,7 @@ from pq_vector_spark.streaming.ingest import (
 from pq_vector_spark.streaming.monitor import drift_metrics_batch, streaming_drift_monitor
 from pq_vector_spark.operators.sampling import (
     importance_sample,
+    score_buckets,
     priority_sample_k,
     select_token_budget,
     select_token_budget_grouped,
@@ -226,6 +227,7 @@ __all__ = [
     "build_exact_dedup_index",
     "append_exact_dedup_index",
     "incremental_dedup_exact_indexed",
+    "score_buckets",
     "drain_pending_appends",
     "wait_for_async_rebuild",
     "dsir_importance_weights",

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import logging
 from functools import reduce
-from typing import Mapping, Optional, Tuple
+from typing import Mapping, Optional, Sequence, Tuple
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -253,6 +253,72 @@ def priority_sample_k(
         .filter(F.col("_ps_rn") <= F.lit(k))
         .drop("_ps_pri", "_ps_rn")
     )
+
+
+def score_buckets(
+    df: DataFrame,
+    score_col: str,
+    *,
+    group_col: Optional[str] = None,
+    probs: Sequence[float] = (1.0 / 3.0, 2.0 / 3.0),
+    labels: Optional[Sequence[str]] = None,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """CCNet-style quality bucketing (Wenzek et al. 2020 §4.4: documents
+    cut into per-language perplexity terciles — head/middle/tail — and
+    selection keeps the better buckets). Rows bucket by comparing their
+    score against PER-GROUP quantile thresholds:
+
+    - thresholds come from ONE exact-percentile aggregation per group
+      (``percentile`` — ANSI percentile_cont semantics, the
+      ``length_quantiles`` portability stance: an external engine
+      replays the cut points bit-for-bit; swap ``approx_percentile`` for
+      true high-cardinality scores at 100 TB);
+    - HIGHER score = BETTER bucket: bucket 1 (head) is scores above the
+      top threshold, bucket ``len(probs)+1`` (tail) at or below the
+      bottom one. The naive form is ``ntile`` over a per-group window —
+      ONE TASK holding an entire language at web scale; the threshold
+      table is groups-sized, broadcasts, and keeps bucketing map-side
+      with no window anywhere;
+    - a NULL score buckets NULL (no signal — filter or default it
+      downstream, the repetition_ratios convention).
+
+    ``labels`` (length ``len(probs) + 1``, best-first — e.g. ``("head",
+    "middle", "tail")``) emits names instead of 1-based indexes.
+    """
+    ps = [float(p) for p in probs]
+    if not ps or any(not (0.0 < p < 1.0) for p in ps) or sorted(ps) != ps:
+        raise ValueError(f"probs must be ascending fractions in (0,1), got {probs}")
+    if labels is not None and len(labels) != len(ps) + 1:
+        raise ValueError(
+            f"labels needs len(probs)+1 = {len(ps) + 1} entries, got {len(labels)}"
+        )
+    _check_reserved(df, {"_sb_thr", "_sb_grp", out_col})
+    sc = F.col(score_col).cast("double")
+    thr = F.percentile(sc, F.array(*[F.lit(p) for p in ps])).alias("_sb_thr")
+    if group_col is None:
+        t = df.agg(thr).withColumn("_sb_grp", F.lit(1))
+        joined = df.withColumn("_sb_grp", F.lit(1)).join(
+            F.broadcast(t), "_sb_grp"
+        )
+    else:
+        t = df.groupBy(F.col(group_col).alias("_sb_grp")).agg(thr)
+        joined = df.join(
+            F.broadcast(t), F.col(group_col) == F.col("_sb_grp"), "left"
+        )
+    # bucket = 1 + #(thresholds at-or-above the score): above every
+    # threshold → 1 (head), at/below all → len(probs)+1 (tail). The NULL
+    # guard wraps the FINAL expression with a never-NULL index inside —
+    # element_at's NULL-index behavior is not trustworthy here (observed
+    # returning the last element for a NULL CASE index).
+    idx = (
+        F.lit(1)
+        + F.size(F.filter(F.col("_sb_thr"), lambda x: sc <= x))
+    )
+    if labels is not None:
+        idx = F.element_at(F.array(*[F.lit(str(l)) for l in labels]), idx)
+    bucket = F.when(sc.isNotNull(), idx)
+    return joined.withColumn(out_col, bucket).drop("_sb_grp", "_sb_thr")
 
 
 def temperature_rates(

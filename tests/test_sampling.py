@@ -1254,3 +1254,42 @@ def test_temperature_token_budgets_composition(spark):
     # greedy prefix lands exactly on floor(budget/10)*10)
     for g in budgets:
         assert per_g.get(g, 0) == (budgets[g] // 10) * 10
+
+
+def test_score_buckets_ccnet_terciles(spark):
+    """CCNet head/middle/tail (r13): per-group exact-percentile
+    thresholds, higher score = better bucket, no window in the plan,
+    NULL scores bucket NULL, validation trips on bad probs/labels."""
+    import pytest
+
+    from pq_vector_spark.operators.sampling import score_buckets
+
+    rows = [(i, "en" if i < 9 else "de", float(i)) for i in range(12)]
+    rows.append((99, "en", None))
+    df = spark.createDataFrame(rows, "doc_id: bigint, lang: string, s: double")
+    out = {
+        r["doc_id"]: r["bucket"]
+        for r in score_buckets(
+            df, "s", group_col="lang", labels=("head", "middle", "tail")
+        ).collect()
+    }
+    # en scores 0..8 (+ NULL, excluded from thresholds by percentile):
+    # terciles at 8/3 and 16/3
+    assert [out[i] for i in range(9)] == ["tail"] * 3 + ["middle"] * 3 + ["head"] * 3
+    assert out[9] == "tail" and out[10] == "middle" and out[11] == "head"
+    assert out[99] is None
+    # ungrouped integer buckets: global terciles over 0..11
+    g = {r["doc_id"]: r["bucket"] for r in score_buckets(df, "s").collect()}
+    assert g[0] == 3 and g[11] == 1 and g[99] is None
+    # plan: threshold broadcast + map-side CASE, no Window node
+    plan = (
+        score_buckets(df, "s", group_col="lang")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan and "BroadcastHashJoin" in plan
+    with pytest.raises(ValueError, match="probs"):
+        score_buckets(df, "s", probs=(0.9, 0.1))
+    with pytest.raises(ValueError, match="labels"):
+        score_buckets(df, "s", labels=("a", "b"))
+    with pytest.raises(ValueError, match="collide"):
+        score_buckets(df.withColumn("bucket", F.lit(1)), "s")
