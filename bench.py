@@ -947,7 +947,8 @@ def _dedup_scale_bench(spark) -> dict:
     dsir_raw = docs.filter(F.col("doc_id") % 1000 != 3)
     t0 = time.time()
     n_dsir = dsir_importance_weights(
-        dsir_raw, "text", "doc_id", dsir_target, n_max=2, buckets=10_000
+        dsir_raw, "text", "doc_id", dsir_target, n_max=2, buckets=10_000,
+        bucket_hash="fast",
     ).count()
     dsir_sec = round(time.time() - t0, 3)
 

@@ -48,7 +48,12 @@ from pq_vector_spark.operators.sampling import BUCKETS, hash_bucket
 
 
 def _doc_bucket_counts(
-    df: DataFrame, text_col: str, id_col: str, n_max: int, buckets: int
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_max: int,
+    buckets: int,
+    bucket_hash: str = "portable",
 ) -> DataFrame:
     """(id, bucket, cnt): hashed word n-gram counts per document —
     explode n = 1..n_max grams, hash-bucket each, ONE map-side-combined
@@ -56,14 +61,16 @@ def _doc_bucket_counts(
     grams = _token_ngrams(text_col, 1)
     for n in range(2, n_max + 1):
         grams = F.concat(grams, _token_ngrams(text_col, n))
+    if bucket_hash == "portable":
+        h = token_hash(F.col("_g"))
+    else:
+        h = F.xxhash64(F.col("_g"))
     ex = (
         df.select(F.col(id_col).alias("_id"), F.explode(grams).alias("_g"))
         # a whitespace-only document tokenizes to [""] — that is "no
         # features", not a feature (mirrors gopher/quality word filters)
         .filter(F.col("_g") != "")
-        .select(
-            "_id", F.pmod(token_hash(F.col("_g")), F.lit(buckets)).alias("_b")
-        )
+        .select("_id", F.pmod(h, F.lit(buckets)).alias("_b"))
     )
     return ex.groupBy("_id", "_b").agg(
         F.count(F.lit(1)).cast("bigint").alias("_c")
@@ -86,6 +93,7 @@ def dsir_importance_weights(
     n_max: int = 2,
     buckets: int = 10_000,
     smoothing: float = 0.5,
+    bucket_hash: str = "portable",
 ) -> DataFrame:
     """Per-document DSIR log importance weight vs ``target``: returns
     (``id_col``, ``log_weight``) with ``log_weight`` rounded to 6
@@ -99,6 +107,14 @@ def dsir_importance_weights(
     importance weights between target and raw feature distributions).
     Both models live in ONE ``buckets``-row broadcast table carrying
     ``ln p_b − ln q_b``; scoring is a broadcast join + per-doc sum.
+
+    ``bucket_hash``: ``"portable"`` (default) buckets by the md5-based
+    ``token_hash`` an external engine replays bit-for-bit — the oracle
+    path; ``"fast"`` buckets by JVM ``xxhash64`` (~3× cheaper on the
+    featurization, the dominant cost at corpus scale). The two produce
+    slightly different bucket collisions and therefore slightly
+    different weights — same estimator, different hash family; pick one
+    per pipeline and stay with it.
     """
     if n_max < 1:
         raise ValueError(f"n_max must be >= 1, got {n_max}")
@@ -106,7 +122,9 @@ def dsir_importance_weights(
         raise ValueError(f"buckets must be >= 2, got {buckets}")
     if smoothing <= 0:
         raise ValueError(f"smoothing must be > 0, got {smoothing}")
-    feat = _doc_bucket_counts(df, text_col, id_col, n_max, buckets)
+    if bucket_hash not in ("portable", "fast"):
+        raise ValueError(f"bucket_hash must be portable|fast, got {bucket_hash!r}")
+    feat = _doc_bucket_counts(df, text_col, id_col, n_max, buckets, bucket_hash)
     # the target model only needs bucket TOTALS — synthesize a row id so
     # the shared featurizer applies, it aggregates away immediately
     tfeat = _doc_bucket_counts(
@@ -118,6 +136,7 @@ def dsir_importance_weights(
         "_tid",
         n_max,
         buckets,
+        bucket_hash,
     )
     # Both models COLLECT to the driver — ≤ ``buckets`` rows each is this
     # operator's designed bounded driver state (10k–65k ints), and
@@ -165,6 +184,7 @@ def dsir_select(
     n_max: int = 2,
     buckets: int = 10_000,
     smoothing: float = 0.5,
+    bucket_hash: str = "portable",
     gumbel: bool = True,
     salt: str = "dsir",
 ) -> DataFrame:
@@ -185,6 +205,7 @@ def dsir_select(
     w = dsir_importance_weights(
         df, text_col, id_col, target, target_text_col,
         n_max=n_max, buckets=buckets, smoothing=smoothing,
+        bucket_hash=bucket_hash,
     )
     out = df.join(w, id_col)
     if gumbel:

@@ -165,3 +165,21 @@ def test_target_only_contributes_bucket_totals(spark, corpora):
         dsir_importance_weights(raw, "text", "doc_id", t2, n_max=1).collect()
     )
     assert w1 == w2
+
+
+def test_fast_bucket_hash_same_ranking_shape(corpora):
+    """bucket_hash="fast" (xxhash64 — the at-scale featurization) keeps
+    the estimator's ranking behavior on separable corpora even though
+    bucket collisions differ from the portable md5 family."""
+    raw, target = corpora
+    w = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir_importance_weights(
+            raw, "text", "doc_id", target, smoothing=0.1, bucket_hash="fast"
+        ).collect()
+    }
+    assert w[1] > w[2] and w[1] > w[4]
+    assert w[3] > w[2] and w[3] > w[4]
+    assert w[5] is None
+    with pytest.raises(ValueError, match="bucket_hash"):
+        dsir_importance_weights(raw, "text", "doc_id", target, bucket_hash="md5")
