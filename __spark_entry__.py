@@ -134,6 +134,24 @@ def _knn_exact(spark, sf_dir):
     )
 
 
+def _knn_binary(spark, sf_dir):
+    """Binary-quantized top-k (r13, functions/quantize.py:binary_topk —
+    the 1-bit/32x-compression coarse filter modern vector stores pair
+    with an exact re-rank): sign-bit words packed map-side, Hamming
+    shortlist at k*oversample (bounded heap #1, integer xor+bit_count in
+    codegen), exact-L2 re-rank of the shortlist (bounded heap #2). The
+    oracle replays Hamming SEMANTICALLY (count of sign disagreements —
+    identical to bit_count of the packed xor) plus the same two ordered
+    cuts, so the row is hash-exact end to end."""
+    from pq_vector_spark.functions.quantize import binary_topk
+
+    q = _qvec(spark, sf_dir, 0)
+    return binary_topk(
+        _emb(spark, sf_dir), "embedding", q, K, oversample=4,
+        tie_break="vec_id",
+    ).select("vec_id")
+
+
 def _knn_filtered(spark, sf_dir):
     q = _qvec(spark, sf_dir, 0)
     return brute_force_topk(
@@ -2447,7 +2465,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and text_score_normalize (stable compositions, families still
         # represented by embedding_centroids/embedding_project and
         # text_quality/quality_checks) ride the tail in exchange.
-        "knn_appended": _knn_appended,
+        # r13 extension: binary (1-bit) quantization — new code, spends a
+        # budget row (knn_appended demoted: append path green r11-r12 on
+        # index/build.py code untouched this round)
+        "knn_binary": _knn_binary,
         "ann_cosine": _ann_cosine,
         "similarity_join": _similarity_join,
         "maxsim": _maxsim,
@@ -2542,6 +2563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # of them back above this line whenever their implementation changes.
         "dedup_resolve_best": _dedup_resolve_best,  # demoted r13 (green r10-r12, code untouched)
         "knn_ivfpq": _knn_ivfpq,  # demoted r13 (green since r6; pq.py pinned by the two in-budget auto-pq rows)
+        "knn_appended": _knn_appended,  # demoted r13 (green r11-r12; append code untouched this round)
         "sample_weighted": _sample_weighted,  # demoted r13 (green r10-r12, code untouched; 5 sample rows in budget)
         "dedup_incremental": _dedup_incremental,  # demoted r13 (green since r5; indexed twin pins the same survivor oracle)
         "events_funnel": _events_funnel,  # demoted r13 (green since r7, funnel code untouched)
@@ -2870,6 +2892,19 @@ def oracle_sql() -> dict[str, str]:
     oracles = {
         "knn_exact": f"""
             SELECT vec_id FROM embeddings
+            ORDER BY {_dist("embedding", qlit)}, vec_id LIMIT {K}""",
+        # binary shortlist: hamming = #(sign disagreements) ≡ bit_count of
+        # the packed xor; shortlist cut (ham, vec_id), exact-L2 rerank cut
+        "knn_binary": f"""
+            WITH s AS (
+              SELECT vec_id, embedding,
+                     len(list_filter(list_zip(embedding, {qlit}),
+                         p -> (CAST(p[1] AS DOUBLE) > 0)
+                              <> (CAST(p[2] AS DOUBLE) > 0))) AS ham
+              FROM embeddings
+              ORDER BY ham, vec_id LIMIT {4 * K}
+            )
+            SELECT vec_id FROM s
             ORDER BY {_dist("embedding", qlit)}, vec_id LIMIT {K}""",
         "knn_filtered": f"""
             SELECT vec_id FROM embeddings WHERE label >= 2

@@ -35,6 +35,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # analytics, text, dedup).
 HEADLINE = [
     "knn_exact",
+    "knn_binary",
     "knn_distance",
     "ann_cosine",
     "knn_batch",
@@ -574,6 +575,37 @@ def _scale_bench(spark) -> dict:
     sq8_recall = len(set(sq8_got) & set(truth)) / k
     sq8_bytes = _dir_bytes(sq8_path)
 
+    # --- Binary (1-bit) quantization: 32x compression, Hamming shortlist
+    # (integer xor+bit_count in codegen) + exact re-rank of the shortlist.
+    # The codes table stores dim/32 longs + the float vector stays in the
+    # base table for the re-rank fetch (here: shortlist carries it).
+    from pq_vector_spark.functions.quantize import (
+        binary_quantize,
+        binary_topk_with_fetch,
+    )
+
+    bq_path = os.path.join(os.path.dirname(src), f"bqw_{n_rows}x{dim}.parquet")
+    if not os.path.exists(bq_path):
+        emb.select(
+            "vec_id", binary_quantize("embedding", dim).alias("bq_words")
+        ).write.mode("overwrite").parquet(bq_path)
+    bq = spark.read.parquet(bq_path)
+    bq.count()  # warm
+
+    def _bq_topk():
+        return [
+            r["vec_id"]
+            for r in binary_topk_with_fetch(
+                bq, emb, "embedding", "vec_id", qvec, k, oversample=16,
+                tie_break="vec_id",
+            ).select("vec_id").collect()
+        ]
+
+    _bq_topk()
+    bq_sec, bq_got = best_of(_bq_topk)
+    bq_recall = len(set(bq_got) & set(truth)) / k
+    bq_bytes = _dir_bytes(bq_path)
+
     # --- PQ/ADC: train m sub-quantizers (k=256) on the bounded sample,
     # pre-encode the corpus to a codes-only table (id + m bytes/row — the
     # at-rest shape), then two-stage search: ADC scan of the codes table +
@@ -827,6 +859,10 @@ def _scale_bench(spark) -> dict:
         "cosine_ivf_sec": cos_ivf_sec,
         "cosine_speedup": round(cos_brute_sec / cos_ivf_sec, 2) if cos_ivf_sec else None,
         "cosine_recall_at_100": round(cosine_recall, 4),
+        "bq_scan_sec": bq_sec,
+        "bq_recall_at_100": round(bq_recall, 4),
+        "bq_oversample": 16,
+        "bq_bytes": bq_bytes,
         "sq8_scan_sec": sq8_sec,
         "sq8_recall_at_100": round(sq8_recall, 4),
         "sq8_bytes": sq8_bytes,

@@ -46,7 +46,11 @@ from pq_vector_spark.operators.sampling import (
     weighted_mix,
 )
 from pq_vector_spark.functions.quantize import (
+    binary_quantize,
+    binary_topk,
+    binary_topk_with_fetch,
     dequantize,
+    hamming_distance,
     quantize_vectors,
     quantized_distance,
 )
@@ -227,6 +231,10 @@ __all__ = [
     "build_exact_dedup_index",
     "append_exact_dedup_index",
     "incremental_dedup_exact_indexed",
+    "binary_quantize",
+    "binary_topk",
+    "binary_topk_with_fetch",
+    "hamming_distance",
     "score_buckets",
     "drain_pending_appends",
     "wait_for_async_rebuild",
