@@ -80,6 +80,7 @@ HEADLINE = [
     "sample_dsir",
     "sample_ccnet",
     "text_c4",
+    "quality_classifier",
     "text_chunks",
     "quality_checks",
     "embedding_outliers",

@@ -104,6 +104,12 @@ from pq_vector_spark.operators.drift import distribution_drift, psi
 from pq_vector_spark.operators.merge import latest_changes, merge_upsert
 from pq_vector_spark.operators.packing import pack_sequences, packing_stats
 from pq_vector_spark.operators.abtest import ab_test
+from pq_vector_spark.operators.classifier import (
+    classify_quality,
+    fit_lda_quality,
+    lda_quality_score,
+    quality_features,
+)
 from pq_vector_spark.operators.dsir import dsir_importance_weights, dsir_select
 from pq_vector_spark.operators.normalize import quantile_normalize
 from pq_vector_spark.operators.retention import cohort_retention, event_transitions
@@ -240,6 +246,10 @@ __all__ = [
     "wait_for_async_rebuild",
     "dsir_importance_weights",
     "dsir_select",
+    "classify_quality",
+    "fit_lda_quality",
+    "lda_quality_score",
+    "quality_features",
     "indexed_topk_with_pending",
     "drift_metrics_batch",
     "streaming_drift_monitor",
