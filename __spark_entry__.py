@@ -253,6 +253,28 @@ def _knn_ivfpq(spark, sf_dir):
     ).select("vec_id")
 
 
+def _knn_opq(spark, sf_dir):
+    """OPQ — rotated PQ (r13, index/pq.py:train_opq/opq_rotation, Ge et
+    al. 2013's parametric eigenvalue-allocation variant) — in the same
+    exactness envelope as knn_pq: the re-rank covers the table, so the
+    rotated-ADC shortlist + exact re-rank reproduce brute force exactly.
+    What this row attests end-to-end: the rotation is actually applied on
+    BOTH sides (encode rotates vectors, the LUT rotates the query — a
+    one-sided rotation would wreck the shortlist and the envelope would
+    still pass only by luck of rerank=n, so the test suite additionally
+    pins shortlist quality on correlated data). Production-point recall
+    is measured in bench ``scale.opq`` vs ``scale.pq``."""
+    from pq_vector_spark.index.pq import pq_topk, train_opq
+
+    emb = _emb(spark, sf_dir)
+    q = _qvec(spark, sf_dir, 0)
+    n = emb.count()
+    cb = train_opq(emb, "embedding", m=8, nbits=8, seed=42)
+    return pq_topk(
+        emb, "embedding", cb, q, K, rerank=-(-n // K), tie_break="vec_id"
+    ).select("vec_id")
+
+
 def _knn_ivf_exact(spark, sf_dir):
     # nprobe = n_clusters ⇒ candidate set is ALL rows ⇒ exactly brute force
     # (reference guarantee via nprobe.min(n_clusters), src/ivf/index.rs:131)
@@ -2482,7 +2504,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # re-attested since r5 while intercept.py grew around them; three
         # stable non-interceptor rows demoted to the tail in exchange
         "knn_sql": _knn_sql,
-        "knn_auto_cosine": _knn_auto_cosine,
+        # r13 extension: OPQ rotated product quantization — new code,
+        # spends a budget row (knn_auto_cosine demoted: the interception
+        # machinery stays pinned by knn_auto/knn_auto_pq/knn_sql and the
+        # cosine metric by ann_cosine, all in budget)
+        "knn_opq": _knn_opq,
         # -- similarity family --
         # r11 rotation (r10 verdict #5): the append path inside
         # index/build.py changed this round (rebuild-verify now counts live
@@ -2591,6 +2617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- 50-row budget cutoff: tail variants below were driver-green in
         # r5 (CORRECTNESS_r05.json) and their code is unchanged; rotate any
         # of them back above this line whenever their implementation changes.
+        "knn_auto_cosine": _knn_auto_cosine,  # demoted r13 (green since r8; interception pinned by 3 in-budget auto rows, cosine by ann_cosine)
         "text_quality": _text_quality,  # demoted r13 (green since r5; trained classifier row covers the feature family)
         "dedup_resolve_best": _dedup_resolve_best,  # demoted r13 (green r10-r12, code untouched)
         "knn_ivfpq": _knn_ivfpq,  # demoted r13 (green since r6; pq.py pinned by the two in-budget auto-pq rows)
@@ -3035,6 +3062,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id FROM embeddings
             ORDER BY {_dist("embedding", qlit)}, vec_id LIMIT {K}""",
         "knn_pq": f"""
+            SELECT vec_id FROM embeddings
+            ORDER BY {_dist("embedding", qlit)}, vec_id LIMIT {K}""",
+        # OPQ exactness envelope (rerank covers the table) ⇒ brute-force
+        # top-k, same oracle as knn_pq; the rotation changes only the
+        # (here fully-covered) shortlist
+        "knn_opq": f"""
             SELECT vec_id FROM embeddings
             ORDER BY {_dist("embedding", qlit)}, vec_id LIMIT {K}""",
         # IVF-PQ exactness envelope (nprobe = n_clusters, rerank covers the

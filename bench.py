@@ -702,6 +702,49 @@ def _scale_bench(spark) -> dict:
     ivfpq_sec, ivfpq_got = best_of(_ivfpq_topk)
     ivfpq_recall = len(set(ivfpq_got) & set(truth)) / k
 
+    # --- OPQ (r13): parametric rotation (eigenvalue allocation) before the
+    # subspace split, same (m, nbits, rerank) budget as the PQ block.
+    # NOTE: this fixture is an ISOTROPIC Gaussian mixture (standard-normal
+    # centers), so near-parity with plain PQ is the expected honest result
+    # here; the rotation's win is on anisotropic/correlated real embedding
+    # spaces (test_pq.py pins the quantization-MSE ordering on correlated
+    # data). Recorded to prove the rotated path costs nothing at scale.
+    from pq_vector_spark.index.pq import train_opq
+
+    opq_path = os.path.join(cache_dir, f"opq_codes_{n_rows}x{dim}_m{pq_m}.parquet")
+    opq_cb_path = os.path.join(cache_dir, f"opq_cb_{n_rows}x{dim}_m{pq_m}.npz")
+    if os.path.exists(opq_path) and os.path.exists(opq_cb_path):
+        opq_cb = PQCodebook.load(opq_cb_path)
+        opq_train_sec = 0.0
+        opq_encode_sec = 0.0
+    else:
+        t0 = time.time()
+        opq_cb = train_opq(emb, "embedding", m=pq_m, nbits=8, seed=42, max_iters=10)
+        opq_train_sec = round(time.time() - t0, 3)
+        t0 = time.time()
+        encode_pq(emb, "embedding", opq_cb).select(
+            "vec_id", "pq_codes"
+        ).write.mode("overwrite").parquet(opq_path)
+        opq_encode_sec = round(time.time() - t0, 3)
+        opq_cb.save(opq_cb_path)
+    opq_codes = spark.read.parquet(opq_path)
+    opq_codes.count()  # warm
+
+    def _opq_topk():
+        return [
+            r["vec_id"]
+            for r in pq_topk_with_fetch(
+                opq_codes, emb, "embedding", "vec_id", opq_cb, qvec, k,
+                rerank=pq_rerank,
+            )
+            .select("vec_id")
+            .collect()
+        ]
+
+    _opq_topk()
+    opq_sec, opq_got = best_of(_opq_topk)
+    opq_recall = len(set(opq_got) & set(truth)) / k
+
     # --- wide projection at scale (r9 order #7): the Arrow-batched BLAS
     # path that auto-selects above 128 output dims. One shuffle-free pass
     # of 1M × 256 -> 256; parity vs the expression path is checked on a
@@ -881,6 +924,10 @@ def _scale_bench(spark) -> dict:
         "ivfpq_scan_sec": ivfpq_sec,
         "ivfpq_speedup": round(brute_sec / ivfpq_sec, 2) if ivfpq_sec else None,
         "ivfpq_recall_at_100": round(ivfpq_recall, 4),
+        "opq_train_sec": opq_train_sec,
+        "opq_encode_sec": opq_encode_sec,
+        "opq_scan_sec": opq_sec,
+        "opq_recall_at_100": round(opq_recall, 4),
         "project_wide_target": proj_target,
         "project_wide_sec": project_wide_sec,
         "project_wide_allclose": project_wide_allclose,

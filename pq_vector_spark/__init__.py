@@ -70,8 +70,10 @@ from pq_vector_spark.index.pq import (
     PQCodebook,
     adc_distance,
     encode_pq,
+    opq_rotation,
     pq_topk,
     pq_topk_with_fetch,
+    train_opq,
     train_pq,
     encode_indexed,
     ivfpq_topk,
@@ -195,8 +197,10 @@ __all__ = [
     "PQCodebook",
     "adc_distance",
     "encode_pq",
+    "opq_rotation",
     "pq_topk",
     "pq_topk_with_fetch",
+    "train_opq",
     "train_pq",
     "encode_indexed",
     "ivfpq_topk",

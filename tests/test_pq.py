@@ -250,3 +250,106 @@ def test_ivfpq_observation_reports_candidates(spark, ivfpq_setup):
     ).collect()
     n = obs.get["candidate_rows"]
     assert 0 < n < len(data)
+
+
+# ---- OPQ (rotated PQ, Ge et al. 2013 parametric variant) ----
+
+
+def _correlated(n=400, dim=16, seed=3):
+    """Strongly anisotropic, cross-correlated data: a few latent factors
+    mixed across all dims — the case where raw-order subspace slicing
+    wastes code entropy and the OPQ rotation pays."""
+    rng = np.random.default_rng(seed)
+    latents = rng.normal(0, 1, size=(n, 3))
+    mix = rng.normal(0, 1, size=(3, dim)) * np.array([[20.0], [5.0], [1.0]])
+    rows = latents @ mix + rng.normal(0, 0.1, (n, dim))
+    return rows.astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def corr_df(spark):
+    data = _correlated()
+    return spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(data)],
+        "id: bigint, vec: array<float>",
+    ).cache(), data
+
+
+def test_opq_rotation_is_orthogonal(spark, corr_df):
+    from pq_vector_spark.index.pq import opq_rotation
+
+    _, data = corr_df
+    r = opq_rotation(data, m=4).astype(np.float64)
+    assert r.shape == (16, 16)
+    assert np.allclose(r @ r.T, np.eye(16), atol=1e-5)
+    # rotation preserves L2 distances (what makes the exact re-rank valid)
+    d0 = np.linalg.norm(data[0] - data[1])
+    d1 = np.linalg.norm(data[0] @ r - data[1] @ r)
+    assert d1 == pytest.approx(d0, rel=1e-4)
+
+
+def test_opq_deterministic_and_beats_pq_on_correlated(spark, corr_df):
+    from pq_vector_spark.index.pq import train_opq
+
+    df, data = corr_df
+    cb1 = train_opq(df, "vec", m=4, nbits=4, seed=11)
+    cb2 = train_opq(df, "vec", m=4, nbits=4, seed=11)
+    assert np.array_equal(cb1.codebooks, cb2.codebooks)
+    assert np.array_equal(cb1.rotation, cb2.rotation)
+
+    pq = train_pq(df, "vec", m=4, nbits=4, seed=11)
+
+    def mse(cb):
+        x = data.astype(np.float64)
+        if cb.rotation is not None:
+            x = x @ cb.rotation.astype(np.float64)
+        err = 0.0
+        for j in range(cb.m):
+            sub = x[:, j * cb.dsub : (j + 1) * cb.dsub]
+            cents = cb.codebooks[j].astype(np.float64)
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            err += d2.min(axis=1).sum()
+        return err / x.shape[0]
+
+    assert mse(cb1) < mse(pq)
+
+
+def test_opq_envelope_matches_brute_force(spark, corr_df):
+    from pq_vector_spark.functions.distance import array_distance
+    from pq_vector_spark.index.pq import train_opq
+
+    df, data = corr_df
+    cb = train_opq(df, "vec", m=4, nbits=4, seed=11)
+    q = [float(x) for x in data[5]]
+    got = [
+        r["id"]
+        for r in pq_topk(
+            df, "vec", cb, q, 10, rerank=40, tie_break="id"
+        ).collect()
+    ]
+    want = [
+        r["id"]
+        for r in df.orderBy(
+            array_distance("vec", q).asc_nulls_last(), F.col("id").asc()
+        )
+        .limit(10)
+        .collect()
+    ]
+    assert got == want
+
+
+def test_opq_codebook_save_load_rotation(tmp_path, spark, corr_df):
+    from pq_vector_spark.index.pq import train_opq
+
+    df, _ = corr_df
+    cb = train_opq(df, "vec", m=4, nbits=4, seed=11)
+    p = str(tmp_path / "opq_cb")
+    cb.save(p)
+    back = PQCodebook.load(p)
+    assert np.array_equal(back.codebooks, cb.codebooks)
+    assert np.array_equal(back.rotation, cb.rotation)
+    # plain PQ round-trips rotation=None
+    pq = train_pq(df, "vec", m=4, nbits=4, seed=11)
+    p2 = str(tmp_path / "pq_cb")
+    pq.save(p2)
+    assert PQCodebook.load(p2).rotation is None
