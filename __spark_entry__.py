@@ -1482,6 +1482,21 @@ def _dedup_resolve(spark, sf_dir):
     return out.select("doc_id", "canonical_id", "is_canonical")
 
 
+def _split_leakage(spark, sf_dir):
+    """Leakage-safe train/holdout split (r13,
+    operators/sampling.leakage_safe_split): near-dup components (3-gram
+    jaccard pairs → connected components) are hashed by their CANONICAL
+    id, so a duplicate cluster lands whole on one side and no sibling of
+    a holdout doc contaminates train. The oracle replays the recursive-
+    CTE components AND the salted-md5 bucket split end-to-end."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.6)
+    from pq_vector_spark.operators.sampling import leakage_safe_split
+
+    out = leakage_safe_split(docs, "doc_id", pairs, holdout=0.1, salt="split")
+    return out.select("doc_id", "canonical_id", "split").orderBy("doc_id")
+
+
 def _dedup_resolve_best(spark, sf_dir):
     """Quality-keyed dedup resolution (r10 extension of
     operators/dedup.resolve_duplicates): same near-dup components, but the
@@ -2562,7 +2577,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- multimodal family --
         "multimodal_features": _multimodal_features,
         # -- sampling / PII / packing / merge (training-pipeline curation) --
-        "sample_temperature": _sample_temperature,
         "sample_budget": _sample_budget,
         # r10 extension: per-group budgets — new code, so it spends a
         # budget row this round (events_abtest demoted)
@@ -2572,6 +2586,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hash-green row (sample_stratified demoted; hash-bucket family
         # keeps 4 in-budget rows)
         "sample_budget_temperature": _sample_budget_temperature,
+        # r13 extension: leakage-safe component-keyed split — new code,
+        # spends a budget row (sample_temperature demoted: green since r9
+        # on untouched rate math, and the in-budget
+        # sample_budget_temperature row pins the same water-filling
+        # composition end-to-end)
+        "split_leakage": _split_leakage,
         # r12 attestation (r11 verdict #5): epoch-shuffle write→read round
         # trip — the sink family's first oracle row (dedup_embedding
         # demoted; the IVF-bucketed variant pins the family)
@@ -2617,6 +2637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- 50-row budget cutoff: tail variants below were driver-green in
         # r5 (CORRECTNESS_r05.json) and their code is unchanged; rotate any
         # of them back above this line whenever their implementation changes.
+        "sample_temperature": _sample_temperature,  # demoted r13 (green since r9; water-filling pinned in-budget by sample_budget_temperature)
         "knn_auto_cosine": _knn_auto_cosine,  # demoted r13 (green since r8; interception pinned by 3 in-budget auto rows, cosine by ann_cosine)
         "text_quality": _text_quality,  # demoted r13 (green since r5; trained classifier row covers the feature family)
         "dedup_resolve_best": _dedup_resolve_best,  # demoted r13 (green r10-r12, code untouched)
@@ -4375,6 +4396,30 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(cc.component, d.doc_id) AS canonical_id,
                    coalesce(cc.component, d.doc_id) = d.doc_id AS is_canonical
             FROM documents d LEFT JOIN cc ON d.doc_id = cc.node""",
+        # leakage-safe split: same recursive-CTE components as
+        # dedup_resolve, then the salted-md5 bucket of the CANONICAL id
+        # decides the side (holdout=0.1 of 1M buckets)
+        "split_leakage": f"""
+            WITH RECURSIVE {_jaccard_cte()},
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM jac WHERE jaccard >= 0.6
+              UNION
+              SELECT id_b AS src, id_a AS dst FROM jac WHERE jaccard >= 0.6),
+            reach(node, lbl) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node),
+            cc AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
+            canon AS (
+              SELECT d.doc_id,
+                     coalesce(cc.component, d.doc_id) AS canonical_id
+              FROM documents d LEFT JOIN cc ON d.doc_id = cc.node)
+            SELECT doc_id, canonical_id,
+                   CASE WHEN {_TOKHASH.format(
+                       s="concat('split', CAST(canonical_id AS VARCHAR))")}
+                        % 1000000 < 100000
+                        THEN 'holdout' ELSE 'train' END AS split
+            FROM canon ORDER BY doc_id""",
         # SemDeDup envelope: all-pairs cosine >= 1 - eps (the SQL computes
         # 1.0 - 0.58 itself so the float threshold is bit-identical to the
         # Spark side's), recursive-CTE components, min-id canonical

@@ -81,6 +81,7 @@ HEADLINE = [
     "sample_ccnet",
     "text_c4",
     "quality_classifier",
+    "split_leakage",
     "text_chunks",
     "quality_checks",
     "embedding_outliers",

@@ -127,6 +127,7 @@ from pq_vector_spark.streaming.ingest import (
 from pq_vector_spark.streaming.monitor import drift_metrics_batch, streaming_drift_monitor
 from pq_vector_spark.operators.sampling import (
     importance_sample,
+    leakage_safe_split,
     score_buckets,
     priority_sample_k,
     select_token_budget,
@@ -257,6 +258,7 @@ __all__ = [
     "indexed_topk_with_pending",
     "drift_metrics_batch",
     "streaming_drift_monitor",
+    "leakage_safe_split",
     "stratified_sample",
     "importance_sample",
     "temperature_mix",

@@ -89,6 +89,56 @@ def train_split(
     return df.filter(b >= F.lit(threshold)), df.filter(b < F.lit(threshold))
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    *,
+    holdout: float = 0.01,
+    salt: str = "split",
+    left: str = "id_a",
+    right: str = "id_b",
+    split_col: str = "split",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Duplicate-aware train/holdout split: a plain ``train_split`` hashes
+    DOCUMENT ids, so a near-duplicate of a holdout document lands in train
+    with probability 1 - holdout — eval contamination by construction.
+    This variant resolves the near-dup pair graph into connected
+    components (``resolve_duplicates``) and hashes the COMPONENT canonical
+    id instead, so every duplicate cluster lands whole on one side: no
+    paraphrase/boilerplate sibling of an eval doc can appear in train.
+
+    ``pairs`` is any near-dup edge list — MinHash-LSH, embedding-bucketed,
+    winnow overlap, n-gram Jaccard; the split is agnostic to how the
+    edges were found. Returns ``df`` + ``canonical_id`` / ``is_canonical``
+    (the resolution contract) + ``split_col`` ∈ {'train', 'holdout'} as
+    ONE frame — both sides share the resolution work; filter downstream.
+
+    Determinism: membership depends only on (canonical id, salt) — stable
+    across partitioning and reruns, and append-stable EXCEPT when new
+    edges merge two components (inherent: the merged cluster must move to
+    one side — the side of its new canonical).
+
+    Scale shape: the component resolution's bounded union-find /
+    pointer-jumping (``connected_components``) dominates; the split
+    itself is one map-side hash — no extra shuffle."""
+    if not (0.0 < holdout < 1.0):
+        raise ValueError(f"holdout must be in (0, 1), got {holdout}")
+    _check_reserved(df, {split_col, "canonical_id", "is_canonical"})
+    from pq_vector_spark.operators.dedup import resolve_duplicates
+
+    resolved = resolve_duplicates(
+        df, pairs, id_col, left, right, max_iters=max_iters
+    )
+    threshold = int(round(holdout * BUCKETS))
+    b = hash_bucket(F.col("canonical_id"), salt)
+    return resolved.withColumn(
+        split_col,
+        F.when(b < F.lit(threshold), F.lit("holdout")).otherwise(F.lit("train")),
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

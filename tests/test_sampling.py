@@ -1293,3 +1293,59 @@ def test_score_buckets_ccnet_terciles(spark):
         score_buckets(df, "s", labels=("a", "b"))
     with pytest.raises(ValueError, match="collide"):
         score_buckets(df.withColumn("bucket", F.lit(1)), "s")
+
+
+def test_leakage_safe_split_components_stay_together(spark):
+    from pq_vector_spark.operators.sampling import (
+        BUCKETS,
+        hash_bucket,
+        leakage_safe_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 21)], "doc_id bigint, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (10, 11)], "id_a bigint, id_b bigint"
+    )
+    out = leakage_safe_split(docs, "doc_id", pairs, holdout=0.3, salt="t")
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 20
+    # every near-dup component lands whole on one side
+    for comp in ((1, 2, 3), (5, 6), (10, 11)):
+        sides = {rows[i]["split"] for i in comp}
+        assert len(sides) == 1, comp
+        canon = {rows[i]["canonical_id"] for i in comp}
+        assert canon == {min(comp)}
+    # singletons: split is exactly the hash of their own id
+    thr = int(round(0.3 * BUCKETS))
+    single = docs.filter(~F.col("doc_id").isin([1, 2, 3, 5, 6, 10, 11]))
+    buckets = {
+        r["doc_id"]: r["b"]
+        for r in single.select(
+            "doc_id", hash_bucket(F.col("doc_id"), "t").alias("b")
+        ).collect()
+    }
+    for i, b in buckets.items():
+        want = "holdout" if b < thr else "train"
+        assert rows[i]["split"] == want
+    # deterministic under repartition
+    out2 = leakage_safe_split(
+        docs.repartition(7), "doc_id", pairs, holdout=0.3, salt="t"
+    )
+    assert {(r["doc_id"], r["split"]) for r in out2.collect()} == {
+        (r["doc_id"], r["split"]) for r in out.collect()
+    }
+
+
+def test_leakage_safe_split_validates(spark):
+    from pq_vector_spark.operators.sampling import leakage_safe_split
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id bigint, text string")
+    pairs = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    with pytest.raises(ValueError, match="holdout"):
+        leakage_safe_split(docs, "doc_id", pairs, holdout=1.5)
+    with pytest.raises(ValueError, match="collide"):
+        leakage_safe_split(
+            docs.withColumn("split", F.lit("x")), "doc_id", pairs
+        )
