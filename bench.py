@@ -1000,6 +1000,28 @@ def _dedup_scale_bench(spark) -> dict:
     )
     simhash_sec = round(time.time() - t0, 3)
 
+    # Trained quality classifier at scale (r13): fit = ONE map-side-combined
+    # aggregation over 1M docs (13 agg columns, 2 rows to the driver);
+    # scoring = pure whole-stage codegen over literal weights. The weak
+    # label here is an arbitrary id parity — the number proves the COST
+    # shape (one pass to fit, projection-priced scoring), not model quality
+    # (that's the sf0.01 oracle row + the separation unit test).
+    from pq_vector_spark.operators.classifier import (
+        classify_quality,
+        fit_lda_quality,
+    )
+
+    t0 = time.time()
+    qc_model = fit_lda_quality(docs, "text", F.col("doc_id") % 2 == 0)
+    qc_fit_sec = round(time.time() - t0, 3)
+    t0 = time.time()
+    n_qc_pos = (
+        classify_quality(docs, "text", qc_model)
+        .filter(F.col("quality_lr_pred"))
+        .count()
+    )
+    qc_score_sec = round(time.time() - t0, 3)
+
     # Decontamination at scale: ~1k-doc eval slice broadcast against the
     # remaining ~999k corpus (map-side shingles + broadcast gram join —
     # the corpus-never-shuffles contract under load).
@@ -1299,6 +1321,9 @@ def _dedup_scale_bench(spark) -> dict:
         "dup_components": int(n_components),
         "simhash_sec": simhash_sec,
         "simhash_distinct": int(n_sim),
+        "qc_fit_sec": qc_fit_sec,
+        "qc_score_sec": qc_score_sec,
+        "qc_pred_true": int(n_qc_pos),
         "decon_sec": decon_sec,
         "decon_survivors": int(n_clean),
         "incremental_sec": incr_sec,

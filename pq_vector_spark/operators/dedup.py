@@ -191,33 +191,62 @@ def ngram_jaccard_pairs(
     )
 
 
-def _expand_sorted_id_pairs(grouped: DataFrame, ids_col: str = "_ids") -> DataFrame:
+def _expand_sorted_id_pairs(
+    grouped: DataFrame, ids_col: str = "_ids", small_cap: int = 1024
+) -> DataFrame:
     """Buckets of SORTED member ids → within-bucket ordered (id_a, id_b)
-    pairs, id_a < id_b, in TWO generator steps so no single row ever holds
-    a bucket's full C(n, 2) pair set. (r13, ADVICE r12: the previous
-    flatten-of-structs expansion materialized all C(n, 2) pairs as ONE
-    array in ONE row before exploding — at max_bucket=10k that is a ~50M-
-    struct single-row allocation, and past ~65,536 members ``flatten``
-    exceeds Spark's 2^31 array-size limit and the job fails deterministically
-    in exactly the degenerate case the cap exists to bound.) Step 1 explodes
-    the anchor index i — each output row carries the O(n) bucket array;
-    step 2 explodes the O(n - i) suffix slice. Per-row memory stays O(n),
-    and whole-stage codegen streams the C(n, 2) pairs through both
-    generators without ever allocating them together. Callers must have
-    filtered size >= 2 already; pairs are emitted once per bucket (dedupe
-    across buckets stays the caller's job)."""
+    pairs, id_a < id_b — HYBRID by bucket size (r13 follow-up to the
+    ADVICE-r12 safety fix, which cost ~2× wall on winnow at 1M docs):
+
+    - size ≤ ``small_cap`` (the overwhelming majority of real buckets):
+      the single-row flatten-of-structs comprehension — one generator,
+      whole-stage codegen, at most C(small_cap, 2) ≈ 524k structs per row
+      (a few MB, far under Spark's 2^31 array-size limit).
+    - size > ``small_cap`` (degenerate/hot buckets): TWO generator steps —
+      explode the anchor index i, then explode the O(n - i) suffix slice —
+      so no single row ever holds a bucket's full C(n, 2) pair set. At
+      max_bucket=10k the old single-row path allocated a ~50M-struct row,
+      and past ~65,536 members ``flatten`` exceeded the 2^31 array limit
+      and failed deterministically in exactly the case the cap bounds.
+
+    Both branches emit identical pairs; the union keeps the fast path fast
+    and the degenerate path memory-safe. Callers must have filtered
+    size >= 2 already; pairs are emitted once per bucket (dedupe across
+    buckets stays the caller's job)."""
     ids = F.col(ids_col)
-    anchored = grouped.select(
+    small = grouped.filter(F.size(ids) <= small_cap)
+    big = grouped.filter(F.size(ids) > small_cap)
+    small_out = (
+        small.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(ids) - 1),
+                        lambda i: F.transform(
+                            F.slice(ids, i + 1, F.size(ids)),
+                            lambda b: F.struct(
+                                F.element_at(ids, i).alias("id_a"),
+                                b.alias("id_b"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("_p")
+        )
+        .select(F.col("_p.id_a").alias("id_a"), F.col("_p.id_b").alias("id_b"))
+    )
+    anchored = big.select(
         ids.alias("_xp_ids"),
         F.explode(F.sequence(F.lit(1), F.size(ids) - 1)).alias("_xp_i"),
     )
     suffix = F.slice(
         F.col("_xp_ids"), F.col("_xp_i") + 1, F.size("_xp_ids") - F.col("_xp_i")
     )
-    return anchored.select(
+    big_out = anchored.select(
         F.element_at("_xp_ids", F.col("_xp_i")).alias("id_a"),
         F.explode(suffix).alias("id_b"),
     )
+    return small_out.unionByName(big_out)
 
 
 def minhash_lsh_pairs(

@@ -1127,3 +1127,28 @@ def test_exact_dedup_index_probe_is_corpus_free(spark, tmp_path):
     assert "BroadcastHashJoin" in plan
     assert plan.count("Scan parquet") == 1 or "exact_idx2" in plan
     assert sorted(r["doc_id"] for r in out.collect()) == [901]
+
+
+def test_expand_sorted_id_pairs_hybrid_branch_parity(spark):
+    """The hybrid expansion (r13: small buckets via the single-row
+    comprehension, big buckets via the two-step generator) emits the
+    IDENTICAL pair set on both sides of the small_cap cut."""
+    from pq_vector_spark.operators.dedup import _expand_sorted_id_pairs
+
+    grouped = spark.createDataFrame(
+        [(0, list(range(1, 9))), (1, [100, 101, 102])],
+        "b: int, _ids: array<bigint>",
+    )
+    want = sorted(
+        (r["id_a"], r["id_b"])
+        for r in _expand_sorted_id_pairs(grouped, small_cap=1024).collect()
+    )
+    # force BOTH buckets down the big-bucket generator path
+    got_big = sorted(
+        (r["id_a"], r["id_b"])
+        for r in _expand_sorted_id_pairs(grouped, small_cap=2).collect()
+    )
+    assert want == got_big
+    n = 8
+    assert len([p for p in want if p[0] >= 100]) == 3
+    assert len([p for p in want if p[0] < 100]) == n * (n - 1) // 2
