@@ -210,6 +210,7 @@ def streaming_ingest(
     *,
     near_index: Optional[str] = None,
     near_threshold: float = 0.5,
+    gate=None,
 ):
     """Return a ``DataStreamWriter`` that continuously ingests ``stream``
     into the parquet corpus at ``corpus_path`` with per-batch incremental
@@ -221,11 +222,23 @@ def streaming_ingest(
         q = streaming_ingest(src, "/corpus", checkpoint="/chk").trigger(
             availableNow=True).start()
         q.awaitTermination()
-    """
+
+    ``gate`` (r13) turns the ingest into the full curation stream:
+    a ``DataFrame -> DataFrame`` callable applied to each micro-batch
+    BEFORE dedup — rule filters (``gopher_quality_flags`` /
+    ``c4_line_filters``), a trained classifier gate
+    (``classify_quality``), PII scrub, or any composition. The gate runs
+    map-side inside the batch (no extra action); rejected rows never
+    reach the dedup probe or the corpus. The gate must preserve
+    ``text_col`` and ``id_col`` and return the schema the corpus
+    expects — it is the caller's projection contract, mirrored from
+    ``operators/curate.py``'s batch pipeline."""
 
     _sweep_staging(stream.sparkSession, corpus_path)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if gate is not None:
+            batch_df = gate(batch_df)
         dedup_append_batch(
             batch_df,
             corpus_path,

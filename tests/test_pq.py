@@ -353,3 +353,34 @@ def test_opq_codebook_save_load_rotation(tmp_path, spark, corr_df):
     p2 = str(tmp_path / "pq_cb")
     pq.save(p2)
     assert PQCodebook.load(p2).rotation is None
+
+
+def test_ivf_opq_composition_envelope(spark, vec_df, tmp_path_factory):
+    """IVF × OPQ: the rotated codebook flows through encode_indexed and
+    ivfpq_topk transparently (rotation applied in the encode UDF and the
+    query LUT; the coarse quantizer and exact re-rank see raw vectors).
+    Envelope (nprobe = n_clusters, full-cover rerank) ⇒ brute force."""
+    from pq_vector_spark.index.build import build_index
+    from pq_vector_spark.index.pq import encode_indexed, ivfpq_topk, train_opq
+    from pq_vector_spark.session import IndexBuildOptions
+
+    df, data = vec_df
+    base = tmp_path_factory.mktemp("ivfopq")
+    src = str(base / "src.parquet")
+    idx = str(base / "indexed")
+    codes = str(base / "codes")
+    df.write.parquet(src)
+    build_index(spark, src, idx, column="vec", options=IndexBuildOptions(n_clusters=8))
+    cb = train_opq(df, "vec", m=4, nbits=6, seed=11)
+    assert cb.rotation is not None
+    encode_indexed(spark, idx, codes, "vec", "id", cb)
+    q = [float(x) for x in data[3]]
+    got = [
+        r["id"]
+        for r in ivfpq_topk(
+            spark, idx, codes, "vec", "id", cb, q, 10, nprobe=8, rerank=40
+        ).collect()
+    ]
+    d2 = ((data.astype(np.float64) - np.array(q)) ** 2).sum(axis=1)
+    want = [int(i) for i in np.lexsort((np.arange(len(d2)), d2))[:10]]
+    assert got == want

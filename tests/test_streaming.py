@@ -1600,3 +1600,64 @@ def test_indexed_topk_with_pending_sees_parked_rows(spark, tmp_path):
     want = [r["vec_id"] for r in brute_force_topk(
         union, "embedding", q_vec, 10, tie_break="vec_id").collect()]
     assert got == want
+
+
+def test_streaming_ingest_quality_gate(spark, tmp_path):
+    """The r13 `gate` hook: a curation stream — trained-classifier gate
+    (or any DataFrame->DataFrame filter) applied per micro-batch BEFORE
+    the dedup probe; rejected rows never reach the corpus."""
+    from pyspark.sql import functions as F
+
+    from pq_vector_spark.operators.classifier import (
+        classify_quality,
+        fit_lda_quality,
+    )
+    from pq_vector_spark.streaming.ingest import streaming_ingest
+
+    corpus_dir = str(tmp_path / "gated_corpus")
+    in_dir = str(tmp_path / "gated_in")
+    chk = str(tmp_path / "gated_chk")
+
+    spark.createDataFrame(
+        [(1, "the seed document is here and it is fine for all of us")],
+        ["doc_id", "text"],
+    ).write.mode("overwrite").parquet(corpus_dir)
+
+    # fit the gate model on labeled references (prose vs junk)
+    fit_rows = [
+        (100 + i, "the cat sat on the mat and it is that good for all", True)
+        for i in range(3)
+    ] + [(200 + i, "zzz 111 !!! ### qqq", False) for i in range(3)]
+    model = fit_lda_quality(
+        spark.createDataFrame(fit_rows, ["doc_id", "text", "y"]), "text", "y"
+    )
+
+    def gate(df):
+        return (
+            classify_quality(df, "text", model)
+            .filter(F.col("quality_lr_pred"))
+            .select("doc_id", "text")
+        )
+
+    incoming = spark.createDataFrame(
+        [
+            (10, "a day in the life of a cat that is happy for it"),  # prose → kept
+            (11, "qqq 999 ### zzz !!!"),  # junk → gated out
+            (12, "the seed document is here and it is fine for all of us"),  # dup → dropped
+        ],
+        ["doc_id", "text"],
+    )
+    incoming.write.mode("overwrite").parquet(in_dir)
+
+    stream = spark.readStream.schema(incoming.schema).parquet(in_dir)
+    q = (
+        streaming_ingest(
+            stream, corpus_dir, "text", "doc_id", checkpoint=chk, gate=gate
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {r["doc_id"] for r in spark.read.parquet(corpus_dir).collect()}
+    assert got == {1, 10}
