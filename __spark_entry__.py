@@ -318,6 +318,24 @@ def _ann_cosine(spark, sf_dir):
     )
 
 
+def _ann_dot(spark, sf_dir):
+    """MIPS — maximum-inner-product top-k (r13 tail row): the retrieval
+    metric for unnormalized / learned-magnitude embeddings
+    (recommendation towers, DPR-style retrievers). Pure codegen dot fold
+    (functions/distance.dot_product) + bounded-heap TakeOrderedAndProject;
+    the batch form is multi_query_topk(metric='dot')."""
+    from pq_vector_spark.functions.distance import dot_product
+
+    q = _qvec(spark, sf_dir, 1)
+    emb = _emb(spark, sf_dir)
+    scored = emb.withColumn("dot", dot_product(F.col("embedding"), list(q)))
+    return (
+        scored.orderBy(F.col("dot").desc(), F.col("vec_id").asc())
+        .limit(K)
+        .select("vec_id", F.round("dot", 4).alias("dot"))
+    )
+
+
 def _ann_cosine_ivf(spark, sf_dir):
     """Indexed cosine ANN via the batch kernel (metric='cosine') — probes
     all clusters ⇒ exactly the brute-force ann_cosine answer (same oracle
@@ -2684,6 +2702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_enriched": _events_stream_enriched,
         "events_stream_dedup": _events_stream_dedup,
         "ann_cosine_ivf": _ann_cosine_ivf,
+        "ann_dot": _ann_dot,  # r13 tail add: MIPS single-query form (batch form pinned by knn_batch's metric kernel)
         "knn_batch_ivf": _knn_batch_ivf,
         "similarity_join_ivf": _similarity_join_ivf,
         "knn_ivf_approx": _knn_ivf_approx,  # no_oracle (recall-gated) — never spends a budget row
@@ -3168,6 +3187,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, round({_cos("embedding", _Q1)}, 4) AS cosine
             FROM embeddings
             ORDER BY {_cos("embedding", _Q1)} DESC, vec_id LIMIT {K}""",
+        "ann_dot": f"""
+            SELECT vec_id, round({_dot("embedding", _Q1)}, 4) AS dot
+            FROM embeddings
+            ORDER BY {_dot("embedding", _Q1)} DESC, vec_id LIMIT {K}""",
         "similarity_join": f"""
             WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
             scored AS (
