@@ -97,3 +97,17 @@ def test_zero_variance_feature_is_harmless(spark):
     model = fit_lda_quality(df, "text", "y")
     assert all(math.isfinite(w) for w in model["weights"])
     assert math.isfinite(model["bias"])
+
+
+def test_scoring_plan_is_shuffle_free(spark, docs):
+    """Scoring is a pure projection: no Exchange, no Python UDF — the
+    literal-weight linear expression stays in whole-stage codegen."""
+    model = fit_lda_quality(docs, "text", "y")
+    plan = (
+        classify_quality(docs, "text", model)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
