@@ -1889,6 +1889,66 @@ def _text_bm25(spark, sf_dir):
     return T.bm25_topk(docs, "text", "doc_id", BM25_QUERY, k=10)
 
 
+_JSONL_FIXTURE_CACHE: dict[str, str] = {}
+
+
+def _jsonl_fixture(spark, sf_dir) -> str:
+    """JSONL ingestion fixture (built once per sf_dir per process): the
+    documents table written as JSONL plus ONE deterministically-corrupt
+    extra line — the quarantine path must fire."""
+    import os
+    import tempfile
+
+    key = sf_dir
+    if key in _JSONL_FIXTURE_CACHE:
+        return _JSONL_FIXTURE_CACHE[key]
+    from pq_vector_spark.sources.jsonl import write_jsonl
+
+    root = tempfile.mkdtemp(prefix="pq_entry_jsonl_")
+    path = os.path.join(root, "docs_jsonl")
+    write_jsonl(load_table(spark, sf_dir, "documents"), path)
+    with open(os.path.join(path, "zz-corrupt.json"), "w") as f:
+        f.write('{"doc_id": 999999999, "text": "missing closing brace"\n')
+    _JSONL_FIXTURE_CACHE[key] = path
+    return path
+
+
+def _pipeline_jsonl(spark, sf_dir):
+    """JSONL ingestion edge (r13, sources/jsonl.py): the documents table
+    round-trips through line-delimited JSON — explicit schema (one-pass
+    contract), PERMISSIVE parse, corrupt lines split into a quarantine
+    frame (one planted malformed line; its count rides every row as a
+    literal so the quarantine path is hash-attested). The oracle reads
+    the same rows straight from parquet — the round trip must be
+    content-lossless (text pinned by md5)."""
+    from pyspark.sql import types as T2
+
+    from pq_vector_spark.sources.jsonl import read_jsonl
+
+    path = _jsonl_fixture(spark, sf_dir)
+    schema = T2.StructType(
+        [
+            T2.StructField("doc_id", T2.LongType()),
+            T2.StructField("text", T2.StringType()),
+            T2.StructField("lang", T2.StringType()),
+            T2.StructField("source", T2.StringType()),
+            T2.StructField("n_chars", T2.LongType()),
+        ]
+    )
+    good, bad = read_jsonl(spark, path, schema)
+    n_bad = bad.count()
+    return (
+        good.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.md5("text").alias("text_md5"),
+            F.lit(int(n_bad)).cast("bigint").alias("quarantined"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _pipeline_curate(spark, sf_dir):
     """Composed curation pipeline (operators/curate.py): quality gate →
     exact-dedup survivor → PII scrub → deterministic 50% hash sample, in
@@ -2703,6 +2763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_dedup": _events_stream_dedup,
         "ann_cosine_ivf": _ann_cosine_ivf,
         "ann_dot": _ann_dot,  # r13 tail add: MIPS single-query form (batch form pinned by knn_batch's metric kernel)
+        "pipeline_jsonl": _pipeline_jsonl,  # r13 tail add: JSONL ingestion round trip + quarantine (pipeline family's in-budget sibling: pipeline_curate)
         "knn_batch_ivf": _knn_batch_ivf,
         "similarity_join_ivf": _similarity_join_ivf,
         "knn_ivf_approx": _knn_ivf_approx,  # no_oracle (recall-gated) — never spends a budget row
@@ -4361,6 +4422,13 @@ def oracle_sql() -> dict[str, str]:
             FROM toks""",
         # composed curation pipeline: quality gate → per-fingerprint
         # survivor (smallest id) → email+url scrub → salted 50% sample
+        # JSONL round trip is content-lossless, so the oracle is the
+        # parquet table itself; the planted corrupt line count is the
+        # literal 1 on both sides
+        "pipeline_jsonl": """
+            SELECT doc_id, lang, n_chars, md5(text) AS text_md5,
+                   CAST(1 AS BIGINT) AS quarantined
+            FROM documents ORDER BY doc_id""",
         "pipeline_curate": f"""
             WITH toks AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
             q AS (SELECT doc_id, text, {quality} AS qv FROM toks),

@@ -146,6 +146,11 @@ from pq_vector_spark.functions.vector import (
     project_vectors,
     random_projection_matrix,
 )
+from pq_vector_spark.sources.jsonl import (
+    read_jsonl,
+    read_jsonl_inferred,
+    write_jsonl,
+)
 from pq_vector_spark.sources.layout import zorder_key, zorder_write
 
 __all__ = [
@@ -274,6 +279,9 @@ __all__ = [
     "pca_components",
     "project_vectors",
     "random_projection_matrix",
+    "read_jsonl",
+    "read_jsonl_inferred",
+    "write_jsonl",
     "zorder_key",
     "zorder_write",
 ]
