@@ -1035,6 +1035,26 @@ def _dedup_scale_bench(spark) -> dict:
     ).count()
     decon_sec = round(time.time() - t0, 3)
 
+    # Bloom-filter decontamination (r13): same eval slice compressed to a
+    # bit array (~1.8 bits/gram at fpp=1e-3) probed map-side — the shape
+    # for eval-gram lists too big to broadcast-JOIN. min_grams only (no
+    # coverage-threshold rule), so survivor counts differ from decon_sec's
+    # by design; the conservative no-false-negative property is pinned in
+    # test_bloom.py.
+    from pq_vector_spark.operators.bloom import (
+        build_gram_bloom,
+        decontaminate_bloom,
+    )
+
+    t0 = time.time()
+    bloom = build_gram_bloom(ev, "text", n=5, fpp=1e-3)
+    bloom_build_sec = round(time.time() - t0, 3)
+    t0 = time.time()
+    n_bloom_clean = decontaminate_bloom(
+        corpus_side, bloom, "text", min_grams=8
+    ).count()
+    bloom_probe_sec = round(time.time() - t0, 3)
+
     # Incremental ingest dedup: 10% delta against the standing 90% corpus
     # (broadcast fingerprint probe; corpus map-side only).
     delta = docs.filter(F.col("doc_id") % 10 == 0)
@@ -1325,6 +1345,11 @@ def _dedup_scale_bench(spark) -> dict:
         "qc_score_sec": qc_score_sec,
         "qc_pred_true": int(n_qc_pos),
         "decon_sec": decon_sec,
+        "decon_bloom_build_sec": bloom_build_sec,
+        "decon_bloom_probe_sec": bloom_probe_sec,
+        "decon_bloom_survivors": int(n_bloom_clean),
+        "decon_bloom_grams": int(bloom["n_grams"]),
+        "decon_bloom_bytes": int(bloom["bits"].nbytes),
         "decon_survivors": int(n_clean),
         "incremental_sec": incr_sec,
         "incremental_new": int(n_new),

@@ -102,6 +102,11 @@ from pq_vector_spark.operators.dedup import (
     semantic_dedup,
     winnow_overlap_pairs,
 )
+from pq_vector_spark.operators.bloom import (
+    bloom_gram_hits,
+    build_gram_bloom,
+    decontaminate_bloom,
+)
 from pq_vector_spark.operators.drift import distribution_drift, psi
 from pq_vector_spark.operators.merge import latest_changes, merge_upsert
 from pq_vector_spark.operators.packing import pack_sequences, packing_stats
@@ -231,6 +236,9 @@ __all__ = [
     "distribution_drift",
     "psi",
     "contamination_report",
+    "bloom_gram_hits",
+    "build_gram_bloom",
+    "decontaminate_bloom",
     "decontaminate",
     "latest_changes",
     "merge_upsert",

@@ -1,0 +1,210 @@
+"""Bloom-filter decontamination — the beyond-broadcast scale path.
+
+``operators/decontaminate.py`` broadcast-joins the eval set's distinct
+gram-hash table into the corpus scan. That is the right plan while the
+eval side is benchmark-sized (10^3..10^6 grams). Modern decontamination
+lists grow far past that — full eval-suite unions, canary strings,
+memorization probes: 10^8+ distinct grams — and a hash-JOIN table of
+that many 8-byte keys costs GBs per executor. A Bloom filter holds the
+same membership at ~1.8 bits/gram (fpp 1e-3): the 10^8-gram list is a
+~21 MB closure instead of a multi-GB join build.
+
+Semantics are CONSERVATIVE by construction: Bloom false positives can
+only OVER-count a document's eval-gram hits, never under-count, so a
+document the exact operator flags is ALWAYS flagged here too (no
+contamination escapes); a clean document is wrongly dropped only when
+≥ ``min_grams`` of its distinct grams all false-positive — probability
+≤ C(G, min_grams)·fpp^min_grams, negligible at default settings. The
+trade is explicitly one-sided, which is what you want for
+decontamination (recall over precision).
+
+Determinism: gram hashing is the engine's portable md5-derived
+``token_hash``; bit positions use double hashing
+h_i = (h1 + i·h2) mod m with h1 = g mod m, h2 = ((g >> 17) | 1) mod m
+(h2 odd, m a multiple of 32 ⇒ h2 ≠ 0) — no RNG anywhere, so the same
+(eval set, fpp) always builds the identical filter on any cluster.
+
+Scale shape:
+- **Build**: one map-side gram pass over the EVAL side, per-batch sparse
+  (word, bits) contributions from a vectorized Arrow kernel, ONE
+  ``groupBy(word).bit_or`` shuffle of int pairs, and the driver collects
+  at most m/32 words — the filter's own size, which the driver must hold
+  anyway to broadcast it.
+- **Probe**: pure map over the corpus — distinct grams per doc (native
+  shingles), one vectorized pandas UDF testing k bits per gram against
+  the broadcast word array, keep docs with hits < ``min_grams``. The
+  corpus never shuffles and never joins.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pq_vector_spark.functions.text import token_hash
+from pq_vector_spark.operators.dedup import shingles
+
+_WORD = 32  # bits per bloom word (int32-safe shifts on every engine)
+
+
+def _bloom_geometry(n_items: int, fpp: float) -> tuple[int, int]:
+    """Standard optimal sizing: m = -n ln p / (ln 2)^2 bits (rounded up to
+    whole 32-bit words), k = (m/n) ln 2 hash functions (clamped 1..16)."""
+    if n_items <= 0:
+        raise ValueError(f"n_items must be positive, got {n_items}")
+    if not (0.0 < fpp < 1.0):
+        raise ValueError(f"fpp must be in (0, 1), got {fpp}")
+    m = int(math.ceil(-n_items * math.log(fpp) / (math.log(2) ** 2)))
+    m = max(((m + _WORD - 1) // _WORD) * _WORD, 2 * _WORD)
+    k = max(1, min(16, round(m / n_items * math.log(2))))
+    return m, k
+
+
+def _positions(g: np.ndarray, m: int, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """(word index, bit mask) arrays, k entries per gram — vectorized
+    double hashing over uint64 gram hashes."""
+    g = g.astype(np.uint64)
+    h1 = g % np.uint64(m)
+    h2 = ((g >> np.uint64(17)) | np.uint64(1)) % np.uint64(m)
+    i = np.arange(k, dtype=np.uint64)
+    pos = (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m)
+    word = (pos // np.uint64(_WORD)).astype(np.int64)
+    bit = (pos % np.uint64(_WORD)).astype(np.int64)
+    return word, np.left_shift(np.int64(1), bit)
+
+
+def build_gram_bloom(
+    eval_df: DataFrame,
+    text_col: str = "text",
+    *,
+    n: int = 5,
+    fpp: float = 1e-3,
+    n_grams: Optional[int] = None,
+) -> dict:
+    """Build the eval-set gram Bloom filter. ``n_grams`` (the sizing count)
+    defaults to one count job over the distinct gram hashes; pass it when
+    the cardinality is already known to skip that pass. Returns the model
+    dict consumed by :func:`decontaminate_bloom` — ``bits`` is a
+    ``uint32`` word array small enough to ride a task closure
+    (~1.8 bits/gram at the default fpp)."""
+    grams = (
+        eval_df.select(shingles(text_col, n).alias("_sh"))
+        .select(F.explode(F.transform("_sh", lambda s: token_hash(s))).alias("_g"))
+        .distinct()
+    )
+    if n_grams is None:
+        n_grams = grams.count()
+    m, k = _bloom_geometry(max(int(n_grams), 1), fpp)
+    n_words = m // _WORD
+
+    def _emit(batches):
+        for pdf in batches:
+            g = pdf["_g"].to_numpy(dtype=np.int64)
+            if len(g) == 0:
+                continue
+            word, mask = _positions(g, m, k)
+            arr = np.zeros(n_words, dtype=np.int64)
+            np.bitwise_or.at(arr, word.ravel(), mask.ravel())
+            nz = np.nonzero(arr)[0]
+            yield pd.DataFrame({"w": nz, "b": arr[nz]})
+
+    sparse = (
+        grams.mapInPandas(_emit, "w long, b long")
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("b"))
+        .collect()
+    )
+    bits = np.zeros(n_words, dtype=np.int64)
+    for r in sparse:
+        bits[r["w"]] = r["b"]
+    return {
+        "bits": bits.astype(np.uint32),
+        "m": m,
+        "k": k,
+        "n": int(n),
+        "fpp": float(fpp),
+        "n_grams": int(n_grams),
+    }
+
+
+def bloom_gram_hits(
+    corpus: DataFrame,
+    bloom: dict,
+    text_col: str = "text",
+    hits_col: str = "bloom_hits",
+) -> DataFrame:
+    """``corpus`` + ``hits_col``: per-document count of distinct grams
+    whose k Bloom bits are ALL set (over-approximates the true eval-gram
+    hit count, never under). Docs too short for a single gram count 0.
+
+    The gram array is materialized as its own (native) projection before
+    the Arrow kernel sees it — Spark cannot evaluate a pandas UDF whose
+    argument embeds higher-order-function lambdas directly."""
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast(np.ascontiguousarray(bloom["bits"]))
+    m, k = int(bloom["m"]), int(bloom["k"])
+
+    @F.pandas_udf("bigint")
+    def _hits(grams: pd.Series) -> pd.Series:
+        bits = bc.value.astype(np.int64)
+        arrs = grams.to_numpy()
+        lens = np.fromiter(
+            (len(a) if a is not None else 0 for a in arrs), dtype=np.int64
+        )
+        out = np.zeros(len(arrs), dtype=np.int64)
+        total = int(lens.sum())
+        if total:
+            flat = np.concatenate(
+                [np.asarray(a, dtype=np.int64) for a in arrs if a is not None and len(a)]
+            )
+            word, mask = _positions(flat, m, k)
+            hit = ((bits[word] & mask) == mask).all(axis=1)
+            bounds = np.cumsum(lens)[:-1]
+            out = np.add.reduceat(
+                np.concatenate([hit.astype(np.int64), [0]]),
+                np.concatenate([[0], bounds]),
+            )[: len(arrs)]
+            out = np.where(lens == 0, 0, out)
+        return pd.Series(out)
+
+    gram_arr = F.transform(shingles(text_col, int(bloom["n"])), lambda s: token_hash(s))
+    # inline-generator barrier (the classifier.py trick): a plain
+    # withColumn collapses back into the UDF argument and Spark refuses
+    # to evaluate a pandas UDF over an embedded lambda expression —
+    # generator outputs are attributes Catalyst cannot re-inline
+    grams_attr = corpus.select(
+        "*", F.inline(F.array(F.struct(gram_arr.alias("_bloom_grams"))))
+    )
+    return grams_attr.withColumn(hits_col, _hits(F.col("_bloom_grams"))).drop(
+        "_bloom_grams"
+    )
+
+
+def decontaminate_bloom(
+    corpus: DataFrame,
+    bloom: dict,
+    text_col: str = "text",
+    *,
+    min_grams: int = 8,
+    hits_col: Optional[str] = None,
+) -> DataFrame:
+    """Drop corpus docs with ≥ ``min_grams`` Bloom gram hits. Superset
+    guarantee vs the exact operator: everything ``decontaminate`` drops
+    is dropped here too (false positives only ADD hits); the reverse
+    differs only by Bloom false positives. Pass ``hits_col`` to keep the
+    hit count on the survivors (audit/threshold-tuning)."""
+    if min_grams < 1:
+        raise ValueError(f"min_grams must be >= 1, got {min_grams}")
+    keep = hits_col is not None
+    hc = hits_col or "_bloom_hits"
+    if hc in corpus.columns:
+        raise ValueError(f"input column collides with hits column {hc!r}")
+    out = bloom_gram_hits(corpus, bloom, text_col, hc).filter(
+        F.col(hc) < F.lit(int(min_grams))
+    )
+    return out if keep else out.drop(hc)

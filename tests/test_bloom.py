@@ -1,0 +1,115 @@
+"""Bloom-filter decontamination (operators/bloom.py)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pq_vector_spark.operators.bloom import (
+    _bloom_geometry,
+    _positions,
+    bloom_gram_hits,
+    build_gram_bloom,
+    decontaminate_bloom,
+)
+from pq_vector_spark.operators.decontaminate import decontaminate
+
+
+@pytest.fixture(scope="module")
+def corpora(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again today"),
+            (2, "pack my box with five dozen liquor jugs right now friends"),
+        ],
+        "doc_id bigint, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains a full eval sentence → contaminated
+            (10, "prefix words the quick brown fox jumps over the lazy dog again today suffix"),
+            # clean prose, no eval overlap
+            (11, "completely unrelated text about mountains rivers and weather patterns"),
+            (12, "another clean document with plenty of its own original words here"),
+            # partially overlapping but under the threshold
+            (13, "the quick brown fox appears briefly here then something else entirely follows"),
+            # no grams at all (too short for n=5)
+            (14, "tiny doc"),
+            (15, None),
+        ],
+        "doc_id bigint, text string",
+    )
+    return ev, corpus
+
+
+def test_geometry_sane():
+    m, k = _bloom_geometry(1000, 1e-3)
+    assert m % 32 == 0 and m >= 1000 * 10  # ~14.4 bits/item at 1e-3
+    assert 1 <= k <= 16
+    with pytest.raises(ValueError, match="n_items"):
+        _bloom_geometry(0, 0.01)
+    with pytest.raises(ValueError, match="fpp"):
+        _bloom_geometry(10, 1.5)
+
+
+def test_positions_deterministic_and_in_range():
+    g = np.array([123456789, 2**59, 7], dtype=np.int64)
+    w1, m1 = _positions(g, 1024, 5)
+    w2, m2 = _positions(g, 1024, 5)
+    assert np.array_equal(w1, w2) and np.array_equal(m1, m2)
+    assert w1.shape == (3, 5)
+    assert (w1 >= 0).all() and (w1 < 1024 // 32).all()
+
+
+def test_bloom_no_false_negatives_vs_exact(spark, corpora):
+    ev, corpus = corpora
+    bloom = build_gram_bloom(ev, "text", n=5, fpp=1e-3)
+    assert bloom["n_grams"] > 0 and bloom["bits"].any()
+    exact_kept = {
+        r["doc_id"]
+        for r in decontaminate(
+            corpus, ev, "text", n=5, min_grams=3, threshold=1.1
+        ).collect()
+    }
+    bloom_kept = {
+        r["doc_id"]
+        for r in decontaminate_bloom(corpus, bloom, "text", min_grams=3).collect()
+    }
+    # conservative: bloom never keeps a doc the exact operator drops
+    assert bloom_kept <= exact_kept
+    # and on this tiny filter there are no false positives either
+    assert bloom_kept == exact_kept
+    assert 10 not in bloom_kept and {11, 12, 13, 14, 15} <= bloom_kept
+
+
+def test_bloom_hits_counts_and_nulls(spark, corpora):
+    ev, corpus = corpora
+    bloom = build_gram_bloom(ev, "text", n=5, fpp=1e-3)
+    hits = {
+        r["doc_id"]: r["h"]
+        for r in bloom_gram_hits(corpus, bloom, "text", "h")
+        .select("doc_id", "h")
+        .collect()
+    }
+    assert hits[10] == 7  # 11-token embedded run -> 7 shared 5-grams
+    assert hits[11] == 0 and hits[12] == 0
+    assert hits[14] == 0 and hits[15] == 0  # gram-less docs: zero, kept
+    # hits_col audit form
+    out = decontaminate_bloom(
+        corpus, bloom, "text", min_grams=3, hits_col="bloom_hits"
+    )
+    assert "bloom_hits" in out.columns
+
+
+def test_bloom_deterministic_rebuild(spark, corpora):
+    ev, _ = corpora
+    b1 = build_gram_bloom(ev, "text", n=5, fpp=1e-2)
+    b2 = build_gram_bloom(ev, "text", n=5, fpp=1e-2)
+    assert np.array_equal(b1["bits"], b2["bits"])
+    assert (b1["m"], b1["k"], b1["n_grams"]) == (b2["m"], b2["k"], b2["n_grams"])
+
+
+def test_bloom_validates(spark, corpora):
+    ev, corpus = corpora
+    bloom = build_gram_bloom(ev, "text", n=5, fpp=1e-2)
+    with pytest.raises(ValueError, match="min_grams"):
+        decontaminate_bloom(corpus, bloom, "text", min_grams=0)
