@@ -1817,6 +1817,25 @@ def _sample_weighted(spark, sf_dir):
     return out.select("doc_id", "lang").orderBy("doc_id")
 
 
+def _sample_repeat(spark, sf_dir):
+    """Epoch repetition mixture (r13, operators/sampling.repeat_mix —
+    the GPT-3 §2.2 repeat-factor table): src0 upsampled 2.5×, src2
+    downsampled to 0.25×, everything else 1× — floor(f) full copies plus
+    a salted-hash-gated fractional copy, per-row deterministic. The
+    oracle unrolls the copy index over VALUES(1,2,3) and replays the
+    bound, the gate hash, and the fractional threshold exactly."""
+    from pq_vector_spark.operators.sampling import repeat_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    f = (
+        F.when(F.col("source") == "src0", 2.5)
+        .when(F.col("source") == "src2", 0.25)
+        .otherwise(1.0)
+    )
+    out = repeat_mix(docs, "doc_id", f, salt="rep")
+    return out.select("doc_id", "source", "epoch").orderBy("doc_id", "epoch")
+
+
 def _sample_dsir(spark, sf_dir):
     """DSIR importance resampling (r13, operators/dsir.py — Xie et al.
     2023, arXiv:2302.03169): rank raw docs by resemblance to a target
@@ -2764,6 +2783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_ivf": _ann_cosine_ivf,
         "ann_dot": _ann_dot,  # r13 tail add: MIPS single-query form (batch form pinned by knn_batch's metric kernel)
         "pipeline_jsonl": _pipeline_jsonl,  # r13 tail add: JSONL ingestion round trip + quarantine (pipeline family's in-budget sibling: pipeline_curate)
+        "sample_repeat": _sample_repeat,  # r13 tail add: epoch repeat-factor mixture (sample family in budget)
         "knn_batch_ivf": _knn_batch_ivf,
         "similarity_join_ivf": _similarity_join_ivf,
         "knn_ivf_approx": _knn_ivf_approx,  # no_oracle (recall-gated) — never spends a budget row
@@ -3918,6 +3938,25 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'tail' END AS bucket
             FROM sc JOIN thr USING (lang)
             ORDER BY sc.doc_id""",
+        # epoch repeat-factor mixture: copy index unrolled over VALUES,
+        # bound i <= floor(f)+1, full copies i <= floor(f), fractional
+        # copy gated by the salted md5 of (key, '#', i)
+        "sample_repeat": f"""
+            WITH f AS (SELECT doc_id, source,
+                    CASE WHEN source = 'src0' THEN 2.5
+                         WHEN source = 'src2' THEN 0.25
+                         ELSE 1.0 END AS fac
+                FROM documents),
+            e(i) AS (VALUES (1), (2), (3))
+            SELECT doc_id, source, CAST(i AS BIGINT) AS epoch
+            FROM f CROSS JOIN e
+            WHERE i <= floor(fac) + 1
+              AND (i <= floor(fac)
+                   OR CAST({_TOKHASH.format(
+                       s="concat('rep', CAST(doc_id AS VARCHAR), '#', CAST(i AS VARCHAR))")}
+                       % 1000000 AS DOUBLE)
+                      < (fac - floor(fac)) * 1000000.0)
+            ORDER BY doc_id, epoch""",
         "sample_mix": f"""
             SELECT doc_id, 'src0' AS mix_source FROM documents
             WHERE source = 'src0'

@@ -135,6 +135,7 @@ from pq_vector_spark.operators.sampling import (
     leakage_safe_split,
     score_buckets,
     priority_sample_k,
+    repeat_mix,
     select_token_budget,
     select_token_budget_grouped,
     stratified_sample,
@@ -278,6 +279,7 @@ __all__ = [
     "temperature_rates",
     "temperature_token_budgets",
     "priority_sample_k",
+    "repeat_mix",
     "select_token_budget",
     "select_token_budget_grouped",
     "embedding_outliers",

@@ -208,6 +208,60 @@ def weighted_mix(
     return reduce(lambda a, b: a.unionByName(b), outs)
 
 
+def repeat_mix(
+    df: DataFrame,
+    key_col: str,
+    factor,
+    *,
+    salt: str = "epoch",
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Deterministic repeat-factor upsampling — the other half of the
+    training-mixture spec that ``weighted_mix`` deliberately leaves to the
+    loader side ("4 epochs of Wikipedia, 0.5 of CommonCrawl", cf. the
+    GPT-3 §2.2 / LLaMA sampling-proportion tables): every row emits
+    ``floor(f)`` full copies plus one more with probability ``frac(f)``,
+    decided by the salted hash of (key, copy index) — exact in
+    expectation, per-row deterministic, append-stable (a new corpus row
+    never flips an old row's copies). ``factor`` is a float (uniform) or
+    a Column (per-row — e.g. a CASE over the source column). The output
+    adds ``epoch_col`` (1-based copy index); feed each epoch copy to
+    ``write_epoch_shards(salt=f"{salt}-{{epoch}}")`` so repeats land at
+    different positions in training order.
+
+    Scale shape: one generator (``explode(sequence(...))``) + a map-side
+    hash gate — no shuffle, no state; a 100 TB corpus upsamples as a pure
+    projection whose output volume is exactly Σ ceil(f) rows pre-gate."""
+    if not isinstance(factor, Column):
+        if float(factor) < 0:
+            raise ValueError(f"factor must be >= 0, got {factor}")
+        f = F.lit(float(factor)).cast("double")
+    else:
+        f = factor.cast("double")
+    _check_reserved(df, {epoch_col, "_rm_i"})
+    key = F.col(key_col)
+    # greatest(., 0): a (column-supplied) negative factor must not reach
+    # sequence(1, 0), which Spark generates DESCENDING
+    full = F.greatest(F.floor(f).cast("bigint"), F.lit(0).cast("bigint"))
+    frac = f - F.floor(f)
+    i = F.col("_rm_i")
+    gate = (i <= full) | (
+        hash_bucket(
+            F.concat(key.cast("string"), F.lit("#"), i.cast("string")), salt
+        ).cast("double")
+        < frac * F.lit(float(BUCKETS))
+    )
+    out = (
+        df.withColumn(
+            "_rm_i", F.explode(F.sequence(F.lit(1).cast("bigint"), full + 1))
+        )
+        .filter(f >= 0)
+        .filter(gate)
+        .withColumnRenamed("_rm_i", epoch_col)
+    )
+    return out
+
+
 def importance_sample(
     df: DataFrame, key_col: str, prob_col, salt: str = ""
 ) -> DataFrame:

@@ -1349,3 +1349,58 @@ def test_leakage_safe_split_validates(spark):
         leakage_safe_split(
             docs.withColumn("split", F.lit("x")), "doc_id", pairs
         )
+
+
+def test_repeat_mix_epoch_upsampling(spark):
+    from pq_vector_spark.operators.sampling import BUCKETS, hash_bucket, repeat_mix
+
+    docs = spark.createDataFrame(
+        [(i, "src0" if i < 50 else "src1") for i in range(100)],
+        "doc_id bigint, source string",
+    )
+    # integer factor: exactly 3 copies each, epochs 1..3
+    out3 = repeat_mix(docs, "doc_id", 3.0, salt="t")
+    assert out3.count() == 300
+    per = out3.groupBy("doc_id").count().collect()
+    assert all(r["count"] == 3 for r in per)
+    assert {r["epoch"] for r in out3.select("epoch").distinct().collect()} == {1, 2, 3}
+
+    # fractional factor: floor copies always + hash-gated extra
+    out = repeat_mix(docs, "doc_id", 1.5, salt="t")
+    rows = out.groupBy("doc_id").count().collect()
+    counts = {r["doc_id"]: r["count"] for r in rows}
+    assert set(counts.values()) <= {1, 2}
+    n2 = sum(1 for v in counts.values() if v == 2)
+    assert 25 <= n2 <= 75  # ~50% of 100, deterministic given salt
+    # the extra copy is exactly the hash gate replayed row-side
+    thr = 0.5 * BUCKETS
+    gate = {
+        r["doc_id"]: r["b"] < thr
+        for r in docs.select(
+            "doc_id",
+            hash_bucket(
+                F.concat(F.col("doc_id").cast("string"), F.lit("#"), F.lit("2")),
+                "t",
+            ).alias("b"),
+        ).collect()
+    }
+    for d, c in counts.items():
+        assert (c == 2) == gate[d]
+
+    # per-source column factor: src0 x2, src1 x0.0 (dropped entirely)
+    f = F.when(F.col("source") == "src0", 2.0).otherwise(0.0)
+    outc = repeat_mix(docs, "doc_id", f, salt="t")
+    got = outc.groupBy("source").count().collect()
+    assert {r["source"]: r["count"] for r in got} == {"src0": 100}
+
+    # determinism under repartition + validation
+    a = {(r["doc_id"], r["epoch"]) for r in out.collect()}
+    b = {
+        (r["doc_id"], r["epoch"])
+        for r in repeat_mix(docs.repartition(7), "doc_id", 1.5, salt="t").collect()
+    }
+    assert a == b
+    with pytest.raises(ValueError, match="factor"):
+        repeat_mix(docs, "doc_id", -1.0)
+    with pytest.raises(ValueError, match="collide"):
+        repeat_mix(docs.withColumn("epoch", F.lit(1)), "doc_id", 2.0)
