@@ -192,8 +192,8 @@ def weighted_mix(
     Scale shape: a union of map-side filters — no shuffle, no sampling
     state; each source's scan prunes independently and the union is purely
     logical (Spark unions partitions, it does not materialize them).
-    Weights > 1 are rejected — upsampling (epoch repetition) belongs in
-    the data loader, not the corpus definition.
+    Weights > 1 are rejected — upsampling (epoch repetition) is
+    ``repeat_mix``'s job.
     """
     if not parts:
         raise ValueError("parts must name at least one (DataFrame, weight)")
