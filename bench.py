@@ -1135,13 +1135,20 @@ def _dedup_scale_bench(spark) -> dict:
     # are DROPPED pre-join (mass boilerplate — any subset of their ~n²/2
     # expansions is arbitrary), and the dropped-fp count is recorded so
     # silent truncation is visible at scale.
+    # _caches: without it the _stats dropped-fp count re-runs the whole
+    # fingerprint extraction (one extra full pass — measured ~2× wall at
+    # 1M docs); the release contract persists the grouped frame across
+    # count + expansion and unpersists after the action.
     wstats: dict = {}
+    wcaches: list = []
     t0 = time.time()
     n_overlap = D.winnow_overlap_pairs(
         docs, "text", "doc_id", k=3, w=4, min_shared=2, max_bucket=10_000,
-        _stats=wstats,
+        _stats=wstats, _caches=wcaches,
     ).count()
     winnow_sec = round(time.time() - t0, 3)
+    for c in wcaches:
+        c.unpersist()
 
     # Persisted near-dup index (r11): ONE map-side signature pass persists
     # the standing 90%'s banded signatures; the 10% delta then NEAR-dedups
