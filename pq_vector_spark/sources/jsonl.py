@@ -50,16 +50,19 @@ def read_jsonl(
     contract above); use :func:`read_jsonl_inferred` when a second
     inference pass over small data is acceptable.
 
-    The good frame is the straight PERMISSIVE JSON scan (clean rows only).
-    The quarantine frame CANNOT come off the same scan — Spark refuses
-    queries whose scan-referenced columns are only the internal corrupt
-    column (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN; the
-    documented alternative is caching the whole parse, which a library
-    must not impose) — so it re-reads the files as TEXT and replays the
-    same PERMISSIVE parse through ``from_json`` with the same
-    corrupt-record option. The text pass is only paid when the quarantine
-    side is actually acted on; blank lines are structure (the JSON reader
-    skips them), not corruption."""
+    Neither frame can come off a native JSON scan: Spark refuses any
+    query whose scan-referenced columns reduce to the internal corrupt
+    column (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN) — and
+    column pruning makes even ``good.count()`` such a query, since only
+    the corrupt-IS-NULL filter's input survives pruning. (The documented
+    alternative is caching the whole parse, which a library must not
+    impose.) So both frames read the files as TEXT and run the same
+    PERMISSIVE parser through ``from_json`` with the same corrupt-record
+    option — one parse per row, materialized through an inline-generator
+    barrier so Catalyst cannot re-inline the parse per consumer. Blank
+    lines are structure (the JSONL contract), not corruption; a literal
+    ``null`` line parses to an all-NULL row (kept — it is valid JSON,
+    just not a record; filter on a required field downstream)."""
     if schema is None:
         raise ValueError(
             "read_jsonl requires an explicit schema (inference is a full "
@@ -73,24 +76,18 @@ def read_jsonl(
     full = T.StructType(
         list(schema.fields) + [T.StructField(corrupt_col, T.StringType())]
     )
-    df = (
-        spark.read.schema(full)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", corrupt_col)
-        .json(path)
-    )
-    good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
     parsed = F.from_json(
         F.col("value"),
         full,
         {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt_col},
     )
-    quarantine = (
+    flat = (
         spark.read.text(path)
         .filter(F.length(F.trim(F.col("value"))) > 0)
-        .filter(parsed[corrupt_col].isNotNull())
-        .select(F.col("value").alias(corrupt_col))
+        .select(F.inline(F.array(parsed)))
     )
+    good = flat.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    quarantine = flat.filter(F.col(corrupt_col).isNotNull()).select(corrupt_col)
     return good, quarantine
 
 
