@@ -6,17 +6,25 @@ eval side is benchmark-sized (10^3..10^6 grams). Modern decontamination
 lists grow far past that — full eval-suite unions, canary strings,
 memorization probes: 10^8+ distinct grams — and a hash-JOIN table of
 that many 8-byte keys costs GBs per executor. A Bloom filter holds the
-same membership at ~1.8 bits/gram (fpp 1e-3): the 10^8-gram list is a
-~21 MB closure instead of a multi-GB join build.
+same membership at ~14.4 bits ≈ 1.8 BYTES/gram (fpp 1e-3): the
+10^8-gram list is a ~180 MB closure instead of a multi-GB join build.
 
 Semantics are CONSERVATIVE by construction: Bloom false positives can
 only OVER-count a document's eval-gram hits, never under-count, so a
-document the exact operator flags is ALWAYS flagged here too (no
-contamination escapes); a clean document is wrongly dropped only when
-≥ ``min_grams`` of its distinct grams all false-positive — probability
-≤ C(G, min_grams)·fpp^min_grams, negligible at default settings. The
-trade is explicitly one-sided, which is what you want for
-decontamination (recall over precision).
+document ``decontaminate`` flags is ALWAYS flagged here too — for BOTH
+of its rules. The ``min_grams`` rule maps directly (hits ≥ shared
+grams). The ``overlap_frac >= threshold`` rule has no per-eval-doc
+analogue inside a merged filter, so it is over-approximated through the
+SMALLEST eval document: ``decontaminate`` can only threshold-flag a
+corpus doc that shares ≥ ceil(threshold·E) grams with some eval doc of
+E grams, and E ≥ min_eval_grams (recorded at build time), so dropping
+at ``hits ≥ ceil(threshold·min_eval_grams)`` is a strict superset of
+the exact rule. A clean document is wrongly dropped only when enough of
+its distinct grams all false-positive (probability ≤
+C(G, t)·fpp^t, negligible at default settings) or when the
+smallest-eval-doc bound fires for a larger eval doc. The trade is
+explicitly one-sided, which is what you want for decontamination
+(recall over precision).
 
 Determinism: gram hashing is the engine's portable md5-derived
 ``token_hash``; bit positions use double hashing
@@ -90,13 +98,28 @@ def build_gram_bloom(
     defaults to one count job over the distinct gram hashes; pass it when
     the cardinality is already known to skip that pass. Returns the model
     dict consumed by :func:`decontaminate_bloom` — ``bits`` is a
-    ``uint32`` word array small enough to ride a task closure
-    (~1.8 bits/gram at the default fpp)."""
-    grams = (
+    ``uint32`` word array small enough to ride a task closure (~14.4 bits
+    ≈ 1.8 bytes/gram at the default fpp; ~180 MB for a 10^8-gram list).
+
+    The model also records ``min_eval_grams`` — the distinct-gram count of
+    the SMALLEST eval document with ≥1 gram — which
+    :func:`decontaminate_bloom` uses to over-approximate the exact
+    operator's ``overlap_frac`` rule (one extra eval-bounded agg job)."""
+    per_doc = (
         eval_df.select(shingles(text_col, n).alias("_sh"))
-        .select(F.explode(F.transform("_sh", lambda s: token_hash(s))).alias("_g"))
-        .distinct()
+        .select(
+            F.array_distinct(
+                F.transform("_sh", lambda s: token_hash(s))
+            ).alias("_gs")
+        )
     )
+    min_eval = (
+        per_doc.select(F.size("_gs").alias("_ng"))
+        .filter(F.col("_ng") >= 1)
+        .agg(F.min("_ng").alias("mn"))
+        .collect()[0]["mn"]
+    )
+    grams = per_doc.select(F.explode("_gs").alias("_g")).distinct()
     if n_grams is None:
         n_grams = grams.count()
     m, k = _bloom_geometry(max(int(n_grams), 1), fpp)
@@ -129,6 +152,8 @@ def build_gram_bloom(
         "n": int(n),
         "fpp": float(fpp),
         "n_grams": int(n_grams),
+        # None ⇔ the eval set has no doc with a single gram (degenerate)
+        "min_eval_grams": int(min_eval) if min_eval is not None else None,
     }
 
 
@@ -145,6 +170,12 @@ def bloom_gram_hits(
     The gram array is materialized as its own (native) projection before
     the Arrow kernel sees it — Spark cannot evaluate a pandas UDF whose
     argument embeds higher-order-function lambdas directly."""
+    for reserved in ("_bloom_grams", hits_col):
+        if reserved in corpus.columns:
+            raise ValueError(
+                f"input column collides with helper column {reserved!r}; "
+                "rename it before calling bloom_gram_hits"
+            )
     spark = corpus.sparkSession
     bc = spark.sparkContext.broadcast(np.ascontiguousarray(bloom["bits"]))
     m, k = int(bloom["m"]), int(bloom["k"])
@@ -191,20 +222,51 @@ def decontaminate_bloom(
     text_col: str = "text",
     *,
     min_grams: int = 8,
+    threshold: Optional[float] = 0.5,
     hits_col: Optional[str] = None,
 ) -> DataFrame:
-    """Drop corpus docs with ≥ ``min_grams`` Bloom gram hits. Superset
-    guarantee vs the exact operator: everything ``decontaminate`` drops
-    is dropped here too (false positives only ADD hits); the reverse
-    differs only by Bloom false positives. Pass ``hits_col`` to keep the
-    hit count on the survivors (audit/threshold-tuning)."""
+    """Drop corpus docs flagged by the Bloom analogue of BOTH
+    :func:`~pq_vector_spark.operators.decontaminate.decontaminate` rules:
+
+    - ``min_grams``: drop at ≥ ``min_grams`` Bloom gram hits (direct
+      analogue — false positives only ADD hits).
+    - ``threshold``: the exact operator also drops any doc whose shared
+      grams cover ≥ ``threshold`` of SOME eval doc's grams. A merged
+      filter cannot attribute hits to one eval doc, so this is
+      over-approximated via the smallest eval document: the exact rule
+      can only fire at ≥ ceil(threshold · min_eval_grams) shared grams,
+      so we drop at that many hits. Pass ``threshold=None`` to disable
+      (pure ``min_grams`` semantics).
+
+    Superset guarantee: with both rules active (the defaults, matching
+    ``decontaminate``'s defaults), everything the exact operator drops is
+    dropped here too. The reverse differs by Bloom false positives plus
+    the smallest-eval-doc coarsening — both one-sided toward dropping
+    more, never letting contamination escape. Pass ``hits_col`` to keep
+    the hit count on the survivors (audit/threshold-tuning)."""
     if min_grams < 1:
         raise ValueError(f"min_grams must be >= 1, got {min_grams}")
+    cut = int(min_grams)
+    if threshold is not None:
+        if not (0.0 < threshold):
+            raise ValueError(f"threshold must be positive, got {threshold}")
+        mn = bloom.get("min_eval_grams")
+        if mn is None:
+            raise ValueError(
+                "threshold rule requires min_eval_grams in the bloom model "
+                "(rebuild with this version's build_gram_bloom), and an "
+                "eval set with at least one gram-bearing document; pass "
+                "threshold=None for pure min_grams semantics"
+            )
+        # smallest integer hit count the exact rule could fire at; the
+        # -1e-9 guards float round-up past an exactly-integral product
+        # (conservative direction = never a LARGER cut than exact needs)
+        cut = min(cut, max(1, math.ceil(float(threshold) * int(mn) - 1e-9)))
     keep = hits_col is not None
     hc = hits_col or "_bloom_hits"
     if hc in corpus.columns:
         raise ValueError(f"input column collides with hits column {hc!r}")
     out = bloom_gram_hits(corpus, bloom, text_col, hc).filter(
-        F.col(hc) < F.lit(int(min_grams))
+        F.col(hc) < F.lit(cut)
     )
     return out if keep else out.drop(hc)

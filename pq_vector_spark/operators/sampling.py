@@ -224,7 +224,12 @@ def repeat_mix(
     decided by the salted hash of (key, copy index) — exact in
     expectation, per-row deterministic, append-stable (a new corpus row
     never flips an old row's copies). ``factor`` is a float (uniform) or
-    a Column (per-row — e.g. a CASE over the source column). The output
+    a Column (per-row — e.g. a CASE over the source column). A NULL or
+    negative column factor RAISES at execution (matching the scalar
+    form's ValueError — the repo's never-silently-drop discipline; an
+    unmatched CASE without ``.otherwise`` is a spec bug, not a drop
+    request — ``coalesce(factor, lit(0.0))`` explicitly if 0 is meant).
+    The output
     adds ``epoch_col`` (1-based copy index); feed each epoch copy to
     ``write_epoch_shards(salt=f"{salt}-{{epoch}}")`` so repeats land at
     different positions in training order.
@@ -238,6 +243,17 @@ def repeat_mix(
         f = F.lit(float(factor)).cast("double")
     else:
         f = factor.cast("double")
+        # loud analogue of the scalar ValueError: NULL (unmatched CASE) or
+        # negative per-row factors fail the job instead of vanishing rows
+        f = F.when(
+            f.isNull() | (f < 0),
+            F.raise_error(
+                F.concat(
+                    F.lit("repeat_mix: factor must be non-NULL and >= 0, got "),
+                    F.coalesce(f.cast("string"), F.lit("NULL")),
+                )
+            ).cast("double"),
+        ).otherwise(f)
     _check_reserved(df, {epoch_col, "_rm_i"})
     key = F.col(key_col)
     # greatest(., 0): a (column-supplied) negative factor must not reach
@@ -255,7 +271,6 @@ def repeat_mix(
         df.withColumn(
             "_rm_i", F.explode(F.sequence(F.lit(1).cast("bigint"), full + 1))
         )
-        .filter(f >= 0)
         .filter(gate)
         .withColumnRenamed("_rm_i", epoch_col)
     )

@@ -181,7 +181,15 @@ def _persist_codes_registration(
     )
 
     buf = io.BytesIO()
-    np.savez(buf, codebooks=codebook.codebooks, dim=np.int64(codebook.dim))
+    # Mirror PQCodebook.save exactly (index/pq.py:80-84): the optional OPQ
+    # rotation MUST round-trip — a stripped rotation would make restarted
+    # sessions compute an unrotated LUT against rotated codes (garbage ADC
+    # shortlists) and auto_rebuild would re-encode with the stripped
+    # codebook, baking the mismatch into the layout.
+    extras = {}
+    if codebook.rotation is not None:
+        extras["rotation"] = codebook.rotation
+    np.savez(buf, codebooks=codebook.codebooks, dim=np.int64(codebook.dim), **extras)
     reg = {
         "format": "pq_vector_spark/pq-codes-v1",
         "codes_path": (
@@ -257,7 +265,11 @@ def _load_codes_registration(spark, indexed_path: str):
                 f"{base}/{INDEX_DIR}/{reg.get('codebook_file', CODES_CODEBOOK_FILE)}",
             )
         z = np.load(io.BytesIO(raw))
-        codebook = PQCodebook(codebooks=z["codebooks"], dim=int(z["dim"]))
+        codebook = PQCodebook(
+            codebooks=z["codebooks"],
+            dim=int(z["dim"]),
+            rotation=z["rotation"] if "rotation" in z.files else None,
+        )
         return True, (
             reg["codes_path"], codebook, reg["id_col"], int(reg["codes_rows"])
         )

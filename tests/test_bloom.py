@@ -64,6 +64,7 @@ def test_bloom_no_false_negatives_vs_exact(spark, corpora):
     ev, corpus = corpora
     bloom = build_gram_bloom(ev, "text", n=5, fpp=1e-3)
     assert bloom["n_grams"] > 0 and bloom["bits"].any()
+    # min_grams-only comparison (threshold disabled on BOTH sides)
     exact_kept = {
         r["doc_id"]
         for r in decontaminate(
@@ -72,13 +73,87 @@ def test_bloom_no_false_negatives_vs_exact(spark, corpora):
     }
     bloom_kept = {
         r["doc_id"]
-        for r in decontaminate_bloom(corpus, bloom, "text", min_grams=3).collect()
+        for r in decontaminate_bloom(
+            corpus, bloom, "text", min_grams=3, threshold=None
+        ).collect()
     }
     # conservative: bloom never keeps a doc the exact operator drops
     assert bloom_kept <= exact_kept
     # and on this tiny filter there are no false positives either
     assert bloom_kept == exact_kept
     assert 10 not in bloom_kept and {11, 12, 13, 14, 15} <= bloom_kept
+    # DEFAULT-vs-DEFAULT comparison (both rules active on both sides):
+    # the superset guarantee the docstring actually promises
+    exact_def = {
+        r["doc_id"]
+        for r in decontaminate(corpus, ev, "text", n=5, min_grams=3).collect()
+    }
+    bloom_def = {
+        r["doc_id"]
+        for r in decontaminate_bloom(corpus, bloom, "text", min_grams=3).collect()
+    }
+    assert bloom_def <= exact_def
+
+
+def test_bloom_threshold_rule_covers_short_eval_docs(spark):
+    """The r13 escape scenario (ADVICE medium): a short eval doc
+    (< 2·min_grams distinct grams) fully contained in a corpus doc is
+    dropped by the exact operator's overlap_frac rule but has too few
+    shared grams for the min_grams rule. The smallest-eval-doc threshold
+    analogue must drop it in the bloom path too."""
+    ev = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again today"),
+            # 6 tokens -> 2 distinct 5-grams: min_grams=3 alone can't fire
+            (2, "secret canary string alpha beta gamma"),
+        ],
+        "doc_id bigint, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (20, "intro words secret canary string alpha beta gamma outro text"),
+            (21, "totally unrelated clean document about rivers and mountains"),
+        ],
+        "doc_id bigint, text string",
+    )
+    bloom = build_gram_bloom(ev, "text", n=5, fpp=1e-3)
+    assert bloom["min_eval_grams"] == 2
+    exact_kept = {
+        r["doc_id"]
+        for r in decontaminate(corpus, ev, "text", n=5, min_grams=3).collect()
+    }
+    assert exact_kept == {21}  # threshold rule drops 20 (overlap_frac 1.0)
+    bloom_kept = {
+        r["doc_id"]
+        for r in decontaminate_bloom(corpus, bloom, "text", min_grams=3).collect()
+    }
+    assert bloom_kept <= exact_kept  # the promised superset-of-drops
+    assert bloom_kept == {21}
+    # with the threshold rule disabled, the gap is EXPECTED and documented
+    kept_no_thresh = {
+        r["doc_id"]
+        for r in decontaminate_bloom(
+            corpus, bloom, "text", min_grams=3, threshold=None
+        ).collect()
+    }
+    assert 20 in kept_no_thresh
+
+
+def test_bloom_reserved_names_and_old_models(spark, corpora):
+    ev, corpus = corpora
+    bloom = build_gram_bloom(ev, "text", n=5, fpp=1e-2)
+    clash = corpus.withColumn("_bloom_grams", F.lit(1))
+    with pytest.raises(ValueError, match="_bloom_grams"):
+        bloom_gram_hits(clash, bloom, "text", "h")
+    with pytest.raises(ValueError, match="helper column"):
+        bloom_gram_hits(corpus.withColumn("h", F.lit(1)), bloom, "text", "h")
+    # a pre-r14 model dict (no min_eval_grams) can't serve the threshold
+    # rule — loud error, with the explicit opt-out named
+    old = {k: v for k, v in bloom.items() if k != "min_eval_grams"}
+    with pytest.raises(ValueError, match="min_eval_grams"):
+        decontaminate_bloom(corpus, old, "text")
+    # but still works with the rule disabled
+    assert decontaminate_bloom(corpus, old, "text", threshold=None).count() >= 0
 
 
 def test_bloom_hits_counts_and_nulls(spark, corpora):

@@ -744,6 +744,52 @@ def test_codes_registration_survives_session_restart(spark, icpt_table, tmp_path
         unregister_codes_sidecar(icpt_table["out"])
 
 
+def test_opq_codes_registration_roundtrips_rotation(spark, icpt_table, tmp_path):
+    """The persisted codes sidecar must carry the OPQ rotation (r13 ADVICE
+    high): a registration that strips it would make a restarted session
+    compute an UNROTATED query LUT against rotated codes — silently-wrong
+    ADC shortlists — and auto_rebuild would re-encode the whole codes table
+    with the stripped codebook. Round-trip through disk and pin both the
+    loaded rotation matrix and the end-to-end exact result."""
+    from pq_vector_spark.index.pq import encode_indexed, train_opq
+    from pq_vector_spark.plans.explain import vector_route
+    from pq_vector_spark.plans.intercept import (
+        _CODES_SIDECAR_MISSES,
+        _CODES_SIDECARS,
+        register_codes_sidecar,
+        unregister_codes_sidecar,
+    )
+
+    codes = str(tmp_path / "codes_opq")
+    emb = spark.read.parquet(icpt_table["src"])
+    cb = train_opq(emb, "vec", m=4, nbits=8, seed=42)
+    assert cb.rotation is not None  # the premise: this codebook IS rotated
+    encode_indexed(spark, icpt_table["out"], codes, "vec", "id", cb)
+    register_codes_sidecar(icpt_table["out"], codes, cb, id_col="id")
+    try:
+        saved = dict(_CODES_SIDECARS)
+        _CODES_SIDECARS.clear()  # ≙ process restart: only disk remains
+        _CODES_SIDECAR_MISSES.clear()
+        q = (
+            "WITH c AS (SELECT id, vec FROM icpt_vectors) "
+            f"SELECT id FROM c ORDER BY array_distance(vec, {VEC}), id LIMIT 10"
+        )
+        raw = spark.sql(expand_vector_functions(q))
+        hit = try_intercept_topk(
+            spark, raw, options=VectorTopKOptions(nprobe=N_CLUSTERS)
+        )
+        assert hit is not None
+        assert vector_route(hit) == "ivf-pq"
+        assert [r["id"] for r in hit.collect()] == _brute(spark, q)
+        _, loaded_cb, _, _ = _CODES_SIDECARS[list(_CODES_SIDECARS)[0]]
+        assert loaded_cb.rotation is not None
+        assert np.array_equal(loaded_cb.rotation, cb.rotation)
+        assert np.array_equal(loaded_cb.codebooks, cb.codebooks)
+        _CODES_SIDECARS.update(saved)
+    finally:
+        unregister_codes_sidecar(icpt_table["out"])
+
+
 def test_unregister_removes_persisted_registration(spark, icpt_table, tmp_path):
     """unregister must delete the on-disk registration too — otherwise the
     disk copy silently resurrects the route in the next session."""

@@ -1404,3 +1404,15 @@ def test_repeat_mix_epoch_upsampling(spark):
         repeat_mix(docs, "doc_id", -1.0)
     with pytest.raises(ValueError, match="collide"):
         repeat_mix(docs.withColumn("epoch", F.lit(1)), "doc_id", 2.0)
+
+    # NULL column factor (unmatched CASE, no .otherwise) and negative
+    # column factor both RAISE at execution — the scalar ValueError's
+    # runtime analogue; rows never silently vanish (r13 ADVICE low)
+    from pyspark.errors import SparkRuntimeException
+
+    f_null = F.when(F.col("source") == "src0", 2.0)  # src1 -> NULL
+    with pytest.raises(SparkRuntimeException, match="non-NULL"):
+        repeat_mix(docs, "doc_id", f_null, salt="t").count()
+    f_neg = F.when(F.col("source") == "src0", 2.0).otherwise(-3.0)
+    with pytest.raises(SparkRuntimeException, match=">= 0"):
+        repeat_mix(docs, "doc_id", f_neg, salt="t").count()
