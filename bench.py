@@ -1072,12 +1072,30 @@ def _dedup_scale_bench(spark) -> dict:
 
     dsir_target = docs.filter(F.col("doc_id") % 1000 == 3)
     dsir_raw = docs.filter(F.col("doc_id") % 1000 != 3)
+    # r14: the _caches contract persists the featurized frame across the
+    # model fit and the scoring join — featurization (the dominant cost)
+    # runs ONCE instead of twice. Recorded for BOTH hash families: fast
+    # (xxhash64, the at-scale recommendation) and portable (md5, the
+    # oracle family) — r13 baselines were 99 s / 120 s uncached.
+    dsir_caches = []
     t0 = time.time()
     n_dsir = dsir_importance_weights(
         dsir_raw, "text", "doc_id", dsir_target, n_max=2, buckets=10_000,
-        bucket_hash="fast",
+        bucket_hash="fast", _caches=dsir_caches,
     ).count()
     dsir_sec = round(time.time() - t0, 3)
+    for c in dsir_caches:
+        c.unpersist()
+    dsir_caches = []
+    t0 = time.time()
+    n_dsir_p = dsir_importance_weights(
+        dsir_raw, "text", "doc_id", dsir_target, n_max=2, buckets=10_000,
+        bucket_hash="portable", _caches=dsir_caches,
+    ).count()
+    dsir_portable_sec = round(time.time() - t0, 3)
+    for c in dsir_caches:
+        c.unpersist()
+    assert n_dsir_p == n_dsir
 
     # Persisted exact-fp index (r13): build once over the standing 90%,
     # probe the same 10% delta — compare exidx_probe_sec with incr_sec
@@ -1364,6 +1382,7 @@ def _dedup_scale_bench(spark) -> dict:
         "exact_index_probe_sec": exidx_probe_sec,
         "exact_index_probe_matches": bool(n_new_idx == n_new),
         "dsir_weights_sec": dsir_sec,
+        "dsir_weights_portable_sec": dsir_portable_sec,
         "dsir_docs_scored": int(n_dsir),
         "near_index_build_sec": near_build_sec,
         "near_probe_sec": near_probe_sec,

@@ -94,6 +94,7 @@ def dsir_importance_weights(
     buckets: int = 10_000,
     smoothing: float = 0.5,
     bucket_hash: str = "portable",
+    _caches: Optional[list] = None,
 ) -> DataFrame:
     """Per-document DSIR log importance weight vs ``target``: returns
     (``id_col``, ``log_weight``) with ``log_weight`` rounded to 6
@@ -115,6 +116,13 @@ def dsir_importance_weights(
     slightly different bucket collisions and therefore slightly
     different weights — same estimator, different hash family; pick one
     per pipeline and stay with it.
+
+    Pass ``_caches`` (the engine's unpersist-after-action contract: a
+    list the CALLER unpersists after its action) to persist the raw
+    corpus's featurized frame across its two consumers — the raw-model
+    fit and the scoring join. Featurization dominates the operator's
+    cost at corpus scale, so this roughly halves it; without ``_caches``
+    the corpus is featurized twice and nothing survives the action.
     """
     if n_max < 1:
         raise ValueError(f"n_max must be >= 1, got {n_max}")
@@ -125,6 +133,17 @@ def dsir_importance_weights(
     if bucket_hash not in ("portable", "fast"):
         raise ValueError(f"bucket_hash must be portable|fast, got {bucket_hash!r}")
     feat = _doc_bucket_counts(df, text_col, id_col, n_max, buckets, bucket_hash)
+    # Persist ONLY under the _caches contract (same trade as
+    # operators/dedup.py): feat has exactly two consumers — the raw-model
+    # collect below (which materializes the cache) and the scoring join —
+    # and featurization is the dominant cost, so the persist halves the
+    # operator; an unconditional persist would leak a corpus-sized frame
+    # for callers that never unpersist.
+    if _caches is not None:
+        from pyspark import StorageLevel
+
+        feat = feat.persist(StorageLevel.MEMORY_AND_DISK)
+        _caches.append(feat)
     # the target model only needs bucket TOTALS — synthesize a row id so
     # the shared featurizer applies, it aggregates away immediately
     tfeat = _doc_bucket_counts(
@@ -141,10 +160,10 @@ def dsir_importance_weights(
     # Both models COLLECT to the driver — ≤ ``buckets`` rows each is this
     # operator's designed bounded driver state (10k–65k ints), and
     # building the llr table as a literal frame means the raw corpus is
-    # featurized exactly TWICE (model fit + scoring) instead of the 3–4
-    # lazy re-evaluations the all-lazy formulation paid (one per action
-    # that referenced the model subtree — measured at ~2× the operator's
-    # wall time at sf0.1).
+    # featurized at most TWICE (model fit + scoring; ONCE under _caches)
+    # instead of the 3–4 lazy re-evaluations the all-lazy formulation
+    # paid (one per action that referenced the model subtree — measured
+    # at ~2× the operator's wall time at sf0.1).
     import math
 
     nt = {int(r["_b"]): int(r["_n"]) for r in _bucket_model(tfeat).collect()}
@@ -187,6 +206,7 @@ def dsir_select(
     bucket_hash: str = "portable",
     gumbel: bool = True,
     salt: str = "dsir",
+    _caches: Optional[list] = None,
 ) -> DataFrame:
     """Top-``k`` DSIR selection: ``df``'s rows + ``log_weight`` (+
     ``gumbel_score`` when sampling), ranked by ``log_weight + Gumbel``
@@ -199,13 +219,15 @@ def dsir_select(
     Ties break by id. Selection plans as a bounded top-k heap; for k in
     the hundreds of millions, rank once with
     :func:`dsir_importance_weights` and cut at a quantile threshold
-    instead of a global heap."""
+    instead of a global heap. ``_caches`` passes through to the weight
+    computation (persist-the-featurized-frame contract — see
+    :func:`dsir_importance_weights`)."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     w = dsir_importance_weights(
         df, text_col, id_col, target, target_text_col,
         n_max=n_max, buckets=buckets, smoothing=smoothing,
-        bucket_hash=bucket_hash,
+        bucket_hash=bucket_hash, _caches=_caches,
     )
     out = df.join(w, id_col)
     if gumbel:

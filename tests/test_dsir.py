@@ -44,6 +44,30 @@ def test_weights_rank_by_target_resemblance(corpora):
     assert len(w) == 6  # every input row surfaces exactly once
 
 
+def test_caches_contract_identical_results(corpora):
+    """The ``_caches`` contract (r13 verdict #3): persisting the
+    featurized frame across the model fit + scoring join must change
+    nothing but the pass count — identical weights, and the caller gets
+    exactly the persisted frame(s) to release after its action."""
+    raw, target = corpora
+    plain = sorted(dsir_importance_weights(raw, "text", "doc_id", target).collect())
+    caches = []
+    w = dsir_importance_weights(raw, "text", "doc_id", target, _caches=caches)
+    cached = sorted(w.collect())
+    assert cached == plain
+    assert len(caches) == 1 and caches[0].storageLevel.useMemory
+    for c in caches:
+        c.unpersist()
+    # select passes the contract through
+    caches2 = []
+    sel = dsir_select(
+        raw, "text", "doc_id", target, 3, _caches=caches2
+    ).collect()
+    assert len(sel) == 3 and len(caches2) == 1
+    for c in caches2:
+        c.unpersist()
+
+
 def test_weights_deterministic_across_partitioning(corpora):
     """Fate is a pure function of (text, models): a repartitioned input
     produces identical rounded weights — the engine's reproducibility
