@@ -1601,8 +1601,18 @@ def remove_repeated_paragraphs(
     """Strip BOILERPLATE PARAGRAPHS from every document: a paragraph whose
     normalized fingerprint appears in ≥ ``min_docs`` DISTINCT documents is
     removed from all of them (every occurrence), preserving the order and
-    the raw bytes of the surviving paragraphs — the CCNet/Gopher-style
-    paragraph-granular dedup that document-level dedup cannot do (nav
+    the raw bytes of the surviving paragraphs.
+
+    **Calling convention** — pass ``_caches=[]`` (and unpersist its
+    contents after YOUR action) to persist the hot fingerprint set across
+    the internal count and the joins; a fire-and-forget call without
+    ``_caches`` silently pays ONE extra aggregation pass over the corpus
+    (nothing is cached, so nothing leaks). Diagnostics runs additionally
+    pass ``_stats={}`` for the hot-set size / broadcast decision /
+    persistence flag. See the README's "caching contract" example.
+
+    This is the CCNet/Gopher-style paragraph-granular dedup that
+    document-level dedup cannot do (nav
     bars, cookie banners, boilerplate headers ride inside otherwise-unique
     pages). Whitespace-only paragraphs are never counted and never removed
     (they are separator structure, not content); matching normalizes
@@ -1702,7 +1712,11 @@ def remove_repeated_paragraphs(
             broadcast_threshold,
         )
     if _stats is not None:
-        _stats.update(hot_fingerprints=int(n_hot), broadcast=bool(small))
+        _stats.update(
+            hot_fingerprints=int(n_hot),
+            broadcast=bool(small),
+            hot_persisted=_caches is not None,
+        )
 
     def bc(d):
         return F.broadcast(d) if small else d

@@ -188,3 +188,23 @@ def test_bloom_validates(spark, corpora):
     bloom = build_gram_bloom(ev, "text", n=5, fpp=1e-2)
     with pytest.raises(ValueError, match="min_grams"):
         decontaminate_bloom(corpus, bloom, "text", min_grams=0)
+
+
+def test_gram_barrier_survives_optimizer(spark, corpora):
+    """The gram expression (split→shingle→md5 hash) must appear EXACTLY
+    ONCE in the optimized plan, inside the inline-generator barrier, with
+    the Arrow UDF consuming the generated ATTRIBUTE (r13 verdict #6): if
+    Catalyst ever re-inlines generator outputs, the UDF argument would
+    embed HOF lambdas again — a runtime INTERNAL_ERROR at best, a
+    silent per-consumer re-evaluation at worst."""
+    ev, corpus = corpora
+    bloom = build_gram_bloom(ev, "text", n=5, fpp=1e-2)
+    plan = (
+        bloom_gram_hits(corpus, bloom, "text", "h")
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("Generate inline") == 1
+    assert plan.count("md5(") == 1  # the gram hash is computed once
+    assert "ArrowEvalPython" in plan and "_bloom_grams" in plan

@@ -784,13 +784,17 @@ def test_remove_repeated_paragraphs_broadcast_guard(spark):
         )
         plan = guarded._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" not in plan
-        assert stats == {"hot_fingerprints": 2, "broadcast": False}
+        assert stats == {
+            "hot_fingerprints": 2, "broadcast": False, "hot_persisted": False,
+        }
         got = {r["doc_id"]: r["text"] for r in guarded.collect()}
         stats_small: dict = {}
         hinted = remove_repeated_paragraphs(
             df, "text", "doc_id", min_docs=2, _stats=stats_small
         )
-        assert stats_small == {"hot_fingerprints": 2, "broadcast": True}
+        assert stats_small == {
+            "hot_fingerprints": 2, "broadcast": True, "hot_persisted": False,
+        }
         assert got == {r["doc_id"]: r["text"] for r in hinted.collect()}
         assert got[0] == "unique 0"
         # rewrite_all path honors the guard too (it still joins `hot`)
@@ -803,6 +807,37 @@ def test_remove_repeated_paragraphs_broadcast_guard(spark):
         assert got == {r["doc_id"]: r["text"] for r in ga.collect()}
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_remove_repeated_paragraphs_caches_contract(spark):
+    """The _caches calling convention (r13 verdict #8): WITH _caches the
+    hot set is persisted once (hot_persisted=True, the action's plan reads
+    the InMemoryRelation, the caller gets exactly that frame to release);
+    WITHOUT, nothing is cached — the silent cost is one extra aggregation
+    pass, never a leaked relation. Results identical either way."""
+    from pq_vector_spark.operators.dedup import remove_repeated_paragraphs
+
+    rows = [(i, f"unique {i}\ncommon footer") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id: bigint, text: string")
+    stats, caches = {}, []
+    cached = remove_repeated_paragraphs(
+        df, "text", "doc_id", min_docs=2, _stats=stats, _caches=caches
+    )
+    assert stats["hot_persisted"] is True
+    assert len(caches) == 1 and caches[0].storageLevel.useMemory
+    plan = cached._jdf.queryExecution().optimizedPlan().toString()
+    assert "InMemoryRelation" in plan  # hot-set joins read the cache
+    got = {r["doc_id"]: r["text"] for r in cached.collect()}
+    for c in caches:
+        c.unpersist()
+    stats2: dict = {}
+    plain = remove_repeated_paragraphs(
+        df, "text", "doc_id", min_docs=2, _stats=stats2
+    )
+    assert stats2["hot_persisted"] is False
+    plan2 = plain._jdf.queryExecution().optimizedPlan().toString()
+    assert "InMemoryRelation" not in plan2  # fire-and-forget: no residue
+    assert got == {r["doc_id"]: r["text"] for r in plain.collect()}
 
 
 # ---------------------------------------------- winnow overlap pairs

@@ -69,3 +69,16 @@ def test_jsonl_round_trip(spark, tmp_path):
 def test_read_jsonl_inferred(spark, jsonl_dir):
     df = read_jsonl_inferred(spark, jsonl_dir)
     assert "_corrupt_record" in df.columns or set(df.columns) >= {"doc_id"}
+
+
+def test_parse_barrier_survives_optimizer(spark, jsonl_dir):
+    """The from_json parse must appear EXACTLY ONCE in each frame's
+    optimized plan, inside the inline-generator barrier (r13 verdict #6):
+    if a Spark upgrade ever teaches Catalyst to re-inline generator
+    outputs, every downstream consumer would re-parse each line — this
+    fails loudly instead of silently multiplying the parse cost."""
+    good, quar = read_jsonl(spark, str(jsonl_dir), SCHEMA)
+    for frame in (good, quar):
+        plan = frame._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("from_json(") == 1
+        assert plan.count("Generate inline") == 1
