@@ -799,6 +799,21 @@ def semantic_dedup(
     cosine at 1 - eps). The centroid set is trained ONCE and shared by
     blocking and scoring, so the survivor score is consistent with the
     blocking geometry.
+
+    **Pass ``_caches`` for any corpus-scale run**: the probed frame
+    (corpus + centroid assignment) has up to FOUR consumers — pair
+    blocking, the capped-cluster stat, and the two survivor-resolution
+    joins — and each re-runs the multi-probe assignment (n_clusters
+    distance folds per row, the operator's dominant map cost) unless the
+    frame is persisted. Measured at 1M×256: 199 s uncached vs the cached
+    run bounded by ONE assignment (see bench ``scale_dedup.semantic_*``).
+    With BOTH ``_stats`` and ``_caches`` the operator additionally
+    records a stage breakdown — ``fit_sec`` (driver k-means),
+    ``assign_sec`` (materializing the cached assignment),
+    ``pairs_sec``/``n_pairs`` (pair generation + cosine gate) — the
+    remaining caller-action time being survivor resolution; the extra
+    ``count()`` actions only materialize caches that are reused, never
+    recompute.
     """
     import math
 
@@ -835,7 +850,11 @@ def semantic_dedup(
     # still trained when the SURVIVOR SCORE needs them (keep != min_id);
     # the pure min_id envelope skips k-means entirely.
     complete = nprobe >= n_clusters
+    import time as _time
+
+    diag = _stats is not None and _caches is not None
     if not complete or keep != "min_id":
+        _t0 = _time.time()
         sample = sample_embeddings_to_driver(
             df, vec_col, _sample_size(stats.rows, n_clusters, sample_cap),
             stats.rows, seed,
@@ -843,11 +862,26 @@ def semantic_dedup(
         centroids = train_kmeans(
             sample, n_clusters, max_iters=max_iters, seed=seed
         )
+        if _stats is not None:
+            _stats["fit_sec"] = round(_time.time() - _t0, 3)
         # probe the FULL frame: probe_clusters only appends a column, so
         # the survivor score below rides the same rows — no corpus-keyed
         # join to reattach it (the blocking explode still projects just
         # (id, cluster))
         probed = probe_clusters(df, vec_col, centroids, nprobe)
+        # Persist ONLY under the _caches contract: probed has up to four
+        # consumers (pair blocking, capped-cluster stat, and resolve's two
+        # joins over the scored frame), each otherwise re-running the
+        # n_clusters-fold assignment — the operator's dominant map cost.
+        if _caches is not None:
+            from pyspark import StorageLevel
+
+            probed = probed.persist(StorageLevel.MEMORY_AND_DISK)
+            _caches.append(probed)
+            if diag:
+                _t0 = _time.time()
+                probed.count()
+                _stats["assign_sec"] = round(_time.time() - _t0, 3)
     if method == "gram":
         # SemDeDup's own compute shape: per-cluster tiled Gram matrix —
         # candidate pairs never leave the executor (see
@@ -909,6 +943,17 @@ def semantic_dedup(
             )
             .select("id_a", "id_b")
         )
+    if diag:
+        # diagnostics breakdown: pairs are edge-list-sized (sparse), so
+        # the persist is bounded and connected_components' localCheckpoint
+        # reads the cache instead of re-running the gram/cosine stage
+        from pyspark import StorageLevel
+
+        pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+        _caches.append(pairs)
+        _t0 = _time.time()
+        _stats["n_pairs"] = int(pairs.count())
+        _stats["pairs_sec"] = round(_time.time() - _t0, 3)
     if keep == "min_id":
         return resolve_duplicates(df, pairs, id_col)
     # survivor score: cosine to the NEAREST centroid (probe_clusters

@@ -1007,6 +1007,52 @@ def test_gram_hot_cluster_cap_and_stats(spark):
     assert tiled.count() == 30 * 29 // 2
 
 
+def test_semantic_dedup_caches_contract(spark):
+    """_caches persists the probed frame (its four consumers otherwise
+    each re-run the centroid assignment — the 199 s r13 scale cost);
+    diagnostics mode (_stats + _caches) records the fit/assign/pairs
+    stage breakdown. Results identical to the uncached run."""
+    from pq_vector_spark.operators.dedup import semantic_dedup
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [1.0, 0.05, 0.0]),
+        (3, [1.0, -0.05, 0.0]),
+        (4, [0.0, 1.0, 0.0]),
+        (5, [0.0, 1.0, 0.05]),
+        (6, [0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id: bigint, embedding: array<float>")
+
+    def run(**kw):
+        return {
+            (r["vec_id"], r["canonical_id"], r["is_canonical"])
+            for r in semantic_dedup(
+                df, "embedding", "vec_id", eps=0.01, n_clusters=2, nprobe=1,
+                keep="outlier", method="gram", **kw
+            ).collect()
+        }
+
+    plain = run()
+    stats, caches = {}, []
+    cached = run(_stats=stats, _caches=caches)
+    assert cached == plain
+    # probed + pairs persisted, caller releases both
+    assert len(caches) == 2
+    assert all(c.storageLevel.useMemory for c in caches)
+    for key in ("fit_sec", "assign_sec", "pairs_sec", "n_pairs"):
+        assert key in stats, key
+    assert stats["n_pairs"] >= 2  # groups {1,2,3} and {4,5}
+    for c in caches:
+        c.unpersist()
+    # _caches WITHOUT _stats: persist only, no diagnostic actions
+    caches2: list = []
+    assert run(_caches=caches2) == plain
+    assert len(caches2) >= 1
+    for c in caches2:
+        c.unpersist()
+
+
 def test_semantic_dedup_gram_matches_expand(spark):
     """semantic_dedup(method="gram") elects the same survivors as the
     expand path (min_id policy — the engine-replayable variant)."""
