@@ -1094,11 +1094,11 @@ def _dedup_scale_bench(spark) -> dict:
     decon_sec = round(time.time() - t0, 3)
 
     # Bloom-filter decontamination (r13): same eval slice compressed to a
-    # bit array (~1.8 bits/gram at fpp=1e-3) probed map-side — the shape
-    # for eval-gram lists too big to broadcast-JOIN. min_grams only (no
-    # coverage-threshold rule), so survivor counts differ from decon_sec's
-    # by design; the conservative no-false-negative property is pinned in
-    # test_bloom.py.
+    # bit array (~14.4 bits/gram at fpp=1e-3) probed map-side — the shape
+    # for eval-gram lists too big to broadcast-JOIN. min_grams only
+    # (threshold=None: no coverage-threshold rule), so survivor counts
+    # differ from decon_sec's by design; the conservative
+    # no-false-negative property is pinned in test_bloom.py.
     from pq_vector_spark.operators.bloom import (
         build_gram_bloom,
         decontaminate_bloom,
@@ -1109,9 +1109,53 @@ def _dedup_scale_bench(spark) -> dict:
     bloom_build_sec = round(time.time() - t0, 3)
     t0 = time.time()
     n_bloom_clean = decontaminate_bloom(
-        corpus_side, bloom, "text", min_grams=8
+        corpus_side, bloom, "text", min_grams=8, threshold=None
     ).count()
     bloom_probe_sec = round(time.time() - t0, 3)
+
+    # The 10^7-gram regime the Bloom operator EXISTS for (r13 verdict #7):
+    # the 1M-doc eval slice above is 76k grams — broadcast-join territory,
+    # where bloom can only lose. A real decontamination list (eval-suite
+    # unions + canaries) is 10^7-10^8 grams: synthesize a 100k-doc random-
+    # token eval side (~10^7 distinct 5-grams), then race the SAME corpus
+    # probe through (a) the exact broadcast gram JOIN and (b) the bloom
+    # closure. MEASURED FINDING (r14, this host): at 10^7 grams the bloom
+    # probe is ~1.15× the exact join's time (99 vs 86 s — the Arrow
+    # transfer of gram arrays costs more than the JVM hash lookup saves),
+    # so bloom's 10^7+ value on a single node is MEMORY, not CPU: a 24 MB
+    # task closure vs an 80 MB raw-key / several-hundred-MB materialized
+    # hash table PER EXECUTOR, and it stays viable at 10^8+ where the
+    # broadcast build OOMs outright. Survivor sets matched exactly.
+    # fpp=1e-4 keeps FP-driven survivor flips at ~0 while the filter
+    # stays ~24 MB.
+    big_rows = int(os.environ.get("PQ_BENCH_BLOOM_EVAL_DOCS", "100000"))
+    big_ev = spark.range(big_rows).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(104)),
+                lambda i: F.substring(
+                    F.md5(F.concat(F.col("id").cast("string"), F.lit("-"), i.cast("string"))),
+                    1,
+                    8,
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    t0 = time.time()
+    big_bloom = build_gram_bloom(big_ev, "text", n=5, fpp=1e-4)
+    big_bloom_build_sec = round(time.time() - t0, 3)
+    t0 = time.time()
+    n_big_bloom = decontaminate_bloom(
+        corpus_side, big_bloom, "text", min_grams=8, threshold=None
+    ).count()
+    big_bloom_probe_sec = round(time.time() - t0, 3)
+    t0 = time.time()
+    n_big_exact = decontaminate(
+        corpus_side, big_ev, "text", n=5, min_grams=8, threshold=1.1
+    ).count()
+    big_exact_probe_sec = round(time.time() - t0, 3)
 
     # Incremental ingest dedup: 10% delta against the standing 90% corpus
     # (broadcast fingerprint probe; corpus map-side only).
@@ -1370,12 +1414,15 @@ def _dedup_scale_bench(spark) -> dict:
     )
     corpus_emb = emb.unionByName(planted)
     estats: dict = {}
+    emb_caches: list = []
     t0 = time.time()
     n_emb_pairs = D.embedding_near_dup_bucketed(
         corpus_emb, "embedding", "vec_id", threshold=0.99, nprobe=1,
-        method="gram", max_cluster=20_000, _stats=estats,
+        method="gram", max_cluster=20_000, _stats=estats, _caches=emb_caches,
     ).count()
     emb_near_sec = round(time.time() - t0, 3)
+    for c in emb_caches:
+        c.unpersist()
     # r14 (r13 verdict #4): _caches persists the probed frame — its four
     # consumers (blocking, capped stat, resolve's two joins) otherwise
     # each re-run the ~1k-centroid assignment, which is what made the
@@ -1444,6 +1491,15 @@ def _dedup_scale_bench(spark) -> dict:
         "decon_bloom_grams": int(bloom["n_grams"]),
         "decon_bloom_bytes": int(bloom["bits"].nbytes),
         "decon_survivors": int(n_clean),
+        # 10^7-gram regime: filter closure vs broadcast-join build, same
+        # corpus probe both ways (exact path's raw key bytes = grams * 8)
+        "decon_big_grams": int(big_bloom["n_grams"]),
+        "decon_big_bloom_bytes": int(big_bloom["bits"].nbytes),
+        "decon_big_exact_key_bytes": int(big_bloom["n_grams"]) * 8,
+        "decon_big_bloom_build_sec": big_bloom_build_sec,
+        "decon_big_bloom_probe_sec": big_bloom_probe_sec,
+        "decon_big_exact_probe_sec": big_exact_probe_sec,
+        "decon_big_survivors_match": bool(n_big_bloom == n_big_exact),
         "incremental_sec": incr_sec,
         "incremental_new": int(n_new),
         "exact_index_build_sec": exidx_build_sec,

@@ -136,15 +136,21 @@ def build_gram_bloom(
             nz = np.nonzero(arr)[0]
             yield pd.DataFrame({"w": nz, "b": arr[nz]})
 
+    # Arrow toPandas, not collect(): at 10^7+ grams the word table is
+    # millions of rows and a Python Row loop dominates the build; the
+    # vectorized assignment is the same driver-bounded state (the filter
+    # itself) minus the per-row object churn.
     sparse = (
         grams.mapInPandas(_emit, "w long, b long")
         .groupBy("w")
         .agg(F.bit_or("b").alias("b"))
-        .collect()
+        .toPandas()
     )
     bits = np.zeros(n_words, dtype=np.int64)
-    for r in sparse:
-        bits[r["w"]] = r["b"]
+    if len(sparse):
+        bits[sparse["w"].to_numpy(dtype=np.int64)] = sparse["b"].to_numpy(
+            dtype=np.int64
+        )
     return {
         "bits": bits.astype(np.uint32),
         "m": m,

@@ -539,6 +539,15 @@ def embedding_near_dup_bucketed(
         probed = probe_clusters(
             df.select(id_col, vec_col), vec_col, centroids, nprobe
         )
+        # Persist ONLY under the _caches contract: with _stats the probed
+        # frame is consumed twice (pair blocking + the capped-cluster
+        # count), each otherwise re-running the n_clusters-fold assignment
+        # — same fix as semantic_dedup's four-consumer case.
+        if _caches is not None:
+            from pyspark import StorageLevel
+
+            probed = probed.persist(StorageLevel.MEMORY_AND_DISK)
+            _caches.append(probed)
     if method == "gram":
         if complete:
             pe = df.select(
