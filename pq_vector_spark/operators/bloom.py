@@ -105,12 +105,20 @@ def build_gram_bloom(
     the SMALLEST eval document with ≥1 gram — which
     :func:`decontaminate_bloom` uses to over-approximate the exact
     operator's ``overlap_frac`` rule (one extra eval-bounded agg job)."""
-    per_doc = (
-        eval_df.select(shingles(text_col, n).alias("_sh"))
-        .select(
-            F.array_distinct(
-                F.transform("_sh", lambda s: token_hash(s))
-            ).alias("_gs")
+    # the gram array rides the module's inline-generator barrier: as a
+    # plain projection Catalyst collapses it into every consumer and the
+    # shingle+hash expression re-evaluates per element (measured 43 s vs
+    # 0.9 s for the distinct-gram pass over a 1k-doc eval slice of the 1M
+    # bench fixture); generator outputs are attributes it cannot re-inline
+    per_doc = eval_df.select(shingles(text_col, n).alias("_sh")).select(
+        F.inline(
+            F.array(
+                F.struct(
+                    F.array_distinct(
+                        F.transform("_sh", lambda s: token_hash(s))
+                    ).alias("_gs")
+                )
+            )
         )
     )
     min_eval = (
