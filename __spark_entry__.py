@@ -1842,9 +1842,10 @@ def _sample_dsir(spark, sf_dir):
     slice via importance weights between two hashed-bigram models, then
     Gumbel-top-k sample (softmax-proportional without replacement). The
     target is the eval slice (doc_id % 50 == 7, the decontaminate
-    fixture); the raw side is everything else. Featurization is ONE
-    (doc, bucket) int-keyed aggregation; the 4096-bucket llr table
-    broadcasts; selection is a bounded heap. The oracle replays the
+    fixture); the raw side is everything else. Scoring sums the llr per
+    gram occurrence (no (doc, bucket) table exists — r14), so every
+    aggregation map-side combines before its exchange; the 4096-bucket
+    llr table broadcasts; selection is a bounded heap. The oracle replays the
     hashed buckets (md5), both smoothed models, the rounded log weight,
     AND the salted-hash Gumbel draw — the full sampled variant is
     hash-attested, not just the scores."""

@@ -1174,29 +1174,26 @@ def _dedup_scale_bench(spark) -> dict:
 
     dsir_target = docs.filter(F.col("doc_id") % 1000 == 3)
     dsir_raw = docs.filter(F.col("doc_id") % 1000 != 3)
-    # r14: the _caches contract persists the featurized frame across the
-    # model fit and the scoring join — featurization (the dominant cost)
-    # runs ONCE instead of twice. Recorded for BOTH hash families: fast
-    # (xxhash64, the at-scale recommendation) and portable (md5, the
-    # oracle family) — r13 baselines were 99 s / 120 s uncached.
-    dsir_caches = []
+    # r14 reformulation: scoring sums llr per gram OCCURRENCE
+    # (Σ_b c_b·llr_b = Σ_g llr[b(g)]), so the (doc, bucket) count table
+    # — whose ~10^9-row exchange was paid TWICE in the r13 shape — no
+    # longer exists; every aggregation map-side combines to ≤buckets or
+    # ≤docs rows. Recorded for BOTH hash families: fast (xxhash64, the
+    # at-scale recommendation) and portable (md5, the oracle family) —
+    # r13 baselines were 99 s / 120 s; a persist-the-explode _caches
+    # variant measured SLOWER than re-exploding and was dropped.
     t0 = time.time()
     n_dsir = dsir_importance_weights(
         dsir_raw, "text", "doc_id", dsir_target, n_max=2, buckets=10_000,
-        bucket_hash="fast", _caches=dsir_caches,
+        bucket_hash="fast",
     ).count()
     dsir_sec = round(time.time() - t0, 3)
-    for c in dsir_caches:
-        c.unpersist()
-    dsir_caches = []
     t0 = time.time()
     n_dsir_p = dsir_importance_weights(
         dsir_raw, "text", "doc_id", dsir_target, n_max=2, buckets=10_000,
-        bucket_hash="portable", _caches=dsir_caches,
+        bucket_hash="portable",
     ).count()
     dsir_portable_sec = round(time.time() - t0, 3)
-    for c in dsir_caches:
-        c.unpersist()
     assert n_dsir_p == n_dsir
 
     # Persisted exact-fp index (r13): build once over the standing 90%,

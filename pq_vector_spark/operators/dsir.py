@@ -18,12 +18,13 @@ ABSOLUTE rules; DSIR ranks by RESEMBLANCE to a target distribution):
    sampled variant), or by raw weight (``gumbel=False``, deterministic
    hard selection).
 
-Scale shape (100 TB): featurization is one explode + ONE (doc, bucket)
-hash aggregation — the only corpus-sized shuffle, keyed by (id, int)
-pairs, never gram text. Both n-gram models aggregate to ``buckets`` rows
-(bounded — 10k–65k), so the log-likelihood-ratio table BROADCASTS to the
-scoring join; the per-doc weight is then one more map-side-combined
-aggregation. Selection is a bounded top-k heap (TakeOrderedAndProject).
+Scale shape (100 TB): NO corpus-sized exchange anywhere. Both n-gram
+models aggregate straight off the exploded gram occurrences to
+``buckets`` rows (map-side combined — 10k–65k ints cross the wire), the
+log-likelihood-ratio table BROADCASTS, and the per-doc weight is
+Σ_gram llr[bucket(gram)] — a broadcast join + one per-doc sum whose
+exchange carries ≤ one row per doc per partition. Gram text never
+shuffles. Selection is a bounded top-k heap (TakeOrderedAndProject).
 The target corpus only ever contributes a ``buckets``-row model — it can
 be any size and is never joined row-wise against the raw corpus.
 
@@ -47,7 +48,7 @@ from pq_vector_spark.functions.text import _token_ngrams, token_hash
 from pq_vector_spark.operators.sampling import BUCKETS, hash_bucket
 
 
-def _doc_bucket_counts(
+def _gram_buckets(
     df: DataFrame,
     text_col: str,
     id_col: str,
@@ -55,9 +56,14 @@ def _doc_bucket_counts(
     buckets: int,
     bucket_hash: str = "portable",
 ) -> DataFrame:
-    """(id, bucket, cnt): hashed word n-gram counts per document —
-    explode n = 1..n_max grams, hash-bucket each, ONE map-side-combined
-    aggregation. Gram text never reaches the exchange (int keys only)."""
+    """(id, bucket): one row per hashed word n-gram OCCURRENCE — the
+    shared pre-aggregation featurizer. Deliberately NOT aggregated to
+    (id, bucket, count): every consumer reduces it with a map-side
+    combine whose exchange is tiny (≤ ``buckets`` rows for the models,
+    ≤ one row per doc per partition for scoring), whereas a (doc,
+    bucket) intermediate shuffles ~grams-per-corpus rows — measured as
+    the dominant cost of the r13 formulation at 1M docs. Gram text
+    never reaches any exchange (int keys only)."""
     grams = _token_ngrams(text_col, 1)
     for n in range(2, n_max + 1):
         grams = F.concat(grams, _token_ngrams(text_col, n))
@@ -65,22 +71,20 @@ def _doc_bucket_counts(
         h = token_hash(F.col("_g"))
     else:
         h = F.xxhash64(F.col("_g"))
-    ex = (
+    return (
         df.select(F.col(id_col).alias("_id"), F.explode(grams).alias("_g"))
         # a whitespace-only document tokenizes to [""] — that is "no
         # features", not a feature (mirrors gopher/quality word filters)
         .filter(F.col("_g") != "")
         .select("_id", F.pmod(h, F.lit(buckets)).alias("_b"))
     )
-    return ex.groupBy("_id", "_b").agg(
-        F.count(F.lit(1)).cast("bigint").alias("_c")
-    )
 
 
-def _bucket_model(feat: DataFrame) -> DataFrame:
-    """(bucket, cnt): corpus-level hashed-ngram counts — ``buckets`` rows,
-    bounded at any corpus size."""
-    return feat.groupBy("_b").agg(F.sum("_c").cast("bigint").alias("_n"))
+def _bucket_model(ex: DataFrame) -> DataFrame:
+    """(bucket, cnt): corpus-level hashed-ngram counts straight off the
+    occurrence frame — ``buckets`` rows, bounded at any corpus size, the
+    exchange map-side combined to the same bound."""
+    return ex.groupBy("_b").agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
 
 
 def dsir_importance_weights(
@@ -94,7 +98,6 @@ def dsir_importance_weights(
     buckets: int = 10_000,
     smoothing: float = 0.5,
     bucket_hash: str = "portable",
-    _caches: Optional[list] = None,
 ) -> DataFrame:
     """Per-document DSIR log importance weight vs ``target``: returns
     (``id_col``, ``log_weight``) with ``log_weight`` rounded to 6
@@ -117,12 +120,13 @@ def dsir_importance_weights(
     different weights — same estimator, different hash family; pick one
     per pipeline and stay with it.
 
-    Pass ``_caches`` (the engine's unpersist-after-action contract: a
-    list the CALLER unpersists after its action) to persist the raw
-    corpus's featurized frame across its two consumers — the raw-model
-    fit and the scoring join. Featurization dominates the operator's
-    cost at corpus scale, so this roughly halves it; without ``_caches``
-    the corpus is featurized twice and nothing survives the action.
+    Deliberately NO ``_caches`` contract here (unlike the dedup
+    operators): the r14 reformulation left nothing worth caching — the
+    only frame consumed twice is the pre-aggregation gram explode, and
+    persisting ~grams-per-corpus int pairs measured SLOWER than
+    re-exploding (82 vs 79 s fast / 90 vs 86 s portable at 1M docs:
+    the cache write+read of ~10^9 rows exceeds one compute-bound,
+    shuffle-free explode).
     """
     if n_max < 1:
         raise ValueError(f"n_max must be >= 1, got {n_max}")
@@ -132,21 +136,10 @@ def dsir_importance_weights(
         raise ValueError(f"smoothing must be > 0, got {smoothing}")
     if bucket_hash not in ("portable", "fast"):
         raise ValueError(f"bucket_hash must be portable|fast, got {bucket_hash!r}")
-    feat = _doc_bucket_counts(df, text_col, id_col, n_max, buckets, bucket_hash)
-    # Persist ONLY under the _caches contract (same trade as
-    # operators/dedup.py): feat has exactly two consumers — the raw-model
-    # collect below (which materializes the cache) and the scoring join —
-    # and featurization is the dominant cost, so the persist halves the
-    # operator; an unconditional persist would leak a corpus-sized frame
-    # for callers that never unpersist.
-    if _caches is not None:
-        from pyspark import StorageLevel
-
-        feat = feat.persist(StorageLevel.MEMORY_AND_DISK)
-        _caches.append(feat)
+    ex = _gram_buckets(df, text_col, id_col, n_max, buckets, bucket_hash)
     # the target model only needs bucket TOTALS — synthesize a row id so
     # the shared featurizer applies, it aggregates away immediately
-    tfeat = _doc_bucket_counts(
+    tex = _gram_buckets(
         target.select(
             F.monotonically_increasing_id().alias("_tid"),
             F.col(target_text_col or text_col).alias("_ttext"),
@@ -158,16 +151,18 @@ def dsir_importance_weights(
         bucket_hash,
     )
     # Both models COLLECT to the driver — ≤ ``buckets`` rows each is this
-    # operator's designed bounded driver state (10k–65k ints), and
-    # building the llr table as a literal frame means the raw corpus is
-    # featurized at most TWICE (model fit + scoring; ONCE under _caches)
-    # instead of the 3–4 lazy re-evaluations the all-lazy formulation
-    # paid (one per action that referenced the model subtree — measured
-    # at ~2× the operator's wall time at sf0.1).
+    # operator's designed bounded driver state (10k–65k ints). Scoring
+    # exploits Σ_b c_b·llr_b = Σ_gram llr[bucket(gram)]: summing the llr
+    # PER GRAM OCCURRENCE needs no (doc, bucket) count table at all, so
+    # the only corpus-sized exchange of the r13 formulation (the
+    # ~grams-per-corpus (doc, bucket) shuffle, paid TWICE) disappears —
+    # every aggregation here map-side combines to ≤buckets or ≤docs rows
+    # before its exchange (measured 122 s → the r14 number in
+    # scale_dedup.dsir_* at 1M docs).
     import math
 
-    nt = {int(r["_b"]): int(r["_n"]) for r in _bucket_model(tfeat).collect()}
-    nr = {int(r["_b"]): int(r["_n"]) for r in _bucket_model(feat).collect()}
+    nt = {int(r["_b"]): int(r["_n"]) for r in _bucket_model(tex).collect()}
+    nr = {int(r["_b"]): int(r["_n"]) for r in _bucket_model(ex).collect()}
     tot_t, tot_r = sum(nt.values()), sum(nr.values())
     s = float(smoothing)
     dt, dr = float(tot_t) + s * buckets, float(tot_r) + s * buckets
@@ -178,9 +173,9 @@ def dsir_importance_weights(
     spark = df.sparkSession
     llr_tbl = spark.createDataFrame(llr_rows, "_b: int, _llr: double")
     scored = (
-        feat.join(F.broadcast(llr_tbl), "_b")
+        ex.join(F.broadcast(llr_tbl), "_b")
         .groupBy("_id")
-        .agg(F.sum(F.col("_c").cast("double") * F.col("_llr")).alias("_lw"))
+        .agg(F.sum(F.col("_llr")).alias("_lw"))
     )
     ids = df.select(F.col(id_col).alias("_id"))
     return (
@@ -206,7 +201,6 @@ def dsir_select(
     bucket_hash: str = "portable",
     gumbel: bool = True,
     salt: str = "dsir",
-    _caches: Optional[list] = None,
 ) -> DataFrame:
     """Top-``k`` DSIR selection: ``df``'s rows + ``log_weight`` (+
     ``gumbel_score`` when sampling), ranked by ``log_weight + Gumbel``
@@ -219,15 +213,13 @@ def dsir_select(
     Ties break by id. Selection plans as a bounded top-k heap; for k in
     the hundreds of millions, rank once with
     :func:`dsir_importance_weights` and cut at a quantile threshold
-    instead of a global heap. ``_caches`` passes through to the weight
-    computation (persist-the-featurized-frame contract — see
-    :func:`dsir_importance_weights`)."""
+    instead of a global heap."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     w = dsir_importance_weights(
         df, text_col, id_col, target, target_text_col,
         n_max=n_max, buckets=buckets, smoothing=smoothing,
-        bucket_hash=bucket_hash, _caches=_caches,
+        bucket_hash=bucket_hash,
     )
     out = df.join(w, id_col)
     if gumbel:

@@ -44,28 +44,22 @@ def test_weights_rank_by_target_resemblance(corpora):
     assert len(w) == 6  # every input row surfaces exactly once
 
 
-def test_caches_contract_identical_results(corpora):
-    """The ``_caches`` contract (r13 verdict #3): persisting the
-    featurized frame across the model fit + scoring join must change
-    nothing but the pass count — identical weights, and the caller gets
-    exactly the persisted frame(s) to release after its action."""
+def test_scoring_plan_has_no_corpus_exchange(corpora):
+    """The r14 reformulation's load-bearing property: scoring sums the
+    llr PER GRAM OCCURRENCE (Σ_b c_b·llr_b = Σ_g llr[b(g)]), so no
+    (doc, bucket) count table exists and every aggregation map-side
+    combines before its exchange — the plan must carry NO sort-merge
+    join and exactly the bounded hash aggregations (the corpus explode
+    feeds a broadcast join, never a corpus-keyed shuffle of gram rows)."""
     raw, target = corpora
-    plain = sorted(dsir_importance_weights(raw, "text", "doc_id", target).collect())
-    caches = []
-    w = dsir_importance_weights(raw, "text", "doc_id", target, _caches=caches)
-    cached = sorted(w.collect())
-    assert cached == plain
-    assert len(caches) == 1 and caches[0].storageLevel.useMemory
-    for c in caches:
-        c.unpersist()
-    # select passes the contract through
-    caches2 = []
-    sel = dsir_select(
-        raw, "text", "doc_id", target, 3, _caches=caches2
-    ).collect()
-    assert len(sel) == 3 and len(caches2) == 1
-    for c in caches2:
-        c.unpersist()
+    w = dsir_importance_weights(raw, "text", "doc_id", target)
+    plan = w._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # the llr table rides a broadcast
+    # exactly TWO shuffles: the per-doc sum (map-side combined to ~one
+    # row per doc per partition) and the ids side of the NULL-reattach
+    # left join — the r13 shape added a (doc, bucket) count exchange of
+    # ~grams-per-corpus rows on top
+    assert plan.count("Exchange hashpartitioning") == 2, plan
 
 
 def test_weights_deterministic_across_partitioning(corpora):
