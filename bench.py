@@ -1112,6 +1112,18 @@ def _dedup_scale_bench(spark) -> dict:
         corpus_side, bloom, "text", min_grams=8, threshold=None
     ).count()
     bloom_probe_sec = round(time.time() - t0, 3)
+    # gram_hash="fast" (r14): xxhash64 instead of md5 on both sides — the
+    # md5 is most of the probe's per-gram cost; survivor parity with the
+    # portable family is asserted (both FP-free at this filter size)
+    t0 = time.time()
+    bloom_fast = build_gram_bloom(ev, "text", n=5, fpp=1e-3, gram_hash="fast")
+    bloom_fast_build_sec = round(time.time() - t0, 3)
+    t0 = time.time()
+    n_bloom_fast = decontaminate_bloom(
+        corpus_side, bloom_fast, "text", min_grams=8, threshold=None
+    ).count()
+    bloom_fast_probe_sec = round(time.time() - t0, 3)
+    assert n_bloom_fast == n_bloom_clean
 
     # The 10^7-gram regime the Bloom operator EXISTS for (r13 verdict #7):
     # the 1M-doc eval slice above is 76k grams — broadcast-join territory,
@@ -1485,6 +1497,8 @@ def _dedup_scale_bench(spark) -> dict:
         "decon_bloom_build_sec": bloom_build_sec,
         "decon_bloom_probe_sec": bloom_probe_sec,
         "decon_bloom_survivors": int(n_bloom_clean),
+        "decon_bloom_fast_build_sec": bloom_fast_build_sec,
+        "decon_bloom_fast_probe_sec": bloom_fast_probe_sec,
         "decon_bloom_grams": int(bloom["n_grams"]),
         "decon_bloom_bytes": int(bloom["bits"].nbytes),
         "decon_survivors": int(n_clean),

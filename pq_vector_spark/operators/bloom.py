@@ -27,7 +27,9 @@ explicitly one-sided, which is what you want for decontamination
 (recall over precision).
 
 Determinism: gram hashing is the engine's portable md5-derived
-``token_hash``; bit positions use double hashing
+``token_hash`` by default (``gram_hash="fast"`` swaps in JVM xxhash64
+for the at-scale probe — the hash family is recorded in the model and
+enforced at probe time); bit positions use double hashing
 h_i = (h1 + i·h2) mod m with h1 = g mod m, h2 = ((g >> 17) | 1) mod m
 (h2 odd, m a multiple of 32 ⇒ h2 ≠ 0) — no RNG anywhere, so the same
 (eval set, fpp) always builds the identical filter on any cluster.
@@ -86,6 +88,14 @@ def _positions(g: np.ndarray, m: int, k: int) -> tuple[np.ndarray, np.ndarray]:
     return word, np.left_shift(np.int64(1), bit)
 
 
+def _hash_fn(gram_hash: str):
+    if gram_hash == "portable":
+        return token_hash
+    if gram_hash == "fast":
+        return F.xxhash64
+    raise ValueError(f"gram_hash must be portable|fast, got {gram_hash!r}")
+
+
 def build_gram_bloom(
     eval_df: DataFrame,
     text_col: str = "text",
@@ -93,6 +103,7 @@ def build_gram_bloom(
     n: int = 5,
     fpp: float = 1e-3,
     n_grams: Optional[int] = None,
+    gram_hash: str = "portable",
 ) -> dict:
     """Build the eval-set gram Bloom filter. ``n_grams`` (the sizing count)
     defaults to one count job over the distinct gram hashes; pass it when
@@ -101,10 +112,21 @@ def build_gram_bloom(
     ``uint32`` word array small enough to ride a task closure (~14.4 bits
     ≈ 1.8 bytes/gram at the default fpp; ~180 MB for a 10^8-gram list).
 
+    ``gram_hash``: ``"portable"`` (default) hashes grams with the
+    md5-based ``token_hash`` an external engine replays bit-for-bit —
+    the oracle family; ``"fast"`` hashes with JVM ``xxhash64`` (the md5
+    is most of the probe's per-gram cost at corpus scale — the same
+    trade as DSIR's ``bucket_hash``). The choice is RECORDED in the
+    model and the probe enforces it, so a filter built with one family
+    can never be probed with the other. xxhash64 is signed — the
+    position math reinterprets it as uint64, identically on build and
+    probe, so determinism is unaffected.
+
     The model also records ``min_eval_grams`` — the distinct-gram count of
     the SMALLEST eval document with ≥1 gram — which
     :func:`decontaminate_bloom` uses to over-approximate the exact
     operator's ``overlap_frac`` rule (one extra eval-bounded agg job)."""
+    hf = _hash_fn(gram_hash)
     # the gram array rides the module's inline-generator barrier: as a
     # plain projection Catalyst collapses it into every consumer and the
     # shingle+hash expression re-evaluates per element (measured 43 s vs
@@ -115,7 +137,7 @@ def build_gram_bloom(
             F.array(
                 F.struct(
                     F.array_distinct(
-                        F.transform("_sh", lambda s: token_hash(s))
+                        F.transform("_sh", lambda s: hf(s))
                     ).alias("_gs")
                 )
             )
@@ -168,6 +190,7 @@ def build_gram_bloom(
         "n_grams": int(n_grams),
         # None ⇔ the eval set has no doc with a single gram (degenerate)
         "min_eval_grams": int(min_eval) if min_eval is not None else None,
+        "gram_hash": gram_hash,
     }
 
 
@@ -217,7 +240,8 @@ def bloom_gram_hits(
             out = np.where(lens == 0, 0, out)
         return pd.Series(out)
 
-    gram_arr = F.transform(shingles(text_col, int(bloom["n"])), lambda s: token_hash(s))
+    hf = _hash_fn(bloom.get("gram_hash", "portable"))
+    gram_arr = F.transform(shingles(text_col, int(bloom["n"])), lambda s: hf(s))
     # inline-generator barrier (the classifier.py trick): a plain
     # withColumn collapses back into the UDF argument and Spark refuses
     # to evaluate a pandas UDF over an embedded lambda expression —

@@ -20,8 +20,12 @@ Scale design (100 TB corpus, benchmark-sized eval set):
   whose input is just the *matching* gram pairs — rare by construction.
 - ``decontaminate`` applies the flagged-id set with a broadcast LEFT ANTI
   join: the corpus again never shuffles.
-- All gram hashing is the md5-derived 60-bit ``token_hash`` (portable:
-  the DuckDB oracle reproduces every hash bit-for-bit).
+- All gram hashing defaults to the md5-derived 60-bit ``token_hash``
+  (portable: the DuckDB oracle reproduces every hash bit-for-bit);
+  ``gram_hash="fast"`` swaps in JVM ``xxhash64`` for the at-scale probe
+  (the md5 dominates the corpus side's per-gram cost — same trade as
+  DSIR's ``bucket_hash`` and bloom's ``gram_hash``). Collision risk is
+  the same 2^-60-ish regime either way; pick one family per pipeline.
 
 Join keys are 8-byte gram hashes, not gram strings — same trade as
 ``dedup.ngram_jaccard_pairs`` (operators/dedup.py:142-144).
@@ -36,15 +40,26 @@ from pq_vector_spark.functions.text import token_hash
 from pq_vector_spark.operators.dedup import shingles
 
 
-def _gram_table(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+def _hash_fn(gram_hash: str):
+    if gram_hash == "portable":
+        return token_hash
+    if gram_hash == "fast":
+        return F.xxhash64
+    raise ValueError(f"gram_hash must be portable|fast, got {gram_hash!r}")
+
+
+def _gram_table(
+    df: DataFrame, text_col: str, id_col: str, n: int, gram_hash: str = "portable"
+) -> DataFrame:
     """(_id, _ng total distinct grams, _g exploded gram hash) — one row per
     distinct gram per doc; map-side only."""
+    hf = _hash_fn(gram_hash)
     return (
         df.select(F.col(id_col).alias("_id"), shingles(text_col, n).alias("_sh"))
         .select(
             "_id",
             F.size("_sh").alias("_ng"),
-            F.explode(F.transform(F.col("_sh"), lambda s: token_hash(s))).alias("_g"),
+            F.explode(F.transform(F.col("_sh"), lambda s: hf(s))).alias("_g"),
         )
     )
 
@@ -58,9 +73,12 @@ def contamination_report(
     eval_id: str = "doc_id",
     n: int = 5,
     min_grams: int = 1,
+    gram_hash: str = "portable",
 ) -> DataFrame:
     """Per (corpus doc, eval doc) overlap: distinct shared n-grams and the
-    fraction of the eval doc's grams covered.
+    fraction of the eval doc's grams covered. ``gram_hash="fast"`` swaps
+    md5 gram keys for xxhash64 on BOTH sides (the at-scale probe; see the
+    module docstring).
 
     Returns columns: ``corpus_id``, ``eval_id``, ``shared_grams``,
     ``eval_grams``, ``overlap_frac`` (double, shared/eval — int/int ratio,
@@ -71,8 +89,10 @@ def contamination_report(
     groupBy(corpus_id, eval_id) count. The corpus side never shuffles for
     the join; only matching gram pairs reach the aggregation exchange.
     """
-    cg = _gram_table(corpus, text_col, corpus_id, n).select("_id", "_g")
-    eg = _gram_table(eval_df, text_col, eval_id, n).select(
+    cg = _gram_table(corpus, text_col, corpus_id, n, gram_hash).select(
+        "_id", "_g"
+    )
+    eg = _gram_table(eval_df, text_col, eval_id, n, gram_hash).select(
         F.col("_id").alias("_eid"), F.col("_ng").alias("_eng"), "_g"
     )
     joined = cg.join(F.broadcast(eg), "_g")
@@ -102,9 +122,12 @@ def decontaminate(
     n: int = 5,
     min_grams: int = 8,
     threshold: float = 0.5,
+    gram_hash: str = "portable",
 ) -> DataFrame:
     """Drop corpus docs contaminated by ANY eval doc: flagged when
     ``shared_grams >= min_grams`` OR ``overlap_frac >= threshold``.
+    ``gram_hash="fast"`` swaps md5 gram keys for xxhash64 (at-scale
+    probe; the default stays oracle-replayable).
 
     The flagged-id set is eval-bounded (≤ corpus docs that share grams
     with the benchmark) — applied via broadcast LEFT ANTI so the surviving
@@ -118,6 +141,7 @@ def decontaminate(
         eval_id=eval_id,
         n=n,
         min_grams=1,
+        gram_hash=gram_hash,
     )
     flagged = (
         rep.filter(

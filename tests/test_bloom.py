@@ -208,3 +208,33 @@ def test_gram_barrier_survives_optimizer(spark, corpora):
     assert plan.count("Generate inline") == 1
     assert plan.count("md5(") == 1  # the gram hash is computed once
     assert "ArrowEvalPython" in plan and "_bloom_grams" in plan
+
+
+def test_fast_gram_hash_family(spark, corpora):
+    """gram_hash="fast" (xxhash64, the at-scale probe family): same
+    survivor behavior on an FP-free filter, the family is recorded in
+    the model and the probe follows it automatically; unknown families
+    raise. xxhash64 is SIGNED — the position math reinterprets it as
+    uint64 identically on build and probe."""
+    ev, corpus = corpora
+    fast = build_gram_bloom(ev, "text", n=5, fpp=1e-3, gram_hash="fast")
+    assert fast["gram_hash"] == "fast"
+    portable = build_gram_bloom(ev, "text", n=5, fpp=1e-3)
+    kept_fast = {
+        r["doc_id"]
+        for r in decontaminate_bloom(
+            corpus, fast, "text", min_grams=3, threshold=None
+        ).collect()
+    }
+    kept_portable = {
+        r["doc_id"]
+        for r in decontaminate_bloom(
+            corpus, portable, "text", min_grams=3, threshold=None
+        ).collect()
+    }
+    assert kept_fast == kept_portable == {11, 12, 13, 14, 15}
+    # deterministic rebuild holds for the fast family too
+    fast2 = build_gram_bloom(ev, "text", n=5, fpp=1e-3, gram_hash="fast")
+    assert np.array_equal(fast["bits"], fast2["bits"])
+    with pytest.raises(ValueError, match="gram_hash"):
+        build_gram_bloom(ev, "text", gram_hash="md5")

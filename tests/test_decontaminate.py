@@ -94,3 +94,25 @@ def test_corpus_never_shuffles_for_the_probe(corpus, eval_set):
     plan = rep._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_fast_gram_hash_family(spark, corpus, eval_set):
+    """gram_hash="fast" (xxhash64 on both sides — the at-scale probe):
+    same flag decisions as the portable md5 family on this corpus, and
+    unknown families raise."""
+    kept_portable = {
+        r["doc_id"]
+        for r in decontaminate(
+            corpus, eval_set, "text", eval_id="eid", n=3, min_grams=2
+        ).collect()
+    }
+    kept_fast = {
+        r["doc_id"]
+        for r in decontaminate(
+            corpus, eval_set, "text", eval_id="eid", n=3, min_grams=2,
+            gram_hash="fast",
+        ).collect()
+    }
+    assert kept_fast == kept_portable == {1, 2}
+    with pytest.raises(ValueError, match="gram_hash"):
+        decontaminate(corpus, eval_set, "text", eval_id="eid", gram_hash="md5")
