@@ -1092,6 +1092,15 @@ def _dedup_scale_bench(spark) -> dict:
         corpus_side, ev, "text", n=5, min_grams=8, threshold=0.5
     ).count()
     decon_sec = round(time.time() - t0, 3)
+    # r14: the xxhash64 gram family on the exact path (md5 is a large
+    # share of the corpus side's per-gram cost; flag parity asserted)
+    t0 = time.time()
+    n_clean_fast = decontaminate(
+        corpus_side, ev, "text", n=5, min_grams=8, threshold=0.5,
+        gram_hash="fast",
+    ).count()
+    decon_fast_sec = round(time.time() - t0, 3)
+    assert n_clean_fast == n_clean
 
     # Bloom-filter decontamination (r13): same eval slice compressed to a
     # bit array (~14.4 bits/gram at fpp=1e-3) probed map-side — the shape
@@ -1494,6 +1503,7 @@ def _dedup_scale_bench(spark) -> dict:
         "qc_score_sec": qc_score_sec,
         "qc_pred_true": int(n_qc_pos),
         "decon_sec": decon_sec,
+        "decon_fast_sec": decon_fast_sec,
         "decon_bloom_build_sec": bloom_build_sec,
         "decon_bloom_probe_sec": bloom_probe_sec,
         "decon_bloom_survivors": int(n_bloom_clean),
