@@ -3929,14 +3929,12 @@ def oracle_sql() -> dict[str, str]:
             ex AS (SELECT doc_id, gram
                    FROM (SELECT doc_id, unnest(grams) AS gram FROM g)
                    WHERE gram <> ''),
-            fb AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c
-                   FROM (SELECT doc_id,
-                                {_TOKHASH.format(s="gram")} % 4096 AS b
-                         FROM ex)
-                   GROUP BY doc_id, b),
-            qt AS (SELECT b, SUM(c) AS nt FROM fb
+            ob AS (SELECT doc_id,
+                          {_TOKHASH.format(s="gram")} % 4096 AS b
+                   FROM ex),
+            qt AS (SELECT b, CAST(count(*) AS BIGINT) AS nt FROM ob
                    WHERE doc_id % 50 = 7 GROUP BY b),
-            qr AS (SELECT b, SUM(c) AS nr FROM fb
+            qr AS (SELECT b, CAST(count(*) AS BIGINT) AS nr FROM ob
                    WHERE doc_id % 50 <> 7 GROUP BY b),
             tt AS (SELECT COALESCE(SUM(nt), 0) AS t FROM qt),
             tr AS (SELECT COALESCE(SUM(nr), 0) AS r FROM qr),
@@ -3946,10 +3944,14 @@ def oracle_sql() -> dict[str, str]:
                       - ln((COALESCE(nr, 0) + 0.5)
                            / (tr.r + 0.5 * 4096)) AS llr
                     FROM qt FULL OUTER JOIN qr ON qt.b = qr.b, tt, tr),
-            w AS (SELECT fb.doc_id,
-                         round(SUM(fb.c * llr.llr), 6) AS lw
-                  FROM fb JOIN llr USING (b)
-                  WHERE fb.doc_id % 50 <> 7 GROUP BY fb.doc_id),
+            -- r14: sum the llr PER GRAM OCCURRENCE — the identical
+            -- floating-point term set the Spark side now aggregates
+            -- (Σ_b c·llr accrues different ulp error than adding llr c
+            -- times; round(6) must see the same terms on both engines)
+            w AS (SELECT ob.doc_id,
+                         round(SUM(llr.llr), 6) AS lw
+                  FROM ob JOIN llr USING (b)
+                  WHERE ob.doc_id % 50 <> 7 GROUP BY ob.doc_id),
             sc AS (SELECT d.doc_id, w.lw AS log_weight,
                      round(w.lw - ln(-ln(
                        ({_TOKHASH.format(s="concat('dsir', CAST(d.doc_id AS VARCHAR))")}
@@ -4078,10 +4080,18 @@ def oracle_sql() -> dict[str, str]:
                                 << CAST(pos % 32 AS INTEGER)), FALSE)) AS hit
                          FROM cpos LEFT JOIN words w ON w.word = pos // 32
                          GROUP BY doc_id, g),
-            hits AS (SELECT doc_id,
-                            CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END)
+            -- LEFT join back to the corpus doc set: a doc whose text is
+            -- NULL never reaches ex (unnest of NULL emits no rows) but the
+            -- Spark side keeps it as a 0-hit survivor — coalesce to 0 so a
+            -- fixture refresh with NULL text cannot diverge the row
+            hits AS (SELECT d.doc_id,
+                            CAST(coalesce(sum(CASE WHEN hit THEN 1 ELSE 0
+                                               END), 0)
                                  AS BIGINT) AS bloom_hits
-                     FROM gram_hit GROUP BY doc_id),
+                     FROM (SELECT doc_id FROM documents
+                           WHERE doc_id % 50 <> 7) d
+                     LEFT JOIN gram_hit USING (doc_id)
+                     GROUP BY d.doc_id),
             mn AS (SELECT min(ng) AS mn
                    FROM (SELECT DISTINCT doc_id, ng FROM ex
                          WHERE doc_id % 50 = 7 AND ng >= 1)),

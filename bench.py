@@ -168,7 +168,7 @@ CALIB_JVM_LONG_BASELINE_ROUND = "r14"
 
 def _calibrate_jvm_long(spark, reps: int = 5) -> tuple:
     """~1 s JVM-side workload (1B-row range + xxhash64 fold over 32
-    partitions), one warmup then MEDIAN-of-N, returning (median, spread)
+    partitions), TWO warmups then MEDIAN-of-N, returning (median, spread)
     where spread = (max - min) / median over the N timed runs. The
     headline drift adjudicator: a spread < 10% makes the median a
     trustworthy host-speed statistic; a larger spread says the host is

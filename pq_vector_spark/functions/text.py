@@ -377,6 +377,20 @@ def token_hash(col_or_expr) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
 
 
+def gram_hash_fn(family: str, param: str = "gram_hash"):
+    """Shared gram/bucket hash-family dispatch: ``"portable"`` → the
+    md5-derived :func:`token_hash` an external engine replays
+    bit-for-bit (the oracle family); ``"fast"`` → JVM ``xxhash64``
+    (~3-4× cheaper per gram — the at-scale probe family). One mapping
+    serves decontaminate/bloom/dsir so the families can never drift
+    apart; ``param`` names the caller's keyword in the error."""
+    if family == "portable":
+        return token_hash
+    if family == "fast":
+        return F.xxhash64
+    raise ValueError(f"{param} must be portable|fast, got {family!r}")
+
+
 def length_quantiles(df, text_col: str, probs: Sequence[float] = (0.25, 0.5, 0.75, 0.9)):
     """Exact continuous quantiles of document character length — the
     distribution summary a pipeline reads before choosing length filters.

@@ -56,7 +56,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pq_vector_spark.functions.text import token_hash
+from pq_vector_spark.functions.text import gram_hash_fn
 from pq_vector_spark.operators.dedup import shingles
 
 _WORD = 32  # bits per bloom word (int32-safe shifts on every engine)
@@ -88,12 +88,6 @@ def _positions(g: np.ndarray, m: int, k: int) -> tuple[np.ndarray, np.ndarray]:
     return word, np.left_shift(np.int64(1), bit)
 
 
-def _hash_fn(gram_hash: str):
-    if gram_hash == "portable":
-        return token_hash
-    if gram_hash == "fast":
-        return F.xxhash64
-    raise ValueError(f"gram_hash must be portable|fast, got {gram_hash!r}")
 
 
 def build_gram_bloom(
@@ -126,7 +120,7 @@ def build_gram_bloom(
     the SMALLEST eval document with ≥1 gram — which
     :func:`decontaminate_bloom` uses to over-approximate the exact
     operator's ``overlap_frac`` rule (one extra eval-bounded agg job)."""
-    hf = _hash_fn(gram_hash)
+    hf = gram_hash_fn(gram_hash)
     # the gram array rides the module's inline-generator barrier: as a
     # plain projection Catalyst collapses it into every consumer and the
     # shingle+hash expression re-evaluates per element (measured 43 s vs
@@ -240,7 +234,7 @@ def bloom_gram_hits(
             out = np.where(lens == 0, 0, out)
         return pd.Series(out)
 
-    hf = _hash_fn(bloom.get("gram_hash", "portable"))
+    hf = gram_hash_fn(bloom.get("gram_hash", "portable"))
     gram_arr = F.transform(shingles(text_col, int(bloom["n"])), lambda s: hf(s))
     # inline-generator barrier (the classifier.py trick): a plain
     # withColumn collapses back into the UDF argument and Spark refuses
@@ -273,8 +267,19 @@ def decontaminate_bloom(
       filter cannot attribute hits to one eval doc, so this is
       over-approximated via the smallest eval document: the exact rule
       can only fire at ≥ ceil(threshold · min_eval_grams) shared grams,
-      so we drop at that many hits. Pass ``threshold=None`` to disable
-      (pure ``min_grams`` semantics).
+      so we drop at that many hits. ``threshold > 1`` disables the rule
+      (overlap_frac ≤ 1, so the exact rule can never fire — applying a
+      cut there would over-drop docs the exact operator keeps). Pass
+      ``threshold=None`` to disable explicitly.
+
+      **Short-eval-doc caveat**: a tiny eval doc makes the derived cut
+      tiny, and at a small cut Bloom false positives stop being
+      negligible — the wrongful-drop probability of a clean G-gram doc
+      is ≈ C(G, cut)·fpp^cut, which at cut=1 and fpp=1e-3 wipes out
+      ~63% of clean 1000-gram docs. A WARNING is logged whenever the
+      derived cut < 4; the fixes are a smaller ``fpp`` at build time
+      (cut=1 needs fpp ≲ 1e-9 to keep wrongful drops rare), dropping
+      the short doc from the eval side, or ``threshold=None``.
 
     Superset guarantee: with both rules active (the defaults, matching
     ``decontaminate``'s defaults), everything the exact operator drops is
@@ -296,10 +301,34 @@ def decontaminate_bloom(
                 "eval set with at least one gram-bearing document; pass "
                 "threshold=None for pure min_grams semantics"
             )
-        # smallest integer hit count the exact rule could fire at; the
-        # -1e-9 guards float round-up past an exactly-integral product
-        # (conservative direction = never a LARGER cut than exact needs)
-        cut = min(cut, max(1, math.ceil(float(threshold) * int(mn) - 1e-9)))
+        if threshold <= 1.0:
+            # smallest integer hit count the exact rule could fire at;
+            # the -1e-9 guards float round-up past an exactly-integral
+            # product (conservative = never a LARGER cut than exact
+            # needs). threshold > 1 means overlap_frac can never reach
+            # it — the exact rule is inert, so no cut applies.
+            cut = min(
+                cut, max(1, math.ceil(float(threshold) * int(mn) - 1e-9))
+            )
+            if cut < 4:
+                import logging
+
+                logging.getLogger(
+                    "pq_vector_spark.operators.bloom"
+                ).warning(
+                    "decontaminate_bloom: threshold=%s with "
+                    "min_eval_grams=%d derives a hit cut of %d — at this "
+                    "cut Bloom false positives are NOT negligible "
+                    "(wrongful-drop prob ≈ C(G, %d)·fpp^%d per clean "
+                    "G-gram doc at fpp=%s). Rebuild with a smaller fpp, "
+                    "drop the short eval doc, or pass threshold=None.",
+                    threshold,
+                    int(mn),
+                    cut,
+                    cut,
+                    cut,
+                    bloom.get("fpp"),
+                )
     keep = hits_col is not None
     hc = hits_col or "_bloom_hits"
     if hc in corpus.columns:

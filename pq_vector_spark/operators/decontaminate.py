@@ -36,16 +36,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pq_vector_spark.functions.text import token_hash
+from pq_vector_spark.functions.text import gram_hash_fn
 from pq_vector_spark.operators.dedup import shingles
-
-
-def _hash_fn(gram_hash: str):
-    if gram_hash == "portable":
-        return token_hash
-    if gram_hash == "fast":
-        return F.xxhash64
-    raise ValueError(f"gram_hash must be portable|fast, got {gram_hash!r}")
 
 
 def _gram_table(
@@ -53,7 +45,7 @@ def _gram_table(
 ) -> DataFrame:
     """(_id, _ng total distinct grams, _g exploded gram hash) — one row per
     distinct gram per doc; map-side only."""
-    hf = _hash_fn(gram_hash)
+    hf = gram_hash_fn(gram_hash)
     return (
         df.select(F.col(id_col).alias("_id"), shingles(text_col, n).alias("_sh"))
         .select(

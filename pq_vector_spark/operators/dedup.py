@@ -539,11 +539,12 @@ def embedding_near_dup_bucketed(
         probed = probe_clusters(
             df.select(id_col, vec_col), vec_col, centroids, nprobe
         )
-        # Persist ONLY under the _caches contract: with _stats the probed
-        # frame is consumed twice (pair blocking + the capped-cluster
-        # count), each otherwise re-running the n_clusters-fold assignment
-        # — same fix as semantic_dedup's four-consumer case.
-        if _caches is not None:
+        # Persist ONLY when probed actually has a second consumer: the
+        # capped-cluster count is _stats-gated, so without _stats the
+        # frame is read once and a persist would serialize ~corpus rows
+        # of vectors for zero reuse (same fix family as semantic_dedup's
+        # four-consumer case).
+        if _caches is not None and _stats is not None:
             from pyspark import StorageLevel
 
             probed = probed.persist(StorageLevel.MEMORY_AND_DISK)
@@ -878,11 +879,12 @@ def semantic_dedup(
         # join to reattach it (the blocking explode still projects just
         # (id, cluster))
         probed = probe_clusters(df, vec_col, centroids, nprobe)
-        # Persist ONLY under the _caches contract: probed has up to four
-        # consumers (pair blocking, capped-cluster stat, and resolve's two
-        # joins over the scored frame), each otherwise re-running the
-        # n_clusters-fold assignment — the operator's dominant map cost.
-        if _caches is not None:
+        # Persist ONLY under the _caches contract AND only when probed has
+        # a second consumer: keep != min_id adds resolve's two scored-frame
+        # joins (the 199 s → 80 s case), _stats adds the capped-cluster
+        # count; plain min_id without _stats reads probed once and a
+        # persist would be pure write overhead.
+        if _caches is not None and (keep != "min_id" or _stats is not None):
             from pyspark import StorageLevel
 
             probed = probed.persist(StorageLevel.MEMORY_AND_DISK)

@@ -44,7 +44,7 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pq_vector_spark.functions.text import _token_ngrams, token_hash
+from pq_vector_spark.functions.text import _token_ngrams, gram_hash_fn
 from pq_vector_spark.operators.sampling import BUCKETS, hash_bucket
 
 
@@ -67,10 +67,7 @@ def _gram_buckets(
     grams = _token_ngrams(text_col, 1)
     for n in range(2, n_max + 1):
         grams = F.concat(grams, _token_ngrams(text_col, n))
-    if bucket_hash == "portable":
-        h = token_hash(F.col("_g"))
-    else:
-        h = F.xxhash64(F.col("_g"))
+    h = gram_hash_fn(bucket_hash, param="bucket_hash")(F.col("_g"))
     return (
         df.select(F.col(id_col).alias("_id"), F.explode(grams).alias("_g"))
         # a whitespace-only document tokenizes to [""] — that is "no

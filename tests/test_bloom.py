@@ -238,3 +238,24 @@ def test_fast_gram_hash_family(spark, corpora):
     assert np.array_equal(fast["bits"], fast2["bits"])
     with pytest.raises(ValueError, match="gram_hash"):
         build_gram_bloom(ev, "text", gram_hash="md5")
+
+
+def test_threshold_above_one_is_inert(spark, corpora):
+    """threshold > 1 can never fire in the exact operator (overlap_frac
+    <= 1), so the bloom analogue must not derive a cut from it — the
+    r14 review caught it over-dropping docs the exact twin keeps."""
+    ev, corpus = corpora
+    bloom = build_gram_bloom(ev, "text", n=5, fpp=1e-3)
+    kept_inert = {
+        r["doc_id"]
+        for r in decontaminate_bloom(
+            corpus, bloom, "text", min_grams=3, threshold=1.1
+        ).collect()
+    }
+    kept_none = {
+        r["doc_id"]
+        for r in decontaminate_bloom(
+            corpus, bloom, "text", min_grams=3, threshold=None
+        ).collect()
+    }
+    assert kept_inert == kept_none  # pure min_grams semantics either way
