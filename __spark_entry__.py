@@ -1845,9 +1845,11 @@ def _sample_dsir(spark, sf_dir):
     fixture); the raw side is everything else. Scoring sums the llr per
     gram occurrence (no (doc, bucket) table exists — r14), so every
     aggregation map-side combines before its exchange; the 4096-bucket
-    llr table broadcasts; selection is a bounded heap. The oracle replays the
-    hashed buckets (md5), both smoothed models, the rounded log weight,
-    AND the salted-hash Gumbel draw — the full sampled variant is
+    llr table broadcasts as integer NANO-UNITS (r15 — the per-doc score
+    is an exact bigint sum, no summation-order ulp risk on either
+    engine); selection is a bounded heap. The oracle replays the hashed
+    buckets (md5), both smoothed models, the quantized log weight, AND
+    the salted-hash Gumbel draw — the full sampled variant is
     hash-attested, not just the scores."""
     from pq_vector_spark.operators.dsir import dsir_select
 
@@ -3938,22 +3940,26 @@ def oracle_sql() -> dict[str, str]:
                    WHERE doc_id % 50 <> 7 GROUP BY b),
             tt AS (SELECT COALESCE(SUM(nt), 0) AS t FROM qt),
             tr AS (SELECT COALESCE(SUM(nr), 0) AS r FROM qr),
+            -- r15 (ADVICE): the llr table is QUANTIZED to integer
+            -- nano-units (floor(llr*1e9 + 0.5) — identical in Python on
+            -- the Spark side), so the per-doc score is an EXACT bigint
+            -- sum: no summation-order ulp risk on either engine (the r14
+            -- float-sum form had a fixture doc 5e-11 from its round-6
+            -- boundary). log_weight = s / 1e9, one IEEE division of the
+            -- same integer on both engines.
             llr AS (SELECT COALESCE(qt.b, qr.b) AS b,
-                      ln((COALESCE(nt, 0) + 0.5)
-                         / (tt.t + 0.5 * 4096))
-                      - ln((COALESCE(nr, 0) + 0.5)
-                           / (tr.r + 0.5 * 4096)) AS llr
+                      CAST(floor((ln((COALESCE(nt, 0) + 0.5)
+                                     / (tt.t + 0.5 * 4096))
+                                  - ln((COALESCE(nr, 0) + 0.5)
+                                       / (tr.r + 0.5 * 4096))) * 1e9 + 0.5)
+                           AS BIGINT) AS llr
                     FROM qt FULL OUTER JOIN qr ON qt.b = qr.b, tt, tr),
-            -- r14: sum the llr PER GRAM OCCURRENCE — the identical
-            -- floating-point term set the Spark side now aggregates
-            -- (Σ_b c·llr accrues different ulp error than adding llr c
-            -- times; round(6) must see the same terms on both engines)
             w AS (SELECT ob.doc_id,
-                         round(SUM(llr.llr), 6) AS lw
+                         SUM(llr.llr) AS s
                   FROM ob JOIN llr USING (b)
                   WHERE ob.doc_id % 50 <> 7 GROUP BY ob.doc_id),
-            sc AS (SELECT d.doc_id, w.lw AS log_weight,
-                     round(w.lw - ln(-ln(
+            sc AS (SELECT d.doc_id, CAST(w.s AS DOUBLE) / 1e9 AS log_weight,
+                     round(CAST(w.s AS DOUBLE) / 1e9 - ln(-ln(
                        ({_TOKHASH.format(s="concat('dsir', CAST(d.doc_id AS VARCHAR))")}
                         % 1000000 + 0.5) / 1000000.0)), 6) AS gumbel_score
                    FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id

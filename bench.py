@@ -8,13 +8,24 @@ index build time, brute-force query latency, indexed query latency,
 recall@k of the indexed path vs brute force — plus the relational /
 dedup / text headline queries from __spark_entry__.
 
-Output contract (driver parses the LAST line of stdout): scale sections
-(`scale`, `scale_dedup`, `scale_asof`, `scale_maxsim`, `scale_streaming`)
-are each printed as their OWN `{"section": "...", ...}` JSON line first,
-and the FINAL line is the compact bounded-size headline the driver records:
+Output contract (driver parses the LAST line of stdout): sections
+(`bench_detail`, `scale`, `scale_dedup`, `scale_asof`, `scale_maxsim`,
+`scale_streaming`) are each printed as their OWN `{"section": "...", ...}`
+JSON line first (and all persisted to BENCH_sections.json), and the FINAL
+line is the compact bounded-size headline the driver records:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
-(r6 lesson: folding the scale sections into the one headline line pushed it
-past the driver's tail-capture buffer and BENCH_r06 recorded parsed=null.)
+The driver's tail buffer is ~2000 chars: r6 folded the scale sections into
+the final line and r13/r14 let the calib narrative ride it — all three
+recorded parsed=null. The final line is now size-guarded at 1900 chars and
+everything non-contractual lives in the `bench_detail` section.
+
+Noise robustness (r15, r14 verdict #1): every headline query is timed
+median-of-N (default N=3, PQ_BENCH_HEADLINE_REPS) over INTERLEAVED full
+passes; per-query spreads and per-pass totals are in bench_detail, and the
+final line carries `hl_spread` (spread of pass totals) + `contended` so a
+scheduler-weather run flags itself. Medians sit slightly below the
+r5-r14 single-shot records by construction (first-pass residue is
+discarded) — compare medians to medians from here on.
 """
 
 from __future__ import annotations
@@ -218,7 +229,7 @@ def main() -> None:
 
     qs = entry_mod.queries()
     # Untimed warmup pass: one execution of every headline query so the
-    # timed pass measures steady state, not JVM/janino compilation of each
+    # timed passes measure steady state, not JVM/janino compilation of each
     # plan (~2-3.5 s per novel expression tree, independent of data size —
     # amortized to nothing at real scale). The reference's criterion bench
     # harness warms up the same way (3 s warmup per benchmark by default).
@@ -228,52 +239,114 @@ def main() -> None:
     calib_jvm_sec = _calibrate_jvm(spark)
     calib_jvm_long_sec, calib_jvm_long_spread = _calibrate_jvm_long(spark)
 
-    for name in HEADLINE:
-        fn = qs[name]
-        t0 = time.time()
-        fn(spark, SF_DIR).collect()
-        timings[name] = round(time.time() - t0, 3)
+    # Noise-robust headline (r15, r14 verdict #1): each query is timed
+    # MEDIAN-of-N over N full INTERLEAVED passes — pass 1 runs every query
+    # once, then pass 2, then pass 3 — so a transient host stall (the
+    # cause of r12's and r14's 1.3-1.4× phantom regressions on untouched
+    # code) lands on different queries in different passes and the median
+    # discards it, instead of all reps of one query absorbing it.
+    # Per-query spreads ((max-min)/median) and the per-pass totals go to
+    # the bench_detail section; headline_spread (spread of the N pass
+    # totals) is the one-number contention self-check on the record
+    # itself: a contended-host re-run should move the medians < 10%.
+    import statistics
+
+    reps = max(1, int(os.environ.get("PQ_BENCH_HEADLINE_REPS", "3")))
+    samples: dict[str, list] = {name: [] for name in HEADLINE}
+    for _ in range(reps):
+        for name in HEADLINE:
+            fn = qs[name]
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).collect()
+            samples[name].append(time.perf_counter() - t0)
+    spreads: dict[str, float] = {}
+    for name, runs in samples.items():
+        med = statistics.median(runs)
+        timings[name] = round(med, 3)
+        spreads[name] = round(
+            (max(runs) - min(runs)) / med, 3
+        ) if med > 0 else 0.0
+    pass_totals = [
+        round(sum(samples[name][i] for name in HEADLINE), 3)
+        for i in range(reps)
+    ]
+    med_pass = statistics.median(pass_totals)
+    headline_spread = round(
+        (max(pass_totals) - min(pass_totals)) / med_pass, 3
+    ) if med_pass > 0 else 0.0
 
     # --- IVF lifecycle at bench scale (reference benches/query.rs) ---------
+    # Same median-of-N discipline: brute force re-runs as-is; each build
+    # rep targets a FRESH path, and each timed probe follows its own
+    # build, so every probe rep pays the sidecar load (the per-query cost
+    # a new session would pay) while the one-time plan-compile constant —
+    # the r14 contended run's 7.1 s knn_indexed outlier — is absorbed by
+    # the median instead of being the whole record.
     emb = load_table(spark, SF_DIR, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
 
-    t0 = time.time()
-    truth = [
-        r["vec_id"]
-        for r in brute_force_topk(emb, "embedding", qvec, K, tie_break="vec_id")
-        .select("vec_id")
-        .collect()
-    ]
-    timings["knn_brute_force_k100"] = round(time.time() - t0, 3)
-
-    idx_dir = tempfile.mkdtemp(prefix="pq_bench_idx_")
-    out_path = os.path.join(idx_dir, "embeddings_indexed")
-    try:
-        t0 = time.time()
-        meta = build_index(
-            spark,
-            os.path.join(SF_DIR, "embeddings.parquet"),
-            out_path,
-            column="embedding",
-        )
-        timings["index_build"] = round(time.time() - t0, 3)
-
-        t0 = time.time()
-        got = [
+    brute_runs = []
+    truth: list = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        truth = [
             r["vec_id"]
-            for r in indexed_topk(
-                spark,
-                out_path,
-                qvec,
-                K,
-                options=VectorTopKOptions(nprobe=NPROBE),
-                tie_break="vec_id",
+            for r in brute_force_topk(
+                emb, "embedding", qvec, K, tie_break="vec_id"
             )
             .select("vec_id")
             .collect()
         ]
-        timings["knn_indexed_k100_nprobe16"] = round(time.time() - t0, 3)
+        brute_runs.append(time.perf_counter() - t0)
+    timings["knn_brute_force_k100"] = round(statistics.median(brute_runs), 3)
+    spreads["knn_brute_force_k100"] = round(
+        (max(brute_runs) - min(brute_runs)) / timings["knn_brute_force_k100"], 3
+    )
+
+    idx_dir = tempfile.mkdtemp(prefix="pq_bench_idx_")
+    try:
+        build_runs, probe_runs = [], []
+        meta: dict = {}
+        got: list = []
+        out_path = ""
+        for i in range(reps):
+            out_path = os.path.join(idx_dir, f"embeddings_indexed_{i}")
+            t0 = time.perf_counter()
+            meta = build_index(
+                spark,
+                os.path.join(SF_DIR, "embeddings.parquet"),
+                out_path,
+                column="embedding",
+            )
+            build_runs.append(time.perf_counter() - t0)
+
+            t0 = time.perf_counter()
+            got = [
+                r["vec_id"]
+                for r in indexed_topk(
+                    spark,
+                    out_path,
+                    qvec,
+                    K,
+                    options=VectorTopKOptions(nprobe=NPROBE),
+                    tie_break="vec_id",
+                )
+                .select("vec_id")
+                .collect()
+            ]
+            probe_runs.append(time.perf_counter() - t0)
+        timings["index_build"] = round(statistics.median(build_runs), 3)
+        spreads["index_build"] = round(
+            (max(build_runs) - min(build_runs)) / timings["index_build"], 3
+        )
+        timings["knn_indexed_k100_nprobe16"] = round(
+            statistics.median(probe_runs), 3
+        )
+        spreads["knn_indexed_k100_nprobe16"] = round(
+            (max(probe_runs) - min(probe_runs))
+            / timings["knn_indexed_k100_nprobe16"],
+            3,
+        )
         # warm rerun: the first probe pays sidecar load + plan compile for
         # this novel plan shape; the split separates that constant from
         # actual probe cost, so sf0.1 jitter can't masquerade as a
@@ -338,12 +411,36 @@ def main() -> None:
     )
 
     total = round(sum(timings.values()), 3)
+    # FINAL-LINE SIZE CONTRACT (r15): the driver records the LAST ≤2000
+    # characters of stdout and parses the final line as the round's record
+    # — BENCH_r13/r14 both overflowed it (parsed=null) because the calib
+    # narrative rode the same line as 57 query timings. The final line now
+    # carries ONLY the driver contract (metric/value/unit/queries/sf) plus
+    # the four adjudication scalars; everything else (anchor baselines,
+    # adjusted totals, per-query spreads, recall notes) moves to the
+    # bench_detail SECTION line, which also lands in BENCH_sections.json.
     out = {
         "metric": "headline_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": _sf_from_dir(SF_DIR),
+        # median-of-N discipline (r15, r14 verdict #1): how many
+        # interleaved passes each per-query median summarizes, and the
+        # spread of the N pass TOTALS — the record's own contention
+        # statistic (≥0.10 ⇒ treat this run as weather, not engineering)
+        "reps": reps,
+        "hl_spread": headline_spread,
+        "calib_jvm_long_sec": calib_jvm_long_sec,
+        "calib_jvm_long_spread": calib_jvm_long_spread,
+        "contended": bool(
+            calib_jvm_long_spread >= 0.10 or headline_spread >= 0.10
+        ),
+        "recall_at_100": recall,
+    }
+    detail = {
+        "per_query_spread": spreads,
+        "pass_totals": pass_totals,
         "calib_sec": calib_sec,
         "calib_jvm_sec": calib_jvm_sec,
         "calib_jvm_baseline_sec": CALIB_JVM_BASELINE_SEC,
@@ -357,10 +454,10 @@ def main() -> None:
             total / (calib_sec / CALIB_BASELINE_SEC), 2
         ),
         "calib_drift_flag": abs(calib_sec / CALIB_BASELINE_SEC - 1.0) > 0.15,
-        # JVM-anchor twin of the two fields above (r13, per the r12
-        # verdict): the headline queries are JVM/multicore bound, so THIS
-        # ratio — not the single-core Python one — adjudicates whether a
-        # board-wide drift was host contention or plan regressions
+        # JVM-anchor twin (r13, per the r12 verdict): the headline queries
+        # are JVM/multicore bound, so THIS ratio — not the single-core
+        # Python one — adjudicates whether a board-wide drift was host
+        # contention or plan regressions
         f"calib_jvm_ratio_vs_{CALIB_JVM_BASELINE_ROUND}": round(
             calib_jvm_sec / CALIB_JVM_BASELINE_SEC, 3
         ),
@@ -371,12 +468,8 @@ def main() -> None:
             calib_jvm_sec / CALIB_JVM_BASELINE_SEC - 1.0
         ) > 0.15,
         # long JVM anchor (r14, r13 verdict #5): ~1 s median-of-5 with its
-        # run spread — the PREFERRED drift adjudicator once its baseline
-        # has a round of history; the short anchor stays for r12/r13
-        # comparability. A spread >= 0.10 marks the host contended: treat
-        # every single-run ratio this round as indicative only.
-        "calib_jvm_long_sec": calib_jvm_long_sec,
-        "calib_jvm_long_spread": calib_jvm_long_spread,
+        # run spread — the cross-check on the headline's own hl_spread. A
+        # spread >= 0.10 marks the host contended.
         "calib_jvm_long_baseline_sec": CALIB_JVM_LONG_BASELINE_SEC,
         f"calib_jvm_long_ratio_vs_{CALIB_JVM_LONG_BASELINE_ROUND}": round(
             calib_jvm_long_sec / CALIB_JVM_LONG_BASELINE_SEC, 3
@@ -387,8 +480,6 @@ def main() -> None:
         "calib_jvm_long_drift_flag": abs(
             calib_jvm_long_sec / CALIB_JVM_LONG_BASELINE_SEC - 1.0
         ) > 0.15,
-        "calib_jvm_long_contended_flag": calib_jvm_long_spread >= 0.10,
-        "recall_at_100": recall,
         # sf0.1's embeddings table is 2k rows: k=100 is 5% of the table and
         # nprobe 16/45 probes 36% of it — cluster granularity dominates
         # recall here. The regime the index exists for is the `scale`
@@ -411,6 +502,7 @@ def main() -> None:
     sections = {
         name: section
         for name, section in (
+            ("bench_detail", detail),
             ("scale_dedup", scale_dedup),
             ("scale_asof", scale_asof),
             ("scale_maxsim", scale_maxsim),
@@ -439,7 +531,23 @@ def main() -> None:
         pass  # a read-only checkout still gets the stdout lines
     for name, section in sections.items():
         print(json.dumps({"section": name, **section}), flush=True)
-    print(json.dumps(out), flush=True)
+    # Hard size guard on the final line (the driver's tail buffer is ~2000
+    # chars): shed optional scalars first, never the contract fields. This
+    # should never fire at the current 57-query roster (~1700 chars) — it
+    # exists so adding a 70th query can't silently break the record again.
+    line = json.dumps(out)
+    for droppable in (
+        "recall_at_100",
+        "calib_jvm_long_sec",
+        "calib_jvm_long_spread",
+        "hl_spread",
+        "reps",
+    ):
+        if len(line) <= 1900:
+            break
+        out.pop(droppable, None)
+        line = json.dumps(out)
+    print(line, flush=True)
 
 
 def _dir_bytes(path: str) -> int:

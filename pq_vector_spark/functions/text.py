@@ -617,6 +617,37 @@ def _token_ngrams(col, n: int) -> Column:
     )[0]
 
 
+def _token_ngrams_upto(col, n_max: int) -> Column:
+    """All NON-distinct token n-grams for n = 1..``n_max`` with ONE
+    tokenization — the multiset equals concatenating
+    ``_token_ngrams(col, n)`` per n (same per-n edge cases: a doc with
+    fewer than n tokens contributes no n-grams), but the text is
+    lowered/trimmed/regex-split ONCE and every window size slides over
+    the same bound token array. DSIR's featurizer (the r15 single-pass
+    rewrite): at 1M docs the per-n re-tokenization was the residual cost
+    of the gram explode — the regex split over the full text dominates
+    per-doc work, and n_max separate ``tokens()`` subtrees paid it
+    n_max times."""
+    return F.transform(
+        F.array(tokens(col)),
+        lambda toks: F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(int(n_max))),
+                lambda n: F.when(
+                    F.size(toks) >= n,
+                    F.transform(
+                        F.sequence(
+                            F.lit(1),
+                            F.greatest(F.size(toks) - (n - 1), F.lit(1)),
+                        ),
+                        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+                    ),
+                ).otherwise(F.array().cast("array<string>")),
+            )
+        ),
+    )[0]
+
+
 def unigram_logprob(df, text_col: str, id_col: str, smoothing: float = 1.0):
     """Mean unigram log-probability per document under the corpus's own
     add-k-smoothed MLE — the classic cheap language-model quality signal:

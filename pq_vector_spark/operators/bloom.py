@@ -248,6 +248,28 @@ def bloom_gram_hits(
     )
 
 
+def _wrongful_drop_risk(cut: int, fpp: float, n_doc_grams: int = 1000) -> float:
+    """Probability a CLEAN document with ``n_doc_grams`` distinct grams is
+    wrongly dropped at hit cut ``cut``: P[Binomial(G, fpp) ≥ cut], each
+    gram false-positiving independently at ~``fpp``. Computed as the exact
+    complementary CDF (G ≤ a few thousand keeps this trivial); G defaults
+    to 1000 — a round mid-size document, the scale the docstring's 63%-at-
+    cut-1 example uses — so the number is a comparable severity statistic,
+    not a per-document guarantee."""
+    if cut > n_doc_grams:
+        return 0.0
+    q = 1.0 - fpp
+    # P[X >= cut] = 1 - sum_{i<cut} C(G,i) p^i q^(G-i), summed in log space
+    # is unnecessary: fpp ≤ 1e-3 and cut ≤ 16 keep every term finite
+    acc = 0.0
+    term = q ** n_doc_grams  # i = 0
+    acc += term
+    for i in range(1, cut):
+        term *= (n_doc_grams - i + 1) / i * (fpp / q)
+        acc += term
+    return max(0.0, min(1.0, 1.0 - acc))
+
+
 def decontaminate_bloom(
     corpus: DataFrame,
     bloom: dict,
@@ -256,6 +278,7 @@ def decontaminate_bloom(
     min_grams: int = 8,
     threshold: Optional[float] = 0.5,
     hits_col: Optional[str] = None,
+    allow_risky_cut: bool = False,
 ) -> DataFrame:
     """Drop corpus docs flagged by the Bloom analogue of BOTH
     :func:`~pq_vector_spark.operators.decontaminate.decontaminate` rules:
@@ -275,18 +298,36 @@ def decontaminate_bloom(
       **Short-eval-doc caveat**: a tiny eval doc makes the derived cut
       tiny, and at a small cut Bloom false positives stop being
       negligible — the wrongful-drop probability of a clean G-gram doc
-      is ≈ C(G, cut)·fpp^cut, which at cut=1 and fpp=1e-3 wipes out
-      ~63% of clean 1000-gram docs. A WARNING is logged whenever the
-      derived cut < 4; the fixes are a smaller ``fpp`` at build time
-      (cut=1 needs fpp ≲ 1e-9 to keep wrongful drops rare), dropping
-      the short doc from the eval side, or ``threshold=None``.
+      is P[Binomial(G, fpp) ≥ cut], which at cut=1 and fpp=1e-3 wipes
+      out ~63% of clean 1000-gram docs. Whenever the threshold rule
+      actually LOWERS the cut below ``min_grams`` (only then — a small
+      ``min_grams`` is the caller's own explicit choice and never
+      warned about), the risk is computed at the model's recorded
+      ``fpp`` for a nominal 1000-gram document and acted on by
+      severity: risk > 1% RAISES (the configuration silently destroys
+      a visible fraction of the clean corpus — rebuild with a smaller
+      ``fpp``, drop the short eval doc, pass ``threshold=None``, or
+      opt in explicitly with ``allow_risky_cut=True``); risk > 1e-6
+      logs a WARNING carrying the computed number; below that the
+      derived cut is as safe as the filter itself and nothing fires.
 
     Superset guarantee: with both rules active (the defaults, matching
     ``decontaminate``'s defaults), everything the exact operator drops is
     dropped here too. The reverse differs by Bloom false positives plus
     the smallest-eval-doc coarsening — both one-sided toward dropping
     more, never letting contamination escape. Pass ``hits_col`` to keep
-    the hit count on the survivors (audit/threshold-tuning)."""
+    the hit count on the survivors (audit/threshold-tuning).
+
+    .. versionchanged:: r14
+       ``threshold`` defaults to 0.5 (previously the rule was off): the
+       default now mirrors ``decontaminate``'s and restores the
+       documented strict-superset guarantee for BOTH exact rules. An
+       r13 caller upgrading with default arguments drops MORE docs —
+       exactly the docs the exact operator's coverage rule flags.
+    .. versionchanged:: r15
+       the small-cut warning fires only when ``threshold`` is the
+       binding rule, scales with the computed wrongful-drop risk, and
+       becomes a hard error above 1% risk unless ``allow_risky_cut``."""
     if min_grams < 1:
         raise ValueError(f"min_grams must be >= 1, got {min_grams}")
     cut = int(min_grams)
@@ -307,28 +348,47 @@ def decontaminate_bloom(
             # product (conservative = never a LARGER cut than exact
             # needs). threshold > 1 means overlap_frac can never reach
             # it — the exact rule is inert, so no cut applies.
-            cut = min(
-                cut, max(1, math.ceil(float(threshold) * int(mn) - 1e-9))
-            )
-            if cut < 4:
-                import logging
-
-                logging.getLogger(
-                    "pq_vector_spark.operators.bloom"
-                ).warning(
-                    "decontaminate_bloom: threshold=%s with "
-                    "min_eval_grams=%d derives a hit cut of %d — at this "
-                    "cut Bloom false positives are NOT negligible "
-                    "(wrongful-drop prob ≈ C(G, %d)·fpp^%d per clean "
-                    "G-gram doc at fpp=%s). Rebuild with a smaller fpp, "
-                    "drop the short eval doc, or pass threshold=None.",
-                    threshold,
-                    int(mn),
-                    cut,
-                    cut,
-                    cut,
-                    bloom.get("fpp"),
+            derived = max(1, math.ceil(float(threshold) * int(mn) - 1e-9))
+            # r15 (ADVICE): act only when the threshold rule BINDS —
+            # derived < min_grams. A final cut equal to the caller's own
+            # min_grams is their explicit choice, and warning about it
+            # misattributes the cut to the threshold (the r14 driver
+            # entry logged exactly that on every attestation run).
+            if derived < cut:
+                cut = derived
+                risk = _wrongful_drop_risk(
+                    cut, float(bloom.get("fpp", 1e-3))
                 )
+                if risk > 0.01 and not allow_risky_cut:
+                    raise ValueError(
+                        f"decontaminate_bloom: threshold={threshold} with "
+                        f"min_eval_grams={int(mn)} derives a hit cut of "
+                        f"{cut}, and at the model's fpp="
+                        f"{bloom.get('fpp')} that wrongly drops ≈"
+                        f"{risk:.1%} of clean 1000-gram docs. Rebuild "
+                        "with a smaller fpp, drop the short eval doc, "
+                        "pass threshold=None, or opt in with "
+                        "allow_risky_cut=True."
+                    )
+                if risk > 1e-6:
+                    import logging
+
+                    logging.getLogger(
+                        "pq_vector_spark.operators.bloom"
+                    ).warning(
+                        "decontaminate_bloom: threshold=%s with "
+                        "min_eval_grams=%d lowers the hit cut to %d "
+                        "(below min_grams=%d) — wrongful-drop prob ≈ "
+                        "%.2e per clean 1000-gram doc at the model's "
+                        "fpp=%s. Rebuild with a smaller fpp, drop the "
+                        "short eval doc, or pass threshold=None.",
+                        threshold,
+                        int(mn),
+                        cut,
+                        int(min_grams),
+                        risk,
+                        bloom.get("fpp"),
+                    )
     keep = hits_col is not None
     hc = hits_col or "_bloom_hits"
     if hc in corpus.columns:

@@ -30,9 +30,15 @@ be any size and is never joined row-wise against the raw corpus.
 
 Engine-replayable: bucketing is the portable md5 hash
 (``functions/text.token_hash`` — DuckDB computes the identical value),
-the models are int-count arithmetic, and the returned ``log_weight``
-rounds to 6 decimals so a DuckDB oracle reproduces ranking and values
-despite last-ulp ``ln``/summation differences between engines. The
+the models are int-count arithmetic, and the log-likelihood-ratio table
+is QUANTIZED to integer nano-units (``floor(llr·1e9 + 0.5)``) before it
+is broadcast — so the per-doc score is an EXACT bigint sum, identical
+under any summation order, partitioning, or engine, and ``log_weight``
+(the sum divided back by 1e9) is bit-deterministic without any final
+rounding. The r14 float-sum form rounded to 6 decimals instead, and a
+measured sf0.01 doc sat 5e-11 from a rounding boundary — inside
+cross-engine summation-order error, a latent attestation flip
+(tests/test_dsir.py pins the quantization margins that remain). The
 Gumbel draw uses the engine's salted-hash-uniform (``hash_bucket``), so
 even the sampled variant is a pure function of (id, salt).
 """
@@ -44,7 +50,7 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pq_vector_spark.functions.text import _token_ngrams, gram_hash_fn
+from pq_vector_spark.functions.text import _token_ngrams_upto, gram_hash_fn
 from pq_vector_spark.operators.sampling import BUCKETS, hash_bucket
 
 
@@ -63,10 +69,11 @@ def _gram_buckets(
     ≤ one row per doc per partition for scoring), whereas a (doc,
     bucket) intermediate shuffles ~grams-per-corpus rows — measured as
     the dominant cost of the r13 formulation at 1M docs. Gram text
-    never reaches any exchange (int keys only)."""
-    grams = _token_ngrams(text_col, 1)
-    for n in range(2, n_max + 1):
-        grams = F.concat(grams, _token_ngrams(text_col, n))
+    never reaches any exchange (int keys only). Tokenization runs ONCE
+    per doc (``_token_ngrams_upto`` slides every window size over one
+    bound token array — r15; the per-n ``tokens()`` re-split was the
+    residual featurization cost at 1M docs)."""
+    grams = _token_ngrams_upto(text_col, n_max)
     h = gram_hash_fn(bucket_hash, param="bucket_hash")(F.col("_g"))
     return (
         df.select(F.col(id_col).alias("_id"), F.explode(grams).alias("_g"))
@@ -97,8 +104,11 @@ def dsir_importance_weights(
     bucket_hash: str = "portable",
 ) -> DataFrame:
     """Per-document DSIR log importance weight vs ``target``: returns
-    (``id_col``, ``log_weight``) with ``log_weight`` rounded to 6
-    decimals. A document with no tokens has no features and scores NULL
+    (``id_col``, ``log_weight``) with ``log_weight`` quantized to 1e-9
+    (the llr table is integer nano-units, so the per-doc sum is exact
+    bigint arithmetic — bit-deterministic across partitionings and
+    engines; no float rounding anywhere). A document with no tokens has
+    no features and scores NULL
     (no signal — ``dsir_select`` ranks it LAST; log weights are not
     normalized, so any fixed number would rank it arbitrarily among real
     scores). ``target`` needs only a text column (``target_text_col``
@@ -163,12 +173,32 @@ def dsir_importance_weights(
     tot_t, tot_r = sum(nt.values()), sum(nr.values())
     s = float(smoothing)
     dt, dr = float(tot_t) + s * buckets, float(tot_r) + s * buckets
+    # nano-quantized llr (r15, ADVICE): floor(llr·1e9 + 0.5) as BIGINT.
+    # The per-doc score becomes an EXACT integer sum — order-independent,
+    # so Spark's partition-dependent aggregation order and DuckDB's
+    # sequential one produce the identical value by construction (the r14
+    # float sum relied on no doc landing within summation-ulp of a
+    # round-6 boundary, and the sf0.01 fixture had one 5e-11 away). The
+    # only cross-engine float step left is the llr itself (one ln each,
+    # replayable; the quantization margin is pinned in tests).
     llr_rows = [
-        (b, math.log((nt.get(b, 0) + s) / dt) - math.log((nr.get(b, 0) + s) / dr))
+        (
+            b,
+            int(
+                math.floor(
+                    (
+                        math.log((nt.get(b, 0) + s) / dt)
+                        - math.log((nr.get(b, 0) + s) / dr)
+                    )
+                    * 1e9
+                    + 0.5
+                )
+            ),
+        )
         for b in sorted(set(nt) | set(nr))
     ]
     spark = df.sparkSession
-    llr_tbl = spark.createDataFrame(llr_rows, "_b: int, _llr: double")
+    llr_tbl = spark.createDataFrame(llr_rows, "_b: int, _llr: bigint")
     scored = (
         ex.join(F.broadcast(llr_tbl), "_b")
         .groupBy("_id")
@@ -179,7 +209,7 @@ def dsir_importance_weights(
         ids.join(scored, "_id", "left")
         .select(
             F.col("_id").alias(id_col),
-            F.round(F.col("_lw"), 6).alias("log_weight"),
+            (F.col("_lw").cast("double") / F.lit(1e9)).alias("log_weight"),
         )
     )
 

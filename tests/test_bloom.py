@@ -123,9 +123,16 @@ def test_bloom_threshold_rule_covers_short_eval_docs(spark):
         for r in decontaminate(corpus, ev, "text", n=5, min_grams=3).collect()
     }
     assert exact_kept == {21}  # threshold rule drops 20 (overlap_frac 1.0)
+    # r15 (ADVICE medium): the derived cut is 1 (ceil(0.5·2)) and at
+    # fpp=1e-3 that wrongly drops ~63% of clean 1000-gram docs — the
+    # operator must refuse unless the caller explicitly opts in
+    with pytest.raises(ValueError, match="allow_risky_cut"):
+        decontaminate_bloom(corpus, bloom, "text", min_grams=3)
     bloom_kept = {
         r["doc_id"]
-        for r in decontaminate_bloom(corpus, bloom, "text", min_grams=3).collect()
+        for r in decontaminate_bloom(
+            corpus, bloom, "text", min_grams=3, allow_risky_cut=True
+        ).collect()
     }
     assert bloom_kept <= exact_kept  # the promised superset-of-drops
     assert bloom_kept == {21}
@@ -259,3 +266,88 @@ def test_threshold_above_one_is_inert(spark, corpora):
         ).collect()
     }
     assert kept_inert == kept_none  # pure min_grams semantics either way
+
+
+def test_wrongful_drop_risk_values():
+    """The severity statistic behind the r15 warn/raise policy: exact
+    binomial tail P[Bin(1000, fpp) >= cut]."""
+    from pq_vector_spark.operators.bloom import _wrongful_drop_risk
+
+    # cut=1, fpp=1e-3: 1 - 0.999^1000 ~= 0.632 (the docstring's 63%)
+    assert abs(_wrongful_drop_risk(1, 1e-3) - 0.6323) < 1e-3
+    # monotone decreasing in cut; crosses the 1% raise line at cut 5
+    risks = [_wrongful_drop_risk(c, 1e-3) for c in range(1, 7)]
+    assert all(a > b for a, b in zip(risks, risks[1:]))
+    assert risks[3] > 0.01 > risks[4]  # cut=4 raises, cut=5 warns
+    # tiny fpp: cut=1 is ~1e-3 (warn, not raise); cut=2 below the warn line
+    assert 1e-6 < _wrongful_drop_risk(1, 1e-6) < 0.01
+    assert _wrongful_drop_risk(2, 1e-6) < 1e-6
+    # a cut larger than the doc's gram count can never fire
+    assert _wrongful_drop_risk(20, 1e-3, n_doc_grams=10) == 0.0
+
+
+def test_threshold_warning_only_when_binding(spark, corpora, caplog):
+    """r15 (ADVICE medium): a final cut equal to the caller's own
+    min_grams must NOT warn — the r14 logic fired 'threshold derives cut
+    3' on every driver attestation even though min_grams=3 was the
+    binding value. And when the threshold DOES bind but the model's fpp
+    keeps the wrongful-drop risk moderate (1e-6 < risk <= 1%), the
+    operator warns with the computed number instead of raising."""
+    import logging
+
+    ev, corpus = corpora
+    # min_eval_grams=7 -> derived cut ceil(0.5*7)=4 >= min_grams=3: the
+    # threshold never binds, so nothing may fire even though the final
+    # cut (3) is small
+    bloom = build_gram_bloom(ev, "text", n=5, fpp=1e-3)
+    with caplog.at_level(logging.WARNING, "pq_vector_spark.operators.bloom"):
+        decontaminate_bloom(corpus, bloom, "text", min_grams=3).collect()
+    assert not [r for r in caplog.records if "decontaminate_bloom" in r.message]
+
+    # short eval doc (2 grams -> derived cut 1) at fpp=1e-6: risk ~1e-3
+    # is in the warn band — logged with the number, no raise
+    caplog.clear()
+    short_ev = spark.createDataFrame(
+        [(2, "secret canary string alpha beta gamma")],
+        "doc_id bigint, text string",
+    )
+    small = build_gram_bloom(short_ev, "text", n=5, fpp=1e-6)
+    assert small["min_eval_grams"] == 2
+    with caplog.at_level(logging.WARNING, "pq_vector_spark.operators.bloom"):
+        decontaminate_bloom(corpus, small, "text", min_grams=3).collect()
+    warned = [r for r in caplog.records if "wrongful-drop" in r.message]
+    assert len(warned) == 1 and "below min_grams=3" in warned[0].getMessage()
+
+
+def test_oracle_sql_geometry_matches_python():
+    """r15 (ADVICE low): the text_decontaminate_bloom oracle re-derives
+    (m, k) in DuckDB SQL (ln/ceil/round). A 1-ulp libm difference at a
+    ceil boundary, or Python's half-to-even vs DuckDB's half-away round
+    at an exact .5 for k, would build a different filter and fail the
+    attestation undiagnosably. Pin the two derivations equal across every
+    n_grams the sf0.01/sf0.1 fixtures could produce (1..200k) at the
+    oracle's fpp=1e-6."""
+    import duckdb
+
+    rows = duckdb.sql(
+        """
+        SELECT n, m,
+               greatest(CAST(1 AS BIGINT),
+                        least(CAST(16 AS BIGINT),
+                              CAST(round(CAST(m AS DOUBLE) / n * ln(2), 0)
+                                   AS BIGINT))) AS k
+        FROM (SELECT n,
+                greatest(CAST(ceil(CAST(ceil(-n * ln(1e-6)
+                           / (ln(2) * ln(2))) AS BIGINT) / 32.0)
+                         AS BIGINT) * 32,
+                         CAST(64 AS BIGINT)) AS m
+              FROM (SELECT unnest(range(1, 200001)) AS n))
+        ORDER BY n
+        """
+    ).fetchall()
+    bad = []
+    for n, m_sql, k_sql in rows:
+        m_py, k_py = _bloom_geometry(int(n), 1e-6)
+        if (m_py, k_py) != (int(m_sql), int(k_sql)):
+            bad.append((n, (m_sql, k_sql), (m_py, k_py)))
+    assert not bad, f"geometry divergence at {bad[:5]} (+{len(bad)} total)"

@@ -185,6 +185,80 @@ def test_target_only_contributes_bucket_totals(spark, corpora):
     assert w1 == w2
 
 
+def test_weights_are_exact_nano_sums(corpora):
+    """r15 (ADVICE low): the r14 float-sum scoring relied on no doc's
+    true weight sitting within summation-order ulp error of a round-6
+    boundary — and the sf0.01 attestation fixture measurably had one
+    5e-11 away (a latent cross-engine flip). The fix quantizes the llr
+    table to integer nano-units, making the per-doc score an exact
+    bigint sum. Pin the contract: every returned log_weight is an exact
+    multiple of 1e-9 (bit-equal to round(w·1e9)/1e9), so any engine that
+    sums the same integers reproduces it bit-for-bit."""
+    raw, target = corpora
+    for r in dsir_importance_weights(raw, "text", "doc_id", target).collect():
+        w = r["log_weight"]
+        if w is not None:
+            assert w == round(w * 1e9) / 1e9
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.isdir("/root/testdata/sf0.01"),
+    reason="attestation fixture not present",
+)
+def test_attestation_quantization_margin_at_sf001(spark):
+    """r15 (ADVICE low): with nano-quantized llr sums, the ONLY remaining
+    cross-engine float step in sample_dsir is the llr itself — DuckDB
+    re-derives each bucket's ln-ratio and floors llr·1e9 + 0.5, so a
+    1-ulp libm difference flips the integer only if that product sits
+    within ~a-few-ulp of an integer. Pin the margin for the exact
+    attestation fixture (sf0.01, the driver entry's params): every
+    bucket's quantization input must sit > 50 ulp from its floor
+    boundary. If a fixture refresh ever lands a bucket near one, THIS
+    fails — not the driver gate, undiagnosably, rounds later."""
+    import math
+
+    from pq_vector_spark.operators.dsir import _bucket_model, _gram_buckets
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    target = docs.filter(F.col("doc_id") % 50 == 7)
+    raw = docs.filter(F.col("doc_id") % 50 != 7)
+    buckets, smoothing = 4096, 0.5
+
+    ex = _gram_buckets(raw, "text", "doc_id", 2, buckets)
+    tex = _gram_buckets(
+        target.select(
+            F.monotonically_increasing_id().alias("_tid"),
+            F.col("text").alias("_ttext"),
+        ),
+        "_ttext",
+        "_tid",
+        2,
+        buckets,
+    )
+    nt = {int(r["_b"]): int(r["_n"]) for r in _bucket_model(tex).collect()}
+    nr = {int(r["_b"]): int(r["_n"]) for r in _bucket_model(ex).collect()}
+    assert nt and nr, "fixture produced no model buckets"
+    dt = float(sum(nt.values())) + smoothing * buckets
+    dr = float(sum(nr.values())) + smoothing * buckets
+    worst = (float("inf"), None)
+    for b in set(nt) | set(nr):
+        llr = math.log((nt.get(b, 0) + smoothing) / dt) - math.log(
+            (nr.get(b, 0) + smoothing) / dr
+        )
+        x = llr * 1e9 + 0.5
+        # distance to the nearest floor boundary (integer), in either
+        # direction — the quantity a 1-ulp ln difference must cross
+        margin = min(x - math.floor(x), math.floor(x) + 1.0 - x)
+        ulp = math.ulp(x)
+        if margin / ulp < worst[0]:
+            worst = (margin / ulp, b)
+    assert worst[0] > 50, (
+        f"bucket {worst[1]}'s llr quantization input sits {worst[0]:.1f} "
+        "ulp from a floor boundary — a 1-ulp cross-engine ln difference "
+        "could flip the integer llr; re-seed or widen the quantum"
+    )
+
+
 def test_fast_bucket_hash_same_ranking_shape(corpora):
     """bucket_hash="fast" (xxhash64 — the at-scale featurization) keeps
     the estimator's ranking behavior on separable corpora even though

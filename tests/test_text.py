@@ -366,3 +366,37 @@ def test_c4_line_filters_golden(spark):
         T.c4_line_filters("text", min_sentences=1).alias("c")
     ).select("c.*").collect()[0]
     assert loose["sentences_ok"] and loose["passes"]
+
+
+def test_token_ngrams_upto_equals_per_n_concat(spark):
+    """r15 single-pass featurizer (_token_ngrams_upto): one tokenization,
+    every window size slid over the same token array — the gram MULTISET
+    must equal concatenating _token_ngrams per n, including the edge
+    cases (empty doc, whitespace-only, fewer tokens than n)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "one"),
+            (3, "two words"),
+            (4, ""),
+            (5, "   "),
+            (6, None),
+            (7, "a b c d"),
+        ],
+        "doc_id bigint, text string",
+    )
+    for n_max in (1, 2, 3):
+        parts = T._token_ngrams("text", 1)
+        for n in range(2, n_max + 1):
+            parts = F.concat(parts, T._token_ngrams("text", n))
+        got = {
+            r["doc_id"]: sorted(r["g"]) if r["g"] is not None else None
+            for r in docs.select(
+                "doc_id", T._token_ngrams_upto("text", n_max).alias("g")
+            ).collect()
+        }
+        want = {
+            r["doc_id"]: sorted(r["g"]) if r["g"] is not None else None
+            for r in docs.select("doc_id", parts.alias("g")).collect()
+        }
+        assert got == want, f"n_max={n_max}"
