@@ -2149,6 +2149,28 @@ def _text_decontaminate(spark, sf_dir):
     )
 
 
+def _text_decontaminate_fast(spark, sf_dir):
+    """The xxhash64 gram family on the EXACT decontamination path (r14,
+    operators/decontaminate.py:decontaminate(gram_hash="fast") — first
+    driver attestation r15, r14 verdict #2): survivors of the full
+    two-rule drop (min_grams=3 OR overlap ≥ 0.5 of any eval doc). The
+    oracle replays the PORTABLE (md5) family: survivor sets are
+    family-independent — both families count the same shared-gram
+    multiplicities unless two distinct grams collide in a 60-bit space
+    (~2^-60 per pair; in-run survivor parity is additionally asserted at
+    1M docs in bench scale_dedup) — so a hash match here attests the
+    fast path end-to-end without DuckDB needing xxhash64."""
+    from pq_vector_spark.operators.decontaminate import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 50 == 7)
+    co = docs.filter(F.col("doc_id") % 50 != 7)
+    out = decontaminate(
+        co, ev, "text", n=3, min_grams=3, threshold=0.5, gram_hash="fast"
+    )
+    return out.select("doc_id", "lang", "source").orderBy("doc_id")
+
+
 def _pack_sequences(spark, sf_dir):
     """GPT-style sequence packing (operators/packing.py): concatenate each
     source's docs in doc_id order and cut every 256 tokens; per-doc start
@@ -2655,10 +2677,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and text_score_normalize (stable compositions, families still
         # represented by embedding_centroids/embedding_project and
         # text_quality/quality_checks) ride the tail in exchange.
-        # r13 extension: binary (1-bit) quantization — new code, spends a
-        # budget row (knn_appended demoted: append path green r11-r12 on
-        # index/build.py code untouched this round)
-        "knn_binary": _knn_binary,
         # r14 rotation (r13 verdict #1): MIPS top-k entered as a TAIL row
         # in r13 and was never driver-run — attested now (ann_cosine
         # demoted: green r8-r13 on an untouched cosine kernel, and the
@@ -2739,6 +2757,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_ccnet": _sample_ccnet,
         "text_pii": _text_pii,
         "text_decontaminate": _text_decontaminate,
+        # r15 rotation (r14 verdict #2): the fast (xxhash64) gram family
+        # on the EXACT decontamination path gains its driver row — the
+        # only r14-added code path without one; survivors replay against
+        # the portable-family oracle (family-independent, see docstring).
+        # knn_binary demoted in exchange: green r13-r14 on
+        # functions/quantize.py code untouched both rounds, and the knn
+        # family keeps 10 in-budget rows.
+        "text_decontaminate_fast": _text_decontaminate_fast,
         "pipeline_curate": _pipeline_curate,
         "pack_sequences": _pack_sequences,
         "merge_upsert": _merge_upsert,
@@ -2784,6 +2810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- 50-row budget cutoff: tail variants below were driver-green in
         # r5 (CORRECTNESS_r05.json) and their code is unchanged; rotate any
         # of them back above this line whenever their implementation changes.
+        "knn_binary": _knn_binary,  # demoted r15 (green r13-r14; quantize.py untouched since r13, family keeps 10 in-budget rows)
         "sample_temperature": _sample_temperature,  # demoted r13 (green since r9; water-filling pinned in-budget by sample_budget_temperature)
         "knn_auto_cosine": _knn_auto_cosine,  # demoted r13 (green since r8; interception pinned by 3 in-budget auto rows, cosine by ann_cosine)
         "text_quality": _text_quality,  # demoted r13 (green since r5; trained classifier row covers the feature family)
@@ -4123,6 +4150,29 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(shared AS DOUBLE) / CAST(eng AS DOUBLE), 4)
                        AS overlap_frac
             FROM j WHERE shared >= 2""",
+        # survivors of the fast-family (xxhash64) exact decontamination,
+        # replayed via the PORTABLE md5 family: survivor sets are gram-
+        # hash-family-independent absent a 60-bit collision (see the
+        # entry docstring; 1M-doc parity asserted in bench scale_dedup)
+        "text_decontaminate_fast": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM toks),
+            ex AS (SELECT doc_id, len(sh) AS ng,
+                          unnest(list_transform(sh, s -> {_TOKHASH.format(s='s')})) AS g
+                   FROM sh),
+            ev AS (SELECT doc_id AS eid, ng AS eng, g FROM ex WHERE doc_id % 50 = 7),
+            co AS (SELECT doc_id, g FROM ex WHERE doc_id % 50 <> 7),
+            j AS (SELECT co.doc_id, ev.eid, ev.eng,
+                         CAST(count(*) AS BIGINT) AS shared
+                  FROM co JOIN ev USING (g) GROUP BY 1, 2, 3),
+            flagged AS (SELECT DISTINCT doc_id FROM j
+                        WHERE shared >= 3
+                           OR CAST(shared AS DOUBLE) / CAST(eng AS DOUBLE)
+                              >= 0.5)
+            SELECT d.doc_id, d.lang, d.source FROM documents d
+            WHERE d.doc_id % 50 <> 7
+              AND d.doc_id NOT IN (SELECT doc_id FROM flagged)
+            ORDER BY d.doc_id""",
         # concatenate-and-cut packing: exclusive running token sum per
         # source (doc_id order), sequence ids = floor-div by the budget
         "pack_sequences": f"""

@@ -366,6 +366,40 @@ def main() -> None:
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
 
+    # --- split_leakage stage breakdown (r15, r14 verdict #6) ----------------
+    # The heaviest headline row decomposed with the operator's _stats
+    # diagnostics: pairs (the ngram-jaccard pair pipeline), components
+    # (label propagation / union-find), split (canonical join-back + hash
+    # gate = total minus the first two). Same inputs as the headline row.
+    from pq_vector_spark.operators import dedup as DD
+    from pq_vector_spark.operators.sampling import leakage_safe_split
+
+    docs_sf = load_table(spark, SF_DIR, "documents")
+    lpairs = DD.ngram_jaccard_pairs(docs_sf, "text", "doc_id", n=3, threshold=0.6)
+    lstats: dict = {}
+    lcaches: list = []
+    t0 = time.perf_counter()
+    leakage_safe_split(
+        docs_sf, "doc_id", lpairs, holdout=0.1, salt="split",
+        _stats=lstats, _caches=lcaches,
+    ).count()
+    leakage_total_sec = round(time.perf_counter() - t0, 3)
+    for c in lcaches:
+        c.unpersist()
+    leakage_breakdown = {
+        "total_sec": leakage_total_sec,
+        "pairs_sec": lstats.get("pairs_sec"),
+        "components_sec": lstats.get("components_sec"),
+        "split_sec": round(
+            leakage_total_sec
+            - lstats.get("pairs_sec", 0)
+            - lstats.get("components_sec", 0),
+            3,
+        ),
+        "n_pairs": lstats.get("n_pairs"),
+        "n_dup_docs": lstats.get("n_dup_docs"),
+    }
+
     # --- approx recall at the driver's correctness scale (sf0.01) ----------
     # The knn_ivf_approx CORRECTNESS row is recall-gated by design
     # (err: no_oracle); surface the recall@10 it actually achieves, next to
@@ -409,6 +443,11 @@ def main() -> None:
         and os.environ.get("PQ_BENCH_SCALE_STREAMING", "1") != "0"
         else None
     )
+    scale_bloom_huge = (
+        _bloom_huge_bench(spark)
+        if os.environ.get("PQ_BENCH_BLOOM_HUGE", "0") == "1"
+        else None
+    )
 
     total = round(sum(timings.values()), 3)
     # FINAL-LINE SIZE CONTRACT (r15): the driver records the LAST ≤2000
@@ -441,6 +480,7 @@ def main() -> None:
     detail = {
         "per_query_spread": spreads,
         "pass_totals": pass_totals,
+        "split_leakage_breakdown": leakage_breakdown,
         "calib_sec": calib_sec,
         "calib_jvm_sec": calib_jvm_sec,
         "calib_jvm_baseline_sec": CALIB_JVM_BASELINE_SEC,
@@ -503,6 +543,7 @@ def main() -> None:
         name: section
         for name, section in (
             ("bench_detail", detail),
+            ("scale_bloom_huge", scale_bloom_huge),
             ("scale_dedup", scale_dedup),
             ("scale_asof", scale_asof),
             ("scale_maxsim", scale_maxsim),
@@ -1667,6 +1708,84 @@ def _dedup_scale_bench(spark) -> dict:
         ),
         "semantic_dedup_n_pairs": int(sstats.get("n_pairs", -1)),
     }
+
+
+def _bloom_huge_bench(spark) -> dict:
+    """The 10^8-gram decontamination regime (r15, r14 verdict #3) — the
+    EXISTENCE case for the Bloom path. The measured 10^7 point (r14,
+    decon_big_*) showed probe-time parity with the exact broadcast join
+    and a 3.3× memory win; the unmeasured claim was that at 10^8 grams
+    the exact side's hashed join relation stops fitting a realistic
+    executor heap while the filter stays a viable broadcast. This
+    section measures it: ~10^8 distinct 5-grams of synthetic eval text
+    (1M docs × ~100 grams), raced through (a) the Bloom closure and
+    (b) the exact broadcast gram join, with the exact side wrapped so
+    an executor/driver OOM is RECORDED as the result rather than
+    killing the run. Gated behind PQ_BENCH_BLOOM_HUGE=1 (build alone is
+    minutes); the driver's per-round run keeps the 10^7 point.
+
+    MEASURED (r15, this host, 8g driver heap — the realistic
+    per-executor budget the module docstring argues from): see
+    decon_huge_* in BENCH_sections.json and the COVERAGE.md table."""
+    from pyspark.sql import functions as F
+
+    from pq_vector_spark.operators.bloom import (
+        build_gram_bloom,
+        decontaminate_bloom,
+    )
+    from pq_vector_spark.operators.decontaminate import decontaminate
+    from tools.gen_scale_docs import generate
+
+    n_docs = int(os.environ.get("PQ_BENCH_DEDUP_ROWS", "1000000"))
+    docs = spark.read.parquet(generate(n_docs))
+    corpus_side = docs.filter(F.col("doc_id") % 1000 != 7)
+    corpus_side.count()  # warm
+
+    big_rows = int(os.environ.get("PQ_BENCH_BLOOM_HUGE_DOCS", "1000000"))
+    big_ev = spark.range(big_rows).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(104)),
+                lambda i: F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("id").cast("string"), F.lit("-"), i.cast("string")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    out: dict = {"eval_docs": big_rows}
+    t0 = time.time()
+    bloom = build_gram_bloom(big_ev, "text", n=5, fpp=1e-4)
+    out["bloom_build_sec"] = round(time.time() - t0, 3)
+    out["n_grams"] = int(bloom["n_grams"])
+    out["bloom_bytes"] = int(bloom["bits"].nbytes)
+    out["exact_raw_key_bytes"] = int(bloom["n_grams"]) * 8
+    t0 = time.time()
+    out["bloom_survivors"] = decontaminate_bloom(
+        corpus_side, bloom, "text", min_grams=8, threshold=None
+    ).count()
+    out["bloom_probe_sec"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    try:
+        out["exact_survivors"] = decontaminate(
+            corpus_side, big_ev, "text", n=5, min_grams=8, threshold=1.1
+        ).count()
+        out["exact_probe_sec"] = round(time.time() - t0, 3)
+        out["exact_outcome"] = "completed"
+        out["survivors_match"] = bool(
+            out["exact_survivors"] == out["bloom_survivors"]
+        )
+    except Exception as e:  # noqa: BLE001 — the OOM IS the measurement
+        out["exact_probe_sec"] = round(time.time() - t0, 3)
+        out["exact_outcome"] = f"failed: {type(e).__name__}: {str(e)[:300]}"
+    return out
 
 
 def _asof_scale_bench(spark) -> dict:

@@ -1123,9 +1123,18 @@ def resolve_duplicates(
     max_iters: int = 20,
     prefer_col=None,
     prefer: str = "max",
+    components: Optional[DataFrame] = None,
 ) -> DataFrame:
     """End-to-end dedup resolution: annotate every doc with the canonical
     id of its duplicate cluster (docs in no pair are their own canonical).
+
+    ``components`` (optional): a precomputed ``connected_components``
+    result — (node, component) for every node in ``pairs``. Callers that
+    already materialized (and usually persisted) the component table —
+    diagnostics modes that time the CC stage separately, or pipelines
+    resolving several policies over one pair graph — pass it here so the
+    resolution does not re-run label propagation; when omitted it is
+    derived from ``pairs`` as before.
 
     Survivor policy: by default the min id in the connected component of
     the near-dup pair graph (matches ``exact_dedup``'s keep-smallest-id).
@@ -1143,7 +1152,11 @@ def resolve_duplicates(
     """
     if prefer not in ("max", "min"):
         raise ValueError(f"prefer must be 'max' or 'min', got {prefer!r}")
-    comp = connected_components(pairs, left, right, max_iters=max_iters)
+    comp = (
+        components
+        if components is not None
+        else connected_components(pairs, left, right, max_iters=max_iters)
+    )
     joined = docs.join(comp, docs[id_col] == comp["node"], "left")
     if prefer_col is None:
         return (

@@ -100,6 +100,8 @@ def leakage_safe_split(
     right: str = "id_b",
     split_col: str = "split",
     max_iters: int = 20,
+    _stats: Optional[dict] = None,
+    _caches: Optional[list] = None,
 ) -> DataFrame:
     """Duplicate-aware train/holdout split: a plain ``train_split`` hashes
     DOCUMENT ids, so a near-duplicate of a holdout document lands in train
@@ -122,14 +124,42 @@ def leakage_safe_split(
 
     Scale shape: the component resolution's bounded union-find /
     pointer-jumping (``connected_components``) dominates; the split
-    itself is one map-side hash — no extra shuffle."""
+    itself is one map-side hash — no extra shuffle.
+
+    With BOTH ``_stats`` and ``_caches`` (the repo's diagnostics
+    contract — caller unpersists everything appended to ``_caches``
+    after its action), the three stages are timed separately so
+    optimization is aimed, not guessed: ``pairs_sec``/``n_pairs``
+    (materializing the caller's pair pipeline — persisted, so the
+    component pass doesn't re-derive it), ``components_sec``/
+    ``n_dup_docs`` (label propagation, persisted and handed to the
+    resolution so it is not re-run), and the caller's wall minus both =
+    the split + canonical join-back itself."""
     if not (0.0 < holdout < 1.0):
         raise ValueError(f"holdout must be in (0, 1), got {holdout}")
     _check_reserved(df, {split_col, "canonical_id", "is_canonical"})
     from pq_vector_spark.operators.dedup import resolve_duplicates
 
+    comp = None
+    if _stats is not None and _caches is not None:
+        import time as _time
+
+        from pq_vector_spark.operators.dedup import connected_components
+
+        _t0 = _time.time()
+        pairs = pairs.persist()
+        _caches.append(pairs)
+        _stats["n_pairs"] = int(pairs.count())
+        _stats["pairs_sec"] = round(_time.time() - _t0, 3)
+        _t0 = _time.time()
+        comp = connected_components(
+            pairs, left, right, max_iters=max_iters
+        ).persist()
+        _caches.append(comp)
+        _stats["n_dup_docs"] = int(comp.count())
+        _stats["components_sec"] = round(_time.time() - _t0, 3)
     resolved = resolve_duplicates(
-        df, pairs, id_col, left, right, max_iters=max_iters
+        df, pairs, id_col, left, right, max_iters=max_iters, components=comp
     )
     threshold = int(round(holdout * BUCKETS))
     b = hash_bucket(F.col("canonical_id"), salt)

@@ -1338,6 +1338,42 @@ def test_leakage_safe_split_components_stay_together(spark):
     }
 
 
+def test_leakage_safe_split_stats_diagnostics(spark):
+    """r15 diagnostics contract: with _stats + _caches the operator times
+    pairs/components separately (persisting both so neither re-derives),
+    hands the persisted components to the resolution, and produces the
+    IDENTICAL split as the plain path."""
+    from pq_vector_spark.operators.sampling import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 21)], "doc_id bigint, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (10, 11)], "id_a bigint, id_b bigint"
+    )
+    plain = {
+        (r["doc_id"], r["canonical_id"], r["split"])
+        for r in leakage_safe_split(
+            docs, "doc_id", pairs, holdout=0.3, salt="t"
+        ).collect()
+    }
+    stats: dict = {}
+    caches: list = []
+    diag = {
+        (r["doc_id"], r["canonical_id"], r["split"])
+        for r in leakage_safe_split(
+            docs, "doc_id", pairs, holdout=0.3, salt="t",
+            _stats=stats, _caches=caches,
+        ).collect()
+    }
+    for c in caches:
+        c.unpersist()
+    assert diag == plain
+    assert stats["n_pairs"] == 4 and stats["n_dup_docs"] == 7
+    assert stats["pairs_sec"] >= 0 and stats["components_sec"] >= 0
+    assert len(caches) == 2  # pairs + components, caller-released
+
+
 def test_leakage_safe_split_validates(spark):
     from pq_vector_spark.operators.sampling import leakage_safe_split
 
