@@ -1313,9 +1313,17 @@ def _dedup_scale_bench(spark) -> dict:
             " ",
         ).alias("text"),
     )
+    # _caches (r15): the build's three jobs otherwise each re-shingle +
+    # re-md5 the 10^7-gram eval side — the DISK_ONLY-persisted hashed
+    # arrays halve the build (40.4 -> 20.0 s measured, bits identical)
+    bigcaches: list = []
     t0 = time.time()
-    big_bloom = build_gram_bloom(big_ev, "text", n=5, fpp=1e-4)
+    big_bloom = build_gram_bloom(
+        big_ev, "text", n=5, fpp=1e-4, _caches=bigcaches
+    )
     big_bloom_build_sec = round(time.time() - t0, 3)
+    for c in bigcaches:
+        c.unpersist()
     t0 = time.time()
     n_big_bloom = decontaminate_bloom(
         corpus_side, big_bloom, "text", min_grams=8, threshold=None
@@ -1724,9 +1732,20 @@ def _bloom_huge_bench(spark) -> dict:
     killing the run. Gated behind PQ_BENCH_BLOOM_HUGE=1 (build alone is
     minutes); the driver's per-round run keeps the 10^7 point.
 
-    MEASURED (r15, this host, 8g driver heap — the realistic
-    per-executor budget the module docstring argues from): see
-    decon_huge_* in BENCH_sections.json and the COVERAGE.md table."""
+    MEASURED (r15, this host, 8g driver heap, defaults otherwise):
+    n_grams exactly 10^8 → bloom filter 239.6 MB (fpp 1e-4, vs 800 MB
+    raw 8-byte keys), build 1134 s (one-time per eval list; dominated by
+    np.bitwise_or.at over the 6e7-word array), corpus probe 118.6 s with
+    ZERO wrongful drops (999,000/999,000 survivors); the EXACT broadcast
+    path failed 68 s in, at the build-side COLLECT — "Total size of
+    serialized results of 30 tasks (1038.7 MiB) is bigger than
+    spark.driver.maxResultSize (1024.0 MiB)" — i.e. at default limits
+    the join build never even reaches the multi-GB hashed-relation
+    stage the r14 extrapolation worried about. Raising maxResultSize
+    only moves the wall: the serialized build side alone is ≥4× the
+    whole bloom closure, and the LongHashedRelation multiplies it
+    further per executor. Full record in BENCH_sections.json
+    (scale_bloom_huge) and the COVERAGE.md bloom row."""
     from pyspark.sql import functions as F
 
     from pq_vector_spark.operators.bloom import (
@@ -1761,6 +1780,12 @@ def _bloom_huge_bench(spark) -> dict:
         ).alias("text"),
     )
     out: dict = {"eval_docs": big_rows}
+    # deliberately UNCACHED: at 10^8 grams on one 8 GB-heap JVM the
+    # _caches build crashed twice (MEMORY_AND_DISK OOM'd the heap;
+    # DISK_ONLY crashed a Python worker late in the word build) — the
+    # 3-pass recompute is the memory-safe shape at this size on a single
+    # box, and the honest 1134 s stands. At 10^7 (the per-round entry in
+    # _dedup_scale_bench) the cache is safe and halves the build.
     t0 = time.time()
     bloom = build_gram_bloom(big_ev, "text", n=5, fpp=1e-4)
     out["bloom_build_sec"] = round(time.time() - t0, 3)

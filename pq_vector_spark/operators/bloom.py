@@ -8,6 +8,11 @@ memorization probes: 10^8+ distinct grams — and a hash-JOIN table of
 that many 8-byte keys costs GBs per executor. A Bloom filter holds the
 same membership at ~14.4 bits ≈ 1.8 BYTES/gram (fpp 1e-3): the
 10^8-gram list is a ~180 MB closure instead of a multi-GB join build.
+MEASURED at exactly 10^8 grams (r15 bench, scale_bloom_huge): the
+filter is 239.6 MB at fpp 1e-4 and probes a 1M-doc corpus in ~119 s
+with zero wrongful drops, while the exact broadcast path dies at the
+build-side collect (serialized keys alone exceed Spark's default 1 GiB
+driver result cap) before any hash table is built.
 
 Semantics are CONSERVATIVE by construction: Bloom false positives can
 only OVER-count a document's eval-gram hits, never under-count, so a
@@ -98,6 +103,7 @@ def build_gram_bloom(
     fpp: float = 1e-3,
     n_grams: Optional[int] = None,
     gram_hash: str = "portable",
+    _caches: Optional[list] = None,
 ) -> dict:
     """Build the eval-set gram Bloom filter. ``n_grams`` (the sizing count)
     defaults to one count job over the distinct gram hashes; pass it when
@@ -119,7 +125,22 @@ def build_gram_bloom(
     The model also records ``min_eval_grams`` — the distinct-gram count of
     the SMALLEST eval document with ≥1 gram — which
     :func:`decontaminate_bloom` uses to over-approximate the exact
-    operator's ``overlap_frac`` rule (one extra eval-bounded agg job)."""
+    operator's ``overlap_frac`` rule (one extra eval-bounded agg job).
+
+    ``_caches`` (optional list — the repo's caller-released persist
+    contract): the build runs THREE jobs over the eval side (min-eval
+    agg, sizing count, sparse word build), and without a cache each one
+    re-shingles and re-hashes every gram — at 10^8 grams that is two
+    redundant full md5 passes plus a re-shuffled distinct, the dominant
+    share of the r15-measured 1134 s build. With ``_caches`` the hashed
+    per-doc gram arrays and the distinct gram set are persisted
+    DISK_ONLY (the saving is md5 CPU, not I/O; a memory-level copy
+    measurably OOM'd an 8 GB heap at 10^8 grams) and appended for the
+    caller to unpersist after the model is built. Measured at 10^7
+    grams: 40.4 → 20.0 s, bits identical. At 10^8 on a SINGLE 8 GB-heap
+    box even the disk-level cache destabilized the word build — use the
+    uncached 3-pass shape there unless executors have real headroom.
+    Benchmark-sized eval sets don't need it."""
     hf = gram_hash_fn(gram_hash)
     # the gram array rides the module's inline-generator barrier: as a
     # plain projection Catalyst collapses it into every consumer and the
@@ -137,6 +158,16 @@ def build_gram_bloom(
             )
         )
     )
+    if _caches is not None:
+        from pyspark.storagelevel import StorageLevel
+
+        # DISK_ONLY, deliberately: the saving is md5 CPU, not I/O, and at
+        # 10^8 grams a MEMORY_AND_DISK copy of the gram arrays competed
+        # with execution memory and OOM'd an 8 GB heap (measured r15);
+        # local-disk reads of ~1 GB are noise next to two full re-hash
+        # passes.
+        per_doc = per_doc.persist(StorageLevel.DISK_ONLY)
+        _caches.append(per_doc)
     min_eval = (
         per_doc.select(F.size("_gs").alias("_ng"))
         .filter(F.col("_ng") >= 1)
@@ -144,6 +175,11 @@ def build_gram_bloom(
         .collect()[0]["mn"]
     )
     grams = per_doc.select(F.explode("_gs").alias("_g")).distinct()
+    if _caches is not None:
+        from pyspark.storagelevel import StorageLevel
+
+        grams = grams.persist(StorageLevel.DISK_ONLY)
+        _caches.append(grams)
     if n_grams is None:
         n_grams = grams.count()
     m, k = _bloom_geometry(max(int(n_grams), 1), fpp)

@@ -268,6 +268,24 @@ def test_threshold_above_one_is_inert(spark, corpora):
     assert kept_inert == kept_none  # pure min_grams semantics either way
 
 
+def test_build_caches_contract_identical_model(spark, corpora):
+    """r15: with _caches the build persists the hashed per-doc gram
+    arrays + the distinct gram set (three jobs otherwise re-hash the
+    eval side) — the model must be bit-identical and the caches handed
+    back for the caller to release."""
+    ev, _ = corpora
+    plain = build_gram_bloom(ev, "text", n=5, fpp=1e-3)
+    caches: list = []
+    cached = build_gram_bloom(ev, "text", n=5, fpp=1e-3, _caches=caches)
+    for c in caches:
+        c.unpersist()
+    assert len(caches) == 2
+    assert np.array_equal(plain["bits"], cached["bits"])
+    assert {k: v for k, v in plain.items() if k != "bits"} == {
+        k: v for k, v in cached.items() if k != "bits"
+    }
+
+
 def test_wrongful_drop_risk_values():
     """The severity statistic behind the r15 warn/raise policy: exact
     binomial tail P[Bin(1000, fpp) >= cut]."""
