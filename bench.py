@@ -224,6 +224,21 @@ def main() -> None:
 
     calib_sec = _calibrate()  # before the JVM exists: clean machine anchor
 
+    # The bench JVM runs ~an hour of work (3 headline passes + the 1M×256
+    # scale sections) in ONE process; r15's first full run OOM'd an 8 GB
+    # heap in the embedding-dedup stage (untouched code — cumulative heap
+    # pressure from the longer pass schedule, GCLocker retry warnings
+    # preceding it). 16 GB on the 128 GB bench box removes both the OOM
+    # and a GC-weather noise source the median discipline exists to fight.
+    # Library sessions keep their own default (session.py, 8 GB);
+    # operator memory claims are still argued at the 8 GB executor budget
+    # (see _bloom_huge_bench — measured AT 8 GB deliberately).
+    os.environ.setdefault("PQ_DRIVER_MEM", "16g")
+    # JVM unified-logging warnings (e.g. "[gc,alloc] ... GCLocker") print
+    # to STDOUT by default and interleave with — or trail — the JSON
+    # lines the driver tail-parses; route them to stderr so no JVM
+    # warning can ever corrupt the record (observed in the r15 OOM run).
+    os.environ.setdefault("JAVA_TOOL_OPTIONS", "-Xlog:all=warning:stderr:uptime,level,tags")
     spark = get_spark("pq_vector_bench")
     timings: dict[str, float] = {}
 
