@@ -152,15 +152,25 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard similar pairs (id_a < id_b, jaccard ≥ threshold).
 
-    Plan: explode shingles → self-join on shingle (hash shuffle co-locates
-    equal shingles) → per-pair intersection counts → Jaccard from per-doc
-    shingle counts. Exact but worst-case quadratic on hot shingles — use
-    ``minhash_lsh_pairs`` as the candidate generator at scale; this operator
-    is the verifier. Jaccard is int/int → bit-identical across engines.
+    Plan (r15 reshape): explode shingle hashes → ONE shuffle grouping by
+    shingle → sorted (id, n_shingles) member list per shingle → map-side
+    within-shingle ordered pair expansion → per-pair intersection counts →
+    Jaccard from the carried per-doc shingle counts. The r5–r14 form
+    SELF-JOINED the exploded frame on the shingle hash, which planned as
+    TWO full text→shingle→md5 scans (broadcast build + streamed probe at
+    bench scale; two scans AND two exchanges as sort-merge at corpus
+    scale) — grouping once produces the identical pair multiset from ONE
+    scan and one shingle-keyed exchange, the same shape the LSH bucket
+    path uses. Singleton shingles (the overwhelming majority) die before
+    any pair exists. Exact but worst-case quadratic on hot shingles — use
+    ``minhash_lsh_pairs`` as the candidate generator at scale; this
+    operator is the verifier. Jaccard is int/int → bit-identical across
+    engines.
 
-    Join keys are 60-bit md5-derived shingle hashes, not strings — an 8-byte
-    shuffle key instead of a ~20-byte string (the oracle hashes identically,
-    so any astronomically-unlikely collision affects both engines equally).
+    Group keys are 60-bit md5-derived shingle hashes, not strings — an
+    8-byte shuffle key instead of a ~20-byte string (the oracle hashes
+    identically, so any astronomically-unlikely collision affects both
+    engines equally).
     """
     from pq_vector_spark.functions.text import token_hash
 
@@ -171,15 +181,36 @@ def ngram_jaccard_pairs(
         F.size("_sh").alias("_n"),
         F.explode(F.transform(F.col("_sh"), lambda s: token_hash(s))).alias("_s"),
     )
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a._s") == F.col("b._s")) & (F.col("a._id") < F.col("b._id")))
-        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .agg(
-            F.count(F.lit(1)).alias("_inter"),
-            F.first("a._n").alias("_na"),
-            F.first("b._n").alias("_nb"),
+    # members sorted by (_id, _n) ⇒ ordered expansion yields id_a < id_b
+    # directly (shingles are distinct within a doc, so ids are unique
+    # within a bucket); _n rides the struct so no per-doc count table —
+    # and no second pipeline pass — is ever joined back
+    grouped = (
+        sh.groupBy("_s")
+        .agg(F.sort_array(F.collect_list(F.struct("_id", "_n"))).alias("_m"))
+        .filter(F.size("_m") >= 2)
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("_m"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("_m"), i + 2, F.greatest(F.size(F.col("_m")) - i - 1, F.lit(0))
+                ),
+                lambda y: F.struct(
+                    x["_id"].alias("id_a"),
+                    y["_id"].alias("id_b"),
+                    x["_n"].alias("_na"),
+                    y["_n"].alias("_nb"),
+                ),
+            ),
         )
+    )
+    inter = (
+        grouped.select(F.explode(pair_arr).alias("_p"))
+        .select("_p.*")
+        .groupBy("id_a", "id_b", "_na", "_nb")
+        .agg(F.count(F.lit(1)).alias("_inter"))
     )
     jac = F.col("_inter").cast("double") / (
         F.col("_na") + F.col("_nb") - F.col("_inter")
