@@ -133,7 +133,13 @@ def dsir_importance_weights(
     persisting ~grams-per-corpus int pairs measured SLOWER than
     re-exploding (82 vs 79 s fast / 90 vs 86 s portable at 1M docs:
     the cache write+read of ~10^9 rows exceeds one compute-bound,
-    shuffle-free explode).
+    shuffle-free explode). Also measured-and-rejected (r15): in-doc
+    run-length encoding (sort_array + RLE so md5 runs once per DISTINCT
+    gram per doc, exact by integer count·llr) — the per-doc string sort
+    cost MORE than the duplicate-gram md5 it saved (87.6 → 113.2 s
+    portable / 80.5 → 100.2 s fast at 1M docs). The residual portable
+    cost is the md5 family itself; ``bucket_hash="fast"`` is the
+    at-scale answer.
     """
     if n_max < 1:
         raise ValueError(f"n_max must be >= 1, got {n_max}")
