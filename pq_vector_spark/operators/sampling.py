@@ -737,8 +737,20 @@ def _bucketer(lo, hi, n_b):
 
     def bucket_of(e):
         if width > 0.0:
-            fin = F.least(
-                F.floor((e - F.lit(lo)) / F.lit(width)), F.lit(n_b - 1)
+            # greatest(..., 0): Catalyst evaluates this CASE branch on rows
+            # outside the frontier guard; a subnormal-tiny width (score span
+            # ~1e-38 over n_b buckets) makes floor((e-lo)/width) for e < lo a
+            # ~-1e77 double, which double->long SATURATES to Long.MIN_VALUE.
+            # least() clamps only the high side (+overflow saturates to
+            # Long.MAX and least absorbs it), so without the low-side clamp
+            # the .cast("int") throws CAST_OVERFLOW under Spark 4 ANSI mode
+            # (and silently mis-buckets under non-ANSI). Identity for
+            # in-frontier scores; total otherwise.
+            fin = F.greatest(
+                F.least(
+                    F.floor((e - F.lit(lo)) / F.lit(width)), F.lit(n_b - 1)
+                ),
+                F.lit(0),
             ).cast("int")
         else:
             fin = F.lit(0)
@@ -1547,7 +1559,12 @@ def select_token_budget_grouped(
         NB, LO, W = F.col("_p_nb"), F.col("_p_lo"), F.col("_p_w")
         fin = F.when(
             W > 0.0,
-            F.least(F.floor((SCORE - LO) / W), NB - 1).cast("int"),
+            # same low-side clamp as _bucketer: subnormal widths saturate
+            # floor() to Long.MIN_VALUE for scores below lo (ANSI
+            # CAST_OVERFLOW); greatest(.., 0) makes the bucketer total.
+            F.greatest(
+                F.least(F.floor((SCORE - LO) / W), NB - 1), F.lit(0)
+            ).cast("int"),
         ).otherwise(F.lit(0))
         bucket = (
             F.when(F.isnan(SCORE), NB + 1)

@@ -427,6 +427,71 @@ def test_select_token_budget_grouped_matches_greedy_property(spark, data):
     assert got == sorted(kept)
 
 
+def test_select_token_budget_grouped_subnormal_width_regression(spark):
+    """Pinned Hypothesis falsifying example (found r15): group 'a' spans
+    [-18.47, 8.30] but its refinement walk narrows a crossing bucket to
+    lo=-1.1754943508222875e-38 (float32 min-normal), hi=-0.0 — width
+    ~8.4e-40. The subnormal-width bucketer lands in both a `keep` and an
+    `anc` predicate of the final output pass, codegen subexpression
+    elimination evaluates it UNCONDITIONALLY on rows far below `lo`
+    (score -18.47 -> floor ~-2e39 -> double->long saturates to
+    Long.MIN_VALUE), and without the low-side greatest(.., 0) clamp the
+    .cast("int") throws CAST_OVERFLOW under Spark 4's default ANSI mode
+    (non-ANSI: silent garbage bucket). Deterministic: this exact 39-row
+    table crashed every run pre-fix."""
+    from pq_vector_spark.operators.sampling import select_token_budget_grouped
+
+    SUBN = -1.1754943508222875e-38
+    rows = [
+        ("a", 0, 8.302260398864746, 28),
+        ("b", 1, -0.0, 42),
+        ("b", 2, -5.960464477539063e-08, 30),
+        (None, 3, 90.4334945678711, 50),
+        ("a", 4, -0.0, 18),
+        (None, 5, 76.14765167236328, 9),
+        ("a", 6, -0.0, 18),
+        ("b", 7, 6.103515625e-05, 9),
+        ("b", 8, -2.0000100135803223, 31),
+        ("a", 9, 0.0, 33),
+        (None, 13, 0.0, 49),
+        ("a", 16, SUBN, 17),
+        (None, 19, 0.0, 33),
+        (None, 21, 0.0, 17),
+        ("a", 22, -18.476306915283203, 0),
+        (None, 23, -0.5, 31),
+        ("a", 26, 0.0, 33),
+        ("a", 27, 0.0, 37),
+    ] + [
+        # the zero-token 0.0-score ties that force the walk past the
+        # score-mode levels into the subnormal refinement
+        ("a", i, 0.0, 0)
+        for i in (10, 11, 12, 14, 15, 17, 18, 20, 24, 25)
+        + tuple(range(28, 39))
+    ]
+    df = spark.createDataFrame(
+        rows, "g: string, id: bigint, score: double, tok: bigint"
+    )
+    got = sorted(
+        r["id"]
+        for r in select_token_budget_grouped(
+            df, "g", "id", "score", "tok", {},
+            buckets=14, default_budget=181, window_cap=1,
+        ).collect()
+    )
+    kept = []
+    by_g: dict = {}
+    for g, k, s, t in rows:
+        by_g.setdefault(g, []).append((k, s, t))
+    for g, members in by_g.items():
+        cum = 0
+        for k, _s, t in sorted(members, key=lambda r: (-r[1], r[0])):
+            if cum + t > 181:
+                break
+            cum += t
+            kept.append(k)
+    assert got == sorted(kept)
+
+
 @settings(max_examples=10, deadline=None)
 @given(data=st.data())
 def test_remove_repeated_paragraphs_matches_naive(spark, data):
