@@ -1233,3 +1233,50 @@ def test_expand_sorted_id_pairs_hybrid_branch_parity(spark):
     n = 8
     assert len([p for p in want if p[0] >= 100]) == 3
     assert len([p for p in want if p[0] < 100]) == n * (n - 1) // 2
+
+
+def test_ngram_jaccard_pairs_hot_shingle_streams(spark):
+    """r16 (ordered by the r15 verdict): a hot shingle — boilerplate text
+    shared by every doc — must stream through the big-bucket generator
+    path, never materializing the bucket's C(n,2) pair set in one row.
+    small_cap=2 forces EVERY bucket down that path; the result must be
+    bit-identical to the fast path AND to the naive Python oracle. The
+    pre-r16 form had no big path at all (one flatten row per bucket), so
+    this parity cannot hold there by construction past the array limit."""
+    from pq_vector_spark.operators.dedup import ngram_jaccard_pairs
+
+    # 40 docs all sharing the boilerplate prefix (one hot shingle family),
+    # plus distinct tails so jaccard varies; a disjoint pair for control
+    docs = [(i, f"common boiler plate header text tail{i} x{i % 3}") for i in range(40)]
+    docs += [(100, "totally different content"), (101, "totally different content")]
+    df = spark.createDataFrame(docs, "doc_id: bigint, text: string")
+
+    fast = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(
+            df, "text", "doc_id", n=3, threshold=0.0
+        ).collect()
+    )
+    streamed = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(
+            df, "text", "doc_id", n=3, threshold=0.0, small_cap=2
+        ).collect()
+    )
+    assert fast == streamed and len(fast) > 0
+
+    # naive oracle: word-trigram jaccard over all pairs
+    def sh(t):
+        w = t.split()
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    want = []
+    by_id = dict(docs)
+    ids = sorted(by_id)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            sa, sb = sh(by_id[a]), sh(by_id[b])
+            inter = len(sa & sb)
+            if inter:
+                want.append((a, b, inter / len(sa | sb)))
+    assert fast == sorted(want)
