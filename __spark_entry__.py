@@ -1847,10 +1847,12 @@ def _sample_dsir(spark, sf_dir):
     aggregation map-side combines before its exchange; the 4096-bucket
     llr table broadcasts as integer NANO-UNITS (r15 — the per-doc score
     is an exact bigint sum, no summation-order ulp risk on either
-    engine); selection is a bounded heap. The oracle replays the hashed
-    buckets (md5), both smoothed models, the quantized log weight, AND
-    the salted-hash Gumbel draw — the full sampled variant is
-    hash-attested, not just the scores."""
+    engine) and the Gumbel term is nano-quantized the same way (r16 —
+    gumbel_score is the exact bigint sum lw_nano + g_nano over 1e9, not
+    a rounded float difference); selection is a bounded heap. The oracle
+    replays the hashed buckets (md5), both smoothed models, the
+    quantized log weight, AND the quantized salted-hash Gumbel draw —
+    the full sampled variant is hash-attested, not just the scores."""
     from pq_vector_spark.operators.dsir import dsir_select
 
     docs = load_table(spark, sf_dir, "documents")
@@ -3985,10 +3987,18 @@ def oracle_sql() -> dict[str, str]:
                          SUM(llr.llr) AS s
                   FROM ob JOIN llr USING (b)
                   WHERE ob.doc_id % 50 <> 7 GROUP BY ob.doc_id),
+            -- r16 (ADVICE): gumbel_score is an exact nano-unit bigint sum
+            -- like log_weight — the Gumbel term floor(-ln(-ln(u))*1e9+0.5)
+            -- adds to the integer weight, then ONE /1e9. The r15 form
+            -- rounded the float difference to 6 decimals, re-exposing the
+            -- hash-attested column to the boundary-flip class the llr
+            -- quantization killed. The floor margin is >=10 ulp over the
+            -- entire 10^6-value u domain (pinned in test_dsir).
             sc AS (SELECT d.doc_id, CAST(w.s AS DOUBLE) / 1e9 AS log_weight,
-                     round(CAST(w.s AS DOUBLE) / 1e9 - ln(-ln(
+                     CAST(w.s + CAST(floor(-ln(-ln(
                        ({_TOKHASH.format(s="concat('dsir', CAST(d.doc_id AS VARCHAR))")}
-                        % 1000000 + 0.5) / 1000000.0)), 6) AS gumbel_score
+                        % 1000000 + 0.5) / 1000000.0)) * 1e9 + 0.5) AS BIGINT)
+                       AS DOUBLE) / 1e9 AS gumbel_score
                    FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
                    WHERE d.doc_id % 50 <> 7),
             sel AS (SELECT * FROM sc

@@ -185,8 +185,10 @@ def dsir_importance_weights(
     # sequential one produce the identical value by construction (the r14
     # float sum relied on no doc landing within summation-ulp of a
     # round-6 boundary, and the sf0.01 fixture had one 5e-11 away). The
-    # only cross-engine float step left is the llr itself (one ln each,
-    # replayable; the quantization margin is pinned in tests).
+    # cross-engine float steps left in the DSIR family are this llr and
+    # dsir_select's Gumbel term (quantized the same way in r16, ADVICE) —
+    # both are pure per-value ln's, replayable, with floor-boundary
+    # margins pinned in tests.
     llr_rows = [
         (
             b,
@@ -243,6 +245,19 @@ def dsir_select(
     deterministic salted-hash uniform — ``-ln(-ln((h + 0.5)/1e6))`` — so
     the selection is reproducible across runs, partitionings, and
     engines (``hash_sample``'s portability contract applied to noise).
+
+    ``gumbel_score`` is EXACT integer arithmetic in nano-units (r16,
+    ADVICE): the Gumbel term is quantized ``floor(g · 1e9 + 0.5)`` and
+    added to the weight's exact nano integer — recovered bit-for-bit via
+    ``round(log_weight · 1e9)``; the nano sum stays far below 2^53, so
+    the divide-then-recover round-trips exactly — then ONE division by
+    1e9. The r15 form rounded the float difference ``log_weight −
+    ln(−ln(u))`` to 6 decimals, leaving the hash-attested column exposed
+    to the same round-boundary flip class the llr nano-quantization
+    eliminated. Cross-engine float steps are now exactly two — the llr
+    and the Gumbel ``ln`` pair — both quantized, with boundary margins
+    pinned by tests (the Gumbel one over its entire 10^6-value domain).
+
     Ties break by id. Selection plans as a bounded top-k heap; for k in
     the hundreds of millions, rank once with
     :func:`dsir_importance_weights` and cut at a quantile threshold
@@ -259,9 +274,20 @@ def dsir_select(
         u = (hash_bucket(id_col, salt).cast("double") + F.lit(0.5)) / F.lit(
             float(BUCKETS)
         )
+        # exact nano-unit integer sum (r16, ADVICE): quantize the Gumbel
+        # term like the llr table, recover the weight's exact nano
+        # integer, add as bigints, divide ONCE — no float difference to
+        # round, so no round-6 boundary for summation/libm ulp to flip.
+        # round(log_weight·1e9) recovers the scoring sum's bigint exactly
+        # (|lw_nano| ≪ 2^53 keeps the /1e9·1e9 round-trip error < 0.5);
+        # the Gumbel quantization margin is ≥10 ulp over the ENTIRE
+        # 10^6-value u domain (pinned in test_dsir).
+        g_nano = F.floor(-F.log(-F.log(u)) * F.lit(1e9) + F.lit(0.5)).cast(
+            "bigint"
+        )
+        lw_nano = F.round(F.col("log_weight") * F.lit(1e9)).cast("bigint")
         out = out.withColumn(
-            "gumbel_score",
-            F.round(F.col("log_weight") - F.log(-F.log(u)), 6),
+            "gumbel_score", (lw_nano + g_nano).cast("double") / F.lit(1e9)
         )
         order = [F.col("gumbel_score").desc_nulls_last(), F.col(id_col).asc()]
     else:

@@ -369,3 +369,75 @@ def test_oracle_sql_geometry_matches_python():
         if (m_py, k_py) != (int(m_sql), int(k_sql)):
             bad.append((n, (m_sql, k_sql), (m_py, k_py)))
     assert not bad, f"geometry divergence at {bad[:5]} (+{len(bad)} total)"
+
+
+def test_approx_sizing_one_less_pass_same_behavior(spark, corpora):
+    """r16 (ordered by the r15 verdict): sizing="approx" folds the
+    distinct-gram count into the min-eval job (approx_count_distinct at
+    rsd 2% + 5% inflation) — the sizing estimate must bracket the exact
+    count from above-ish (HLL error band), min_eval_grams must be
+    IDENTICAL to the exact path's, and the filter must still catch every
+    contaminated doc the exact-sized filter catches (a larger m only
+    lowers fpp; false negatives are impossible in either)."""
+    ev, corpus = corpora
+    exact = build_gram_bloom(ev, "text", n=5, fpp=1e-3)
+    approx = build_gram_bloom(ev, "text", n=5, fpp=1e-3, sizing="approx")
+    assert exact["sizing"] == "exact" and approx["sizing"] == "approx"
+    # HLL at rsd 2% on a ~20-gram set is near-exact; the 5% inflation
+    # means the estimate can only land >= ceil-ish of the truth
+    assert exact["n_grams"] <= approx["n_grams"] <= int(exact["n_grams"] * 1.2) + 2
+    assert approx["min_eval_grams"] == exact["min_eval_grams"]
+    kept_exact = {
+        r["doc_id"]
+        for r in decontaminate_bloom(
+            corpus, exact, "text", min_grams=3, threshold=None
+        ).collect()
+    }
+    kept_approx = {
+        r["doc_id"]
+        for r in decontaminate_bloom(
+            corpus, approx, "text", min_grams=3, threshold=None
+        ).collect()
+    }
+    assert kept_approx == kept_exact
+    # explicit n_grams wins over either mode and records its provenance
+    explicit = build_gram_bloom(
+        ev, "text", n=5, fpp=1e-3, n_grams=64, sizing="approx"
+    )
+    assert explicit["sizing"] == "explicit" and explicit["n_grams"] == 64
+    with pytest.raises(ValueError, match="sizing"):
+        build_gram_bloom(ev, "text", sizing="hll")
+
+
+def test_stats_records_wrongful_drop_risk(spark, corpora):
+    """r16 (r15 verdict order #6): the optional _stats dict must carry
+    hit_cut / threshold_bound / wrongful_drop_risk, with the risk EQUAL
+    to _wrongful_drop_risk at the final cut and the model fpp — the same
+    number the >1% gate raises on — for both the binding and
+    non-binding threshold cases."""
+    from pq_vector_spark.operators.bloom import _wrongful_drop_risk
+
+    ev, corpus = corpora
+    # non-binding: min_eval_grams=7 -> derived 4 >= min_grams=3
+    bloom = build_gram_bloom(ev, "text", n=5, fpp=1e-3)
+    stats: dict = {}
+    decontaminate_bloom(
+        corpus, bloom, "text", min_grams=3, _stats=stats
+    ).collect()
+    assert stats["hit_cut"] == 3 and stats["threshold_bound"] is False
+    assert stats["wrongful_drop_risk"] == _wrongful_drop_risk(3, 1e-3)
+
+    # binding: 2-gram eval doc -> derived cut 1 < min_grams=3; fpp=1e-6
+    # keeps the risk in the warn band so no raise
+    short_ev = spark.createDataFrame(
+        [(2, "secret canary string alpha beta gamma")],
+        "doc_id bigint, text string",
+    )
+    small = build_gram_bloom(short_ev, "text", n=5, fpp=1e-6)
+    stats = {}
+    decontaminate_bloom(
+        corpus, small, "text", min_grams=3, _stats=stats
+    ).collect()
+    assert stats["hit_cut"] == 1 and stats["threshold_bound"] is True
+    assert stats["wrongful_drop_risk"] == _wrongful_drop_risk(1, 1e-6)
+    assert 1e-6 < stats["wrongful_drop_risk"] < 0.01

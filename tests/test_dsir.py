@@ -275,3 +275,101 @@ def test_fast_bucket_hash_same_ranking_shape(corpora):
     assert w[5] is None
     with pytest.raises(ValueError, match="bucket_hash"):
         dsir_importance_weights(raw, "text", "doc_id", target, bucket_hash="md5")
+
+
+def test_gumbel_quantization_margin_entire_domain():
+    """r16 (ADVICE): gumbel_score quantizes the Gumbel term with
+    floor(-ln(-ln(u))·1e9 + 0.5). u = (h + 0.5)/1e6 has exactly 10^6
+    possible values, so the floor-boundary margin can be pinned over the
+    ENTIRE domain, fixture-free and always-on: measured minimum 10 ulp
+    (at h=732149); a cross-engine libm difference of a few ulp on the two
+    ln's can never flip any quantized Gumbel integer. Assert > 8 ulp to
+    leave room for this host's own libm vs the measuring one."""
+    import numpy as np
+
+    h = np.arange(1_000_000, dtype=np.float64)
+    x = -np.log(-np.log((h + 0.5) / 1e6)) * 1e9 + 0.5
+    fl = np.floor(x)
+    margin = np.minimum(x - fl, fl + 1.0 - x)
+    assert (margin / np.spacing(np.abs(x))).min() > 8
+
+
+def test_gumbel_score_is_exact_nano_sum(corpora, spark):
+    """r16 (ADVICE): gumbel_score = (lw_nano + g_nano)/1e9 — an exact
+    integer sum in nano-units, like log_weight itself, NOT a rounded
+    float difference. Verify against an independent Python recomputation
+    of both integers (the weight recovered via round(w·1e9), the Gumbel
+    term floor-quantized from the salted-hash uniform), and that the
+    round-trip recovery margin is comfortable."""
+    import math
+
+    from pq_vector_spark.operators.sampling import BUCKETS, hash_bucket
+
+    raw, target = corpora
+    rows = {
+        r["doc_id"]: (r["log_weight"], r["gumbel_score"])
+        for r in dsir_select(
+            raw, "text", "doc_id", target, 6, smoothing=0.1
+        ).collect()
+    }
+    hs = {
+        r["doc_id"]: r["h"]
+        for r in raw.select(
+            "doc_id", hash_bucket("doc_id", "dsir").alias("h")
+        ).collect()
+    }
+    checked = 0
+    for doc_id, (lw, gs) in rows.items():
+        if lw is None:
+            assert gs is None
+            continue
+        # recovery margin: lw·1e9 sits well inside ±0.5 of its integer
+        prod = lw * 1e9
+        assert abs(prod - round(prod)) < 0.01
+        lw_nano = round(prod)
+        u = (hs[doc_id] + 0.5) / float(BUCKETS)
+        g_nano = math.floor(-math.log(-math.log(u)) * 1e9 + 0.5)
+        assert gs == (lw_nano + g_nano) / 1e9
+        checked += 1
+    assert checked >= 2
+
+
+def test_synthetic_llr_quantization_margin(spark):
+    """r16 (ADVICE): the fixture-gated sf0.01 margin test silently
+    passes on a checkout without /root/testdata — this synthetic twin
+    always runs. Same contract, tiny in-test corpus: every llr bucket's
+    quantization input must sit far from its floor boundary, so a 1-ulp
+    cross-engine ln difference cannot flip the integer llr the oracle
+    re-derives."""
+    import math
+
+    from pq_vector_spark.operators.dsir import _bucket_model, _gram_buckets
+
+    raw = spark.createDataFrame(
+        [(i, f"synthetic margin doc {i} with shared words {i % 5}") for i in range(60)],
+        "doc_id: bigint, text: string",
+    )
+    target = raw.filter(F.col("doc_id") % 10 == 3)
+    buckets, smoothing = 256, 0.5
+    ex = _gram_buckets(raw.filter(F.col("doc_id") % 10 != 3), "text", "doc_id", 2, buckets)
+    tex = _gram_buckets(
+        target.select(
+            F.monotonically_increasing_id().alias("_tid"),
+            F.col("text").alias("_ttext"),
+        ),
+        "_ttext", "_tid", 2, buckets,
+    )
+    nt = {int(r["_b"]): int(r["_n"]) for r in _bucket_model(tex).collect()}
+    nr = {int(r["_b"]): int(r["_n"]) for r in _bucket_model(ex).collect()}
+    assert nt and nr
+    dt = float(sum(nt.values())) + smoothing * buckets
+    dr = float(sum(nr.values())) + smoothing * buckets
+    worst = float("inf")
+    for b in set(nt) | set(nr):
+        llr = math.log((nt.get(b, 0) + smoothing) / dt) - math.log(
+            (nr.get(b, 0) + smoothing) / dr
+        )
+        x = llr * 1e9 + 0.5
+        margin = min(x - math.floor(x), math.floor(x) + 1.0 - x)
+        worst = min(worst, margin / math.ulp(x))
+    assert worst > 50, f"synthetic llr margin degraded to {worst:.1f} ulp"
