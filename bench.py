@@ -211,6 +211,34 @@ def _sf_from_dir(d: str) -> float:
         return -1.0
 
 
+def _spread_of(runs, med: float) -> float:
+    """(max-min)/med, guarded for a zero-rounding median (r16, ADVICE):
+    a sub-0.5 ms median rounds to 0.0 and an unguarded division would
+    kill the whole bench record with ZeroDivisionError. ONE definition
+    for every spread on the record."""
+    return round((max(runs) - min(runs)) / med, 3) if med > 0 else 0.0
+
+
+def _best_of(action, reps: int):
+    """Best-of-``reps`` timing for a heavy scale entry (r16, r15 verdict
+    #3): run ``action(i)`` ``reps`` times, return (best_sec, spread,
+    result-of-best-rep). Contention only ever ADDS time, so the MIN is
+    the robust per-entry estimator at half the cost of median-of-3; the
+    spread ((worst-best)/best) rides the record so a contaminated entry
+    is visible instead of silently mis-adjudicating a round (r15's
+    committed record showed 10-17% phantom moves on untouched code from
+    single-shot scale timings)."""
+    runs = []
+    for i in range(max(1, reps)):
+        t0 = time.time()
+        ret = action(i)
+        runs.append((time.time() - t0, ret))
+    runs.sort(key=lambda r: r[0])
+    best, worst = runs[0][0], runs[-1][0]
+    spread = round((worst - best) / best, 3) if best > 0 else 0.0
+    return round(best, 3), spread, runs[0][1]
+
+
 def main() -> None:
     import __spark_entry__ as entry_mod
     from pyspark.sql import functions as F
@@ -238,7 +266,14 @@ def main() -> None:
     # to STDOUT by default and interleave with — or trail — the JSON
     # lines the driver tail-parses; route them to stderr so no JVM
     # warning can ever corrupt the record (observed in the r15 OOM run).
-    os.environ.setdefault("JAVA_TOOL_OPTIONS", "-Xlog:all=warning:stderr:uptime,level,tags")
+    # APPEND to any pre-existing JAVA_TOOL_OPTIONS (r16, ADVICE): a
+    # setdefault would silently drop this protection whenever the bench
+    # host exports its own JVM options — the exact corruption scenario
+    # the flag guards against.
+    _xlog = "-Xlog:all=warning:stderr:uptime,level,tags"
+    _jto = os.environ.get("JAVA_TOOL_OPTIONS", "")
+    if "-Xlog" not in _jto:
+        os.environ["JAVA_TOOL_OPTIONS"] = (_jto + " " + _xlog).strip()
     spark = get_spark("pq_vector_bench")
     timings: dict[str, float] = {}
 
@@ -278,17 +313,13 @@ def main() -> None:
     for name, runs in samples.items():
         med = statistics.median(runs)
         timings[name] = round(med, 3)
-        spreads[name] = round(
-            (max(runs) - min(runs)) / med, 3
-        ) if med > 0 else 0.0
+        spreads[name] = _spread_of(runs, med)
     pass_totals = [
         round(sum(samples[name][i] for name in HEADLINE), 3)
         for i in range(reps)
     ]
     med_pass = statistics.median(pass_totals)
-    headline_spread = round(
-        (max(pass_totals) - min(pass_totals)) / med_pass, 3
-    ) if med_pass > 0 else 0.0
+    headline_spread = _spread_of(pass_totals, med_pass)
 
     # --- IVF lifecycle at bench scale (reference benches/query.rs) ---------
     # Same median-of-N discipline: brute force re-runs as-is; each build
@@ -314,8 +345,8 @@ def main() -> None:
         ]
         brute_runs.append(time.perf_counter() - t0)
     timings["knn_brute_force_k100"] = round(statistics.median(brute_runs), 3)
-    spreads["knn_brute_force_k100"] = round(
-        (max(brute_runs) - min(brute_runs)) / timings["knn_brute_force_k100"], 3
+    spreads["knn_brute_force_k100"] = _spread_of(
+        brute_runs, timings["knn_brute_force_k100"]
     )
 
     idx_dir = tempfile.mkdtemp(prefix="pq_bench_idx_")
@@ -351,16 +382,12 @@ def main() -> None:
             ]
             probe_runs.append(time.perf_counter() - t0)
         timings["index_build"] = round(statistics.median(build_runs), 3)
-        spreads["index_build"] = round(
-            (max(build_runs) - min(build_runs)) / timings["index_build"], 3
-        )
+        spreads["index_build"] = _spread_of(build_runs, timings["index_build"])
         timings["knn_indexed_k100_nprobe16"] = round(
             statistics.median(probe_runs), 3
         )
-        spreads["knn_indexed_k100_nprobe16"] = round(
-            (max(probe_runs) - min(probe_runs))
-            / timings["knn_indexed_k100_nprobe16"],
-            3,
+        spreads["knn_indexed_k100_nprobe16"] = _spread_of(
+            probe_runs, timings["knn_indexed_k100_nprobe16"]
         )
         # warm rerun: the first probe pays sidecar load + plan compile for
         # this novel plan shape; the split separates that constant from
@@ -1192,20 +1219,50 @@ def _dedup_scale_bench(spark) -> dict:
     n_exact_groups = D.exact_dedup(docs, "text", "doc_id").count()
     exact_sec = round(time.time() - t0, 3)
 
-    drop_obs = Observation("bench_dedup_drops")
-    t0 = time.time()
-    pairs = D.minhash_lsh_pairs(
-        docs, "text", "doc_id", num_hashes=32, bands=8, threshold=0.6,
-        observation=drop_obs,
+    # best-of-N discipline for the heavy entries (r16, r15 verdict #3):
+    # the committed r15 record showed 10-17% phantom moves on untouched
+    # scale code because each heavy entry was timed ONCE on a host the
+    # run itself flagged contended; every entry the r15 verdict named
+    # (minhash, qc fit/score, dsir, winnow, semantic) now records
+    # best-of-PQ_BENCH_DEDUP_REPS (default 2) plus its spread.
+    # (deliberately NOT PQ_BENCH_SCALE_REPS — that knob already belongs
+    # to _scale_bench's knn medians, default 3)
+    scale_reps = max(1, int(os.environ.get("PQ_BENCH_DEDUP_REPS", "2")))
+    mh_state: dict = {}
+
+    def _run_minhash(i):
+        # persist BEFORE the count so resolve_sec below times connected
+        # components alone — without it, CC's edge materialization
+        # re-derives the whole minhash pipeline and resolve_sec swings
+        # with shuffle-file reuse luck (r7 12.6s vs r8 26s on identical
+        # code). Each rep drops the previous rep's cache first (same
+        # memory footprint as single-shot); an Observation is single-use,
+        # so each rep gets its own.
+        if "pairs" in mh_state:
+            mh_state["pairs"].unpersist()
+        obs = Observation(f"bench_dedup_drops_{i}")
+        mcaches: list = []
+        p = D.minhash_lsh_pairs(
+            docs, "text", "doc_id", num_hashes=32, bands=8, threshold=0.6,
+            observation=obs, _caches=mcaches,
+        ).persist()
+        n = p.count()
+        # the count fully materializes the persisted pair table, so the
+        # operator's internal signature/shingle caches can release NOW —
+        # repeating reps without this would stack 2 ~quarter-GB cached
+        # frames per rep (and the pre-r16 single-shot silently leaked its
+        # 2 for the rest of the bench JVM's life)
+        for c in mcaches:
+            c.unpersist()
+        mh_state["pairs"] = p
+        return n, int(obs.get["dropped_bucket_rows"] or 0)
+
+    minhash_sec, minhash_spread, (n_pairs, dropped) = _best_of(
+        _run_minhash, scale_reps
     )
-    # persist BEFORE the count so resolve_sec below times connected
-    # components alone — without it, CC's edge materialization re-derives
-    # the whole minhash pipeline and resolve_sec swings with shuffle-file
-    # reuse luck (r7 12.6s vs r8 26s on identical code)
-    pairs = pairs.persist()
-    n_pairs = pairs.count()
-    minhash_sec = round(time.time() - t0, 3)
-    dropped = int(drop_obs.get["dropped_bucket_rows"] or 0)
+    # the LAST rep's persisted frame (reps are deterministic — identical
+    # pair sets) feeds the resolution step
+    pairs = mh_state["pairs"]
 
     t0 = time.time()
     comp = D.connected_components(pairs)
@@ -1233,16 +1290,18 @@ def _dedup_scale_bench(spark) -> dict:
         fit_lda_quality,
     )
 
-    t0 = time.time()
-    qc_model = fit_lda_quality(docs, "text", F.col("doc_id") % 2 == 0)
-    qc_fit_sec = round(time.time() - t0, 3)
-    t0 = time.time()
-    n_qc_pos = (
-        classify_quality(docs, "text", qc_model)
-        .filter(F.col("quality_lr_pred"))
-        .count()
+    qc_fit_sec, qc_fit_spread, qc_model = _best_of(
+        lambda _i: fit_lda_quality(docs, "text", F.col("doc_id") % 2 == 0),
+        scale_reps,
     )
-    qc_score_sec = round(time.time() - t0, 3)
+    qc_score_sec, qc_score_spread, n_qc_pos = _best_of(
+        lambda _i: (
+            classify_quality(docs, "text", qc_model)
+            .filter(F.col("quality_lr_pred"))
+            .count()
+        ),
+        scale_reps,
+    )
 
     # Decontamination at scale: ~1k-doc eval slice broadcast against the
     # remaining ~999k corpus (map-side shingles + broadcast gram join —
@@ -1344,6 +1403,20 @@ def _dedup_scale_bench(spark) -> dict:
         corpus_side, big_bloom, "text", min_grams=8, threshold=None
     ).count()
     big_bloom_probe_sec = round(time.time() - t0, 3)
+    # r16 (r15 verdict #4): sizing="approx" drops the exact distinct-count
+    # pass. The like-for-like delta is measured UNCACHED — the regime the
+    # approx path exists for, since at 10^8 grams the _caches build is
+    # documented-unstable on a single box and the saved pass is real wall
+    # time. Same eval side, back-to-back (same weather), exact 3-pass vs
+    # approx 2-pass; the overshoot ratio shows the 5%-inflated HLL sizing
+    # landing just above the true count.
+    t0 = time.time()
+    ub = build_gram_bloom(big_ev, "text", n=5, fpp=1e-4)
+    big_bloom_build_uncached_sec = round(time.time() - t0, 3)
+    t0 = time.time()
+    ab = build_gram_bloom(big_ev, "text", n=5, fpp=1e-4, sizing="approx")
+    big_bloom_build_approx_sec = round(time.time() - t0, 3)
+    big_approx_overshoot = round(ab["n_grams"] / max(ub["n_grams"], 1), 4)
     t0 = time.time()
     n_big_exact = decontaminate(
         corpus_side, big_ev, "text", n=5, min_grams=8, threshold=1.1
@@ -1375,18 +1448,20 @@ def _dedup_scale_bench(spark) -> dict:
     # at-scale recommendation) and portable (md5, the oracle family) —
     # r13 baselines were 99 s / 120 s; a persist-the-explode _caches
     # variant measured SLOWER than re-exploding and was dropped.
-    t0 = time.time()
-    n_dsir = dsir_importance_weights(
-        dsir_raw, "text", "doc_id", dsir_target, n_max=2, buckets=10_000,
-        bucket_hash="fast",
-    ).count()
-    dsir_sec = round(time.time() - t0, 3)
-    t0 = time.time()
-    n_dsir_p = dsir_importance_weights(
-        dsir_raw, "text", "doc_id", dsir_target, n_max=2, buckets=10_000,
-        bucket_hash="portable",
-    ).count()
-    dsir_portable_sec = round(time.time() - t0, 3)
+    dsir_sec, dsir_spread, n_dsir = _best_of(
+        lambda _i: dsir_importance_weights(
+            dsir_raw, "text", "doc_id", dsir_target, n_max=2,
+            buckets=10_000, bucket_hash="fast",
+        ).count(),
+        scale_reps,
+    )
+    dsir_portable_sec, dsir_portable_spread, n_dsir_p = _best_of(
+        lambda _i: dsir_importance_weights(
+            dsir_raw, "text", "doc_id", dsir_target, n_max=2,
+            buckets=10_000, bucket_hash="portable",
+        ).count(),
+        scale_reps,
+    )
     assert n_dsir_p == n_dsir
 
     # Persisted exact-fp index (r13): build once over the standing 90%,
@@ -1449,16 +1524,20 @@ def _dedup_scale_bench(spark) -> dict:
     # fingerprint extraction (one extra full pass — measured ~2× wall at
     # 1M docs); the release contract persists the grouped frame across
     # count + expansion and unpersists after the action.
-    wstats: dict = {}
-    wcaches: list = []
-    t0 = time.time()
-    n_overlap = D.winnow_overlap_pairs(
-        docs, "text", "doc_id", k=3, w=4, min_shared=2, max_bucket=10_000,
-        _stats=wstats, _caches=wcaches,
-    ).count()
-    winnow_sec = round(time.time() - t0, 3)
-    for c in wcaches:
-        c.unpersist()
+    def _run_winnow(_i):
+        ws: dict = {}
+        wc: list = []
+        n = D.winnow_overlap_pairs(
+            docs, "text", "doc_id", k=3, w=4, min_shared=2,
+            max_bucket=10_000, _stats=ws, _caches=wc,
+        ).count()
+        for c in wc:
+            c.unpersist()
+        return n, ws
+
+    winnow_sec, winnow_spread, (n_overlap, wstats) = _best_of(
+        _run_winnow, scale_reps
+    )
 
     # Persisted near-dup index (r11): ONE map-side signature pass persists
     # the standing 90%'s banded signatures; the 10% delta then NEAR-dedups
@@ -1619,24 +1698,32 @@ def _dedup_scale_bench(spark) -> dict:
     # uncached r13 run 199 s. Diagnostics mode records the stage split:
     # fit (driver k-means) / assign (cached assignment materialization) /
     # pairs (gram + cosine gate) / resolution (the remainder).
-    sstats: dict = {}
-    sem_caches: list = []
-    t0 = time.time()
-    n_sem_kept = (
-        D.semantic_dedup(
-            corpus_emb, "embedding", "vec_id", eps=0.01, nprobe=1,
-            keep="outlier", method="gram", max_cluster=20_000,
-            _stats=sstats, _caches=sem_caches,
+    def _run_semantic(_i):
+        ss: dict = {}
+        sc: list = []
+        n = (
+            D.semantic_dedup(
+                corpus_emb, "embedding", "vec_id", eps=0.01, nprobe=1,
+                keep="outlier", method="gram", max_cluster=20_000,
+                _stats=ss, _caches=sc,
+            )
+            .filter("is_canonical")
+            .count()
         )
-        .filter("is_canonical")
-        .count()
+        for c in sc:
+            c.unpersist()
+        return n, ss
+
+    sem_sec, sem_spread, (n_sem_kept, sstats) = _best_of(
+        _run_semantic, scale_reps
     )
-    sem_sec = round(time.time() - t0, 3)
-    for c in sem_caches:
-        c.unpersist()
 
     return {
         "n_docs": n_docs,
+        # best-of-N reps behind every heavy entry below (r16): each
+        # *_spread is (worst-best)/best across the reps — >=0.10 on an
+        # entry means that number is weather, not engineering
+        "scale_reps": scale_reps,
         "budget_select_sec": budget_sec,
         "budget_naive_window_sec": naive_sec,
         "budget_results_match": bool(n_budget == n_naive),
@@ -1664,6 +1751,7 @@ def _dedup_scale_bench(spark) -> dict:
         "exact_sec": exact_sec,
         "exact_groups": int(n_exact_groups),
         "minhash_sec": minhash_sec,
+        "minhash_sec_spread": minhash_spread,
         "near_dup_pairs": int(n_pairs),
         "dropped_bucket_rows": dropped,
         "resolve_sec": resolve_sec,
@@ -1672,7 +1760,9 @@ def _dedup_scale_bench(spark) -> dict:
         "simhash_sec": simhash_sec,
         "simhash_distinct": int(n_sim),
         "qc_fit_sec": qc_fit_sec,
+        "qc_fit_sec_spread": qc_fit_spread,
         "qc_score_sec": qc_score_sec,
+        "qc_score_sec_spread": qc_score_spread,
         "qc_pred_true": int(n_qc_pos),
         "decon_sec": decon_sec,
         "decon_fast_sec": decon_fast_sec,
@@ -1691,6 +1781,11 @@ def _dedup_scale_bench(spark) -> dict:
         "decon_big_exact_key_bytes": int(big_bloom["n_grams"]) * 8,
         "decon_big_bloom_build_sec": big_bloom_build_sec,
         "decon_big_bloom_probe_sec": big_bloom_probe_sec,
+        # uncached exact-vs-approx sizing delta (r16, r15 verdict #4)
+        "decon_big_bloom_build_uncached_sec": big_bloom_build_uncached_sec,
+        "decon_big_bloom_build_approx_sec": big_bloom_build_approx_sec,
+        "decon_big_approx_n_grams": int(ab["n_grams"]),
+        "decon_big_approx_overshoot": big_approx_overshoot,
         "decon_big_exact_probe_sec": big_exact_probe_sec,
         "decon_big_survivors_match": bool(n_big_bloom == n_big_exact),
         "incremental_sec": incr_sec,
@@ -1699,7 +1794,9 @@ def _dedup_scale_bench(spark) -> dict:
         "exact_index_probe_sec": exidx_probe_sec,
         "exact_index_probe_matches": bool(n_new_idx == n_new),
         "dsir_weights_sec": dsir_sec,
+        "dsir_weights_sec_spread": dsir_spread,
         "dsir_weights_portable_sec": dsir_portable_sec,
+        "dsir_weights_portable_sec_spread": dsir_portable_spread,
         "dsir_docs_scored": int(n_dsir),
         "near_index_build_sec": near_build_sec,
         "near_probe_sec": near_probe_sec,
@@ -1709,6 +1806,7 @@ def _dedup_scale_bench(spark) -> dict:
         "paragraphs_hot_fps": int(pstats.get("hot_fingerprints", -1)),
         "paragraphs_broadcast_path": bool(pstats.get("broadcast", False)),
         "winnow_overlap_sec": winnow_sec,
+        "winnow_overlap_sec_spread": winnow_spread,
         "winnow_overlap_pairs": int(n_overlap),
         "winnow_dropped_fps": int(wstats.get("dropped_fingerprints", -1)),
         "emb_near_dup_rows": int(emb_rows + n_planted),
@@ -1717,6 +1815,7 @@ def _dedup_scale_bench(spark) -> dict:
         "emb_near_dup_planted": int(n_planted),
         "emb_near_dup_capped_clusters": int(estats.get("capped_clusters", -1)),
         "semantic_dedup_sec": sem_sec,
+        "semantic_dedup_sec_spread": sem_spread,
         "semantic_dedup_kept": int(n_sem_kept),
         "semantic_dedup_capped_clusters": int(sstats.get("capped_clusters", -1)),
         "semantic_dedup_fit_sec": float(sstats.get("fit_sec", -1)),
@@ -1807,6 +1906,19 @@ def _bloom_huge_bench(spark) -> dict:
     out["n_grams"] = int(bloom["n_grams"])
     out["bloom_bytes"] = int(bloom["bits"].nbytes)
     out["exact_raw_key_bytes"] = int(bloom["n_grams"]) * 8
+    # r16 (r15 verdict #4): the named lever on the 1134 s 3-pass build —
+    # sizing="approx" removes the exact distinct-count pass (the cache
+    # alternative is documented-unstable at this size on one box).
+    t0 = time.time()
+    bloom_approx = build_gram_bloom(
+        big_ev, "text", n=5, fpp=1e-4, sizing="approx"
+    )
+    out["bloom_build_approx_sec"] = round(time.time() - t0, 3)
+    out["approx_n_grams"] = int(bloom_approx["n_grams"])
+    out["approx_overshoot"] = round(
+        bloom_approx["n_grams"] / max(bloom["n_grams"], 1), 4
+    )
+    del bloom_approx
     t0 = time.time()
     out["bloom_survivors"] = decontaminate_bloom(
         corpus_side, bloom, "text", min_grams=8, threshold=None

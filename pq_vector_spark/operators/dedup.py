@@ -151,41 +151,56 @@ def _expand_sorted_member_pairs(
     Same small/big hybrid and for the same reason (r16, ordered by the
     r15 verdict): below ``small_cap`` the single-row
     flatten-of-comprehension is one whole-stage-codegen generator; above
-    it, anchor-index explode + suffix-slice explode so NO single row ever
-    holds a bucket's C(n, 2) pair set — a hot shingle shared by >65,536
-    docs would push ``flatten`` past the 2^31 array limit (deterministic
-    failure) and allocate ~50M-struct rows well before that. Callers
-    must have filtered size >= 2 already."""
+    it, per-anchor suffix arrays so NO single row ever holds a bucket's
+    C(n, 2) pair set — a hot shingle shared by >65,536 docs would push
+    ``flatten`` past the 2^31 array limit (deterministic failure) and
+    allocate ~50M-struct rows well before that.
+
+    Unlike ``_expand_sorted_id_pairs``' filter-twice-and-union shape,
+    the split here is ONE plan: explode each bucket into "blocks" (a
+    single block for a small bucket, one per anchor index for a big
+    one), then explode a CASE-selected pair array per block. The union
+    form consumes its input TWICE — fine downstream of the persisted
+    signature table its callers cache, but here it would re-run the
+    corpus scan AND the shingle exchange (measured: 2 scans + 2 shingle
+    exchanges, exactly the duplication the r15 reshape removed). The
+    CASE branches are codegen-lazy, so small buckets never build
+    per-anchor arrays and big buckets never build the C(n,2) flatten.
+    Callers must have filtered size >= 2 already."""
     m = F.col(members_col)
-    small = grouped.filter(F.size(m) <= small_cap)
-    big = grouped.filter(F.size(m) > small_cap)
-    small_out = small.select(
+    blocks = grouped.select(
+        m.alias("_xp_m"),
+        F.size(m).alias("_xp_sz"),
         F.explode(
-            F.flatten(
-                F.transform(
-                    m,
-                    lambda x, i: F.transform(
-                        F.slice(
-                            m, i + 2, F.greatest(F.size(m) - i - 1, F.lit(0))
-                        ),
-                        lambda y: F.struct(x.alias("_a"), y.alias("_b")),
-                    ),
-                )
+            F.sequence(
+                F.lit(1),
+                F.when(F.size(m) <= small_cap, F.lit(1)).otherwise(
+                    F.size(m) - 1
+                ),
             )
+        ).alias("_xp_i"),
+    )
+    mm = F.col("_xp_m")
+    small_arr = F.flatten(
+        F.transform(
+            mm,
+            lambda x, i: F.transform(
+                F.slice(mm, i + 2, F.greatest(F.size(mm) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("_a"), y.alias("_b")),
+            ),
+        )
+    )
+    big_arr = F.transform(
+        F.slice(mm, F.col("_xp_i") + 1, F.size(mm) - F.col("_xp_i")),
+        lambda y: F.struct(
+            F.element_at(mm, F.col("_xp_i")).alias("_a"), y.alias("_b")
+        ),
+    )
+    return blocks.select(
+        F.explode(
+            F.when(F.col("_xp_sz") <= small_cap, small_arr).otherwise(big_arr)
         ).alias("_p")
     ).select(F.col("_p._a").alias("_a"), F.col("_p._b").alias("_b"))
-    anchored = big.select(
-        m.alias("_xp_m"),
-        F.explode(F.sequence(F.lit(1), F.size(m) - 1)).alias("_xp_i"),
-    )
-    suffix = F.slice(
-        F.col("_xp_m"), F.col("_xp_i") + 1, F.size("_xp_m") - F.col("_xp_i")
-    )
-    big_out = anchored.select(
-        F.element_at("_xp_m", F.col("_xp_i")).alias("_a"),
-        F.explode(suffix).alias("_b"),
-    )
-    return small_out.unionByName(big_out)
 
 
 def ngram_jaccard_pairs(
@@ -277,51 +292,62 @@ def _expand_sorted_id_pairs(
       the single-row flatten-of-structs comprehension — one generator,
       whole-stage codegen, at most C(small_cap, 2) ≈ 524k structs per row
       (a few MB, far under Spark's 2^31 array-size limit).
-    - size > ``small_cap`` (degenerate/hot buckets): TWO generator steps —
-      explode the anchor index i, then explode the O(n - i) suffix slice —
-      so no single row ever holds a bucket's full C(n, 2) pair set. At
-      max_bucket=10k the old single-row path allocated a ~50M-struct row,
-      and past ~65,536 members ``flatten`` exceeded the 2^31 array limit
-      and failed deterministically in exactly the case the cap bounds.
+    - size > ``small_cap`` (degenerate/hot buckets): one pair-array per
+      ANCHOR index — so no single row ever holds a bucket's full C(n, 2)
+      pair set. At max_bucket=10k the old single-row path allocated a
+      ~50M-struct row, and past ~65,536 members ``flatten`` exceeded the
+      2^31 array limit and failed deterministically in exactly the case
+      the cap bounds.
 
-    Both branches emit identical pairs; the union keeps the fast path fast
-    and the degenerate path memory-safe. Callers must have filtered
-    size >= 2 already; pairs are emitted once per bucket (dedupe across
-    buckets stays the caller's job)."""
+    r16 reshape: the two branches merge into ONE plan — explode each
+    bucket into "blocks" (a single block when small, one per anchor
+    index when big), then explode a CASE-selected pair array per block.
+    The previous filter-twice-and-union form consumed ``grouped`` TWICE,
+    which re-ran the banding aggregation (its exchange included) once
+    per branch on every caller whose input wasn't already persisted —
+    and even cached callers paid a second cache scan + agg. Both
+    branches emit identical pairs; CASE branches are codegen-lazy, so
+    small buckets never build per-anchor arrays and big buckets never
+    build the C(n, 2) flatten. Callers must have filtered size >= 2
+    already; pairs are emitted once per bucket (dedupe across buckets
+    stays the caller's job)."""
     ids = F.col(ids_col)
-    small = grouped.filter(F.size(ids) <= small_cap)
-    big = grouped.filter(F.size(ids) > small_cap)
-    small_out = (
-        small.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        F.sequence(F.lit(1), F.size(ids) - 1),
-                        lambda i: F.transform(
-                            F.slice(ids, i + 1, F.size(ids)),
-                            lambda b: F.struct(
-                                F.element_at(ids, i).alias("id_a"),
-                                b.alias("id_b"),
-                            ),
-                        ),
-                    )
-                )
-            ).alias("_p")
-        )
-        .select(F.col("_p.id_a").alias("id_a"), F.col("_p.id_b").alias("id_b"))
-    )
-    anchored = big.select(
+    blocks = grouped.select(
         ids.alias("_xp_ids"),
-        F.explode(F.sequence(F.lit(1), F.size(ids) - 1)).alias("_xp_i"),
+        F.size(ids).alias("_xp_sz"),
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.when(F.size(ids) <= small_cap, F.lit(1)).otherwise(
+                    F.size(ids) - 1
+                ),
+            )
+        ).alias("_xp_i"),
     )
-    suffix = F.slice(
-        F.col("_xp_ids"), F.col("_xp_i") + 1, F.size("_xp_ids") - F.col("_xp_i")
+    bids = F.col("_xp_ids")
+    small_arr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size(bids) - 1),
+            lambda i: F.transform(
+                F.slice(bids, i + 1, F.size(bids)),
+                lambda b: F.struct(
+                    F.element_at(bids, i).alias("id_a"), b.alias("id_b")
+                ),
+            ),
+        )
     )
-    big_out = anchored.select(
-        F.element_at("_xp_ids", F.col("_xp_i")).alias("id_a"),
-        F.explode(suffix).alias("id_b"),
+    big_arr = F.transform(
+        F.slice(bids, F.col("_xp_i") + 1, F.size(bids) - F.col("_xp_i")),
+        lambda b: F.struct(
+            F.element_at(bids, F.col("_xp_i")).alias("id_a"),
+            b.alias("id_b"),
+        ),
     )
-    return small_out.unionByName(big_out)
+    return blocks.select(
+        F.explode(
+            F.when(F.col("_xp_sz") <= small_cap, small_arr).otherwise(big_arr)
+        ).alias("_p")
+    ).select(F.col("_p.id_a").alias("id_a"), F.col("_p.id_b").alias("id_b"))
 
 
 def minhash_lsh_pairs(

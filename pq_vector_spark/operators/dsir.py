@@ -140,6 +140,15 @@ def dsir_importance_weights(
     portable / 80.5 → 100.2 s fast at 1M docs). The residual portable
     cost is the md5 family itself; ``bucket_hash="fast"`` is the
     at-scale answer.
+
+    FAMILY STANCE (r16, retiring the r14 "portable ≲80 s" target with
+    numbers): ``"fast"`` is the at-scale featurization family —
+    pipelines at corpus scale should use it, full stop. ``"portable"``
+    exists so an independent engine can replay the attestation
+    bit-for-bit, and its ~9% premium over fast (87.6 vs 80.5 s
+    standalone at 1M docs) IS the md5: no cheaper hash is shared by
+    both engines, so the premium is the price of replayability, paid
+    on attestation runs only.
     """
     if n_max < 1:
         raise ValueError(f"n_max must be >= 1, got {n_max}")

@@ -1251,11 +1251,16 @@ def test_ngram_jaccard_pairs_hot_shingle_streams(spark):
     docs += [(100, "totally different content"), (101, "totally different content")]
     df = spark.createDataFrame(docs, "doc_id: bigint, text: string")
 
+    out = ngram_jaccard_pairs(df, "text", "doc_id", n=3, threshold=0.0)
+    # the hybrid must stay ONE plan: a filter-twice-and-union split would
+    # re-run the corpus scan and the shingle exchange (the exact
+    # duplication the r15 reshape removed) — pin 1 scan + 2 exchanges
+    # (shingle grouping + pair-count agg)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
     fast = sorted(
-        (r["id_a"], r["id_b"], r["jaccard"])
-        for r in ngram_jaccard_pairs(
-            df, "text", "doc_id", n=3, threshold=0.0
-        ).collect()
+        (r["id_a"], r["id_b"], r["jaccard"]) for r in out.collect()
     )
     streamed = sorted(
         (r["id_a"], r["id_b"], r["jaccard"])
