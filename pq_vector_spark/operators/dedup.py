@@ -308,9 +308,12 @@ def _expand_sorted_id_pairs(
     and even cached callers paid a second cache scan + agg. Both
     branches emit identical pairs; CASE branches are codegen-lazy, so
     small buckets never build per-anchor arrays and big buckets never
-    build the C(n, 2) flatten. Callers must have filtered size >= 2
-    already; pairs are emitted once per bucket (dedupe across buckets
-    stays the caller's job)."""
+    build the C(n, 2) flatten. Measured at 1M docs (best-of-2, quiet
+    host): winnow 60.7 → 54.4 s, minhash 100.6 → 105.0 s (parity —
+    within its 15-21% run spread; its input was already persisted, so
+    the union's duplicate agg was cache-fed there). Callers must have
+    filtered size >= 2 already; pairs are emitted once per bucket
+    (dedupe across buckets stays the caller's job)."""
     ids = F.col(ids_col)
     blocks = grouped.select(
         ids.alias("_xp_ids"),
