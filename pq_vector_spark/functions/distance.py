@@ -251,6 +251,71 @@ def _unrolled_sum(terms) -> Column:
     return acc
 
 
+def _sql_ref(v) -> "str | None":
+    """SQL text for the vector column, or None when it can't be rendered.
+
+    r16 (guide §4's boundary lesson at the DRIVER): building the unrolled
+    chain out of ~dim × 7 Column operations costs one py4j round trip PER
+    operation — ≈1 s of pure driver latency per 128-dim query plan, every
+    time the query is planned. Rendering the whole chain as ONE SQL string
+    and parsing it JVM-side (``F.expr``) builds the IDENTICAL expression
+    tree (same GetArrayItem/Cast/Literal nodes, same left-deep + chain, so
+    bit-identical results) in a single round trip. A name is quoted
+    directly; a Column renders via its expression's canonical SQL (one
+    py4j call — F.col(...) inputs round-trip exactly); anything that
+    fails to render falls back to the per-term Column path."""
+    if isinstance(v, str):
+        return "`" + v.replace("`", "``") + "`"
+    if isinstance(v, Column):
+        try:
+            return v._jc.expr().sql()
+        except Exception:
+            return None
+    return None
+
+
+def _dlit(x: float) -> str:
+    """Exact SQL double literal: repr() round-trips IEEE doubles; the D
+    suffix keeps Spark's parser on DOUBLE (bare decimals parse DECIMAL)."""
+    return repr(float(x)) + "D"
+
+
+def _unrolled_expr(kind: str, raw, q) -> "Column | None":
+    """One-shot parsed form of the unrolled literal-query chain; None when
+    the inputs can't be rendered as SQL (caller falls back to Column ops).
+    Term shapes mirror the Column builders below token-for-token."""
+    import math as _math
+
+    base = _sql_ref(raw)
+    if base is None:
+        return None
+    try:
+        vals = [float(x) for x in q]
+    except (TypeError, ValueError):
+        return None
+    if not all(_math.isfinite(x) for x in vals):
+        return None
+    elem = [f"CAST({base}[{i}] AS DOUBLE)" for i in range(len(vals))]
+    if kind == "sq_l2":
+        terms = [
+            f"({e} - {_dlit(x)}) * ({e} - {_dlit(x)})"
+            for e, x in zip(elem, vals)
+        ]
+    elif kind == "dot":
+        terms = [f"({e} * {_dlit(x)})" for e, x in zip(elem, vals)]
+    elif kind == "norm_sq":
+        # q is ignored beyond its length: Σ aᵢ·aᵢ over dim terms
+        terms = [f"({e} * {e})" for e in elem]
+    else:  # pragma: no cover - internal misuse
+        return None
+    chain = " + ".join(terms)  # + is left-associative: same fold order
+    sql = f"CASE WHEN size({base}) = {len(vals)} THEN {chain} END"
+    try:
+        return F.expr(sql)
+    except Exception:
+        return None
+
+
 def squared_l2(a: VectorLike, b: VectorLike, *, dim_hint: int | None = None) -> Column:
     """Σ(aᵢ−bᵢ)² as a native column expression.
 
@@ -274,6 +339,9 @@ def squared_l2(a: VectorLike, b: VectorLike, *, dim_hint: int | None = None) -> 
         # cast each extracted ELEMENT, never the whole array — an array cast
         # inside the unrolled chain would be re-evaluated (and re-allocated)
         # once per term
+        fast = _unrolled_expr("sq_l2", a, b)
+        if fast is not None:
+            return fast
         raw = F.col(a) if isinstance(a, str) else a
         q = [float(x) for x in b]
         terms = [
@@ -313,6 +381,9 @@ def dot_product(a: VectorLike, b: VectorLike, *, dim_hint: int | None = None) ->
     """Σ aᵢ·bᵢ as a native expression (basis for cosine). Same literal-query
     unrolled fast path (and bit-parity guarantee) as ``squared_l2``."""
     if _is_literal_vec(b) and not _is_literal_vec(a) and 0 < len(b) <= UNROLL_LIMIT:
+        fast = _unrolled_expr("dot", a, b)
+        if fast is not None:
+            return fast
         raw = F.col(a) if isinstance(a, str) else a
         q = [float(x) for x in b]
         terms = [raw.getItem(i).cast("double") * F.lit(qi) for i, qi in enumerate(q)]
@@ -338,12 +409,29 @@ def l2_norm(a: VectorLike, dim: int | None = None) -> Column:
     """‖a‖. With a known ``dim`` (≤ UNROLL_LIMIT) the square-sum unrolls into
     codegen like the other kernels; otherwise an interpreted fold."""
     if _is_literal_vec(a):
+        try:
+            # r16: fold the literal norm in Python instead of shipping ~dim
+            # F.lit calls for Catalyst to constant-fold to the same double —
+            # identical left-to-right IEEE-double fold + correctly-rounded
+            # sqrt (math.sqrt ≡ Math.sqrt), so the Literal is bit-equal.
+            import math as _math
+
+            acc = 0.0
+            for x in a:
+                xf = float(x)
+                acc = acc + xf * xf
+            return F.lit(float("nan") if _math.isnan(acc) else _math.sqrt(acc))
+        except (TypeError, ValueError):
+            pass
         ca = _as_vector_col(a)
         dim = None  # literal folds at plan time anyway
     else:
         raw = F.col(a) if isinstance(a, str) else a
         ca = raw.cast("array<double>")
         if dim is not None and 0 < dim <= UNROLL_LIMIT:
+            fast = _unrolled_expr("norm_sq", a, [0.0] * dim)
+            if fast is not None:
+                return F.sqrt(fast)
             terms = [
                 raw.getItem(i).cast("double") * raw.getItem(i).cast("double")
                 for i in range(dim)

@@ -72,6 +72,15 @@ def get_spark(
         .config("spark.sql.parquet.pushdown.inFilterThreshold", "512")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
+        # r16 (guide §4's boundary lesson applied to the DRIVER): PySpark 4
+        # wraps every DataFrame/Column API call with call-site capture for
+        # error enrichment — getActiveSession + PySparkCurrentOrigin.set/
+        # clear = 3 extra py4j round trips per call, plus a Python stack
+        # walk. Measured on this engine's plan-heavy queries (128-dim
+        # unrolled distance chains ≈ 1k Column ops): construction drops
+        # 2-4× with it off. Pure driver-side debugging nicety — plans,
+        # results, and executor behavior are bit-identical at any scale.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.driver.memory", os.environ.get("PQ_DRIVER_MEM", "8g"))
     )
     if not SparkSession.getActiveSession():
