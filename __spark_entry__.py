@@ -1337,10 +1337,17 @@ def _text_gopher(spark, sf_dir):
     replays every rule in ANSI SQL — each ratio is the same int-derived
     double division on both engines, so the flags match bit-for-bit."""
     docs = load_table(spark, sf_dir, "documents")
+    # r16: sort BEFORE the flag projection — orderBy's range partitioner
+    # samples its child, so sorting after the flags evaluated the whole
+    # rule struct twice (once for the sample, once for real) and the
+    # pre-sort projection ran at the scan's task width; sorted-first, the
+    # sampler reads only (doc_id, text) and the flags run once, spread
+    # over the sort's partitions. Same rows, same final order.
     return (
-        docs.select("doc_id", T.gopher_quality_flags("text").alias("g"))
-        .select("doc_id", "g.*")
+        docs.select("doc_id", "text")
         .orderBy("doc_id")
+        .select("doc_id", T.gopher_quality_flags("text").alias("g"))
+        .select("doc_id", "g.*")
     )
 
 
@@ -1379,8 +1386,13 @@ def _text_c4(spark, sf_dir):
             F.concat(nl, F.lit("some code { with braces } and words.")),
         ).otherwise(F.lit("")),
     )
+    # r16: sort before the rule projection (same rationale as
+    # _text_gopher — the range sampler otherwise evaluates the whole
+    # augmented-line filter struct a second time)
     return (
-        docs.select("doc_id", T.c4_line_filters(aug).alias("c"))
+        docs.select("doc_id", "text")
+        .orderBy("doc_id")
+        .select("doc_id", T.c4_line_filters(aug).alias("c"))
         .select(
             "doc_id",
             F.md5(F.col("c.text_clean")).alias("clean_md5"),
@@ -1392,7 +1404,6 @@ def _text_c4(spark, sf_dir):
             "c.no_curly_brace",
             "c.passes",
         )
-        .orderBy("doc_id")
     )
 
 
@@ -1415,10 +1426,14 @@ def _quality_classifier(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     model = fit_lda_quality(docs, "text", F.col("lang") == "en")
+    # r16: sort before scoring (the _text_gopher rationale — the range
+    # sampler otherwise evaluates the scoring projection a second time,
+    # and the score then runs across the sort's partitions)
     return (
-        classify_quality(docs, "text", model)
+        classify_quality(
+            docs.select("doc_id", "text").orderBy("doc_id"), "text", model
+        )
         .select("doc_id", "quality_lr_score", "quality_lr_pred")
-        .orderBy("doc_id")
     )
 
 

@@ -711,9 +711,18 @@ def winnow_fingerprints(df, text_col: str, id_col: str, k: int = 3, w: int = 4):
     """
     from pyspark.sql import Window
 
-    grams = df.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(_token_ngrams(text_col, k)).alias("_pos", "_gram"),
+    from pq_vector_spark.parallel import ensure_compute_parallelism
+
+    # spread the slim (id, text) projection before the k-gram + md5
+    # explode (r16, guide §2.5): a single-row-group source otherwise runs
+    # the whole hashing stage in ONE task; no-op at real scan widths, and
+    # the doc-keyed window exchange downstream is unchanged.
+    base = ensure_compute_parallelism(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_wtxt"))
+    )
+    grams = base.select(
+        F.col("_id"),
+        F.posexplode(_token_ngrams("_wtxt", k)).alias("_pos", "_gram"),
     )
     h = grams.select("_id", "_pos", token_hash(F.col("_gram")).alias("_h"))
     win = Window.partitionBy("_id").orderBy(F.col("_pos").asc()).rowsBetween(0, w - 1)

@@ -141,9 +141,17 @@ def fit_lda_quality(
     # docs, one tree per row being ~84 µs of regex-heavy feature work). A gated-NULL struct inlines to a row of NULL fields (not a
     # dropped row), so the field-level filter below is equivalent to the
     # old struct-level one: log_tokens is non-NULL iff the gate passed.
-    feats = df.select(
-        y.alias("_y"),
-        F.inline(F.array(quality_features(text_col, stopwords=stopwords))),
+    from pq_vector_spark.parallel import ensure_compute_parallelism
+
+    # r16 (guide §2.5): spread the slim (label, text) projection before
+    # the regex-heavy feature stage — a single-row-group source otherwise
+    # fits the whole model in ONE task; no-op at real scan widths.
+    base = ensure_compute_parallelism(
+        df.select(y.alias("_y"), F.col(text_col).alias("_ftxt"))
+    )
+    feats = base.select(
+        "_y",
+        F.inline(F.array(quality_features("_ftxt", stopwords=stopwords))),
     ).filter(F.col("_y").isNotNull() & F.col("log_tokens").isNotNull())
     aggs = [F.count(F.lit(1)).alias("n")]
     for name in QUALITY_FEATURE_NAMES:

@@ -45,9 +45,17 @@ def _gram_table(
 ) -> DataFrame:
     """(_id, _ng total distinct grams, _g exploded gram hash) — one row per
     distinct gram per doc; map-side only."""
+    from pq_vector_spark.parallel import ensure_compute_parallelism
+
     hf = gram_hash_fn(gram_hash)
+    # r16 (guide §2.5): spread the slim (id, text) projection before the
+    # shingle+hash explode so a single-row-group source doesn't hash all
+    # grams in ONE task; no-op at real scan widths.
     return (
-        df.select(F.col(id_col).alias("_id"), shingles(text_col, n).alias("_sh"))
+        ensure_compute_parallelism(
+            df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_gtxt"))
+        )
+        .select(F.col("_id"), shingles("_gtxt", n).alias("_sh"))
         .select(
             "_id",
             F.size("_sh").alias("_ng"),

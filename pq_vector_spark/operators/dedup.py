@@ -243,9 +243,16 @@ def ngram_jaccard_pairs(
     engines equally).
     """
     from pq_vector_spark.functions.text import token_hash
+    from pq_vector_spark.parallel import ensure_compute_parallelism
 
-    sh = df.select(
-        F.col(id_col).alias("_id"), shingles(text_col, n).alias("_sh")
+    # spread the slim (id, text) projection BEFORE the shingle+md5 stage:
+    # a single-row-group source otherwise runs the whole featurization in
+    # one task (guide §2.5); no-op whenever the scan is already cores-wide
+    base = ensure_compute_parallelism(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt"))
+    )
+    sh = base.select(
+        F.col("_id"), shingles("_txt", n).alias("_sh")
     ).select(
         "_id",
         F.size("_sh").alias("_n"),
@@ -398,10 +405,18 @@ def minhash_lsh_pairs(
     expensive scan then runs once instead of 4×, at bench scale and at
     100 TB alike (MEMORY_AND_DISK — spills, never OOMs).
     """
+    from pq_vector_spark.parallel import ensure_compute_parallelism
+
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("_id"),
-        minhash_signature(text_col, n, num_hashes, seed).alias("_sig"),
+    # r16 (guide §2.5): spread the slim (id, text) projection before the
+    # shingle+md5 signature stage — the operator's dominant CPU — so a
+    # single-row-group source doesn't compute every signature in ONE
+    # task; no-op at real scan widths.
+    sig = ensure_compute_parallelism(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_mtxt"))
+    ).select(
+        "_id",
+        minhash_signature("_mtxt", n, num_hashes, seed).alias("_sig"),
     )
     if persist:
         from pyspark import StorageLevel
@@ -1097,11 +1112,13 @@ def semantic_dedup(
     return out.drop("_sd_cos")
 
 
-def _local_components(spark, edges: DataFrame) -> DataFrame:
-    """Driver union-find over a bounded, already-collected-size edge list;
+def _local_components(spark, rows, src_type) -> DataFrame:
+    """Driver union-find over a bounded, ALREADY-COLLECTED edge row list;
     always attaches the larger root under the smaller, so by induction the
     root of every tree is the minimum node of its component — identical
-    labels to the distributed min-label propagation."""
+    labels to the distributed min-label propagation. (r16: takes the
+    collected rows instead of a DataFrame — the caller's ``take`` already
+    pulled them, so a second collect action would be a wasted job.)"""
     from pyspark.sql.types import StructField, StructType
 
     parent: dict = {}
@@ -1112,7 +1129,7 @@ def _local_components(spark, edges: DataFrame) -> DataFrame:
             x = parent[x]
         return x
 
-    for r in edges.collect():
+    for r in rows:
         a, b = r["_src"], r["_dst"]
         parent.setdefault(a, a)
         parent.setdefault(b, b)
@@ -1121,9 +1138,8 @@ def _local_components(spark, edges: DataFrame) -> DataFrame:
             if rb < ra:
                 ra, rb = rb, ra
             parent[rb] = ra
-    t = edges.schema["_src"].dataType
     schema = StructType(
-        [StructField("node", t), StructField("component", t)]
+        [StructField("node", src_type), StructField("component", src_type)]
     )
     return spark.createDataFrame([(n, find(n)) for n in parent], schema)
 
@@ -1167,16 +1183,50 @@ def connected_components(
     Raises after ``max_iters`` without convergence rather than returning a
     partial labeling.
     """
-    edges = pairs.select(F.col(left).alias("_src"), F.col(right).alias("_dst"))
+    base = pairs.select(F.col(left).alias("_src"), F.col(right).alias("_dst"))
+    if local_threshold:
+        # ONE bounded action decides AND feeds the fast path (r16): take
+        # pulls up to threshold+1 RAW pair rows — when they fit, that IS
+        # the edge list (union-find is insensitive to duplicate or
+        # reversed edges), so the previous shape's reverse-union +
+        # distinct exchange, eager-checkpoint job, count job, and collect
+        # job (3 actions + 1 extra shuffle over the whole upstream pair
+        # pipeline) collapse into this single shuffle-free-on-top action.
+        # The threshold now bounds raw pair rows rather than distinct
+        # directed edges — strictly more conservative (a duplicate-heavy
+        # graph falls back to the distributed path earlier, never later),
+        # and the driver footprint stays ≤ threshold+1 rows either way.
+        # take() defaults to probing ONE output partition and growing 4×
+        # per wave (spark.sql.limit.initialNumPartitions=1) — right for
+        # take(5) on a huge table, wrong here where the expected outcome
+        # is "all partitions fit": each extra wave re-runs the reduce
+        # side of the pair pipeline. Probe a full core-wave first, scoped
+        # to this one action.
+        spark = pairs.sparkSession
+        _k = "spark.sql.limit.initialNumPartitions"
+        try:
+            _old = spark.conf.get(_k)
+        except Exception:
+            _old = None
+        spark.conf.set(_k, str(spark.sparkContext.defaultParallelism))
+        try:
+            rows = base.take(local_threshold + 1)
+        finally:
+            if _old is None:
+                spark.conf.unset(_k)
+            else:
+                spark.conf.set(_k, _old)
+        if len(rows) <= local_threshold:
+            return _local_components(
+                pairs.sparkSession, rows, base.schema["_src"].dataType
+            )
     edges = (
-        edges.union(
-            edges.select(F.col("_dst").alias("_src"), F.col("_src").alias("_dst"))
+        base.union(
+            base.select(F.col("_dst").alias("_src"), F.col("_src").alias("_dst"))
         )
         .distinct()
         .localCheckpoint(eager=True)
     )
-    if local_threshold and edges.count() <= local_threshold:
-        return _local_components(pairs.sparkSession, edges)
     labels = (
         edges.select(F.col("_src").alias("node"))
         .distinct()
@@ -1838,6 +1888,10 @@ def remove_repeated_paragraphs(
     if hit:
         raise ValueError(f"input columns {hit} collide with reserved names")
 
+    # (r16: a conditional pre-explode spread was MEASURED here and
+    # reverted — one md5 per paragraph is too little compute per row, and
+    # every consumer of `ex` re-derives this pipeline, so the extra
+    # exchange was paid per pass: 2.8 s → 4.1 s at sf0.1.)
     paras = F.split(F.col(text_col), _re.escape(sep), -1)
     ex = df.select(
         F.col(id_col).alias("_rp_id"),

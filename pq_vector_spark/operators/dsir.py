@@ -73,10 +73,21 @@ def _gram_buckets(
     per doc (``_token_ngrams_upto`` slides every window size over one
     bound token array — r15; the per-n ``tokens()`` re-split was the
     residual featurization cost at 1M docs)."""
-    grams = _token_ngrams_upto(text_col, n_max)
+    from pq_vector_spark.parallel import ensure_compute_parallelism
+
+    # spread the slim (id, text) projection before the tokenize+hash
+    # explode (r16, guide §2.5): a single-row-group source otherwise runs
+    # the whole featurization — the operator's dominant CPU — in ONE
+    # task; no-op whenever the scan is already cores-wide. The keyless
+    # exchange is RoundRobinPartitioning, so the scale contract ("no
+    # corpus-sized hash exchange") is untouched.
+    base = ensure_compute_parallelism(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt"))
+    )
+    grams = _token_ngrams_upto("_txt", n_max)
     h = gram_hash_fn(bucket_hash, param="bucket_hash")(F.col("_g"))
     return (
-        df.select(F.col(id_col).alias("_id"), F.explode(grams).alias("_g"))
+        base.select(F.col("_id"), F.explode(grams).alias("_g"))
         # a whitespace-only document tokenizes to [""] — that is "no
         # features", not a feature (mirrors gopher/quality word filters)
         .filter(F.col("_g") != "")

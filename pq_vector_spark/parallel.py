@@ -1,0 +1,62 @@
+"""Scan-parallelism guard for compute-heavy map stages.
+
+Guide §2.5's "input skew" case in miniature: a parquet file with a single
+row group scans as ONE task no matter how many cores the cluster has —
+Spark's split logic can chop byte ranges, but every range maps back to the
+same row group, so one task does all the work. When the stage downstream
+of such a scan carries heavy per-row compute (md5 shingling, winnowing,
+per-token feature extraction), the whole cluster idles behind one core.
+
+``ensure_compute_parallelism`` round-robins the rows across
+``sparkContext.defaultParallelism`` partitions ONLY when the source plan
+yields fewer partitions than that — i.e. only when the scan genuinely
+underprovisions the cores available. At real scale (any input with more
+splits than cores) it is an exact no-op: no exchange is added, plans are
+unchanged. The exchange it does add in the small case moves the slim
+pre-compute projection once (keyless repartition; Spark's
+sort-before-repartition keeps the row→partition mapping deterministic
+under task retry, SPARK-23207), and the expensive compute then runs
+cluster-wide.
+
+This is deliberately a *conditional* rule, not a config: lowering
+``spark.sql.files.maxPartitionBytes`` cannot split a single row group,
+and an unconditional ``repartition(n)`` would add a pointless corpus
+shuffle at scale.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+# escape hatch: PQ_SPREAD_SMALL_SCANS=0 disables the guard everywhere
+# (e.g. to A/B the exchange cost); default on.
+_ENV_KNOB = "PQ_SPREAD_SMALL_SCANS"
+
+
+def ensure_compute_parallelism(df: DataFrame, *, min_rows: int = 0) -> DataFrame:
+    """Spread ``df`` across the cluster's cores iff its plan currently
+    yields fewer partitions than ``defaultParallelism``.
+
+    Call it on the slim projection feeding a compute-heavy stage (project
+    FIRST — the exchange should carry only the columns the compute needs,
+    guide §2.3). Returns ``df`` unchanged when the plan is already at
+    least cores-wide, when the guard is disabled via
+    ``PQ_SPREAD_SMALL_SCANS=0``, or when partition introspection fails.
+
+    ``min_rows`` is reserved for callers that know the row count and want
+    to skip the exchange for trivially small inputs (0 = always spread
+    when under-partitioned).
+    """
+    if os.environ.get(_ENV_KNOB, "1") == "0":
+        return df
+    try:
+        sc = df.sparkSession.sparkContext
+        target = sc.defaultParallelism
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if n >= target:
+        return df
+    return df.repartition(target)
