@@ -454,6 +454,9 @@ def tfidf_top_terms(df, text_col: str, id_col: str, top: int = 3):
     window repartitions by document — balanced regardless of term skew.
     The corpus-size scalar joins via an explicit tiny broadcast.
     """
+    # (r16: a conditional pre-explode spread was MEASURED here and
+    # reverted — whitespace tokenization is too little compute per row to
+    # pay for the extra exchange: 1.73 s → 1.80 s at sf0.1.)
     toks = df.select(
         F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("term")
     ).filter(F.col("term") != "")
@@ -521,6 +524,9 @@ def bm25_topk(
     TakeOrderedAndProject (bounded heap, no global sort).
     """
     terms = [str(t).lower() for t in query_terms]
+    # (r16: a conditional pre-tokenize spread was MEASURED here and
+    # reverted — same result as tfidf_top_terms: the exchange cost more
+    # than the parallelized tokenization saved.)
     base = df.select(
         F.col(id_col).alias("_id"),
         tokens(text_col).alias("_toks"),

@@ -194,8 +194,18 @@ def dsir_importance_weights(
     # scale_dedup.dsir_* at 1M docs).
     import math
 
-    nt = {int(r["_b"]): int(r["_n"]) for r in _bucket_model(tex).collect()}
-    nr = {int(r["_b"]): int(r["_n"]) for r in _bucket_model(ex).collect()}
+    # r16 (guide §2.6): the two model fits are independent full passes —
+    # submit both from driver threads so the raw-corpus pass back-fills
+    # executors freed by the (usually smaller) target pass's tail instead
+    # of waiting for it; same two jobs, overlapped wall-clock.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _fit(frame):
+        return {int(r["_b"]): int(r["_n"]) for r in _bucket_model(frame).collect()}
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _ft, _fr = _pool.submit(_fit, tex), _pool.submit(_fit, ex)
+        nt, nr = _ft.result(), _fr.result()
     tot_t, tot_r = sum(nt.values()), sum(nr.values())
     s = float(smoothing)
     dt, dr = float(tot_t) + s * buckets, float(tot_r) + s * buckets

@@ -1494,6 +1494,11 @@ def select_token_budget_grouped(
     ).cast("bigint")
     keyc = F.col(key_col)
     grpc = F.col(group_col)
+    # (r16: a conditional pre-cache spread was MEASURED here and reverted —
+    # the planning aggregations over the cached slim are many and tiny, so
+    # widening the cache to cores-many partitions cost more in per-task
+    # scheduling across the refinement levels than the one-time cache
+    # materialization saved: 4.0 s → 4.7 s at sf0.1.)
     slim = df.select(
         grpc.alias("_sb_grp"),
         keyc.alias("_sb_key"),
