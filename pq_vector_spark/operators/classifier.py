@@ -141,17 +141,18 @@ def fit_lda_quality(
     # docs, one tree per row being ~84 µs of regex-heavy feature work). A gated-NULL struct inlines to a row of NULL fields (not a
     # dropped row), so the field-level filter below is equivalent to the
     # old struct-level one: log_tokens is non-NULL iff the gate passed.
-    from pq_vector_spark.parallel import ensure_compute_parallelism
-
-    # r16 (guide §2.5): spread the slim (label, text) projection before
-    # the regex-heavy feature stage — a single-row-group source otherwise
-    # fits the whole model in ONE task; no-op at real scan widths.
-    base = ensure_compute_parallelism(
-        df.select(y.alias("_y"), F.col(text_col).alias("_ftxt"))
-    )
-    feats = base.select(
-        "_y",
-        F.inline(F.array(quality_features("_ftxt", stopwords=stopwords))),
+    # (r16: a conditional pre-feature spread was applied here and then
+    # REVERTED on risk review — the fit sums are rounded DOUBLE sums, so
+    # their low bits depend on partition count/summation order; the
+    # engine↔oracle attestation holds because the fixture scan's
+    # partitioning is stable, and a spread keyed to defaultParallelism
+    # would re-roll those bits with the host's core count. The ~0.3 s it
+    # saved is not worth coupling a hash-attested fit to CPU count. The
+    # int/bigint-sum operators (jaccard, DSIR, winnow) keep their
+    # spreads — their results are order-independent by construction.)
+    feats = df.select(
+        y.alias("_y"),
+        F.inline(F.array(quality_features(text_col, stopwords=stopwords))),
     ).filter(F.col("_y").isNotNull() & F.col("log_tokens").isNotNull())
     aggs = [F.count(F.lit(1)).alias("n")]
     for name in QUALITY_FEATURE_NAMES:

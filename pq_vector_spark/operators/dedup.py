@@ -1141,7 +1141,15 @@ def _local_components(spark, rows, src_type) -> DataFrame:
     schema = StructType(
         [StructField("node", src_type), StructField("component", src_type)]
     )
-    return spark.createDataFrame([(n, find(n)) for n in parent], schema)
+    # r16: BROADCAST hint — a driver-created frame has no size statistics,
+    # so the corpus join downstream planned as a SortMergeJoin (BOTH sides
+    # exchanged, the corpus one pointlessly). The table is driver-bounded
+    # by construction (it was just union-found in driver memory), so
+    # broadcasting it is the same trade already made; the corpus side then
+    # never shuffles (guide §3.1).
+    return F.broadcast(
+        spark.createDataFrame([(n, find(n)) for n in parent], schema)
+    )
 
 
 def connected_components(
@@ -1925,6 +1933,11 @@ def remove_repeated_paragraphs(
         hot = hot.persist(StorageLevel.MEMORY_AND_DISK)
         _caches.append(hot)
     # bounded count probe BEFORE committing to a broadcast plan
+    # (r16: a take()-and-reinject-as-literal variant that captured the
+    # hot set in the count job was MEASURED here and reverted — the
+    # CollectLimit probe lost AQE's partition coalescing on the
+    # countDistinct exchange and re-ran its reduce side wave by wave:
+    # 2.7 s → 4.1 s at sf0.1.)
     n_hot = hot.count()
     small = n_hot <= broadcast_threshold
     if not small:

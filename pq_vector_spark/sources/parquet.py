@@ -51,6 +51,29 @@ def _has_nanos_timestamp(path: str) -> bool:
         return False
 
 
+# (applicationId, resolved path, source mtime) -> lazy DataFrame. Memoizes
+# the READ RELATION only — a plan object, never data: every action on it
+# still scans the parquet. r16: each spark.read.parquet pays a footer read
+# + schema inference (~0.1 s driver-side); the bench's queries call
+# load_table 1-6× each, so the repeated inference was several seconds per
+# pass. The mtime key keeps write-then-reread paths (tests, temp layouts)
+# correct: any rewrite of the source invalidates the entry.
+_TABLE_CACHE: dict = {}
+
+
+def _path_mtime(path: str) -> float:
+    try:
+        if os.path.isdir(path):
+            entries = [os.path.join(path, f) for f in os.listdir(path)]
+            return max(
+                [os.path.getmtime(path)]
+                + [os.path.getmtime(p) for p in entries]
+            )
+        return os.path.getmtime(path)
+    except OSError:
+        return -1.0
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one test table; accepts both ``<dir>/<name>.parquet`` files and
     ``<dir>/<name>`` directories (our indexed layouts).
@@ -64,6 +87,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     file_path = os.path.join(sf_dir, f"{name}.parquet")
     dir_path = os.path.join(sf_dir, name)
     path = file_path if os.path.exists(file_path) else dir_path
+    key = (spark.sparkContext.applicationId, name, path, _path_mtime(path))
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     if _has_nanos_timestamp(path):
         # detected from the FOOTER, up-front — the old try/fail probe left
         # an aborted-job ERROR stack in every session's log tail
@@ -71,6 +98,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(path)
     if name == "events":
         df = _normalize_event_time(df, "ts")
+    _TABLE_CACHE[key] = df
     return df
 
 

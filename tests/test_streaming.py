@@ -226,6 +226,33 @@ def test_load_table_normalizes_ntz_event_time(spark, tmp_path):
     ).count()
 
 
+def test_load_table_relation_cache_invalidates_on_rewrite(spark, tmp_path):
+    """r16: load_table memoizes the lazy read RELATION per (app, path,
+    mtime) — a plan object only, never data, so every action still scans
+    the parquet. Two properties matter: an unchanged source returns the
+    memoized object (no repeated footer read / schema inference), and a
+    rewrite of the source invalidates the entry so write-then-reread
+    paths (tests, temp layouts) see the new bytes."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pq_vector_spark.sources.parquet import load_table
+
+    p = str(tmp_path / "documents.parquet")
+    pq.write_table(pa.table({"doc_id": pa.array([1], pa.int64())}), p)
+    a = load_table(spark, str(tmp_path), "documents")
+    b = load_table(spark, str(tmp_path), "documents")
+    assert a is b, "unchanged source must hit the relation memo"
+    assert [r["doc_id"] for r in a.collect()] == [1]
+    time.sleep(0.05)  # ensure a strictly newer mtime even on coarse clocks
+    pq.write_table(pa.table({"doc_id": pa.array([2, 3], pa.int64())}), p)
+    c = load_table(spark, str(tmp_path), "documents")
+    assert c is not a, "rewritten source must invalidate the memo"
+    assert sorted(r["doc_id"] for r in c.collect()) == [2, 3]
+
+
 def test_stream_static_enrich_join_matches_batch(spark):
     """Stream-static enrichment: readStream events joined to a broadcast
     static dim must produce exactly the batch join's aggregation."""
