@@ -1090,7 +1090,10 @@ def semantic_dedup(
     # orders probes by distance) via a tiny broadcast centroid table —
     # map-side, one number per row, riding the probed frame itself (no
     # corpus-keyed join to reattach the score)
-    cent = spark.createDataFrame(
+    from pq_vector_spark.parallel import local_plan_df
+
+    cent = local_plan_df(
+        spark,
         [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
         "_sd_c: int, _sd_cv: array<double>",
     )
@@ -1147,8 +1150,12 @@ def _local_components(spark, rows, src_type) -> DataFrame:
     # by construction (it was just union-found in driver memory), so
     # broadcasting it is the same trade already made; the corpus side then
     # never shuffles (guide §3.1).
+    from pq_vector_spark.parallel import local_plan_df
+
     return F.broadcast(
-        spark.createDataFrame([(n, find(n)) for n in parent], schema)
+        # 1-slice driver table (r16): the broadcast build otherwise runs a
+        # near-empty task per core for a driver-bounded component map
+        local_plan_df(spark, [(n, find(n)) for n in parent], schema)
     )
 
 

@@ -236,7 +236,9 @@ def dsir_importance_weights(
         for b in sorted(set(nt) | set(nr))
     ]
     spark = df.sparkSession
-    llr_tbl = spark.createDataFrame(llr_rows, "_b: int, _llr: bigint")
+    from pq_vector_spark.parallel import local_plan_df
+
+    llr_tbl = local_plan_df(spark, llr_rows, "_b: int, _llr: bigint")
     scored = (
         ex.join(F.broadcast(llr_tbl), "_b")
         .groupBy("_id")

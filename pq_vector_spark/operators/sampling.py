@@ -1559,7 +1559,13 @@ def select_token_budget_grouped(
             T.StructField("_p_w", T.DoubleType()),
             T.StructField("_p_nb", T.IntegerType()),
         ])
-        plan1 = spark.createDataFrame([plan1_row(g) for g in all_groups], p1_schema)
+        # r16: 1-slice driver tables (parallel.local_plan_df) — the
+        # broadcast build of each plan table otherwise runs one near-empty
+        # task per core (~0.5-0.8 s each at local[32], and plan1 is built
+        # twice: histogram + boundary jobs)
+        from pq_vector_spark.parallel import local_plan_df
+
+        plan1 = local_plan_df(spark, [plan1_row(g) for g in all_groups], p1_schema)
 
         NB, LO, W = F.col("_p_nb"), F.col("_p_lo"), F.col("_p_w")
         fin = F.when(
@@ -1727,8 +1733,8 @@ def select_token_budget_grouped(
                 T.StructField("_p_cross", T.IntegerType()),
                 T.StructField("_p_rem", T.LongType()),
             ])
-            plan2 = spark.createDataFrame(
-                [(g, c, r) for g, (c, r) in crossing.items()], p2_schema
+            plan2 = local_plan_df(
+                spark, [(g, c, r) for g, (c, r) in crossing.items()], p2_schema
             )
             edge = (
                 with_plan(with_plan(slim, plan1), plan2)
@@ -1781,9 +1787,22 @@ def select_token_budget_grouped(
                 c, _rem = crossing[g]
                 bc, s_star, k_star = boundary.get(_gkey(g), ("none", None, None))
                 rows.append((g, lo, w, n_b, False, c, bc, s_star, k_star))
-        planf = spark.createDataFrame(rows, pf_schema)
+        planf = local_plan_df(spark, rows, pf_schema)
 
-        out = df.withColumn("_sb_grp", grpc).withColumn(
+        # r16 (guide §2.5): the OUTPUT pass re-evaluates the caller's score
+        # expression (often regex-heavy) over the whole corpus — at a
+        # single-row-group scan that is ONE task (twice, when a downstream
+        # orderBy's range sampler runs the child once more). Spread it;
+        # exact no-op at real scan widths. Per-row transforms + a broadcast
+        # join + a filter only — no aggregates, so results cannot move.
+        # (The PLANNING slim deliberately stays unspread: its many tiny
+        # per-level aggs pay cores-wide task overhead per action, measured
+        # 4.0 → 4.7 s at sf0.1 — see the note above.)
+        from pq_vector_spark.parallel import ensure_compute_parallelism
+
+        out = ensure_compute_parallelism(df).withColumn(
+            "_sb_grp", grpc
+        ).withColumn(
             "_sb_score", score.cast("double")
         ).withColumn("_sb_key", keyc)
         out = out.join(

@@ -35,6 +35,23 @@ from pyspark.sql import DataFrame
 _ENV_KNOB = "PQ_SPREAD_SMALL_SCANS"
 
 
+def local_plan_df(spark, rows, schema) -> DataFrame:
+    """Driver-built tiny plan/lookup tables (budget plans, component maps,
+    centroid tables, quantized-llr tables) destined for a broadcast join.
+
+    ``createDataFrame(list)`` parallelizes the rows into
+    ``defaultParallelism`` slices, so every broadcast build of such a
+    table runs a near-empty task per core (measured 0.45–0.77 s per build
+    at local[32] vs ~0.05 s of real work; on a big cluster it is a
+    cores-wide task wave for a 20-row table). Route the same rows through
+    ``sc.parallelize(rows, 1)``: identical verification + toInternal
+    conversion (PySpark applies both on the RDD path, just lazily), one
+    task per build. Results are bit-identical — broadcast join output
+    never depends on build-side partitioning.
+    """
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+
+
 def ensure_compute_parallelism(df: DataFrame, *, min_rows: int = 0) -> DataFrame:
     """Spread ``df`` across the cluster's cores iff its plan currently
     yields fewer partitions than ``defaultParallelism``.

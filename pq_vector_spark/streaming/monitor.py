@@ -38,16 +38,22 @@ def drift_metrics_batch(
 ) -> DataFrame:
     """One metrics row for a batch: (batch_id, n_rows, psi). Returns an
     empty frame for an empty batch (no fabricated zero-PSI rows)."""
+    from pq_vector_spark.parallel import local_plan_df
+
     n = batch_df.count()
     spark = batch_df.sparkSession
     if n == 0:
-        return spark.createDataFrame([], "batch_id BIGINT, n_rows BIGINT, psi DOUBLE")
+        return local_plan_df(
+            spark, [], "batch_id BIGINT, n_rows BIGINT, psi DOUBLE"
+        )
     rows = distribution_drift(
         baseline, batch_df, col, lo=lo, hi=hi, bins=bins, decimals=12
     ).collect()
     val = float(sum(r["psi_contrib"] for r in rows))
-    return spark.createDataFrame(
-        [(int(batch_id), int(n), val)], "batch_id BIGINT, n_rows BIGINT, psi DOUBLE"
+    return local_plan_df(
+        spark,
+        [(int(batch_id), int(n), val)],
+        "batch_id BIGINT, n_rows BIGINT, psi DOUBLE",
     )
 
 
