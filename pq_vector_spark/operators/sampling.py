@@ -727,6 +727,149 @@ def _gkey(g):
     return _NAN_GROUP if isinstance(g, float) and math.isnan(g) else g
 
 
+def _driver_orderable_key(key_type) -> bool:
+    """True iff Python comparison of collected values replays Spark's ASC
+    ordering for this key type exactly — the gate for the grouped
+    selector's driver fast path. Atomic orderable types only:
+
+    - int family / boolean / Decimal: numeric order on both sides;
+    - string: Spark compares UTF-8 bytes, Python compares code points —
+      identical order (UTF-8 preserves code-point order);
+    - binary: unsigned lexicographic on both sides;
+    - date/timestamp: chronological on both sides (session tz is fixed);
+    - float/double: match EXCEPT NaN (Spark sorts it largest, Python
+      comparisons are unordered) — allowed here, with a per-value NaN
+      punt in ``_plan_budget_groups_local``.
+
+    Struct/array/map keys punt to the distributed planner.
+    """
+    from pyspark.sql import types as T
+
+    return isinstance(
+        key_type,
+        (
+            T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+            T.FloatType, T.DoubleType, T.DecimalType, T.BooleanType,
+            T.StringType, T.BinaryType, T.DateType,
+            T.TimestampType, T.TimestampNTZType,
+        ),
+    )
+
+
+def _bounded_take(slim: DataFrame, threshold: int):
+    """``take(threshold+1)`` probing a full core-wave first (same scoping
+    as ``connected_components``' fast path: take() defaults to ONE output
+    partition growing 4x per wave — wrong when the expected outcome is
+    "everything fits"). Returns the rows, or None when they exceed
+    ``threshold`` (distributed planning required)."""
+    spark = slim.sparkSession
+    _k = "spark.sql.limit.initialNumPartitions"
+    try:
+        _old = spark.conf.get(_k)
+    except Exception:
+        _old = None
+    spark.conf.set(_k, str(spark.sparkContext.defaultParallelism))
+    try:
+        rows = slim.take(threshold + 1)
+    finally:
+        if _old is None:
+            spark.conf.unset(_k)
+        else:
+            spark.conf.set(_k, _old)
+    return rows if len(rows) <= threshold else None
+
+
+def _plan_budget_groups_local(rows, budget_of, inf):
+    """Exact greedy-prefix planning on the driver: same class chain
+    (NaN > +inf > finite > -inf > NULL), same key ASC NULLS FIRST
+    tie-break, same bigint token accumulation as the distributed walk —
+    returns the per-group plan rows in the shared ``pf_schema`` encoding
+    (n_b=1, so bucket ids are the pure class codes: NaN=2, +inf=1,
+    finite=0, -inf=-1, NULL=-2), or None to punt when Python cannot
+    replay Spark's semantics exactly (NaN float keys, negative tokens —
+    the distributed two-level walk's kept set under negative tokens is
+    not a pure prefix, so the fast path refuses rather than guesses)."""
+    import math
+
+    by_g: dict = {}
+    rep: dict = {}
+    for r in rows:
+        g, k, s, t = r[0], r[1], r[2], r[3]
+        if t is not None and t < 0:
+            return None
+        if isinstance(k, float) and math.isnan(k):
+            return None
+        gk = _gkey(g)
+        if gk not in by_g:
+            by_g[gk] = []
+            rep[gk] = g
+        by_g[gk].append((k, s, t))
+
+    def cls_of(s):
+        # sort rank in score-DESC walk order: lower = kept earlier
+        if s is None:
+            return 4
+        if math.isnan(s):
+            return 0
+        if s == inf:
+            return 1
+        if s == -inf:
+            return 3
+        return 2
+
+    # class rank -> pf_schema bucket code under n_b=1
+    _CODE = {0: 2, 1: 1, 2: 0, 3: -1, 4: -2}
+
+    def skey(m):
+        k, s, _t = m
+        c = cls_of(s)
+        # finite scores DESC via negation; ±0.0 compare equal on both
+        # engines, so the tie falls to the key exactly as Spark's does
+        sv = -s if c == 2 else 0.0
+        # key ASC NULLS FIRST; the 4th element only ever compares within
+        # one branch of the 3rd (both-NULL or both-value), so the 0
+        # placeholder never meets a real key
+        return (c, sv, k is not None, k if k is not None else 0)
+
+    planf_rows = []
+    for gk, members in by_g.items():
+        g = rep[gk]
+        b = budget_of(g)
+        if b is None:
+            planf_rows.append((g, 0.0, 0.0, 1, True, None, None, None, None))
+            continue
+        members.sort(key=skey)
+        cum = 0
+        boundary = None
+        stopped = False
+        for m in members:
+            t = 0 if m[2] is None else int(m[2])
+            if cum + t <= b:
+                cum += t
+                boundary = m
+            else:
+                stopped = True
+                break
+        if not stopped:
+            planf_rows.append((g, 0.0, 0.0, 1, True, None, None, None, None))
+        elif boundary is None:
+            # first row already exceeds: keep nothing — crossing pinned to
+            # the TOP class with an empty boundary, so no bucket clears it
+            planf_rows.append((g, 0.0, 0.0, 1, False, 2, "none", None, None))
+        else:
+            k, s, _t = boundary
+            c = cls_of(s)
+            if c == 0:
+                planf_rows.append((g, 0.0, 0.0, 1, False, 2, "nan", None, k))
+            elif c == 4:
+                planf_rows.append((g, 0.0, 0.0, 1, False, -2, "null", None, k))
+            else:
+                planf_rows.append(
+                    (g, 0.0, 0.0, 1, False, _CODE[c], "val", float(s), k)
+                )
+    return planf_rows
+
+
 def _bucketer(lo, hi, n_b):
     """Closure mapping a score expression to an ordered integer class:
     NULL=-2 < -inf=-1 < finite 0..n_b-1 < +inf=n_b < NaN=n_b+1 —
@@ -1403,6 +1546,7 @@ def select_token_budget_grouped(
     window_warn_rows: int = 4_000_000,
     window_cap: int | None = 65536,
     max_depth: int = 8,
+    local_threshold: int = 200_000,
     _stats: dict | None = None,
 ) -> DataFrame:
     """Per-group token-budget curation: within EVERY group (language,
@@ -1454,6 +1598,27 @@ def select_token_budget_grouped(
     ``key_col`` must uniquely identify rows within its group; a NULL key
     is legal and ordered as Spark's ASC sorts it (NULLS FIRST), with the
     boundary predicate built null-safe to match.
+
+    **Driver fast path (r16).** The planning chain above is 5+ sequential
+    bounded actions (min/max, histogram, walk levels, boundary, output) —
+    correct at any scale, but pure per-action overhead when the slim
+    (group, key, score, tokens) projection is small. Like
+    ``connected_components``' bounded-take fast path, ONE
+    ``take(local_threshold+1)`` (probing a full core-wave first) decides
+    the path AND feeds it: when the slim rows fit, the identical greedy
+    prefix is planned on the driver — same class chain (NaN > +inf >
+    finite > -inf > NULL), same key ASC NULLS FIRST tie-break, same exact
+    bigint token sums — and only the boundary row per group is shipped
+    back as the same broadcast plan table the distributed path builds, so
+    the output pass (and its plan shape) is shared and the result is
+    bit-identical. The fast path punts to the distributed planner for
+    anything Python ordering cannot replay exactly (non-atomic key types,
+    NaN float keys, negative token counts), when ``_stats`` is requested
+    (diagnostics describe the distributed walk), or when
+    ``local_threshold`` rows are exceeded (set ``local_threshold=0`` to
+    force the distributed path). Driver memory stays bounded:
+    ≤ threshold+1 slim rows, the same order as the histograms the
+    distributed planner already collects.
     """
     import math
 
@@ -1504,7 +1669,7 @@ def select_token_budget_grouped(
         keyc.alias("_sb_key"),
         score.cast("double").alias("_sb_score"),
         toks.alias("_sb_tok"),
-    ).persist()
+    )
     GRP, KEY, SCORE, TOK = (
         F.col("_sb_grp"), F.col("_sb_key"), F.col("_sb_score"), F.col("_sb_tok")
     )
@@ -1529,6 +1694,108 @@ def select_token_budget_grouped(
         # LongType the driver can hand to createDataFrame
         return None if b is None else int(math.floor(b))
 
+    from pq_vector_spark.parallel import ensure_compute_parallelism, local_plan_df
+
+    # shared by both planners: per-row class/bucket id against the
+    # broadcast plan columns (driver plans always carry n_b=1/width=0, so
+    # `fin` collapses to 0 and the ids reduce to the pure class codes
+    # NaN=2 > +inf=1 > finite=0 > -inf=-1 > NULL=-2)
+    NB, LO, W = F.col("_p_nb"), F.col("_p_lo"), F.col("_p_w")
+    fin = F.when(
+        W > 0.0,
+        # same low-side clamp as _bucketer: subnormal widths saturate
+        # floor() to Long.MIN_VALUE for scores below lo (ANSI
+        # CAST_OVERFLOW); greatest(.., 0) makes the bucketer total.
+        F.greatest(
+            F.least(F.floor((SCORE - LO) / W), NB - 1), F.lit(0)
+        ).cast("int"),
+    ).otherwise(F.lit(0))
+    bucket = (
+        F.when(F.isnan(SCORE), NB + 1)
+        .when(SCORE == F.lit(INF), NB)
+        .when(SCORE == F.lit(-INF), F.lit(-1))
+        .when(SCORE.isNull(), F.lit(-2))
+        .otherwise(fin)
+        .cast("int")
+    )
+    pf_schema = T.StructType([
+        T.StructField("_p_grp", grp_type),
+        T.StructField("_p_lo", T.DoubleType()),
+        T.StructField("_p_w", T.DoubleType()),
+        T.StructField("_p_nb", T.IntegerType()),
+        T.StructField("_p_whole", T.BooleanType()),
+        T.StructField("_p_cross", T.IntegerType()),
+        T.StructField("_p_bclass", T.StringType()),
+        T.StructField("_p_s", T.DoubleType()),
+        T.StructField("_p_k", key_type),
+    ])
+
+    def _emit(planf_rows, heavy_terms):
+        # 4. single output pass: broadcast the full per-group plan and
+        # filter map-side (shared by the driver and distributed planners)
+        planf = local_plan_df(spark, planf_rows, pf_schema)
+        # r16 (guide §2.5): the OUTPUT pass re-evaluates the caller's score
+        # expression (often regex-heavy) over the whole corpus — at a
+        # single-row-group scan that is ONE task (twice, when a downstream
+        # orderBy's range sampler runs the child once more). Spread it;
+        # exact no-op at real scan widths. Per-row transforms + a broadcast
+        # join + a filter only — no aggregates, so results cannot move.
+        # (The PLANNING slim deliberately stays unspread: its many tiny
+        # per-level aggs pay cores-wide task overhead per action, measured
+        # 4.0 → 4.7 s at sf0.1.)
+        out = ensure_compute_parallelism(df).withColumn(
+            "_sb_grp", grpc
+        ).withColumn(
+            "_sb_score", score.cast("double")
+        ).withColumn("_sb_key", keyc)
+        out = out.join(
+            F.broadcast(planf), F.col("_sb_grp").eqNullSafe(F.col("_p_grp")), "left"
+        ).drop("_p_grp")
+        # null-safe "key <= boundary key" under ASC NULLS FIRST: a NULL key
+        # sorts before every value (kept whenever anything in the tie is),
+        # and a NULL boundary key admits only the NULL-key row — a bare
+        # `KEY <= _p_k` is NULL for either, silently cutting a row whose
+        # tokens the planner already charged against the group's budget
+        key_le_b = KEY.isNull() | (
+            F.col("_p_k").isNotNull() & (KEY <= F.col("_p_k"))
+        )
+        in_cross_pred = (
+            F.when(F.col("_p_bclass") == "none", F.lit(False))
+            .when(F.col("_p_bclass").isin("nan", "null"), key_le_b)
+            .otherwise(
+                (SCORE > F.col("_p_s"))
+                | ((SCORE == F.col("_p_s")) & key_le_b)
+            )
+        )
+        keep = F.col("_p_whole") | (bucket > F.col("_p_cross")) | (
+            (bucket == F.col("_p_cross")) & in_cross_pred
+        )
+        # refined heavy groups: their rows miss the broadcast plan (NULL
+        # plan columns make the bucket keep NULL → dropped), so their walk
+        # predicates OR in — still one map-side filter, no extra pass
+        for term in heavy_terms:
+            keep = keep | term
+        return out.filter(keep).drop(
+            "_sb_grp", "_sb_score", "_sb_key",
+            "_p_lo", "_p_w", "_p_nb", "_p_whole", "_p_cross",
+            "_p_bclass", "_p_s", "_p_k",
+        )
+
+    # ---- driver fast path: one bounded take plans every group exactly ----
+    if (
+        _stats is None
+        and local_threshold
+        and _driver_orderable_key(key_type)
+    ):
+        taken = _bounded_take(slim, local_threshold)
+        if taken is not None:
+            planf_rows = _plan_budget_groups_local(taken, budget_of, INF)
+            if planf_rows is not None:
+                return _emit(planf_rows, [])
+            # else: values Python cannot replay exactly (NaN float keys /
+            # negative tokens) — fall through to the distributed planner
+
+    slim = slim.persist()
     try:
         # 1. per-group finite min/max (NaN/±inf would poison the width) —
         # conditional aggregates so ONE pass also yields the full group
@@ -1563,28 +1830,7 @@ def select_token_budget_grouped(
         # broadcast build of each plan table otherwise runs one near-empty
         # task per core (~0.5-0.8 s each at local[32], and plan1 is built
         # twice: histogram + boundary jobs)
-        from pq_vector_spark.parallel import local_plan_df
-
         plan1 = local_plan_df(spark, [plan1_row(g) for g in all_groups], p1_schema)
-
-        NB, LO, W = F.col("_p_nb"), F.col("_p_lo"), F.col("_p_w")
-        fin = F.when(
-            W > 0.0,
-            # same low-side clamp as _bucketer: subnormal widths saturate
-            # floor() to Long.MIN_VALUE for scores below lo (ANSI
-            # CAST_OVERFLOW); greatest(.., 0) makes the bucketer total.
-            F.greatest(
-                F.least(F.floor((SCORE - LO) / W), NB - 1), F.lit(0)
-            ).cast("int"),
-        ).otherwise(F.lit(0))
-        bucket = (
-            F.when(F.isnan(SCORE), NB + 1)
-            .when(SCORE == F.lit(INF), NB)
-            .when(SCORE == F.lit(-INF), F.lit(-1))
-            .when(SCORE.isNull(), F.lit(-2))
-            .otherwise(fin)
-            .cast("int")
-        )
 
         def with_plan(d, plan):
             return d.join(
@@ -1763,19 +2009,6 @@ def select_token_budget_grouped(
                 else:
                     boundary[_gkey(r["_sb_grp"])] = ("val", float(s), r["_sb_key"])
 
-        # 4. single output pass: broadcast the full per-group plan and
-        # filter map-side
-        pf_schema = T.StructType([
-            T.StructField("_p_grp", grp_type),
-            T.StructField("_p_lo", T.DoubleType()),
-            T.StructField("_p_w", T.DoubleType()),
-            T.StructField("_p_nb", T.IntegerType()),
-            T.StructField("_p_whole", T.BooleanType()),
-            T.StructField("_p_cross", T.IntegerType()),
-            T.StructField("_p_bclass", T.StringType()),
-            T.StructField("_p_s", T.DoubleType()),
-            T.StructField("_p_k", key_type),
-        ])
         rows = []
         for g in all_groups:
             if _gkey(g) in heavy:
@@ -1787,55 +2020,6 @@ def select_token_budget_grouped(
                 c, _rem = crossing[g]
                 bc, s_star, k_star = boundary.get(_gkey(g), ("none", None, None))
                 rows.append((g, lo, w, n_b, False, c, bc, s_star, k_star))
-        planf = local_plan_df(spark, rows, pf_schema)
-
-        # r16 (guide §2.5): the OUTPUT pass re-evaluates the caller's score
-        # expression (often regex-heavy) over the whole corpus — at a
-        # single-row-group scan that is ONE task (twice, when a downstream
-        # orderBy's range sampler runs the child once more). Spread it;
-        # exact no-op at real scan widths. Per-row transforms + a broadcast
-        # join + a filter only — no aggregates, so results cannot move.
-        # (The PLANNING slim deliberately stays unspread: its many tiny
-        # per-level aggs pay cores-wide task overhead per action, measured
-        # 4.0 → 4.7 s at sf0.1 — see the note above.)
-        from pq_vector_spark.parallel import ensure_compute_parallelism
-
-        out = ensure_compute_parallelism(df).withColumn(
-            "_sb_grp", grpc
-        ).withColumn(
-            "_sb_score", score.cast("double")
-        ).withColumn("_sb_key", keyc)
-        out = out.join(
-            F.broadcast(planf), F.col("_sb_grp").eqNullSafe(F.col("_p_grp")), "left"
-        ).drop("_p_grp")
-        # null-safe "key <= boundary key" under ASC NULLS FIRST: a NULL key
-        # sorts before every value (kept whenever anything in the tie is),
-        # and a NULL boundary key admits only the NULL-key row — a bare
-        # `KEY <= _p_k` is NULL for either, silently cutting a row whose
-        # tokens the planner already charged against the group's budget
-        key_le_b = KEY.isNull() | (
-            F.col("_p_k").isNotNull() & (KEY <= F.col("_p_k"))
-        )
-        in_cross_pred = (
-            F.when(F.col("_p_bclass") == "none", F.lit(False))
-            .when(F.col("_p_bclass").isin("nan", "null"), key_le_b)
-            .otherwise(
-                (SCORE > F.col("_p_s"))
-                | ((SCORE == F.col("_p_s")) & key_le_b)
-            )
-        )
-        keep = F.col("_p_whole") | (bucket > F.col("_p_cross")) | (
-            (bucket == F.col("_p_cross")) & in_cross_pred
-        )
-        # refined heavy groups: their rows miss the broadcast plan (NULL
-        # plan columns make the bucket keep NULL → dropped), so their walk
-        # predicates OR in — still one map-side filter, no extra pass
-        for term in heavy_terms:
-            keep = keep | term
-        return out.filter(keep).drop(
-            "_sb_grp", "_sb_score", "_sb_key",
-            "_p_lo", "_p_w", "_p_nb", "_p_whole", "_p_cross",
-            "_p_bclass", "_p_s", "_p_k",
-        )
+        return _emit(rows, heavy_terms)
     finally:
         slim.unpersist()

@@ -1452,3 +1452,112 @@ def test_repeat_mix_epoch_upsampling(spark):
     f_neg = F.when(F.col("source") == "src0", 2.0).otherwise(-3.0)
     with pytest.raises(SparkRuntimeException, match=">= 0"):
         repeat_mix(docs, "doc_id", f_neg, salt="t").count()
+
+
+def test_select_token_budget_grouped_driver_fast_path_equivalence(spark):
+    """r16 driver fast path: when the slim projection fits local_threshold,
+    planning runs on the driver from ONE bounded take — the kept set must
+    be bit-equal to the distributed planner's (local_threshold=0) across
+    the full class chain (NaN/+inf/finite/-inf/NULL scores), NULL keys,
+    NULL groups, heavy ties, and zero budgets."""
+    import random
+
+    from pyspark.sql import types as T
+
+    from pq_vector_spark.operators.sampling import select_token_budget_grouped
+
+    rng = random.Random(29)
+    INF = float("inf")
+    rows = []
+    kid = 0
+    for g in ["a", "b", None, "c"]:
+        for _ in range(60):
+            kid += 1
+            r = rng.random()
+            if r < 0.08:
+                s = float("nan")
+            elif r < 0.14:
+                s = INF
+            elif r < 0.20:
+                s = -INF
+            elif r < 0.28:
+                s = None
+            else:
+                s = rng.choice([0.1, 0.5, 0.9])  # heavy ties
+            rows.append(
+                (g, kid if rng.random() > 0.05 else None, s,
+                 rng.choice([0, 3, 7, 11]))
+            )
+    schema = T.StructType([
+        T.StructField("g", T.StringType()),
+        T.StructField("id", T.IntegerType()),
+        T.StructField("score", T.DoubleType()),
+        T.StructField("tok", T.IntegerType()),
+    ])
+    df = spark.createDataFrame(rows, schema)
+
+    def canon(d):
+        return sorted(
+            [(r["g"], r["id"], repr(r["score"]), r["tok"]) for r in d.collect()],
+            key=repr,
+        )
+
+    budgets = {"a": 50, "b": 0, None: 77, "c": None}
+    fast = select_token_budget_grouped(
+        df, "g", "id", "score", "tok", budgets, buckets=8, window_cap=16
+    )
+    slow = select_token_budget_grouped(
+        df, "g", "id", "score", "tok", budgets, buckets=8, window_cap=16,
+        local_threshold=0,
+    )
+    assert canon(fast) == canon(slow)
+    # scalar budget too
+    assert canon(
+        select_token_budget_grouped(df, "g", "id", "score", "tok", 40)
+    ) == canon(
+        select_token_budget_grouped(
+            df, "g", "id", "score", "tok", 40, local_threshold=0
+        )
+    )
+
+
+def test_select_token_budget_grouped_driver_fast_path_punts(spark):
+    """The fast path must refuse inputs Python ordering cannot replay
+    exactly — NaN float keys and negative token counts — and the gate
+    must reject non-atomic key types, so those inputs reach the
+    distributed planner (outputs stay correct either way)."""
+    from pyspark.sql import types as T
+
+    from pq_vector_spark.operators.sampling import (
+        _driver_orderable_key,
+        _plan_budget_groups_local,
+        select_token_budget_grouped,
+    )
+
+    # unit punts
+    assert _plan_budget_groups_local(
+        [("a", float("nan"), 1.0, 3)], lambda g: 10, float("inf")
+    ) is None
+    assert _plan_budget_groups_local(
+        [("a", 1, 1.0, -3)], lambda g: 10, float("inf")
+    ) is None
+    assert _driver_orderable_key(T.ArrayType(T.IntegerType())) is False
+    assert _driver_orderable_key(T.StringType()) is True
+
+    # end-to-end: a NaN float key still yields the distributed result
+    df = spark.createDataFrame(
+        [("a", 1.0, 0.9, 5), ("a", float("nan"), 0.9, 5), ("a", 2.0, 0.1, 5)],
+        T.StructType([
+            T.StructField("g", T.StringType()),
+            T.StructField("id", T.DoubleType()),
+            T.StructField("score", T.DoubleType()),
+            T.StructField("tok", T.IntegerType()),
+        ]),
+    )
+    got = select_token_budget_grouped(df, "g", "id", "score", "tok", 10)
+    want = select_token_budget_grouped(
+        df, "g", "id", "score", "tok", 10, local_threshold=0
+    )
+    assert sorted(repr(r) for r in got.collect()) == sorted(
+        repr(r) for r in want.collect()
+    )
