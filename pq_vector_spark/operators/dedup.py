@@ -48,6 +48,55 @@ def _minhash_coeffs(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     return coeffs
 
 
+# ---------------------------------------------------------------------------
+# One-shot parsed SQL forms of the hot featurization expressions (r16).
+#
+# Building these trees one Column operation at a time costs one py4j round
+# trip per op — a 32-hash minhash_signature alone is ~500 round trips
+# (~0.3 s of pure driver latency), paid EVERY time a plan is constructed
+# (dedup_minhash, incremental near-dedup, index build/append, streaming
+# micro-batches). Rendering the identical expression as ONE SQL string and
+# parsing it JVM-side (`F.expr`) — the same treatment functions/distance.py
+# gives the unrolled distance chains — collapses that to a single round
+# trip. The SQL mirrors the Column builders token-for-token (same function
+# calls, same literal types, same left-to-right argument order), so the
+# analyzed tree and every computed value are identical; equality is pinned
+# by tests/test_dedup.py::test_sql_rendered_featurization_identical and by
+# every oracle row of the minhash family. Lambda-variable names carry a
+# `__pqlv_` prefix no real column can collide with (lambda scope would win
+# anyway, matching the Column path's fresh internal names — the prefix just
+# removes the question). The SQL path fires only for plain string column
+# names; Column inputs (and any parse failure) fall back to the Column
+# builders below.
+# ---------------------------------------------------------------------------
+
+
+def _sql_name(col) -> "str | None":
+    """Backquoted SQL identifier for a plain column NAME, else None."""
+    if isinstance(col, str):
+        return "`" + col.replace("`", "``") + "`"
+    return None
+
+
+def _tokens_sql(ref: str) -> str:
+    # mirrors functions/text.py:tokens — split(lower(trim(c)), '\s+')
+    return f"split(lower(trim({ref})), '\\\\s+')"
+
+
+def _token_hash_sql(x: str) -> str:
+    # mirrors functions/text.py:token_hash
+    return f"CAST(conv(substring(md5({x}), 1, 15), 16, 10) AS BIGINT)"
+
+
+def _shingles_sql(ref: str, n: int) -> str:
+    # mirrors shingles() below, token for token
+    return (
+        f"transform(array({_tokens_sql(ref)}), __pqlv_t -> array_distinct("
+        f"transform(sequence(1, greatest(size(__pqlv_t) - {n - 1}, 1)), "
+        f"__pqlv_i -> concat_ws(' ', slice(__pqlv_t, __pqlv_i, {n})))))[0]"
+    )
+
+
 def shingles(col, n: int = 3) -> Column:
     """Distinct n-gram (token-level) shingles of lowercased text.
 
@@ -59,6 +108,12 @@ def shingles(col, n: int = 3) -> Column:
     an HOF lambda is re-evaluated once per element, so the naive form
     re-tokenizes the whole text once per shingle (~50× slower on real docs).
     """
+    ref = _sql_name(col)
+    if ref is not None:
+        try:
+            return F.expr(_shingles_sql(ref, n))
+        except Exception:
+            pass
     return F.transform(
         F.array(tokens(col)),
         lambda toks: F.array_distinct(
@@ -88,11 +143,44 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def _shingle_hashes_sql(ref: str, n: int) -> str:
+    # mirrors shingle_hashes() below
+    return (
+        f"transform({_shingles_sql(ref, n)}, "
+        f"__pqlv_s -> {_token_hash_sql('__pqlv_s')} % {MINHASH_M})"
+    )
+
+
 def shingle_hashes(col, n: int = 3) -> Column:
     """Portable 60-bit hashes of each shingle, reduced mod MINHASH_M."""
     from pq_vector_spark.functions.text import token_hash
 
+    ref = _sql_name(col)
+    if ref is not None:
+        try:
+            return F.expr(_shingle_hashes_sql(ref, n))
+        except Exception:
+            pass
     return F.transform(shingles(col, n), lambda s: token_hash(s) % MINHASH_M)
+
+
+def shingle_token_hashes(col, n: int = 3) -> Column:
+    """Portable 60-bit ``token_hash`` of each shingle (NOT reduced mod
+    MINHASH_M) — the exact-Jaccard verification feature shared by
+    ``minhash_lsh_pairs`` and ``incremental_dedup_near``. One-shot parsed
+    for string column names, like :func:`shingle_hashes`."""
+    from pq_vector_spark.functions.text import token_hash
+
+    ref = _sql_name(col)
+    if ref is not None:
+        try:
+            return F.expr(
+                f"transform({_shingles_sql(ref, n)}, "
+                f"__pqlv_s -> {_token_hash_sql('__pqlv_s')})"
+            )
+        except Exception:
+            pass
+    return F.transform(shingles(col, n), lambda s: token_hash(s))
 
 
 def minhash_signature(col, n: int = 3, num_hashes: int = 32, seed: int = 42) -> Column:
@@ -105,8 +193,26 @@ def minhash_signature(col, n: int = 3, num_hashes: int = 32, seed: int = 42) -> 
     array, carrying all ``num_hashes`` running minima as an array accumulator
     — md5 runs once per shingle regardless of signature width.
     """
-    hashes = shingle_hashes(col, n)
     coeffs = _minhash_coeffs(num_hashes, seed)
+    ref = _sql_name(col)
+    if ref is not None:
+        coeff_sql = "array(" + ", ".join(
+            f"named_struct('a', CAST({a} AS BIGINT), 'b', CAST({b} AS BIGINT))"
+            for a, b in coeffs
+        ) + ")"
+        sql = (
+            f"aggregate({_shingle_hashes_sql(ref, n)}, "
+            f"array_repeat(CAST({MINHASH_P} AS BIGINT), {num_hashes}), "
+            f"(__pqlv_a, __pqlv_h) -> zip_with(__pqlv_a, {coeff_sql}, "
+            f"(__pqlv_m, __pqlv_c) -> least(__pqlv_m, "
+            f"(__pqlv_c.a * __pqlv_h + __pqlv_c.b) % {MINHASH_P}))"
+            f")"
+        )
+        try:
+            return F.expr(sql)
+        except Exception:
+            pass
+    hashes = shingle_hashes(col, n)
     coeff_arr = F.array(
         *[
             F.struct(F.lit(a).cast("bigint").alias("a"), F.lit(b).cast("bigint").alias("b"))
@@ -127,7 +233,24 @@ def _band_structs(sig_col, bands: int, rows_per_band: int):
     """array<struct<band int, key string>> of LSH band keys from a minhash
     signature array — ONE definition shared by ``minhash_lsh_pairs``,
     ``build_dedup_index`` and ``incremental_dedup_near`` so the banding
-    (hence index compatibility) can never drift between them."""
+    (hence index compatibility) can never drift between them. A plain
+    string column name takes the one-shot parsed SQL path (identical
+    tree; see the r16 note above)."""
+    ref = _sql_name(sig_col)
+    if ref is not None:
+        parts = []
+        for i in range(bands):
+            items = ", ".join(
+                f"{ref}[{i * rows_per_band + r}]" for r in range(rows_per_band)
+            )
+            parts.append(
+                f"named_struct('band', {i}, 'key', concat_ws(',', {items}))"
+            )
+        try:
+            return F.expr("array(" + ", ".join(parts) + ")")
+        except Exception:
+            pass
+        sig_col = F.col(sig_col)
     return F.array(
         *[
             F.struct(
@@ -375,6 +498,8 @@ def minhash_lsh_pairs(
     max_bucket: Optional[int] = 10_000,
     observation=None,
     _caches: Optional[list] = None,
+    _sig: Optional[DataFrame] = None,
+    _shingle_hashes: Optional[DataFrame] = None,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup pairs — the scale path.
 
@@ -404,29 +529,39 @@ def minhash_lsh_pairs(
     verification join don't each recompute the text→md5→minhash pass; the
     expensive scan then runs once instead of 4×, at bench scale and at
     100 TB alike (MEMORY_AND_DISK — spills, never OOMs).
+
+    ``_sig`` / ``_shingle_hashes`` (private, r16): precomputed
+    ``(_id, _sig)`` signature / ``(_hid, _h)`` shingle-hash frames a
+    caller that already featurized the SAME ``df`` with the same
+    (n, num_hashes, seed) passes in — ``incremental_dedup_near`` shares
+    its probe-side passes here so the delta text is md5-featurized once
+    per family, not twice. The caller owns their persistence.
     """
     from pq_vector_spark.parallel import ensure_compute_parallelism
 
     rows_per_band = num_hashes // bands
-    # r16 (guide §2.5): spread the slim (id, text) projection before the
-    # shingle+md5 signature stage — the operator's dominant CPU — so a
-    # single-row-group source doesn't compute every signature in ONE
-    # task; no-op at real scan widths.
-    sig = ensure_compute_parallelism(
-        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_mtxt"))
-    ).select(
-        "_id",
-        minhash_signature("_mtxt", n, num_hashes, seed).alias("_sig"),
-    )
-    if persist:
-        from pyspark import StorageLevel
+    if _sig is not None:
+        sig = _sig
+    else:
+        # r16 (guide §2.5): spread the slim (id, text) projection before
+        # the shingle+md5 signature stage — the operator's dominant CPU —
+        # so a single-row-group source doesn't compute every signature in
+        # ONE task; no-op at real scan widths.
+        sig = ensure_compute_parallelism(
+            df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_mtxt"))
+        ).select(
+            "_id",
+            minhash_signature("_mtxt", n, num_hashes, seed).alias("_sig"),
+        )
+        if persist:
+            from pyspark import StorageLevel
 
-        sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
-        if _caches is not None:
-            _caches.append(sig)
+            sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+            if _caches is not None:
+                _caches.append(sig)
     banded = sig.select(
         "_id",
-        F.explode(_band_structs(F.col("_sig"), bands, rows_per_band)).alias("bk"),
+        F.explode(_band_structs("_sig", bands, rows_per_band)).alias("bk"),
     ).select("_id", "bk.band", "bk.key")
     # ONE exchange: (band, key) → sorted member ids (collect_list
     # partial-aggregates map-side; sort_array pins determinism). The
@@ -458,16 +593,19 @@ def minhash_lsh_pairs(
     # the whole point of LSH at 100 TB.
     from pq_vector_spark.functions.text import token_hash
 
-    hs = df.select(
-        F.col(id_col).alias("_hid"),
-        F.transform(shingles(text_col, n), lambda s: token_hash(s)).alias("_h"),
-    )
-    if persist:
-        from pyspark import StorageLevel
+    if _shingle_hashes is not None:
+        hs = _shingle_hashes
+    else:
+        hs = df.select(
+            F.col(id_col).alias("_hid"),
+            shingle_token_hashes(text_col, n).alias("_h"),
+        )
+        if persist:
+            from pyspark import StorageLevel
 
-        hs = hs.persist(StorageLevel.MEMORY_AND_DISK)
-        if _caches is not None:
-            _caches.append(hs)
+            hs = hs.persist(StorageLevel.MEMORY_AND_DISK)
+            if _caches is not None:
+                _caches.append(hs)
     a = hs.select(F.col("_hid").alias("id_a"), F.col("_h").alias("_ha"))
     b = hs.select(F.col("_hid").alias("id_b"), F.col("_h").alias("_hb"))
     inter = F.size(F.array_intersect(F.col("_ha"), F.col("_hb")))
@@ -1575,7 +1713,7 @@ def build_dedup_index(
     )
     banded = sig.select(
         "id",
-        F.explode(_band_structs(F.col("_sig"), bands, rows_per_band)).alias("bk"),
+        F.explode(_band_structs("_sig", bands, rows_per_band)).alias("bk"),
     ).select("id", "bk.band", "bk.key")
     banded.write.mode("overwrite").parquet(index_path)
     meta = {
@@ -1607,7 +1745,7 @@ def append_dedup_index(df: DataFrame, text_col: str, id_col: str, index_path: st
     banded = sig.select(
         "id",
         F.explode(
-            _band_structs(F.col("_sig"), meta["bands"], rows_per_band)
+            _band_structs("_sig", meta["bands"], rows_per_band)
         ).alias("bk"),
     ).select("id", "bk.band", "bk.key")
     banded.write.mode("append").parquet(index_path)
@@ -1705,22 +1843,57 @@ def incremental_dedup_near(
     # write) passes ``_caches`` to collect every persisted frame and
     # unpersist after its action — otherwise a long-running stream leaks
     # one cached-relation set per micro-batch.
-    dband = (
-        delta.select(
-            F.col(id_col).alias("_did"),
-            minhash_signature(text_col, n, num_hashes, seed).alias("_sig"),
+    #
+    # r16: the SIGNATURE table is what gets persisted (1 row/doc of
+    # num_hashes longs — smaller than the exploded band rows) and it is
+    # SHARED with the within-delta ``minhash_lsh_pairs`` call below via
+    # ``_sig`` — the delta text's minhash pass runs once, not twice; the
+    # banded explode re-derives map-side from the cache per consumer.
+    # Same sharing for the shingle-hash verification table (``_hd`` here
+    # is bit-identical to minhash_lsh_pairs' ``_h``). The spread
+    # (guide §2.5) is a no-op at real scan widths.
+    from pq_vector_spark.parallel import ensure_compute_parallelism
+
+    sig = (
+        ensure_compute_parallelism(
+            delta.select(
+                F.col(id_col).alias("_id"), F.col(text_col).alias("_mtxt")
+            )
         )
         .select(
-            "_did",
-            F.explode(
-                _band_structs(F.col("_sig"), bands, rows_per_band)
-            ).alias("bk"),
+            "_id",
+            minhash_signature("_mtxt", n, num_hashes, seed).alias("_sig"),
         )
-        .select("_did", "bk.band", "bk.key")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     if _caches is not None:
-        _caches.append(dband)
+        _caches.append(sig)
+    dband = (
+        sig.select(
+            F.col("_id").alias("_did"),
+            F.explode(
+                _band_structs("_sig", bands, rows_per_band)
+            ).alias("bk"),
+        )
+        .select("_did", "bk.band", "bk.key")
+    )
+    dhs = None
+    if corpus is not None:
+        dhs = (
+            ensure_compute_parallelism(
+                delta.select(
+                    F.col(id_col).alias("_hid"),
+                    F.col(text_col).alias("_htxt"),
+                )
+            )
+            .select(
+                "_hid",
+                shingle_token_hashes("_htxt", n).alias("_h"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        if _caches is not None:
+            _caches.append(dhs)
     probe = dband.select("band", "key").distinct()
     index = spark.read.parquet(index_path)
     hits = index.join(F.broadcast(probe), ["band", "key"], "inner")
@@ -1776,16 +1949,11 @@ def incremental_dedup_near(
             corpus.join(F.broadcast(cand_ids), corpus_id_col, "left_semi")
             .select(
                 F.col(corpus_id_col).alias("_cid"),
-                F.transform(
-                    shingles(corpus_text_col, n), lambda s: token_hash(s)
-                ).alias("_hc"),
+                shingle_token_hashes(corpus_text_col, n).alias("_hc"),
             )
         )
-        dtext = delta.select(
-            F.col(id_col).alias("_did"),
-            F.transform(shingles(text_col, n), lambda s: token_hash(s)).alias(
-                "_hd"
-            ),
+        dtext = dhs.select(
+            F.col("_hid").alias("_did"), F.col("_h").alias("_hd")
         )
         inter = F.size(F.array_intersect(F.col("_hd"), F.col("_hc")))
         jac = inter.cast("double") / (
@@ -1811,6 +1979,8 @@ def incremental_dedup_near(
         verify=corpus is not None,
         max_bucket=max_bucket,
         _caches=_caches,
+        _sig=sig,
+        _shingle_hashes=dhs,
     )
     within_dropped = within.select(F.col("id_b").alias("_did")).distinct()
     if _stats is not None:
@@ -1843,11 +2013,14 @@ def remove_repeated_paragraphs(
 
     **Calling convention** — pass ``_caches=[]`` (and unpersist its
     contents after YOUR action) to persist the hot fingerprint set across
-    the internal count and the joins; a fire-and-forget call without
-    ``_caches`` silently pays ONE extra aggregation pass over the corpus
-    (nothing is cached, so nothing leaks). Diagnostics runs additionally
-    pass ``_stats={}`` for the hot-set size / broadcast decision /
-    persistence flag. See the README's "caching contract" example.
+    the internal count and the joins. A fire-and-forget call without
+    ``_caches`` (and without ``_stats``) instead CAPTURES the hot set in
+    one bounded ``take(broadcast_threshold+1)`` and re-injects it as a
+    driver-local literal plan table (r16): the hot aggregation runs once,
+    nothing is cached, nothing leaks; past the threshold the joins plan
+    as shuffles exactly as before. Diagnostics runs additionally pass
+    ``_stats={}`` for the hot-set size / broadcast decision / persistence
+    flag. See the README's "caching contract" example.
 
     This is the CCNet/Gopher-style paragraph-granular dedup that
     document-level dedup cannot do (nav
@@ -1939,31 +2112,74 @@ def remove_repeated_paragraphs(
 
         hot = hot.persist(StorageLevel.MEMORY_AND_DISK)
         _caches.append(hot)
-    # bounded count probe BEFORE committing to a broadcast plan
-    # (r16: a take()-and-reinject-as-literal variant that captured the
-    # hot set in the count job was MEASURED here and reverted — the
-    # CollectLimit probe lost AQE's partition coalescing on the
-    # countDistinct exchange and re-ran its reduce side wave by wave:
-    # 2.7 s → 4.1 s at sf0.1.)
-    n_hot = hot.count()
-    small = n_hot <= broadcast_threshold
-    if not small:
-        import logging
+    # bounded probe BEFORE committing to a broadcast plan.
+    #
+    # r16 history: a take()-and-reinject-as-literal variant was first
+    # measured and REVERTED (2.7 s → 4.1 s at sf0.1) — the CollectLimit
+    # probe defaulted to spark.sql.limit.initialNumPartitions=1 and re-ran
+    # the countDistinct reduce side wave by wave (1→4→16…). The
+    # connected_components fast path later showed the fix: probe a FULL
+    # core-wave first, scoped to this one action. With that scoping the
+    # capture landed: the fire-and-forget path (no _caches, no _stats)
+    # runs the hot aggregation ONCE (the take), ships the captured
+    # fingerprints back as a driver-local literal plan table, and both
+    # hot joins become broadcasts of that table — the extra aggregation
+    # pass the uncached contract used to pay is gone. md5-hex strings
+    # round-trip collect→createDataFrame exactly, so the joins see the
+    # identical fingerprint set. The _caches/_stats paths keep the count
+    # (the count is what materializes the cache / feeds hot_fingerprints).
+    if _caches is None and _stats is None:
+        spark = df.sparkSession
+        _k = "spark.sql.limit.initialNumPartitions"
+        try:
+            _old = spark.conf.get(_k)
+        except Exception:
+            _old = None
+        spark.conf.set(_k, str(spark.sparkContext.defaultParallelism))
+        try:
+            rows = hot.take(broadcast_threshold + 1)
+        finally:
+            if _old is None:
+                spark.conf.unset(_k)
+            else:
+                spark.conf.set(_k, _old)
+        small = len(rows) <= broadcast_threshold
+        if small:
+            from pq_vector_spark.parallel import local_plan_df
 
-        logging.getLogger("pq_vector_spark.operators.dedup").warning(
-            "remove_repeated_paragraphs: hot set has %d fingerprints "
-            "(> broadcast_threshold=%d) — dropping broadcast hints; the "
-            "hot/flagged joins plan as shuffles (AQE may still broadcast "
-            "if the actual bytes fit)",
-            n_hot,
-            broadcast_threshold,
-        )
-    if _stats is not None:
-        _stats.update(
-            hot_fingerprints=int(n_hot),
-            broadcast=bool(small),
-            hot_persisted=_caches is not None,
-        )
+            hot = local_plan_df(
+                spark, [(r[0],) for r in rows], hot.schema
+            )
+        else:
+            import logging
+
+            logging.getLogger("pq_vector_spark.operators.dedup").warning(
+                "remove_repeated_paragraphs: hot set exceeds "
+                "broadcast_threshold=%d fingerprints — dropping broadcast "
+                "hints; the hot/flagged joins plan as shuffles (AQE may "
+                "still broadcast if the actual bytes fit)",
+                broadcast_threshold,
+            )
+    else:
+        n_hot = hot.count()
+        small = n_hot <= broadcast_threshold
+        if not small:
+            import logging
+
+            logging.getLogger("pq_vector_spark.operators.dedup").warning(
+                "remove_repeated_paragraphs: hot set has %d fingerprints "
+                "(> broadcast_threshold=%d) — dropping broadcast hints; the "
+                "hot/flagged joins plan as shuffles (AQE may still broadcast "
+                "if the actual bytes fit)",
+                n_hot,
+                broadcast_threshold,
+            )
+        if _stats is not None:
+            _stats.update(
+                hot_fingerprints=int(n_hot),
+                broadcast=bool(small),
+                hot_persisted=_caches is not None,
+            )
 
     def bc(d):
         return F.broadcast(d) if small else d

@@ -1446,12 +1446,24 @@ def select_token_budget(
     buckets: int = 1024,
     window_cap: int = 65536,
     max_depth: int = 8,
+    local_threshold: int = 200_000,
     _stats: dict | None = None,
 ) -> DataFrame:
     """Fill a token budget with the best documents: keep rows in
     (score DESC, key ASC) order while the running total of ``tokens_col``
     stays ≤ ``budget`` — the greedy prefix every "train on the best N
     tokens" curation step needs.
+
+    **Driver fast path (r16).** Shares
+    ``select_token_budget_grouped``'s bounded-take planner (one
+    synthetic group): when the slim (key, score, tokens) projection fits
+    ``local_threshold`` rows, ONE ``take`` feeds the exact greedy prefix
+    on the driver and the boundary comes back as the same pure map-side
+    (score, key) predicate the distributed walk emits — bit-identical
+    kept set, 5+ sequential bounded actions collapsed to one. Punts to
+    the walk for non-atomic key types, NaN float keys, negative token
+    counts, ``_stats`` requests, or oversized input
+    (``local_threshold=0`` forces the walk).
 
     Scale shape (recursive two-phase exact selection): the naive form is a
     GLOBAL ordered cumulative sum — ONE task must hold and scan the entire
@@ -1520,7 +1532,61 @@ def select_token_budget(
         keyc.alias("_sb_key"),
         score.cast("double").alias("_sb_score"),
         toks.alias("_sb_tok"),
-    ).persist()
+    )
+
+    # ---- driver fast path: one bounded take plans the exact prefix ----
+    if (
+        _stats is None
+        and local_threshold
+        and _driver_orderable_key(slim.schema[0].dataType)
+    ):
+        taken = _bounded_take(slim, local_threshold)
+        if taken is not None:
+            planned = _plan_budget_groups_local(
+                [(None, r[0], r[1], r[2]) for r in taken],
+                lambda g: budget,
+                float("inf"),
+            )
+            if planned is not None:
+                out = df.withColumn(
+                    "_sb_score", score.cast("double")
+                ).withColumn("_sb_key", keyc)
+                SCORE, KEY = F.col("_sb_score"), F.col("_sb_key")
+                if not planned:
+                    # empty input — nothing to keep (df has no rows)
+                    return out.filter(F.lit(False)).drop(
+                        "_sb_score", "_sb_key"
+                    )
+                _g, _lo, _w, _nb, whole, cross, bclass, s, k = planned[0]
+                if whole:
+                    return df
+                if bclass == "none":
+                    return out.filter(F.lit(False)).drop(
+                        "_sb_score", "_sb_key"
+                    )
+                INF = float("inf")
+                # same class codes as the grouped emit under n_b=1:
+                # NaN=2 > +inf=1 > finite=0 > -inf=-1 > NULL=-2
+                cls = (
+                    F.when(F.isnan(SCORE), F.lit(2))
+                    .when(SCORE == F.lit(INF), F.lit(1))
+                    .when(SCORE == F.lit(-INF), F.lit(-1))
+                    .when(SCORE.isNull(), F.lit(-2))
+                    .otherwise(F.lit(0))
+                )
+                if bclass in ("nan", "null"):
+                    in_cross = _key_le(KEY, k)
+                else:
+                    in_cross = (SCORE > F.lit(s)) | (
+                        (SCORE == F.lit(s)) & _key_le(KEY, k)
+                    )
+                keep = (cls > F.lit(cross)) | (
+                    (cls == F.lit(cross)) & in_cross
+                )
+                return out.filter(keep).drop("_sb_score", "_sb_key")
+            # else: NaN float keys / negative tokens — fall through
+
+    slim = slim.persist()
     try:
         keep = _budget_walk(slim, budget, buckets, window_cap, max_depth, _stats)
         out = df.withColumn("_sb_score", score.cast("double")).withColumn(

@@ -1285,3 +1285,55 @@ def test_ngram_jaccard_pairs_hot_shingle_streams(spark):
             if inter:
                 want.append((a, b, inter / len(sa | sb)))
     assert fast == sorted(want)
+
+
+def test_sql_rendered_featurization_identical(spark):
+    """r16: the one-shot parsed SQL forms of shingles / shingle_hashes /
+    shingle_token_hashes / minhash_signature / _band_structs (string-name
+    inputs) must be bit-identical to the Column-op builders (Column
+    inputs force the fallback path) — including empty/NULL text, quotes,
+    backslashes, SQL-special characters, and unicode."""
+    from pyspark.sql import functions as F
+
+    from pq_vector_spark.operators.dedup import (
+        _band_structs,
+        minhash_signature,
+        shingle_hashes,
+        shingle_token_hashes,
+        shingles,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, ""), (2, None), (3, "a"),
+            (4, "  x\t y\nz  "), (5, "one two three four five six"),
+            (6, "`backtick` 'quote' \\ slash % percent _ under"),
+            (7, "éü unicode tökens"), (8, "a b a b a b a b"),
+        ],
+        "doc_id int, text string",
+    )
+    for label, fast, slow in (
+        ("shingles", shingles("text", 3), shingles(F.col("text"), 3)),
+        ("shingle_hashes", shingle_hashes("text", 3),
+         shingle_hashes(F.col("text"), 3)),
+        ("shingle_token_hashes", shingle_token_hashes("text", 3),
+         shingle_token_hashes(F.col("text"), 3)),
+        ("minhash", minhash_signature("text", 3, 32, 42),
+         minhash_signature(F.col("text"), 3, 32, 42)),
+        ("minhash_n2_h16", minhash_signature("text", 2, 16, 7),
+         minhash_signature(F.col("text"), 2, 16, 7)),
+    ):
+        a = df.select(fast.alias("x")).collect()
+        b = df.select(slow.alias("x")).collect()
+        assert a == b, label
+
+    sig = df.select(
+        "doc_id", minhash_signature(F.col("text"), 3, 32, 42).alias("_sig")
+    )
+    a = sig.select(F.explode(_band_structs("_sig", 8, 4)).alias("bk")).select(
+        "bk.band", "bk.key"
+    ).collect()
+    b = sig.select(
+        F.explode(_band_structs(F.col("_sig"), 8, 4)).alias("bk")
+    ).select("bk.band", "bk.key").collect()
+    assert a == b, "band_structs"

@@ -1561,3 +1561,58 @@ def test_select_token_budget_grouped_driver_fast_path_punts(spark):
     assert sorted(repr(r) for r in got.collect()) == sorted(
         repr(r) for r in want.collect()
     )
+
+
+def test_select_token_budget_driver_fast_path_equivalence(spark):
+    """r16 ungrouped fast path: same bounded-take planner as the grouped
+    selector (single synthetic group), emitted as the walk's pure
+    map-side (score, key) predicate — kept set must be bit-equal to the
+    distributed walk (local_threshold=0) across the full class chain,
+    NULL keys, heavy ties, and the whole/none/zero-budget edges."""
+    import random
+
+    from pyspark.sql import types as T
+
+    from pq_vector_spark.operators.sampling import select_token_budget
+
+    rng = random.Random(31)
+    INF = float("inf")
+    rows = []
+    for kid in range(1, 181):
+        r = rng.random()
+        if r < 0.08:
+            s = float("nan")
+        elif r < 0.14:
+            s = INF
+        elif r < 0.20:
+            s = -INF
+        elif r < 0.28:
+            s = None
+        else:
+            s = rng.choice([0.1, 0.5, 0.9])  # heavy ties
+        rows.append(
+            (kid if rng.random() > 0.05 else None, s,
+             rng.choice([0, 3, 7, 11]))
+        )
+    schema = T.StructType([
+        T.StructField("id", T.IntegerType()),
+        T.StructField("score", T.DoubleType()),
+        T.StructField("tok", T.IntegerType()),
+    ])
+    df = spark.createDataFrame(rows, schema)
+
+    def canon(d):
+        return sorted(
+            [(r["id"], repr(r["score"]), r["tok"]) for r in d.collect()],
+            key=repr,
+        )
+
+    for budget in (0, 47, 181, 10_000_000):
+        fast = select_token_budget(
+            df, "id", "score", "tok", budget, buckets=8, window_cap=16
+        )
+        slow = select_token_budget(
+            df, "id", "score", "tok", budget, buckets=8, window_cap=16,
+            local_threshold=0,
+        )
+        assert canon(fast) == canon(slow), f"budget={budget}"
