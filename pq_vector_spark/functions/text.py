@@ -601,6 +601,41 @@ def pii_count(col, kind: str) -> Column:
     return F.regexp_count(c, F.lit(PII_PATTERNS[kind])).cast("bigint")
 
 
+# One-shot parsed SQL forms of the n-gram featurizers (r16): building
+# these HOF trees one Column op at a time costs a py4j round trip per op,
+# paid at EVERY plan construction (DSIR fits this twice per call, winnow
+# and decontaminate once each). The SQL mirrors the Column builders
+# token-for-token — same functions, same literal placement, same CASE
+# shape — so the analyzed tree and every value are identical (pinned by
+# tests/test_text.py equivalence tests and the oracle rows of every
+# consumer). Fires only for plain string column names; Column inputs and
+# any parse failure fall back to the Column builders. `__pqlv_` lambda
+# names cannot collide with real columns (lambda scope wins regardless).
+
+
+def _sql_ident(col) -> "str | None":
+    """Backquoted SQL identifier for a plain column NAME, else None."""
+    if isinstance(col, str):
+        return "`" + col.replace("`", "``") + "`"
+    return None
+
+
+def _tokens_sql(ref: str) -> str:
+    # mirrors tokens() above: split(lower(trim(c)), '\s+')
+    return f"split(lower(trim({ref})), '\\\\s+')"
+
+
+def _token_ngrams_sql(ref: str, n: int) -> str:
+    # mirrors _token_ngrams() below, token for token
+    return (
+        f"transform(array({_tokens_sql(ref)}), __pqlv_t -> "
+        f"CASE WHEN (size(__pqlv_t) >= {int(n)}) THEN "
+        f"transform(sequence(1, greatest(size(__pqlv_t) - {int(n) - 1}, 1)), "
+        f"__pqlv_i -> concat_ws(' ', slice(__pqlv_t, __pqlv_i, {int(n)}))) "
+        f"ELSE CAST(array() AS array<string>) END)[0]"
+    )
+
+
 def _token_ngrams(col, n: int) -> Column:
     """NON-distinct token n-grams (the dedup module's ``shingles`` is
     distinct — repetition metrics need the multiplicity). Same
@@ -611,6 +646,12 @@ def _token_ngrams(col, n: int) -> Column:
     truncated pseudo-gram, no empty-string gram for empty docs) — a
     repetition filter keyed on these ratios must see NULL, not 1.0, for
     docs that have no n-grams at all."""
+    ref = _sql_ident(col)
+    if ref is not None:
+        try:
+            return F.expr(_token_ngrams_sql(ref, n))
+        except Exception:
+            pass
     return F.transform(
         F.array(tokens(col)),
         lambda toks: F.when(
@@ -633,7 +674,22 @@ def _token_ngrams_upto(col, n_max: int) -> Column:
     rewrite): at 1M docs the per-n re-tokenization was the residual cost
     of the gram explode — the regex split over the full text dominates
     per-doc work, and n_max separate ``tokens()`` subtrees paid it
-    n_max times."""
+    n_max times. String column names take the one-shot parsed SQL path
+    (identical tree — see the r16 note above ``_token_ngrams``)."""
+    ref = _sql_ident(col)
+    if ref is not None:
+        try:
+            return F.expr(
+                f"transform(array({_tokens_sql(ref)}), __pqlv_t -> "
+                f"flatten(transform(sequence(1, {int(n_max)}), __pqlv_n -> "
+                f"CASE WHEN (size(__pqlv_t) >= __pqlv_n) THEN "
+                f"transform(sequence(1, greatest(size(__pqlv_t) - "
+                f"(__pqlv_n - 1), 1)), __pqlv_i -> "
+                f"concat_ws(' ', slice(__pqlv_t, __pqlv_i, __pqlv_n))) "
+                f"ELSE CAST(array() AS array<string>) END)))[0]"
+            )
+        except Exception:
+            pass
     return F.transform(
         F.array(tokens(col)),
         lambda toks: F.flatten(

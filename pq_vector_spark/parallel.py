@@ -52,6 +52,53 @@ def local_plan_df(spark, rows, schema) -> DataFrame:
     return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
 
 
+# Memo for the partition probe below. The probe costs ~0.1-0.2 s of
+# driver time per FRESH plan (physical planning + RDD conversion), paid
+# at every plan construction of every spread call site — but for a
+# file-backed plan the answer is a pure function of the input file set
+# and the split confs, so one probe per (app, files, conf) serves every
+# later construction at inputFiles() cost (~0.02 s). A stale or
+# colliding entry can only mis-tune the SPREAD DECISION (an extra or a
+# missing round-robin exchange — speed, never values), so file-set
+# keying is safe by construction.
+_PROBE_MEMO: dict = {}
+
+
+def _plan_partitions(df: DataFrame) -> int:
+    """Partition count ``df`` would execute with, memoized per input
+    file set for file-backed plans (non-file plans probe every time)."""
+    spark = df.sparkSession
+    sc = spark.sparkContext
+    key = None
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if files:
+        try:
+            max_bytes = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        except Exception:
+            max_bytes = ""
+        key = (
+            sc.applicationId,
+            tuple(sorted(files)),
+            max_bytes,
+            sc.defaultParallelism,
+        )
+        n = _PROBE_MEMO.get(key)
+        if n is not None:
+            return n
+    try:
+        # the JVM-side RDD handle skips the Python-serializer wrapping
+        # DataFrame.rdd adds (~2x cheaper); same partition count.
+        n = df._jdf.javaToPython().getNumPartitions()
+    except Exception:
+        n = df.rdd.getNumPartitions()
+    if key is not None:
+        _PROBE_MEMO[key] = n
+    return n
+
+
 def ensure_compute_parallelism(df: DataFrame, *, min_rows: int = 0) -> DataFrame:
     """Spread ``df`` across the cluster's cores iff its plan currently
     yields fewer partitions than ``defaultParallelism``.
@@ -71,7 +118,7 @@ def ensure_compute_parallelism(df: DataFrame, *, min_rows: int = 0) -> DataFrame
     try:
         sc = df.sparkSession.sparkContext
         target = sc.defaultParallelism
-        n = df.rdd.getNumPartitions()
+        n = _plan_partitions(df)
     except Exception:
         return df
     if n >= target:

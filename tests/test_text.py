@@ -400,3 +400,37 @@ def test_token_ngrams_upto_equals_per_n_concat(spark):
             for r in docs.select("doc_id", parts.alias("g")).collect()
         }
         assert got == want, f"n_max={n_max}"
+
+
+def test_sql_rendered_ngrams_identical(spark):
+    """r16: the one-shot parsed SQL forms of _token_ngrams /
+    _token_ngrams_upto (string-name inputs) must be bit-identical to the
+    Column-op builders (Column inputs force the fallback path) —
+    including empty/NULL text, whitespace-only docs, SQL-special
+    characters, and unicode."""
+    docs = spark.createDataFrame(
+        [
+            (1, ""), (2, None), (3, "a"), (4, "  x\t y\nz  "),
+            (5, "one two three four five six"),
+            (6, "`backtick` 'quote' \\ slash % percent _ under"),
+            (7, "éü unicode tökens"), (8, "a b a b a b a b"), (9, "   "),
+        ],
+        "doc_id int, text string",
+    )
+    for label, fast, slow in (
+        ("ngrams_n1", T._token_ngrams("text", 1),
+         T._token_ngrams(F.col("text"), 1)),
+        ("ngrams_n3", T._token_ngrams("text", 3),
+         T._token_ngrams(F.col("text"), 3)),
+        ("ngrams_n9", T._token_ngrams("text", 9),
+         T._token_ngrams(F.col("text"), 9)),
+        ("upto_1", T._token_ngrams_upto("text", 1),
+         T._token_ngrams_upto(F.col("text"), 1)),
+        ("upto_2", T._token_ngrams_upto("text", 2),
+         T._token_ngrams_upto(F.col("text"), 2)),
+        ("upto_4", T._token_ngrams_upto("text", 4),
+         T._token_ngrams_upto(F.col("text"), 4)),
+    ):
+        a = docs.select(fast.alias("x")).collect()
+        b = docs.select(slow.alias("x")).collect()
+        assert a == b, label
