@@ -1310,19 +1310,26 @@ def _dedup_scale_bench(spark) -> dict:
 
     ev = docs.filter(F.col("doc_id") % 1000 == 7)
     corpus_side = docs.filter(F.col("doc_id") % 1000 != 7)
-    t0 = time.time()
-    n_clean = decontaminate(
-        corpus_side, ev, "text", n=5, min_grams=8, threshold=0.5
-    ).count()
-    decon_sec = round(time.time() - t0, 3)
+    # best-of-N + spread for the md5-heavy single-shot entries too (r16:
+    # the round's full-run record read decon_bloom_probe_sec at 144 s
+    # where an immediate standalone re-measure read 47-62 s — exactly the
+    # phantom-move class the r15 verdict's order #3 named; these probes
+    # adjudicate the bloom-vs-exact story, so they get the discipline)
+    decon_sec, decon_sec_spread, n_clean = _best_of(
+        lambda _i: decontaminate(
+            corpus_side, ev, "text", n=5, min_grams=8, threshold=0.5
+        ).count(),
+        scale_reps,
+    )
     # r14: the xxhash64 gram family on the exact path (md5 is a large
     # share of the corpus side's per-gram cost; flag parity asserted)
-    t0 = time.time()
-    n_clean_fast = decontaminate(
-        corpus_side, ev, "text", n=5, min_grams=8, threshold=0.5,
-        gram_hash="fast",
-    ).count()
-    decon_fast_sec = round(time.time() - t0, 3)
+    decon_fast_sec, decon_fast_sec_spread, n_clean_fast = _best_of(
+        lambda _i: decontaminate(
+            corpus_side, ev, "text", n=5, min_grams=8, threshold=0.5,
+            gram_hash="fast",
+        ).count(),
+        scale_reps,
+    )
     assert n_clean_fast == n_clean
 
     # Bloom-filter decontamination (r13): same eval slice compressed to a
@@ -1339,22 +1346,24 @@ def _dedup_scale_bench(spark) -> dict:
     t0 = time.time()
     bloom = build_gram_bloom(ev, "text", n=5, fpp=1e-3)
     bloom_build_sec = round(time.time() - t0, 3)
-    t0 = time.time()
-    n_bloom_clean = decontaminate_bloom(
-        corpus_side, bloom, "text", min_grams=8, threshold=None
-    ).count()
-    bloom_probe_sec = round(time.time() - t0, 3)
+    bloom_probe_sec, bloom_probe_sec_spread, n_bloom_clean = _best_of(
+        lambda _i: decontaminate_bloom(
+            corpus_side, bloom, "text", min_grams=8, threshold=None
+        ).count(),
+        scale_reps,
+    )
     # gram_hash="fast" (r14): xxhash64 instead of md5 on both sides — the
     # md5 is most of the probe's per-gram cost; survivor parity with the
     # portable family is asserted (both FP-free at this filter size)
     t0 = time.time()
     bloom_fast = build_gram_bloom(ev, "text", n=5, fpp=1e-3, gram_hash="fast")
     bloom_fast_build_sec = round(time.time() - t0, 3)
-    t0 = time.time()
-    n_bloom_fast = decontaminate_bloom(
-        corpus_side, bloom_fast, "text", min_grams=8, threshold=None
-    ).count()
-    bloom_fast_probe_sec = round(time.time() - t0, 3)
+    bloom_fast_probe_sec, bloom_fast_probe_sec_spread, n_bloom_fast = _best_of(
+        lambda _i: decontaminate_bloom(
+            corpus_side, bloom_fast, "text", min_grams=8, threshold=None
+        ).count(),
+        scale_reps,
+    )
     assert n_bloom_fast == n_bloom_clean
 
     # The 10^7-gram regime the Bloom operator EXISTS for (r13 verdict #7):
@@ -1765,12 +1774,16 @@ def _dedup_scale_bench(spark) -> dict:
         "qc_score_sec_spread": qc_score_spread,
         "qc_pred_true": int(n_qc_pos),
         "decon_sec": decon_sec,
+        "decon_sec_spread": decon_sec_spread,
         "decon_fast_sec": decon_fast_sec,
+        "decon_fast_sec_spread": decon_fast_sec_spread,
         "decon_bloom_build_sec": bloom_build_sec,
         "decon_bloom_probe_sec": bloom_probe_sec,
+        "decon_bloom_probe_sec_spread": bloom_probe_sec_spread,
         "decon_bloom_survivors": int(n_bloom_clean),
         "decon_bloom_fast_build_sec": bloom_fast_build_sec,
         "decon_bloom_fast_probe_sec": bloom_fast_probe_sec,
+        "decon_bloom_fast_probe_sec_spread": bloom_fast_probe_sec_spread,
         "decon_bloom_grams": int(bloom["n_grams"]),
         "decon_bloom_bytes": int(bloom["bits"].nbytes),
         "decon_survivors": int(n_clean),
