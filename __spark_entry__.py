@@ -310,7 +310,7 @@ def _knn_ivf_approx(spark, sf_dir):
 def _ann_cosine(spark, sf_dir):
     q = _qvec(spark, sf_dir, 1)
     emb = _emb(spark, sf_dir)
-    scored = emb.withColumn("cosine", cosine_similarity(F.col("embedding"), list(q)))
+    scored = emb.withColumn("cosine", cosine_similarity("embedding", list(q)))
     return (
         scored.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
         .limit(K)
@@ -328,7 +328,7 @@ def _ann_dot(spark, sf_dir):
 
     q = _qvec(spark, sf_dir, 1)
     emb = _emb(spark, sf_dir)
-    scored = emb.withColumn("dot", dot_product(F.col("embedding"), list(q)))
+    scored = emb.withColumn("dot", dot_product("embedding", list(q)))
     return (
         scored.orderBy(F.col("dot").desc(), F.col("vec_id").asc())
         .limit(K)

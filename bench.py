@@ -768,7 +768,7 @@ def _scale_bench(spark) -> dict:
     from pq_vector_spark.functions.distance import cosine_similarity
 
     def _cos_brute():
-        scored = emb.withColumn("_c", cosine_similarity(F.col("embedding"), list(qvec)))
+        scored = emb.withColumn("_c", cosine_similarity("embedding", list(qvec)))
         return [
             r["vec_id"]
             for r in scored.orderBy(F.col("_c").desc(), F.col("vec_id").asc())

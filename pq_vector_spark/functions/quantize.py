@@ -265,7 +265,8 @@ def binary_topk(
         .limit(int(k) * int(oversample))
     )
     out = shortlist.withColumn(
-        DISTANCE_COL, array_distance(F.col(col), [float(x) for x in query])
+        # string name, not F.col(...): lets the one-shot SQL render fire (r16)
+        DISTANCE_COL, array_distance(col, [float(x) for x in query])
     )
     order2 = [F.col(DISTANCE_COL).asc()]
     if tie_break is not None:
@@ -324,7 +325,7 @@ def binary_topk_with_fetch(
         order2.append(F.col(tie_break).asc())
     out = (
         fetched.withColumn(
-            DISTANCE_COL, array_distance(F.col(column), [float(x) for x in query])
+            DISTANCE_COL, array_distance(column, [float(x) for x in query])
         )
         .orderBy(*order2)
         .limit(k)

@@ -370,12 +370,13 @@ def indexed_topk(
         from pq_vector_spark.functions.distance import cosine_similarity
 
         out = cands.withColumn(
-            DISTANCE_COL, cosine_similarity(F.col(idx.meta["column"]), [float(x) for x in q])
+            # string name, not F.col(...): lets the one-shot SQL render fire (r16)
+            DISTANCE_COL, cosine_similarity(idx.meta["column"], [float(x) for x in q])
         )
         order = [F.col(DISTANCE_COL).desc()]
     else:
         out = cands.withColumn(
-            DISTANCE_COL, array_distance(F.col(idx.meta["column"]), list(q))
+            DISTANCE_COL, array_distance(idx.meta["column"], list(q))
         )
         order = [F.col(DISTANCE_COL).asc()]
     if tie_break is not None:
@@ -419,7 +420,7 @@ def ivf_topk_adhoc(
 
     assigned = assign_clusters(df, column, centroids)
     cands = assigned.filter(F.col(CLUSTER_COL).isin(list(probed)))
-    out = cands.withColumn(DISTANCE_COL, array_distance(F.col(column), list(q)))
+    out = cands.withColumn(DISTANCE_COL, array_distance(column, list(q)))
     order = [F.col(DISTANCE_COL).asc()]
     if tie_break is not None:
         order.append(F.col(tie_break).asc())

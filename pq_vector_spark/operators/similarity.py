@@ -34,7 +34,11 @@ def cosine_topk(
 ) -> DataFrame:
     """Top-k rows by cosine similarity to a literal query vector —
     TakeOrderedAndProject plan, same shape as L2 brute force."""
-    scored = df.withColumn("cosine", cosine_similarity(F.col(vec_col), list(query)))
+    # pass the NAME, not F.col(...): the one-shot SQL render of the
+    # unrolled chain (distance.py:_unrolled_expr) only fires for plain
+    # string names — a Column input costs ~dim×3 py4j round trips of
+    # fallback Column building per plan (r16)
+    scored = df.withColumn("cosine", cosine_similarity(vec_col, list(query)))
     order = [F.col("cosine").desc()]
     if id_col:
         order.append(F.col(id_col).asc())

@@ -46,7 +46,8 @@ def brute_force_topk(
     semantics: WHERE clauses rank only surviving rows,
     src/df_vector/tests.rs:152-241).
     """
-    d = array_distance(F.col(column), list(query))
+    # string name, not F.col(...): lets the one-shot SQL render fire (r16)
+    d = array_distance(column, list(query))
     out = df
     if pre_filter is not None:
         out = out.filter(pre_filter)

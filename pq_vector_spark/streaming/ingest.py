@@ -455,10 +455,11 @@ def indexed_topk_with_pending(
     col = column or load_index(spark, indexed_path).meta["column"]
     pend = spark.read.parquet(*dirs)
     if metric == "cosine":
-        d = cosine_similarity(F.col(col), [float(x) for x in query])
+        # string name, not F.col(...): lets the one-shot SQL render fire (r16)
+        d = cosine_similarity(col, [float(x) for x in query])
         order = [F.col(DISTANCE_COL).desc()]
     else:
-        d = array_distance(F.col(col), list(query))
+        d = array_distance(col, list(query))
         order = [F.col(DISTANCE_COL).asc()]
     if tie_break is not None:
         order.append(F.col(tie_break).asc())
