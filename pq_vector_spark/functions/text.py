@@ -429,7 +429,8 @@ def ngram_doc_frequency(df, text_col: str, n: int = 3, top: int = 20):
     """
     from pq_vector_spark.operators.dedup import shingles  # runtime: avoids cycle
 
-    ex = df.select(F.explode(shingles(F.col(text_col), n)).alias("ngram"))
+    # string name, not F.col(...): lets the one-shot SQL render fire (r16)
+    ex = df.select(F.explode(shingles(text_col, n)).alias("ngram"))
     return (
         ex.groupBy("ngram")
         .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
