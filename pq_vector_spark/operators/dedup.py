@@ -271,59 +271,36 @@ def _expand_sorted_member_pairs(
     """``_expand_sorted_id_pairs`` generalized to STRUCT members: buckets
     of sorted member structs → within-bucket ordered pair rows
     ``(_a struct, _b struct)`` with _a before _b in the sorted order.
-    Same small/big hybrid and for the same reason (r16, ordered by the
-    r15 verdict): below ``small_cap`` the single-row
-    flatten-of-comprehension is one whole-stage-codegen generator; above
-    it, per-anchor suffix arrays so NO single row ever holds a bucket's
-    C(n, 2) pair set — a hot shingle shared by >65,536 docs would push
-    ``flatten`` past the 2^31 array limit (deterministic failure) and
-    allocate ~50M-struct rows well before that.
 
-    Unlike ``_expand_sorted_id_pairs``' filter-twice-and-union shape,
-    the split here is ONE plan: explode each bucket into "blocks" (a
-    single block for a small bucket, one per anchor index for a big
-    one), then explode a CASE-selected pair array per block. The union
-    form consumes its input TWICE — fine downstream of the persisted
-    signature table its callers cache, but here it would re-run the
-    corpus scan AND the shingle exchange (measured: 2 scans + 2 shingle
-    exchanges, exactly the duplication the r15 reshape removed). The
-    CASE branches are codegen-lazy, so small buckets never build
-    per-anchor arrays and big buckets never build the C(n,2) flatten.
-    Callers must have filtered size >= 2 already."""
+    r16 shape (this optimization round): TWO chained generators in ONE
+    plan — posexplode every non-final member as an anchor, then explode
+    the suffix slice after it. Both Generate nodes fuse into one
+    whole-stage-codegen nested loop, so no pair array is ever BUILT at
+    all: the previous flatten-of-transforms comprehension allocated each
+    bucket's C(n, 2) struct array before exploding it (~2.3 µs/pair,
+    measured 1.17 s for the sf0.1 jaccard expansion vs 0.72 s for this
+    shape), and the r13 small/big hybrid existed only to keep that
+    allocation under the 2^31 single-row array limit. Here the widest
+    row is one bucket's member array (exactly what the old big path
+    carried per block row), so hot shingles stream by construction —
+    ``small_cap`` is retained for signature compatibility but no size
+    cut is needed; every bucket takes the same streaming path.
+    Callers must have filtered size >= 2 already (a size-0/1 bucket
+    emits nothing either way — the anchor slice is empty)."""
     m = F.col(members_col)
-    blocks = grouped.select(
+    anchors = grouped.select(
         m.alias("_xp_m"),
-        F.size(m).alias("_xp_sz"),
-        F.explode(
-            F.sequence(
-                F.lit(1),
-                F.when(F.size(m) <= small_cap, F.lit(1)).otherwise(
-                    F.size(m) - 1
-                ),
-            )
-        ).alias("_xp_i"),
+        F.posexplode(
+            F.slice(m, 1, F.greatest(F.size(m) - 1, F.lit(0)))
+        ).alias("_xp_i", "_xp_a"),
     )
     mm = F.col("_xp_m")
-    small_arr = F.flatten(
-        F.transform(
-            mm,
-            lambda x, i: F.transform(
-                F.slice(mm, i + 2, F.greatest(F.size(mm) - i - 1, F.lit(0))),
-                lambda y: F.struct(x.alias("_a"), y.alias("_b")),
-            ),
-        )
-    )
-    big_arr = F.transform(
-        F.slice(mm, F.col("_xp_i") + 1, F.size(mm) - F.col("_xp_i")),
-        lambda y: F.struct(
-            F.element_at(mm, F.col("_xp_i")).alias("_a"), y.alias("_b")
-        ),
-    )
-    return blocks.select(
+    return anchors.select(
+        F.col("_xp_a").alias("_a"),
         F.explode(
-            F.when(F.col("_xp_sz") <= small_cap, small_arr).otherwise(big_arr)
-        ).alias("_p")
-    ).select(F.col("_p._a").alias("_a"), F.col("_p._b").alias("_b"))
+            F.slice(mm, F.col("_xp_i") + 2, F.size(mm) - F.col("_xp_i") - 1)
+        ).alias("_b"),
+    )
 
 
 def ngram_jaccard_pairs(
@@ -353,12 +330,12 @@ def ngram_jaccard_pairs(
     engines.
 
     Hot-shingle safety (r16, ordered by the r15 verdict): pair expansion
-    routes through ``_expand_sorted_member_pairs`` — buckets up to
-    ``small_cap`` members take the single-row flatten fast path, bigger
-    buckets stream via anchor-index + suffix explodes, so a boilerplate
-    shingle shared by 100k docs degrades to quadratic-but-streaming
-    output (like the old self-join did) instead of failing on the 2^31
-    single-row array limit past ~65,536 members.
+    routes through ``_expand_sorted_member_pairs`` — a two-generator
+    anchor + suffix-slice explode in one fused codegen loop, so no row
+    ever holds a bucket's C(n, 2) pair set: a boilerplate shingle shared
+    by 100k docs degrades to quadratic-but-streaming output (like the
+    old self-join did) instead of failing on the 2^31 single-row array
+    limit past ~65,536 members.
 
     Group keys are 60-bit md5-derived shingle hashes, not strings — an
     8-byte shuffle key instead of a ~20-byte string (the oracle hashes
@@ -415,72 +392,37 @@ def _expand_sorted_id_pairs(
     grouped: DataFrame, ids_col: str = "_ids", small_cap: int = 1024
 ) -> DataFrame:
     """Buckets of SORTED member ids → within-bucket ordered (id_a, id_b)
-    pairs, id_a < id_b — HYBRID by bucket size (r13 follow-up to the
-    ADVICE-r12 safety fix, which cost ~2× wall on winnow at 1M docs):
+    pairs, id_a < id_b.
 
-    - size ≤ ``small_cap`` (the overwhelming majority of real buckets):
-      the single-row flatten-of-structs comprehension — one generator,
-      whole-stage codegen, at most C(small_cap, 2) ≈ 524k structs per row
-      (a few MB, far under Spark's 2^31 array-size limit).
-    - size > ``small_cap`` (degenerate/hot buckets): one pair-array per
-      ANCHOR index — so no single row ever holds a bucket's full C(n, 2)
-      pair set. At max_bucket=10k the old single-row path allocated a
-      ~50M-struct row, and past ~65,536 members ``flatten`` exceeded the
-      2^31 array limit and failed deterministically in exactly the case
-      the cap bounds.
-
-    r16 reshape: the two branches merge into ONE plan — explode each
-    bucket into "blocks" (a single block when small, one per anchor
-    index when big), then explode a CASE-selected pair array per block.
-    The previous filter-twice-and-union form consumed ``grouped`` TWICE,
-    which re-ran the banding aggregation (its exchange included) once
-    per branch on every caller whose input wasn't already persisted —
-    and even cached callers paid a second cache scan + agg. Both
-    branches emit identical pairs; CASE branches are codegen-lazy, so
-    small buckets never build per-anchor arrays and big buckets never
-    build the C(n, 2) flatten. Measured at 1M docs (best-of-2, quiet
-    host): winnow 60.7 → 54.4 s, minhash 100.6 → 105.0 s (parity —
-    within its 15-21% run spread; its input was already persisted, so
-    the union's duplicate agg was cache-fed there). Callers must have
-    filtered size >= 2 already; pairs are emitted once per bucket
-    (dedupe across buckets stays the caller's job)."""
+    r16 reshape (this optimization round): TWO chained generators in ONE
+    plan — posexplode every non-final id as an anchor, then explode the
+    suffix slice after it (see ``_expand_sorted_member_pairs``). The
+    Generate nodes fuse into one whole-stage-codegen nested loop, so no
+    pair array is ever BUILT: the previous flatten-of-transforms
+    comprehension allocated each bucket's C(n, 2) struct array before
+    exploding it (~2.3 µs/pair — it was the dominant cost of the sf0.1
+    jaccard/minhash/winnow pair stages), and the small/big hybrid
+    existed only to keep that allocation under the 2^31 single-row
+    array limit. The widest row here is one bucket's id array (exactly
+    what the old big path carried per block row), so hot buckets stream
+    by construction; ``small_cap`` is retained for signature
+    compatibility but no size cut is needed. Callers must have filtered
+    size >= 2 already; pairs are emitted once per bucket (dedupe across
+    buckets stays the caller's job)."""
     ids = F.col(ids_col)
-    blocks = grouped.select(
+    anchors = grouped.select(
         ids.alias("_xp_ids"),
-        F.size(ids).alias("_xp_sz"),
-        F.explode(
-            F.sequence(
-                F.lit(1),
-                F.when(F.size(ids) <= small_cap, F.lit(1)).otherwise(
-                    F.size(ids) - 1
-                ),
-            )
-        ).alias("_xp_i"),
+        F.posexplode(
+            F.slice(ids, 1, F.greatest(F.size(ids) - 1, F.lit(0)))
+        ).alias("_xp_i", "_xp_a"),
     )
     bids = F.col("_xp_ids")
-    small_arr = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), F.size(bids) - 1),
-            lambda i: F.transform(
-                F.slice(bids, i + 1, F.size(bids)),
-                lambda b: F.struct(
-                    F.element_at(bids, i).alias("id_a"), b.alias("id_b")
-                ),
-            ),
-        )
-    )
-    big_arr = F.transform(
-        F.slice(bids, F.col("_xp_i") + 1, F.size(bids) - F.col("_xp_i")),
-        lambda b: F.struct(
-            F.element_at(bids, F.col("_xp_i")).alias("id_a"),
-            b.alias("id_b"),
-        ),
-    )
-    return blocks.select(
+    return anchors.select(
+        F.col("_xp_a").alias("id_a"),
         F.explode(
-            F.when(F.col("_xp_sz") <= small_cap, small_arr).otherwise(big_arr)
-        ).alias("_p")
-    ).select(F.col("_p.id_a").alias("id_a"), F.col("_p.id_b").alias("id_b"))
+            F.slice(bids, F.col("_xp_i") + 2, F.size(bids) - F.col("_xp_i") - 1)
+        ).alias("id_b"),
+    )
 
 
 def minhash_lsh_pairs(
