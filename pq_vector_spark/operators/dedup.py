@@ -773,15 +773,29 @@ def embedding_near_dup_bucketed(
         pairs = _cluster_gram_pairs(pe, threshold, max_cluster)
         return pairs.groupBy("id_a", "id_b").agg(F.max("cosine").alias("cosine"))
     if complete:
-        cands = _cluster_gram_pairs(
-            df.select(
-                F.col(id_col).alias("_id"),
-                F.col(vec_col).alias("_v"),
-                F.lit(0).alias("_c"),
-            ),
-            threshold - 1e-9,
-            max_cluster,
-        ).select("id_a", "id_b")
+        pe = df.select(
+            F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+        )
+        nb = _gram_block_count(df.sparkSession)
+        if (
+            nb > 1
+            and stats.rows > 2048
+            and (max_cluster is None or stats.rows <= max_cluster)
+        ):
+            # parallel blocked candidate discovery (r16): the margin +
+            # exact-cosine re-verify below make last-ulp GEMM-shape
+            # differences harmless; truncation (which is global
+            # first-N-by-id) never binds on this branch. Gated on the
+            # kernel's own tile boundary (a sub-tile block is one small
+            # GEMM — measured 1.14 → 1.47 s at 2k rows when blocked, the
+            # per-group Arrow/pandas overheads dwarfing the compute)
+            cands = _blocked_gram_candidates(pe, threshold - 1e-9, nb)
+        else:
+            cands = _cluster_gram_pairs(
+                pe.withColumn("_c", F.lit(0)),
+                threshold - 1e-9,
+                max_cluster,
+            ).select("id_a", "id_b")
         if _stats is not None:
             _stats["capped_clusters"] = int(
                 max_cluster is not None and stats.rows > max_cluster
@@ -800,6 +814,131 @@ def embedding_near_dup_bucketed(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def _blocked_gram_candidates(
+    pe: DataFrame, threshold: float, n_blocks: int, *, tile: int = 2048
+) -> DataFrame:
+    """Candidate discovery for the COMPLETE exactness-envelope block,
+    parallelized (r16, this optimization round): the single complete
+    block otherwise evaluates its whole Gram matrix in ONE task. Rows
+    split into ``n_blocks`` deterministic id-hash blocks; every
+    unordered block pair (i <= j) is its own ``applyInPandas`` group, so
+    the Gram work spreads over B(B+1)/2 tasks at the cost of shipping
+    each (id, vector) row B times. Emits each qualifying (id_a < id_b)
+    pair EXACTLY once — the diagonal group (i, i) computes its
+    upper triangle, an off-diagonal group (i, j) the full cross product
+    between its two blocks (a pair's blocks determine its one group).
+
+    Only for the margined-candidate path (caller re-verifies with the
+    exact SQL cosine): different GEMM shapes may round last-ulp
+    differently than the one-block kernel, which the caller's 1e-9
+    margin absorbs — the ``method="gram"`` path, whose BLAS cosines are
+    the OUTPUT, keeps the one-block kernel. Callers must not need
+    ``max_cluster`` truncation (its first-N-by-id semantics are global,
+    not per-block)."""
+    import pandas as pd  # noqa: F401 — worker-side dependency, import-checked here
+
+    from pyspark.sql.types import StructField, StructType
+
+    id_field = pe.schema["_id"]
+    out_schema = StructType(
+        [
+            StructField("id_a", id_field.dataType),
+            StructField("id_b", id_field.dataType),
+        ]
+    )
+    blk = F.pmod(F.xxhash64(F.col("_id")), F.lit(n_blocks)).cast("int")
+    rep = (
+        pe.withColumn("_blk", blk)
+        .withColumn(
+            "_k", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1)))
+        )
+        .select(
+            F.least("_blk", "_k").alias("_gi"),
+            F.greatest("_blk", "_k").alias("_gj"),
+            "_blk",
+            "_id",
+            "_v",
+        )
+    )
+
+    def gram(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        def prep(sub):
+            ids = sub["_id"].to_numpy()
+            if len(ids) == 0:
+                return ids, None
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            vecs = sub["_v"].to_numpy()[order]
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+            norms = np.linalg.norm(X, axis=1)
+            norms[norms == 0.0] = 1.0
+            return ids, X / norms[:, None]
+
+        empty = pd.DataFrame({"id_a": [], "id_b": []})
+        gi, gj = int(key[0]), int(key[1])
+        out_a, out_b = [], []
+        if gi == gj:
+            ids, Xn = prep(pdf)
+            n = len(ids)
+            if n < 2:
+                return empty
+            for i0 in range(0, n, tile):
+                ai = Xn[i0 : i0 + tile]
+                for j0 in range(i0, n, tile):
+                    g = ai @ Xn[j0 : j0 + tile].T
+                    if j0 == i0:
+                        g = np.triu(g, k=1)
+                        hit = np.argwhere(g >= threshold)
+                        if threshold <= 0.0 and len(hit):
+                            hit = hit[hit[:, 1] > hit[:, 0]]
+                    else:
+                        hit = np.argwhere(g >= threshold)
+                    if len(hit):
+                        out_a.append(ids[i0 + hit[:, 0]])
+                        out_b.append(ids[j0 + hit[:, 1]])
+            if not out_a:
+                return empty
+            return pd.DataFrame(
+                {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+            )
+        ia, Xa = prep(pdf[pdf["_blk"] == gi])
+        ib, Xb = prep(pdf[pdf["_blk"] == gj])
+        if len(ia) == 0 or len(ib) == 0:
+            return empty
+        for i0 in range(0, len(ia), tile):
+            ai = Xa[i0 : i0 + tile]
+            for j0 in range(0, len(ib), tile):
+                g = ai @ Xb[j0 : j0 + tile].T
+                hit = np.argwhere(g >= threshold)
+                if len(hit):
+                    out_a.append(ia[i0 + hit[:, 0]])
+                    out_b.append(ib[j0 + hit[:, 1]])
+        if not out_a:
+            return empty
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        # cross-block pairs arrive in arbitrary id order — normalize
+        swap = a > b
+        return pd.DataFrame(
+            {"id_a": np.where(swap, b, a), "id_b": np.where(swap, a, b)}
+        )
+
+    return rep.groupBy("_gi", "_gj").applyInPandas(gram, out_schema)
+
+
+def _gram_block_count(spark) -> int:
+    """Smallest B with B(B+1)/2 >= defaultParallelism — enough unordered
+    block pairs to fill a core wave, scale-adaptive (never tuned to a
+    fixed core count)."""
+    import math
+
+    p = max(1, spark.sparkContext.defaultParallelism)
+    return max(1, math.ceil((math.sqrt(8.0 * p + 1.0) - 1.0) / 2.0))
 
 
 def _count_capped_clusters(
@@ -1124,16 +1263,26 @@ def semantic_dedup(
         if complete:
             # gram-BLAS candidate discovery at a 1e-9 margin + exact SQL
             # cosine verify — see embedding_near_dup_bucketed's complete
-            # path for why (one-block expansion would run in one task)
-            cands = _cluster_gram_pairs(
-                df.select(
-                    F.col(id_col).alias("_id"),
-                    F.col(vec_col).alias("_v"),
-                    F.lit(0).alias("_c"),
-                ),
-                (1.0 - eps) - 1e-9,
-                max_cluster,
-            ).select("id_a", "id_b")
+            # path for why; blocked across id-hash block pairs (r16) so
+            # the one complete block does not run in a single task
+            pe = df.select(
+                F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+            )
+            nb = _gram_block_count(spark)
+            if (
+                nb > 1
+                and stats.rows > 2048
+                and (max_cluster is None or stats.rows <= max_cluster)
+            ):
+                # blocked only past one kernel tile — see
+                # embedding_near_dup_bucketed's complete branch
+                cands = _blocked_gram_candidates(pe, (1.0 - eps) - 1e-9, nb)
+            else:
+                cands = _cluster_gram_pairs(
+                    pe.withColumn("_c", F.lit(0)),
+                    (1.0 - eps) - 1e-9,
+                    max_cluster,
+                ).select("id_a", "id_b")
             if _stats is not None:
                 _stats["capped_clusters"] = int(
                     max_cluster is not None and stats.rows > max_cluster
@@ -1193,6 +1342,30 @@ def semantic_dedup(
         prefer="min" if keep == "outlier" else "max",
     )
     return out.drop("_sd_cos")
+
+
+def _bounded_take(df: DataFrame, n: int) -> list:
+    """``df.take(n)`` probing a FULL core-wave first. take() defaults to
+    probing ONE output partition and growing 4× per wave
+    (``spark.sql.limit.initialNumPartitions=1``) — right for take(5) on a
+    huge table, wrong for the bounded-capture pattern where the expected
+    outcome is "all partitions fit": each extra wave re-runs the reduce
+    side of the upstream pipeline. Scoped to this one action; the conf is
+    restored even on failure."""
+    spark = df.sparkSession
+    _k = "spark.sql.limit.initialNumPartitions"
+    try:
+        _old = spark.conf.get(_k)
+    except Exception:
+        _old = None
+    spark.conf.set(_k, str(spark.sparkContext.defaultParallelism))
+    try:
+        return df.take(n)
+    finally:
+        if _old is None:
+            spark.conf.unset(_k)
+        else:
+            spark.conf.set(_k, _old)
 
 
 def _local_components(spark, rows, src_type) -> DataFrame:
@@ -1291,26 +1464,11 @@ def connected_components(
         # directed edges — strictly more conservative (a duplicate-heavy
         # graph falls back to the distributed path earlier, never later),
         # and the driver footprint stays ≤ threshold+1 rows either way.
-        # take() defaults to probing ONE output partition and growing 4×
-        # per wave (spark.sql.limit.initialNumPartitions=1) — right for
-        # take(5) on a huge table, wrong here where the expected outcome
-        # is "all partitions fit": each extra wave re-runs the reduce
-        # side of the pair pipeline. Probe a full core-wave first, scoped
-        # to this one action.
-        spark = pairs.sparkSession
-        _k = "spark.sql.limit.initialNumPartitions"
-        try:
-            _old = spark.conf.get(_k)
-        except Exception:
-            _old = None
-        spark.conf.set(_k, str(spark.sparkContext.defaultParallelism))
-        try:
-            rows = base.take(local_threshold + 1)
-        finally:
-            if _old is None:
-                spark.conf.unset(_k)
-            else:
-                spark.conf.set(_k, _old)
+        # Probe a full core-wave first, scoped to this one action
+        # (_bounded_take): the expected outcome is "all partitions fit",
+        # and each default 1→4→16 wave re-runs the reduce side of the
+        # pair pipeline.
+        rows = _bounded_take(base, local_threshold + 1)
         if len(rows) <= local_threshold:
             return _local_components(
                 pairs.sparkSession, rows, base.schema["_src"].dataType
@@ -2072,19 +2230,7 @@ def remove_repeated_paragraphs(
     # (the count is what materializes the cache / feeds hot_fingerprints).
     if _caches is None and _stats is None:
         spark = df.sparkSession
-        _k = "spark.sql.limit.initialNumPartitions"
-        try:
-            _old = spark.conf.get(_k)
-        except Exception:
-            _old = None
-        spark.conf.set(_k, str(spark.sparkContext.defaultParallelism))
-        try:
-            rows = hot.take(broadcast_threshold + 1)
-        finally:
-            if _old is None:
-                spark.conf.unset(_k)
-            else:
-                spark.conf.set(_k, _old)
+        rows = _bounded_take(hot, broadcast_threshold + 1)
         small = len(rows) <= broadcast_threshold
         if small:
             from pq_vector_spark.parallel import local_plan_df
@@ -2092,6 +2238,14 @@ def remove_repeated_paragraphs(
             hot = local_plan_df(
                 spark, [(r[0],) for r in rows], hot.schema
             )
+            # (r16, this optimization round: a SECOND bounded capture of
+            # the flagged id set — ex ⋈ literal-hot semi → distinct →
+            # take, re-injected like the fingerprints — was measured and
+            # REVERTED: 2.16 → 2.56 s at sf0.1. The capture's own pass
+            # costs more than the final plan sheds: collect-time dropped
+            # 1.30 → 0.88 s but construction paid 0.86 → 1.68 s — the
+            # distinct exchange + AQE stages just moved from the query
+            # plan into an extra eager action.)
         else:
             import logging
 

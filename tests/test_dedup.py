@@ -943,6 +943,44 @@ def test_expand_sorted_id_pairs_streams_full_pair_set(spark):
     assert _expand_sorted_id_pairs(dup).count() == 2
 
 
+def test_blocked_gram_candidates_matches_one_block(spark):
+    """r16: the blocked complete-block candidate kernel (unordered
+    block-pair groups) emits the IDENTICAL candidate pair set as the
+    one-block gram kernel, each pair exactly once with id_a < id_b —
+    including planted near-dup pairs that straddle id-hash blocks and a
+    zero vector. Called directly (below the size gate) with several
+    block counts so diagonal and off-diagonal groups both carry pairs."""
+    import numpy as np
+
+    from pq_vector_spark.operators.dedup import (
+        _blocked_gram_candidates,
+        _cluster_gram_pairs,
+    )
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(30, 6))
+    rows = [(int(i), [float(x) for x in base[i]]) for i in range(30)]
+    for i in range(8):
+        rows.append((30 + i, [float(x * 1.0002 + 0.0005) for x in base[i]]))
+    rows.append((99, [0.0] * 6))  # zero vector: cosine 0 vs everything
+    df = spark.createDataFrame(rows, "_id BIGINT, _v ARRAY<FLOAT>")
+    want = sorted(
+        (r["id_a"], r["id_b"])
+        for r in _cluster_gram_pairs(
+            df.withColumn("_c", F.lit(0)), 0.97, None
+        ).select("id_a", "id_b").collect()
+    )
+    assert len(want) >= 8
+    for nb in (2, 3, 5):
+        got = [
+            (r["id_a"], r["id_b"])
+            for r in _blocked_gram_candidates(df, 0.97, nb).collect()
+        ]
+        assert sorted(got) == want  # same set
+        assert len(got) == len(set(got))  # exactly once
+        assert all(a < b for a, b in got)
+
+
 def test_gram_method_matches_expand(spark):
     """method="gram" (per-cluster tiled Gram matrix — the 100 TB path)
     returns the same pair SET as method="expand" with cosines equal to
