@@ -2323,12 +2323,28 @@ def remove_repeated_paragraphs(
     # join, never corpus-keyed)
     fl = flagged.withColumnRenamed("_rp_id", id_col)
     untouched = df.join(bc(fl), id_col, "left_anti")
-    touched = (
-        df.join(bc(fl), id_col, "left_semi")
-        .join(rewritten, F.col(id_col) == rewritten["_rp_id"], "left")
-        .withColumn(text_col, F.coalesce(F.col("_rp_txt"), F.col(text_col)))
-        .drop("_rp_id", "_rp_txt")
-    )
+    if set(df.columns) == {id_col, text_col}:
+        # (id, text)-only frames (r16): ``rewritten`` already carries
+        # exactly the flagged rows' id + cleaned text — every flagged id
+        # reaches the groupBy via ``scoped``, and ``_rp_txt`` is never
+        # NULL there (an all-hot doc aggregates to "") — so the
+        # df-semi-join + left-join re-derivation of the input exists only
+        # to carry EXTRA columns. Skipping it removes one full derivation
+        # of ``df``'s lineage (a scan + any upstream joins) from the
+        # plan. Like the rest of this family, ids are assumed unique
+        # (the wide-frame path replicates a duplicate id's rewritten
+        # text per row; this shortcut, like ``rewrite_all``'s groupBy,
+        # collapses it).
+        touched = rewritten.select(
+            F.col("_rp_id").alias(id_col), F.col("_rp_txt").alias(text_col)
+        )
+    else:
+        touched = (
+            df.join(bc(fl), id_col, "left_semi")
+            .join(rewritten, F.col(id_col) == rewritten["_rp_id"], "left")
+            .withColumn(text_col, F.coalesce(F.col("_rp_txt"), F.col(text_col)))
+            .drop("_rp_id", "_rp_txt")
+        )
     return untouched.unionByName(touched)
 
 

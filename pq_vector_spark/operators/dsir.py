@@ -113,6 +113,7 @@ def dsir_importance_weights(
     buckets: int = 10_000,
     smoothing: float = 0.5,
     bucket_hash: str = "portable",
+    _attach_to: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Per-document DSIR log importance weight vs ``target``: returns
     (``id_col``, ``log_weight``) with ``log_weight`` quantized to 1e-9
@@ -244,6 +245,17 @@ def dsir_importance_weights(
         .groupBy("_id")
         .agg(F.sum(F.col("_llr")).alias("_lw"))
     )
+    if _attach_to is not None:
+        # dsir_select's private fast path (r16): attach the nano sum to
+        # the caller's frame with ONE left join instead of the public
+        # contract's ids-frame join followed by the caller's own
+        # df ⋈ weights join — same rows for unique ids (the family
+        # assumption), one fewer corpus-keyed join at any scale.
+        return _attach_to.join(
+            scored.withColumnRenamed("_id", id_col), id_col, "left"
+        ).withColumn(
+            "log_weight", F.col("_lw").cast("double") / F.lit(1e9)
+        ).drop("_lw")
     ids = df.select(F.col(id_col).alias("_id"))
     return (
         ids.join(scored, "_id", "left")
@@ -296,12 +308,11 @@ def dsir_select(
     instead of a global heap."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    w = dsir_importance_weights(
+    out = dsir_importance_weights(
         df, text_col, id_col, target, target_text_col,
         n_max=n_max, buckets=buckets, smoothing=smoothing,
-        bucket_hash=bucket_hash,
+        bucket_hash=bucket_hash, _attach_to=df,
     )
-    out = df.join(w, id_col)
     if gumbel:
         u = (hash_bucket(id_col, salt).cast("double") + F.lit(0.5)) / F.lit(
             float(BUCKETS)
