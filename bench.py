@@ -661,16 +661,22 @@ def _scale_bench(spark) -> dict:
     reps = int(os.environ.get("PQ_BENCH_SCALE_REPS", "3"))
     k, nprobe = 100, 16
 
-    def best_of(fn):
+    def best_of(fn, n=None):
         """min-of-N timing (one untimed warmup already ran) — the scale
         numbers are single queries, so GC/worker-pool jitter dominates a
-        single shot; min over reps is what criterion-style harnesses report."""
-        best, result = float("inf"), None
-        for _ in range(reps):
+        single shot; min over reps is what criterion-style harnesses
+        report. r17 (verdict #4): also returns the (max-min)/min spread
+        so a contended entry flags itself on the record — the r15/r16
+        records showed 1.3-2.5× phantom moves on untouched code in the
+        single-shot/unspread vector entries."""
+        times, result = [], None
+        for _ in range(n or reps):
             t = time.time()
             result = fn()
-            best = min(best, time.time() - t)
-        return round(best, 3), result
+            times.append(time.time() - t)
+        best = min(times)
+        spread = round((max(times) - best) / best, 3) if best > 0 else 0.0
+        return round(best, 3), spread, result
     t0 = time.time()
     src = generate(n_rows, dim)
     gen_sec = round(time.time() - t0, 3)  # ~0 when cached
@@ -688,13 +694,30 @@ def _scale_bench(spark) -> dict:
         ]
 
     _brute()  # warm (codegen + python workers), as for the headline queries
-    brute_sec, truth = best_of(_brute)
+    brute_sec, brute_spread, truth = best_of(_brute)
 
     out_path = os.path.join(os.path.dirname(src), f"scale_idx_{n_rows}x{dim}")
-    shutil.rmtree(out_path, ignore_errors=True)
-    t0 = time.time()
-    meta = build_index(spark, src, out_path, column="embedding")
-    build_sec = round(time.time() - t0, 3)
+    # r17 (verdict #4): index build is best-of-N with a recorded spread —
+    # the r15/r16 records showed 1.3-2.5× phantom moves on this untouched
+    # entry from single-shot timing on a drifting host. Each rep rebuilds
+    # into the SAME fresh path (rmtree first) so every rep pays the full
+    # write; the build is seed-deterministic, so the layout any rep leaves
+    # behind is the one downstream sections probe. Its own reps knob
+    # (default 2): a build is ~60 s, the best-of-3 used for the cheap scan
+    # entries would add a minute of pure repetition for no extra signal.
+    build_reps = max(1, int(os.environ.get("PQ_BENCH_BUILD_REPS", "2")))
+    build_times = []
+    for _ in range(build_reps):
+        shutil.rmtree(out_path, ignore_errors=True)
+        t0 = time.time()
+        meta = build_index(spark, src, out_path, column="embedding")
+        build_times.append(time.time() - t0)
+    build_sec = round(min(build_times), 3)
+    build_spread = (
+        round((max(build_times) - min(build_times)) / min(build_times), 3)
+        if min(build_times) > 0
+        else 0.0
+    )
 
     def _indexed(obs=None):
         return [
@@ -717,7 +740,7 @@ def _scale_bench(spark) -> dict:
     _indexed(Observation("scale_warm"))
     reps_obs = [Observation(f"scale_pruning_{i}") for i in range(reps)]
     it = iter(reps_obs)
-    indexed_sec, got = best_of(lambda: _indexed(next(it)))
+    indexed_sec, indexed_spread, got = best_of(lambda: _indexed(next(it)))
     obs = reps_obs[-1]
 
     # --- batch similarity join: exact single-pass vs IVF-bucketed ---------
@@ -747,10 +770,10 @@ def _scale_bench(spark) -> dict:
         ).collect()
 
     _join_brute()
-    join_brute_sec, jb = best_of(_join_brute)
+    join_brute_sec, join_brute_spread, jb = best_of(_join_brute)
 
     _join_ivf()
-    join_ivf_sec, ji = best_of(_join_ivf)
+    join_ivf_sec, join_ivf_spread, ji = best_of(_join_ivf)
 
     def _batch_ivf():
         return ivf_multi_query_topk(
@@ -758,7 +781,7 @@ def _scale_bench(spark) -> dict:
         ).collect()
 
     _batch_ivf()
-    batch_ivf_sec, bi = best_of(_batch_ivf)
+    batch_ivf_sec, batch_ivf_spread, bi = best_of(_batch_ivf)
 
     # --- cosine over the SAME indexed (L2-clustered) layout ----------------
     # The reference benches its one query shape end-to-end; cosine is our
@@ -778,7 +801,7 @@ def _scale_bench(spark) -> dict:
         ]
 
     _cos_brute()
-    cos_brute_sec, cos_truth = best_of(_cos_brute)
+    cos_brute_sec, cos_brute_spread, cos_truth = best_of(_cos_brute)
 
     def _cos_ivf():
         return [
@@ -790,7 +813,7 @@ def _scale_bench(spark) -> dict:
         ]
 
     _cos_ivf()
-    cos_ivf_sec, cos_got = best_of(_cos_ivf)
+    cos_ivf_sec, cos_ivf_spread, cos_got = best_of(_cos_ivf)
     cosine_recall = len(set(cos_truth) & set(cos_got)) / k
 
     # --- SQ8 scalar quantization: the storage/IO scale path -----------------
@@ -822,7 +845,7 @@ def _scale_bench(spark) -> dict:
         ]
 
     _sq8_topk()
-    sq8_sec, sq8_got = best_of(_sq8_topk)
+    sq8_sec, sq8_spread, sq8_got = best_of(_sq8_topk)
     sq8_recall = len(set(sq8_got) & set(truth)) / k
     sq8_bytes = _dir_bytes(sq8_path)
 
@@ -853,7 +876,7 @@ def _scale_bench(spark) -> dict:
         ]
 
     _bq_topk()
-    bq_sec, bq_got = best_of(_bq_topk)
+    bq_sec, bq_spread, bq_got = best_of(_bq_topk)
     bq_recall = len(set(bq_got) & set(truth)) / k
     bq_bytes = _dir_bytes(bq_path)
 
@@ -872,15 +895,24 @@ def _scale_bench(spark) -> dict:
     cache_dir = os.path.dirname(src)
     pq_path = os.path.join(cache_dir, f"pq_codes_{n_rows}x{dim}_m{pq_m}.parquet")
     cb_path = os.path.join(cache_dir, f"pq_cb_{n_rows}x{dim}_m{pq_m}.npz")
+    # r17 (verdict #4): train timings are best-of-N with a recorded
+    # spread when the fixture is cold (same phantom-move rationale as
+    # index_build above; seed-fixed, so every rep trains the identical
+    # codebook). Cached fixture runs keep reporting 0.0 with spread 0.0.
+    train_reps = max(1, int(os.environ.get("PQ_BENCH_BUILD_REPS", "2")))
+    pq_train_spread = 0.0
     if os.path.exists(cb_path) and os.path.exists(pq_path):
         pq_cb = PQCodebook.load(cb_path)
         pq_train_sec = pq_encode_sec = 0.0  # cached fixture (like gen_sec)
     else:
-        t0 = time.time()
         # max_iters=10: PQ sub-quantizer quality saturates early; the full-20
         # default would double the one-time train cost at 1M×256
-        pq_cb = train_pq(emb, "embedding", m=pq_m, nbits=8, seed=42, max_iters=10)
-        pq_train_sec = round(time.time() - t0, 3)
+        pq_train_sec, pq_train_spread, pq_cb = best_of(
+            lambda: train_pq(
+                emb, "embedding", m=pq_m, nbits=8, seed=42, max_iters=10
+            ),
+            n=train_reps,
+        )
         t0 = time.time()
         encode_pq(emb, "embedding", pq_cb).select(
             "vec_id", "pq_codes"
@@ -908,7 +940,7 @@ def _scale_bench(spark) -> dict:
         ]
 
     _pq_topk()
-    pq_sec, pq_got = best_of(_pq_topk)
+    pq_sec, pq_scan_spread, pq_got = best_of(_pq_topk)
     pq_recall = len(set(pq_got) & set(truth)) / k
     pq_bytes = _dir_bytes(pq_path)
 
@@ -949,7 +981,7 @@ def _scale_bench(spark) -> dict:
         ]
 
     _ivfpq_topk()
-    ivfpq_sec, ivfpq_got = best_of(_ivfpq_topk)
+    ivfpq_sec, ivfpq_scan_spread, ivfpq_got = best_of(_ivfpq_topk)
     ivfpq_recall = len(set(ivfpq_got) & set(truth)) / k
 
     # --- OPQ (r13): parametric rotation (eigenvalue allocation) before the
@@ -963,14 +995,19 @@ def _scale_bench(spark) -> dict:
 
     opq_path = os.path.join(cache_dir, f"opq_codes_{n_rows}x{dim}_m{pq_m}.parquet")
     opq_cb_path = os.path.join(cache_dir, f"opq_cb_{n_rows}x{dim}_m{pq_m}.npz")
+    opq_train_spread = 0.0
     if os.path.exists(opq_path) and os.path.exists(opq_cb_path):
         opq_cb = PQCodebook.load(opq_cb_path)
         opq_train_sec = 0.0
         opq_encode_sec = 0.0
     else:
-        t0 = time.time()
-        opq_cb = train_opq(emb, "embedding", m=pq_m, nbits=8, seed=42, max_iters=10)
-        opq_train_sec = round(time.time() - t0, 3)
+        # best-of-N like pq_train above (r17, verdict #4)
+        opq_train_sec, opq_train_spread, opq_cb = best_of(
+            lambda: train_opq(
+                emb, "embedding", m=pq_m, nbits=8, seed=42, max_iters=10
+            ),
+            n=train_reps,
+        )
         t0 = time.time()
         encode_pq(emb, "embedding", opq_cb).select(
             "vec_id", "pq_codes"
@@ -992,7 +1029,7 @@ def _scale_bench(spark) -> dict:
         ]
 
     _opq_topk()
-    opq_sec, opq_got = best_of(_opq_topk)
+    opq_sec, opq_scan_spread, opq_got = best_of(_opq_topk)
     opq_recall = len(set(opq_got) & set(truth)) / k
 
     # --- wide projection at scale (r9 order #7): the Arrow-batched BLAS
@@ -1019,7 +1056,7 @@ def _scale_bench(spark) -> dict:
         )
 
     _project_wide()
-    project_wide_sec, _ = best_of(_project_wide)
+    project_wide_sec, project_wide_spread, _ = best_of(_project_wide)
 
     sample = emb.filter(F.col("vec_id") < 1000)
     pw = {
@@ -1135,51 +1172,68 @@ def _scale_bench(spark) -> dict:
         "n_clusters": meta["n_clusters"],
         "gen_sec": gen_sec,
         "brute_force_sec": brute_sec,
+        "brute_force_sec_spread": brute_spread,
         "index_build_sec": build_sec,
+        "index_build_sec_spread": build_spread,
+        "index_build_reps": build_reps,
         "indexed_sec": indexed_sec,
+        "indexed_sec_spread": indexed_spread,
         "speedup": round(brute_sec / indexed_sec, 2) if indexed_sec else None,
         "recall_at_100": len(set(got) & set(truth)) / k,
         "join_queries": n_q,
         "join_k": jk,
         "join_brute_sec": join_brute_sec,
+        "join_brute_sec_spread": join_brute_spread,
         "join_ivf_sec": join_ivf_sec,
+        "join_ivf_sec_spread": join_ivf_spread,
         "join_speedup": round(join_brute_sec / join_ivf_sec, 2) if join_ivf_sec else None,
         "join_recall_at_10": round(join_recall, 4),
         "batch_ivf_sec": batch_ivf_sec,
+        "batch_ivf_sec_spread": batch_ivf_spread,
         "batch_ivf_speedup": round(join_brute_sec / batch_ivf_sec, 2) if batch_ivf_sec else None,
         "batch_ivf_recall_at_10": round(batch_recall, 4),
         "counts_sec": meta.get("counts_sec"),
         "cosine_brute_sec": cos_brute_sec,
+        "cosine_brute_sec_spread": cos_brute_spread,
         "cosine_ivf_sec": cos_ivf_sec,
+        "cosine_ivf_sec_spread": cos_ivf_spread,
         "cosine_speedup": round(cos_brute_sec / cos_ivf_sec, 2) if cos_ivf_sec else None,
         "cosine_recall_at_100": round(cosine_recall, 4),
         "bq_scan_sec": bq_sec,
+        "bq_scan_sec_spread": bq_spread,
         "bq_recall_at_100": round(bq_recall, 4),
         "bq_oversample": 16,
         "bq_bytes": bq_bytes,
         "sq8_scan_sec": sq8_sec,
+        "sq8_scan_sec_spread": sq8_spread,
         "sq8_recall_at_100": round(sq8_recall, 4),
         "sq8_bytes": sq8_bytes,
         "sq8_compression": round(_dir_bytes(src) / sq8_bytes, 2) if sq8_bytes else None,
         "pq_m": pq_m,
         "pq_train_sec": pq_train_sec,
+        "pq_train_sec_spread": pq_train_spread,
         "pq_encode_sec": pq_encode_sec,
         "pq_rerank": pq_rerank,
         "pq_scan_sec": pq_sec,
+        "pq_scan_sec_spread": pq_scan_spread,
         "pq_speedup": round(brute_sec / pq_sec, 2) if pq_sec else None,
         "pq_recall_at_100": round(pq_recall, 4),
         "pq_bytes": pq_bytes,
         "pq_compression": round(_dir_bytes(src) / pq_bytes, 2) if pq_bytes else None,
         "ivfpq_encode_sec": ivfpq_encode_sec,
         "ivfpq_scan_sec": ivfpq_sec,
+        "ivfpq_scan_sec_spread": ivfpq_scan_spread,
         "ivfpq_speedup": round(brute_sec / ivfpq_sec, 2) if ivfpq_sec else None,
         "ivfpq_recall_at_100": round(ivfpq_recall, 4),
         "opq_train_sec": opq_train_sec,
+        "opq_train_sec_spread": opq_train_spread,
         "opq_encode_sec": opq_encode_sec,
         "opq_scan_sec": opq_sec,
+        "opq_scan_sec_spread": opq_scan_spread,
         "opq_recall_at_100": round(opq_recall, 4),
         "project_wide_target": proj_target,
         "project_wide_sec": project_wide_sec,
+        "project_wide_sec_spread": project_wide_spread,
         "project_wide_allclose": project_wide_allclose,
         "append_rows": n_app,
         "append_sec": append_sec,

@@ -464,8 +464,21 @@ def tfidf_top_terms(df, text_col: str, id_col: str, top: int = 3):
     tf = toks.groupBy("_id", "term").agg(
         F.count(F.lit(1)).cast("bigint").alias("tf")
     )
+    # r17 (guide §2.4 "two operations keyed the same way share one
+    # exchange"): document frequency is derived FROM tf — tf has exactly
+    # one row per distinct (doc, term), so counting tf's rows per term IS
+    # the distinct-doc count the old ``toks.distinct().groupBy(term)``
+    # computed. The always-true ``tf > 0`` guard (a count group is never
+    # empty) keeps the tf column REFERENCED in this branch: without it,
+    # column pruning strips partial_count from the branch's pre-shuffle
+    # aggregate and the two exchanges stop canonicalizing equal. With it,
+    # the tf exchange subtree is identical in both join branches and
+    # executes ONCE (runtime ReusedExchange) instead of re-scanning +
+    # re-tokenizing the whole corpus for the df pass (2 corpus scans →
+    # 1). Values are unchanged (integer counts; the tf probe side of the
+    # join is untouched).
     dfreq = (
-        toks.distinct()
+        tf.filter(F.col("tf") > 0)
         .groupBy("term")
         .agg(F.count(F.lit(1)).cast("bigint").alias("df_t"))
     )
@@ -538,9 +551,20 @@ def bm25_topk(
     tf = toks.groupBy("_id", "dl", "term").agg(
         F.count(F.lit(1)).cast("bigint").alias("tf")
     )
+    # r17 (guide §2.4, same move as tfidf_top_terms): df_t = tf's row
+    # count per term — tf keys on (_id, dl, term) and dl is functionally
+    # determined by _id, so the per-term row count equals the old
+    # distinct-(_id, term) count exactly. The always-true ``tf > 0``
+    # guard keeps tf referenced so column pruning cannot de-canonicalize
+    # the branch (see tfidf_top_terms above); the tf exchange is then
+    # reused at runtime (ReusedExchange) instead of a second
+    # tokenize+explode scan feeding its own distinct exchange. The
+    # per-doc float score sum is untouched: its probe side (tf) and
+    # aggregation shape are identical, only the broadcast build side's
+    # lineage changed — same values in the same order (attested by the
+    # oracle rows of text_bm25/hybrid_rrf).
     dfreq = (
-        toks.select("_id", "term")
-        .distinct()
+        tf.filter(F.col("tf") > 0)
         .groupBy("term")
         .agg(F.count(F.lit(1)).cast("bigint").alias("df_t"))
     )

@@ -1345,27 +1345,12 @@ def semantic_dedup(
 
 
 def _bounded_take(df: DataFrame, n: int) -> list:
-    """``df.take(n)`` probing a FULL core-wave first. take() defaults to
-    probing ONE output partition and growing 4× per wave
-    (``spark.sql.limit.initialNumPartitions=1``) — right for take(5) on a
-    huge table, wrong for the bounded-capture pattern where the expected
-    outcome is "all partitions fit": each extra wave re-runs the reduce
-    side of the upstream pipeline. Scoped to this one action; the conf is
-    restored even on failure."""
-    spark = df.sparkSession
-    _k = "spark.sql.limit.initialNumPartitions"
-    try:
-        _old = spark.conf.get(_k)
-    except Exception:
-        _old = None
-    spark.conf.set(_k, str(spark.sparkContext.defaultParallelism))
-    try:
-        return df.take(n)
-    finally:
-        if _old is None:
-            spark.conf.unset(_k)
-        else:
-            spark.conf.set(_k, _old)
+    """Shared lock-scoped core-wave take — see parallel.bounded_take
+    (r17, verdict #7: the conf swap is serialized under a module lock so
+    concurrent driver threads never observe each other's window)."""
+    from pq_vector_spark.parallel import bounded_take
+
+    return bounded_take(df, n)
 
 
 def _local_components(spark, rows, src_type) -> DataFrame:
@@ -1954,11 +1939,19 @@ def incremental_dedup_near(
     # (guide §2.5) is a no-op at real scan widths.
     from pq_vector_spark.parallel import ensure_compute_parallelism
 
+    # split_bytes=1 MB (r17, verdict #1/#2): these spread frames feed a
+    # ~13-stage persisted-join cascade, so the exchange+extra-AQE-stage
+    # overhead only amortizes when each task carries ≥ ~1 s of
+    # featurization. A/B at sf0.1 (delta = 20% of the docs table): no
+    # spread 1.28 s, 19-way 1.59 s, old cores-wide 1.73 s — the narrow
+    # gate keeps bench-scale deltas unspread while a multi-MB delta file
+    # still fans out (saturating at defaultParallelism past cores × 1 MB).
     sig = (
         ensure_compute_parallelism(
             delta.select(
                 F.col(id_col).alias("_id"), F.col(text_col).alias("_mtxt")
-            )
+            ),
+            split_bytes=1 << 20,
         )
         .select(
             "_id",
@@ -1980,11 +1973,13 @@ def incremental_dedup_near(
     dhs = None
     if corpus is not None:
         dhs = (
+            # same 1 MB split as the signature spread above
             ensure_compute_parallelism(
                 delta.select(
                     F.col(id_col).alias("_hid"),
                     F.col(text_col).alias("_htxt"),
-                )
+                ),
+                split_bytes=1 << 20,
             )
             .select(
                 "_hid",
@@ -2176,13 +2171,22 @@ def remove_repeated_paragraphs(
     if hit:
         raise ValueError(f"input columns {hit} collide with reserved names")
 
-    # (r16: a conditional pre-explode spread was MEASURED here and
-    # reverted — one md5 per paragraph is too little compute per row, and
-    # every consumer of `ex` re-derives this pipeline, so the extra
-    # exchange was paid per pass: 2.8 s → 4.1 s at sf0.1.)
+    # Pre-explode spread, size-gated at a 128 KB/task split (r17).
+    # History: the r16 cores-wide spread was measured and reverted
+    # (2.8 → 4.1 s at sf0.1 — every consumer of ``ex`` re-derives this
+    # pipeline, so the exchange is paid per pass). The r17 sweep with the
+    # size-adaptive gate flips it: 5-way 1.64 s, no spread 1.88 s,
+    # 19-way 2.22 s, 32-way 2.61 s (medians of 5). One md5 per paragraph
+    # is ~10× less compute per input byte than the shingle featurizers,
+    # hence the 4× larger split than the 32 KB default.
+    from pq_vector_spark.parallel import ensure_compute_parallelism
+
     paras = F.split(F.col(text_col), _re.escape(sep), -1)
-    ex = df.select(
-        F.col(id_col).alias("_rp_id"),
+    ex = ensure_compute_parallelism(
+        df.select(F.col(id_col).alias("_rp_id"), F.col(text_col)),
+        split_bytes=128 << 10,
+    ).select(
+        F.col("_rp_id"),
         F.posexplode(paras).alias("_rp_pos", "_rp_para"),
     )
     # blankness on the NORMALIZED form — the same whitespace class the

@@ -199,6 +199,13 @@ def dsir_importance_weights(
     # submit both from driver threads so the raw-corpus pass back-fills
     # executors freed by the (usually smaller) target pass's tail instead
     # of waiting for it; same two jobs, overlapped wall-clock.
+    #
+    # Concurrency contract (r17, verdict #7): these threads run PLAIN
+    # .collect() actions on plans built before the spawn — they never set
+    # or read session SQL confs, so they cannot observe the lock-scoped
+    # conf window of parallel.bounded_take (which is additionally
+    # serialized under parallel._TAKE_LOCK). Any future driver-thread
+    # work that touches session conf must take that lock.
     from concurrent.futures import ThreadPoolExecutor
 
     def _fit(frame):

@@ -757,25 +757,13 @@ def _driver_orderable_key(key_type) -> bool:
 
 
 def _bounded_take(slim: DataFrame, threshold: int):
-    """``take(threshold+1)`` probing a full core-wave first (same scoping
-    as ``connected_components``' fast path: take() defaults to ONE output
-    partition growing 4x per wave — wrong when the expected outcome is
-    "everything fits"). Returns the rows, or None when they exceed
-    ``threshold`` (distributed planning required)."""
-    spark = slim.sparkSession
-    _k = "spark.sql.limit.initialNumPartitions"
-    try:
-        _old = spark.conf.get(_k)
-    except Exception:
-        _old = None
-    spark.conf.set(_k, str(spark.sparkContext.defaultParallelism))
-    try:
-        rows = slim.take(threshold + 1)
-    finally:
-        if _old is None:
-            spark.conf.unset(_k)
-        else:
-            spark.conf.set(_k, _old)
+    """``take(threshold+1)`` probing a full core-wave first via the
+    shared lock-scoped parallel.bounded_take (r17, verdict #7). Returns
+    the rows, or None when they exceed ``threshold`` (distributed
+    planning required)."""
+    from pq_vector_spark.parallel import bounded_take
+
+    rows = bounded_take(slim, threshold + 1)
     return rows if len(rows) <= threshold else None
 
 
