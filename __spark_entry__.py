@@ -48,10 +48,31 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 
 
+# Query-vector memo (r17, guide §4 driver boundary): ~10 queries fetch
+# their query PARAMETER with this one-row collect, paying a ~0.1 s Spark
+# job per plan construction. The collected vector is a pure function of
+# the embeddings file, so memoize it keyed on (path, mtime, size) — the
+# same invalidation contract as load_table's relation memo and the same
+# cross-query amortization class as _IDX_CACHE below. In-process only:
+# every bench/oracle invocation still reads it from parquet once.
+_QVEC_CACHE: dict = {}
+
+
 def _qvec(spark: SparkSession, sf_dir: str, vec_id: int = 0):
-    return (
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(path)
+        key = (path, vec_id, st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = None
+    if key is not None and key in _QVEC_CACHE:
+        return _QVEC_CACHE[key]
+    vec = (
         _emb(spark, sf_dir).filter(F.col("vec_id") == vec_id).select("embedding").collect()[0][0]
     )
+    if key is not None:
+        _QVEC_CACHE[key] = vec
+    return vec
 
 
 _IDX_CACHE: dict[str, str] = {}

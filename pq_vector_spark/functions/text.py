@@ -486,23 +486,27 @@ def tfidf_top_terms(df, text_col: str, id_col: str, top: int = 3):
     scored = (
         tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n_docs))
-        .withColumn(
-            "score",
-            F.col("tf").cast("double")
-            * (
-                F.log(
-                    (F.col("_n") + F.lit(1)).cast("double")
-                    / (F.col("df_t") + F.lit(1)).cast("double")
+        # select("*", …) over withColumn: identical Project, one fewer
+        # eager analysis pass (r17, guide §4 driver boundary)
+        .select(
+            "*",
+            (
+                F.col("tf").cast("double")
+                * (
+                    F.log(
+                        (F.col("_n") + F.lit(1)).cast("double")
+                        / (F.col("df_t") + F.lit(1)).cast("double")
+                    )
+                    + F.lit(1.0)
                 )
-                + F.lit(1.0)
-            ),
+            ).alias("score"),
         )
     )
     from pyspark.sql import Window
 
     w = Window.partitionBy("_id").orderBy(F.col("score").desc(), F.col("term").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        scored.select("*", F.row_number().over(w).cast("int").alias("rank"))
         .filter(F.col("rank") <= top)
         .select(
             F.col("_id").alias(id_col),
@@ -512,6 +516,75 @@ def tfidf_top_terms(df, text_col: str, id_col: str, top: int = 3):
             "rank",
         )
     )
+
+
+def _bm25_sql(df, text_col, id_col, terms, k, k1, b):
+    """One-shot parsed SQL form of the full bm25_topk pipeline (r17).
+    Returns None unless both column args are plain string names. Every
+    CTE mirrors the Column-builder step of the same name below —
+    identical functions, identical literal placement, identical hint
+    sites — so the analyzed plan and all values match the Column path
+    bit-for-bit (equivalence pinned by tests). Float literals render via
+    CAST('<repr>' AS DOUBLE): Java's parseDouble round-trips Python's
+    repr exactly, and constant folding collapses the cast to the same
+    Literal the Column path builds."""
+    tref, iref = _sql_ident(text_col), _sql_ident(id_col)
+    if tref is None or iref is None:
+        return None
+
+    def dlit(v: float) -> str:
+        return f"CAST('{float(v)!r}' AS DOUBLE)"
+
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    idf = (
+        f"LN({dlit(1.0)} + (CAST(_n AS DOUBLE) - df_t + {dlit(0.5)}) "
+        f"/ (CAST(df_t AS DOUBLE) + {dlit(0.5)}))"
+    )
+    tf_part = (
+        f"(CAST(tf AS DOUBLE) * {dlit(k1 + 1.0)}) / (CAST(tf AS DOUBLE) "
+        f"+ {dlit(k1)} * ({dlit(1.0 - b)} + {dlit(b)} * CAST(dl AS DOUBLE) "
+        f"/ avgdl))"
+    )
+    q = f"""
+WITH base AS (
+  SELECT *, CAST(size(_toks) AS BIGINT) AS dl
+  FROM (SELECT {iref} AS _id, {_tokens_sql(tref)} AS _toks FROM {{df}})
+),
+toks AS (
+  SELECT _id, dl, term FROM base
+  LATERAL VIEW explode(_toks) AS term
+  WHERE term IN ({in_list})
+),
+tf AS (
+  SELECT _id, dl, term, CAST(count(1) AS BIGINT) AS tf
+  FROM toks GROUP BY _id, dl, term
+),
+dfreq AS (
+  SELECT term, CAST(count(1) AS BIGINT) AS df_t
+  FROM tf WHERE tf > 0 GROUP BY term
+),
+stats AS (
+  SELECT *, _total_dl / CAST(_n AS DOUBLE) AS avgdl
+  FROM (
+    SELECT CAST(count(1) AS BIGINT) AS _n, CAST(sum(dl) AS DOUBLE) AS _total_dl
+    FROM base
+  )
+),
+scored AS (
+  SELECT /*+ BROADCAST(dfreq), BROADCAST(stats) */
+    _id, {idf} * {tf_part} AS _s
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+)
+SELECT _id AS {iref}, score FROM (
+  SELECT _id, score
+  FROM (SELECT _id, ROUND(SUM(_s), 4) AS score FROM scored GROUP BY _id)
+  ORDER BY score DESC, _id ASC LIMIT {int(k)}
+)
+"""
+    try:
+        return df.sparkSession.sql(q, df=df)
+    except Exception:
+        return None
 
 
 def bm25_topk(
@@ -538,13 +611,32 @@ def bm25_topk(
     TakeOrderedAndProject (bounded heap, no global sort).
     """
     terms = [str(t).lower() for t in query_terms]
+    # r17 (guide §4 driver boundary, the r16 one-shot-SQL pattern at
+    # operator scope): the Column-built pipeline below is ~10 eager
+    # DataFrame ops, each re-analyzing the growing plan (~12-16 ms/op,
+    # measured via cProfile — hybrid_rrf's construction was ~45 ops ≈
+    # 0.5 s of pure driver time). For plain string column names the
+    # WHOLE leg parses as ONE spark.sql call; the SQL mirrors the
+    # builders token-for-token (same functions, same literal placement,
+    # same hint sites), so the analyzed tree and every value are
+    # identical — pinned by test_bm25_sql_path_matches_column_path and
+    # the oracle rows of text_bm25/hybrid_rrf. Column inputs and any
+    # parse failure fall back to the Column path.
+    rendered = _bm25_sql(df, text_col, id_col, terms, k, k1, b)
+    if rendered is not None:
+        return rendered
     # (r16: a conditional pre-tokenize spread was MEASURED here and
     # reverted — same result as tfidf_top_terms: the exchange cost more
     # than the parallelized tokenization saved.)
+    # r17 (guide §4 driver boundary): classic DataFrame ops re-analyze the
+    # whole plan eagerly per call (~10-20 ms each on these trees), so the
+    # construction below fuses every former withColumn into its adjacent
+    # projection — select("*", e.alias(n)) builds the identical Project
+    # node (no name conflicts anywhere here) in one analysis pass.
     base = df.select(
         F.col(id_col).alias("_id"),
         tokens(text_col).alias("_toks"),
-    ).withColumn("dl", F.size("_toks").cast("bigint"))
+    ).select("*", F.size("_toks").cast("bigint").alias("dl"))
     toks = base.select(
         "_id", "dl", F.explode("_toks").alias("term")
     ).filter(F.col("term").isin(terms))
@@ -571,7 +663,9 @@ def bm25_topk(
     stats = base.agg(
         F.count(F.lit(1)).cast("bigint").alias("_n"),
         F.sum("dl").cast("double").alias("_total_dl"),
-    ).withColumn("avgdl", F.col("_total_dl") / F.col("_n").cast("double"))
+    ).select(
+        "*", (F.col("_total_dl") / F.col("_n").cast("double")).alias("avgdl")
+    )
     idf = F.log(
         F.lit(1.0)
         + (F.col("_n").cast("double") - F.col("df_t") + F.lit(0.5))
@@ -585,7 +679,7 @@ def bm25_topk(
     scored = (
         tf.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(stats))
-        .withColumn("_s", idf * tf_part)
+        .select("*", (idf * tf_part).alias("_s"))
     )
     return (
         scored.groupBy("_id")

@@ -134,6 +134,41 @@ def test_bm25_topk_golden(spark):
     assert rows[0]["score"] > rows[1]["score"] > 0.0
 
 
+def test_bm25_sql_path_matches_column_path(spark):
+    """r17: the one-shot SQL render of the whole bm25 pipeline must be
+    bit-identical to the Column-builder path (schema and values), with
+    non-default k1/b literals rendered exactly. The Column path is forced
+    by passing a Column text arg (SQL render requires plain names)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark window pad pad"),
+            (2, "spark pad pad pad"),
+            (3, "hash hash hash window"),
+            (4, "nothing here at all"),
+            (5, "it's a spark 'quote' test"),
+        ],
+        "doc_id INT, text STRING",
+    )
+    terms = ["spark", "window", "hash", "it's"]
+    for k1, b in [(1.2, 0.75), (1.7, 0.3)]:
+        via_sql = T.bm25_topk(docs, "text", "doc_id", terms, k=10, k1=k1, b=b)
+        via_col = T.bm25_topk(
+            docs.withColumn("t2", F.col("text")),
+            F.col("t2"),
+            "doc_id",
+            terms,
+            k=10,
+            k1=k1,
+            b=b,
+        )
+        assert via_sql.schema == via_col.schema
+        assert [tuple(r) for r in via_sql.collect()] == [
+            tuple(r) for r in via_col.collect()
+        ]
+
+
 def test_bm25_length_normalization(spark):
     """Equal tf, different document lengths: the shorter doc scores higher
     (the b·dl/avgdl penalty)."""
