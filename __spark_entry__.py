@@ -2684,13 +2684,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- vector top-k (core reference surface) --
         "knn_exact": _knn_exact,
-        # SURVEY §2.C query 2 (filter-after-pruning, the reference's
-        # distinctive semantics, src/df_vector/tests.rs:152-241): rotated
-        # back into the budget for r9 (r8 verdict #8) — the interceptor
-        # around it changed again this round (codes-registration
-        # persistence); text_lang_confusion (stable composition) demoted
-        # to the tail in exchange.
-        "knn_filtered": _knn_filtered,
+        # r17 rotation (r16 verdict #8): the auto-route cosine variant
+        # re-attests — distance.py's render call sites changed in r16 and
+        # the query-vector memo landed this round (knn_filtered demoted:
+        # interceptor green since r9 and pinned in-budget by
+        # knn_auto/knn_auto_pq/knn_sql).
+        "knn_auto_cosine": _knn_auto_cosine,
         "knn_ivf_exact": _knn_ivf_exact,
         "knn_auto": _knn_auto,
         "knn_auto_pq": _knn_auto_pq,
@@ -2763,13 +2762,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _multimodal_features,
         # -- sampling / PII / packing / merge (training-pipeline curation) --
         "sample_budget": _sample_budget,
-        # r14 rotation (r13 verdict #1): epoch repeat-factor mixture was a
-        # never-driver-run r13 tail add AND its NULL/negative-factor gate
-        # changed this round — attested now (sample_budget_grouped demoted:
-        # green r10-r13 on untouched per-group budget code; the family
-        # keeps 5 in-budget rows incl. sample_budget + the temperature
-        # composition)
-        "sample_repeat": _sample_repeat,
+        # r17 rotation (r16 verdict #8): temperature_rates re-attests —
+        # sampling.py changed again this round (shared bounded_take) and
+        # the rate math last held a driver row in r12 (sample_repeat
+        # demoted: green r14-r16 on an untouched repeat-factor gate; the
+        # family keeps 5 in-budget rows)
+        "sample_temperature": _sample_temperature,
         # r12 attestation (r11 verdict #5): temperature→token-budget
         # composition — the water-filling math gains a driver-attested
         # hash-green row (sample_stratified demoted; hash-bucket family
@@ -2781,10 +2779,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sample_budget_temperature row pins the same water-filling
         # composition end-to-end)
         "split_leakage": _split_leakage,
-        # r12 attestation (r11 verdict #5): epoch-shuffle write→read round
-        # trip — the sink family's first oracle row (dedup_embedding
-        # demoted; the IVF-bucketed variant pins the family)
-        "epoch_shuffle": _epoch_shuffle,
+        # r17 rotation (r16 verdict #8): pairwise n-gram jaccard
+        # re-attests — dedup.py's shingle/spread path changed in r16 and
+        # again this round (size-gated spread) while the row sat in the
+        # tail (epoch_shuffle demoted: green r12-r16 on an untouched
+        # write→read round trip; merge_upsert keeps a sink row in budget)
+        "dedup_jaccard": _dedup_jaccard,
         # r13 extension: DSIR importance resampling — new code, spends a
         # budget row (sample_weighted demoted, green r10-r12 on untouched
         # priority-sampling code; the sample family keeps 5 in-budget rows)
@@ -2814,7 +2814,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    twin is still pinned by its stream sibling's shared oracle) --
         "events_stream_sessions": _events_stream_sessions,
         "events_asof": _events_asof,
-        "events_range_join": _events_range_join,
+        # r17 rotation (r16 verdict #8): dedup keep/drop rate report
+        # re-attests with the same dedup.py-changed rationale as
+        # dedup_jaccard (events_range_join demoted: green since r11 on
+        # untouched interval-join SQL; events keeps 3 in-budget rows)
+        "dedup_rates": _dedup_rates,
         "events_stream_join": _events_stream_join,
         # -- text family --
         "text_gopher": _text_gopher,
@@ -2829,28 +2833,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # heuristic-score code; the classifier is its trained upgrade and
         # exercises the same feature family end-to-end)
         "quality_classifier": _quality_classifier,
-        # r14 re-attestation (r13 verdict #1/#3): text_repetition's gram
-        # hashing changed in r13 (md5-before-exchange) with the row parked
-        # in the tail — rotation discipline says changed code re-attests
-        # (quality_checks demoted: green since r5 on untouched assertion
-        # code; quality_classifier keeps the family in budget)
-        "text_repetition": _text_repetition,
+        # r17 rotation (r16 verdict #8 + this round's change): TF-IDF's
+        # document-frequency branch now derives from the tf aggregate
+        # (ReusedExchange) — changed code re-attests (text_repetition
+        # demoted: green r14-r16 on gram-hash code untouched since r13)
+        "text_tfidf": _text_tfidf,
         # r14 extension (r13 verdict #2): the Bloom decontamination path
         # gains its first driver-attested row — survivors + hit counts
         # replayed as exact set membership at fpp=1e-6 (zero-FP regime)
         # (events_scd_enriched demoted: green r12-r13 on untouched SCD
         # code; 4 events rows stay in budget)
         "text_decontaminate_bloom": _text_decontaminate_bloom,
-        # r14 rotation (r13 verdict #1): JSONL ingestion round trip was a
-        # never-driver-run r13 tail add — attested now (dedup_exact
-        # demoted, see the dedup family note)
-        "pipeline_jsonl": _pipeline_jsonl,
+        # r17 rotation (this round's change): BM25 now renders the whole
+        # pipeline as one-shot SQL plus the shared-exchange df count —
+        # changed code re-attests (pipeline_jsonl demoted: green r14-r16
+        # on an untouched ingestion round trip; pipeline_curate keeps the
+        # family in budget)
+        "text_bm25": _text_bm25,
         # ---- 50-row budget cutoff: tail variants below were driver-green in
         # r5 (CORRECTNESS_r05.json) and their code is unchanged; rotate any
         # of them back above this line whenever their implementation changes.
+        "knn_filtered": _knn_filtered,  # demoted r17 (green r9-r16; interceptor pinned by 3 in-budget auto rows)
+        "sample_repeat": _sample_repeat,  # demoted r17 (green r14-r16; repeat-factor gate untouched since r14)
+        "epoch_shuffle": _epoch_shuffle,  # demoted r17 (green r12-r16; sink family pinned by merge_upsert/pipeline_curate)
+        "events_range_join": _events_range_join,  # demoted r17 (green since r11; interval-join SQL untouched)
+        "text_repetition": _text_repetition,  # demoted r17 (green r14-r16; gram hashing untouched since r13)
+        "pipeline_jsonl": _pipeline_jsonl,  # demoted r17 (green r14-r16; ingestion round trip untouched)
         "knn_binary": _knn_binary,  # demoted r15 (green r13-r14; quantize.py untouched since r13, family keeps 10 in-budget rows)
-        "sample_temperature": _sample_temperature,  # demoted r13 (green since r9; water-filling pinned in-budget by sample_budget_temperature)
-        "knn_auto_cosine": _knn_auto_cosine,  # demoted r13 (green since r8; interception pinned by 3 in-budget auto rows, cosine by ann_cosine)
         "text_quality": _text_quality,  # demoted r13 (green since r5; trained classifier row covers the feature family)
         "dedup_resolve_best": _dedup_resolve_best,  # demoted r13 (green r10-r12, code untouched)
         "knn_ivfpq": _knn_ivfpq,  # demoted r13 (green since r6; pq.py pinned by the two in-budget auto-pq rows)
@@ -2870,12 +2879,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_profile": _quality_profile,  # demoted r10 (stable since r7)
         "events_retention": _events_retention,  # demoted r10 (stable since r7)
         "events_abtest": _events_abtest,  # demoted r10 (stable since r7)
-        "dedup_rates": _dedup_rates,  # demoted r10 (stable since r7)
         "events_transitions": _events_transitions,  # demoted r10 (stable since r7)
         "events_trending": _events_trending,  # demoted r10 (stable since r7)
         "text_lang_confusion": _text_lang_confusion,  # demoted r9 (stable since r8)
         "embedding_outliers": _embedding_outliers,
-        "dedup_jaccard": _dedup_jaccard,
         "text_tokens_bpe": _text_tokens_bpe,
         "text_chunks": _text_chunks,
         "knn_quantized": _knn_quantized,
@@ -2909,8 +2916,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props": _events_props,
         "text_stats": _text_stats,
         "text_lang": _text_lang,
-        "text_tfidf": _text_tfidf,
-        "text_bm25": _text_bm25,
         "text_fingerprint": _text_fingerprint,
         "text_quantiles": _text_quantiles,
         "text_doc_freq": _text_doc_freq,

@@ -846,6 +846,15 @@ def unigram_logprob(df, text_col: str, id_col: str, smoothing: float = 1.0):
     toks = df.select(
         F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("term")
     )
+    # (r17: a tf-weighted restructure — reduce occurrences to (doc, term)
+    # counts first, derive the vocab FROM tf via ReusedExchange, score as
+    # Σ tf·ln p / Σ tf — was MEASURED here and REVERTED: interleaved A/B
+    # at sf0.1 gave old 1.276 s vs new 1.589 s medians on the ccnet
+    # composition with identical rows. The extra (doc, term) exchange
+    # costs more than the saved tokenize scan at bench scale; at true
+    # corpus scale the trade may flip, but that flip must be measured
+    # there, not assumed. The round-4 boundary-margin analysis written
+    # for it is retained in OPTIMIZATION_r17.md §sample_ccnet.)
     vocab = toks.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
     stats = vocab.agg(
         F.sum("_c").cast("double").alias("_n"),
