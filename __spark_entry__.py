@@ -2779,11 +2779,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sample_budget_temperature row pins the same water-filling
         # composition end-to-end)
         "split_leakage": _split_leakage,
+        # r12 attestation (r11 verdict #5): epoch-shuffle write→read round
+        # trip — the sink family's first oracle row, and the only member
+        # of its family (the family-representation contract keeps it
+        # in-budget)
+        "epoch_shuffle": _epoch_shuffle,
         # r17 rotation (r16 verdict #8): pairwise n-gram jaccard
         # re-attests — dedup.py's shingle/spread path changed in r16 and
         # again this round (size-gated spread) while the row sat in the
-        # tail (epoch_shuffle demoted: green r12-r16 on an untouched
-        # write→read round trip; merge_upsert keeps a sink row in budget)
+        # tail (text_decontaminate_fast demoted: approx-sizing code
+        # untouched this round, and the decontaminate family keeps two
+        # in-budget rows — the exact and bloom variants — that attest the
+        # shared, spread-gated gram featurizer)
         "dedup_jaccard": _dedup_jaccard,
         # r13 extension: DSIR importance resampling — new code, spends a
         # budget row (sample_weighted demoted, green r10-r12 on untouched
@@ -2802,7 +2809,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # knn_binary demoted in exchange: green r13-r14 on
         # functions/quantize.py code untouched both rounds, and the knn
         # family keeps 10 in-budget rows.
-        "text_decontaminate_fast": _text_decontaminate_fast,
         "pipeline_curate": _pipeline_curate,
         "pack_sequences": _pack_sequences,
         "merge_upsert": _merge_upsert,
@@ -2854,8 +2860,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5 (CORRECTNESS_r05.json) and their code is unchanged; rotate any
         # of them back above this line whenever their implementation changes.
         "knn_filtered": _knn_filtered,  # demoted r17 (green r9-r16; interceptor pinned by 3 in-budget auto rows)
+        "text_decontaminate_fast": _text_decontaminate_fast,  # demoted r17 (approx-HLL sizing untouched this round; exact+bloom variants attest the shared gram featurizer in-budget)
         "sample_repeat": _sample_repeat,  # demoted r17 (green r14-r16; repeat-factor gate untouched since r14)
-        "epoch_shuffle": _epoch_shuffle,  # demoted r17 (green r12-r16; sink family pinned by merge_upsert/pipeline_curate)
         "events_range_join": _events_range_join,  # demoted r17 (green since r11; interval-join SQL untouched)
         "text_repetition": _text_repetition,  # demoted r17 (green r14-r16; gram hashing untouched since r13)
         "pipeline_jsonl": _pipeline_jsonl,  # demoted r17 (green r14-r16; ingestion round trip untouched)

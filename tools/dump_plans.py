@@ -1,4 +1,4 @@
-"""Dump .explain("formatted") for headline queries to plans/r16/.
+"""Dump .explain("formatted") for headline queries to plans/$PQ_PLANS_ROUND/ (default r17).
 
 Usage: python tools/dump_plans.py <suffix> [query ...]
   suffix: "before" or "after" (file name suffix)
@@ -21,7 +21,11 @@ import bench
 from pq_vector_spark import get_spark
 
 SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.1")
-OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r16")
+OUT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("PQ_PLANS_ROUND", "r17"),
+)
 
 
 def main():
